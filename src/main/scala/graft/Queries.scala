@@ -1,0 +1,346 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+/** The declared query inventory (SURVEY.md §2 — THE CONTRACT).
+  *
+  * Each entry carries the Spark-dialect SQL (run by the engine) and the
+  * DuckDB-dialect oracle SQL (run by the driver's correctness gate on the
+  * same parquet tables). Canonical semantics are defined by the oracle text
+  * in SURVEY.md §2.10; the dialect deltas are exactly those enumerated in
+  * §2.7/§2.10 (RLIKE vs regexp_matches, explode vs unnest, unix_millis vs
+  * epoch_ms, STRING vs VARCHAR, get_json_object vs ->>, size/element_at vs
+  * len/[], collect_set vs list(DISTINCT), HOF cosine vs
+  * list_cosine_similarity, window-emulated as-of vs ASOF JOIN).
+  *
+  * Determinism rules baked into every query (SURVEY.md §5.4): total ORDER BY
+  * with a unique key suffix, floats rounded in-query, explicit NULL ordering,
+  * unique window tie-break keys, µs timestamp precision.
+  */
+object Queries {
+
+  /** A contract query: Spark SQL + DuckDB oracle SQL (identical when the
+    * dialects agree). */
+  final case class Q(name: String, spark: String, oracle: String)
+
+  private def q(name: String, sql: String): Q = Q(name, sql, sql)
+  private def q(name: String, spark: String, oracle: String): Q =
+    Q(name, spark, oracle)
+
+  val all: Seq[Q] = Seq(
+    // ---- scans / filters / predicates -------------------------------------
+    q("q01_count",
+      "SELECT count(*) AS n FROM lineitem"),
+
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in the corpus (verified
+    // 11785 dup pairs at sf0.01) — order by every output column so the
+    // serialized result is total-ordered (ties ⇒ identical rows).
+    q("q02_project_filter",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin),
+
+    q("q03_in_list",
+      """SELECT event_id, user_id, event_type, round(value,4) AS v FROM events
+        |WHERE event_type IN ('error','signup') AND value > 100 ORDER BY event_id""".stripMargin),
+
+    q("q04_regex_grep",
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE text RLIKE '(join|merge).*(window|stream)'
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(text, '(join|merge).*(window|stream)')
+        |ORDER BY doc_id""".stripMargin),
+
+    // ---- aggregations -----------------------------------------------------
+    q("q05_histogram",
+      "SELECT event_type, count(*) AS c FROM events GROUP BY event_type ORDER BY c DESC, event_type"),
+
+    q("q06_hourly_series",
+      """SELECT date_trunc('hour', ts) AS h, count(*) AS c, round(sum(value),4) AS s
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // cast to DATE: DuckDB's date_trunc('day') yields DATE, Spark's TIMESTAMP
+    q("q07_daily_matrix",
+      "SELECT cast(date_trunc('day', ts) AS DATE) AS d, event_type, count(*) AS c FROM events GROUP BY 1,2 ORDER BY 1,2"),
+
+    q("q08_distinct_users",
+      "SELECT event_type, count(DISTINCT user_id) AS u FROM events GROUP BY 1 ORDER BY 1"),
+
+    q("q09_multi_agg",
+      """SELECT event_type, round(min(value),4) AS mn, round(max(value),4) AS mx,
+        |       round(avg(value),4) AS av, round(sum(value),4) AS sm
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q10_topk_users",
+      "SELECT user_id, count(*) AS c FROM events GROUP BY 1 ORDER BY c DESC, user_id LIMIT 10"),
+
+    q("q11_rollup",
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS c FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, c""".stripMargin),
+
+    q("q12_having_subquery",
+      """SELECT user_id, count(*) AS c FROM events GROUP BY 1
+        |HAVING count(*) > (SELECT count(*)*1.0/count(DISTINCT user_id) FROM events)
+        |ORDER BY user_id""".stripMargin),
+
+    q("q13_wordcount",
+      """SELECT w, count(*) AS c
+        |FROM (SELECT explode(split(text,' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY c DESC, w LIMIT 20""".stripMargin,
+      """SELECT w, count(*) AS c
+        |FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY c DESC, w LIMIT 20""".stripMargin),
+
+    q("q14_conditional_agg",
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type='purchase') AS purchases,
+        |       round(sum(value) FILTER (WHERE event_type='purchase'),4) AS spend,
+        |       count(*) FILTER (WHERE event_type='error') AS errors
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- joins ------------------------------------------------------------
+    q("q15_inner_join",
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice),4) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q16_multiway_join",
+      """SELECT n_name, count(*) AS c, round(sum(l_extendedprice*(1-l_discount)),4) AS rev
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |  JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+        |WHERE o_orderstatus='F' GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q17_left_join",
+      """SELECT c_custkey, count(o_orderkey) AS c FROM customer
+        |LEFT JOIN orders ON c_custkey=o_custkey GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q18_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    q("q19_anti_join",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='P')
+        |ORDER BY c_custkey""".stripMargin),
+
+    q("q20_full_outer",
+      """SELECT coalesce(c.k, s.k) AS k, c.cc, s.sc
+        |FROM (SELECT c_nationkey AS k, count(*) AS cc FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS sc FROM supplier GROUP BY 1) s ON c.k=s.k
+        |ORDER BY k""".stripMargin),
+
+    q("q21_cross_join",
+      "SELECT r1.r_name AS a, r2.r_name AS b FROM region r1 CROSS JOIN region r2 ORDER BY 1,2"),
+
+    q("q22_range_join",
+      """SELECT b.lo, count(*) AS c FROM part p
+        |JOIN (VALUES (900,920),(920,940),(940,960),(960,980),(980,1000)) AS b(lo,hi)
+        |  ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        |GROUP BY b.lo ORDER BY b.lo""".stripMargin),
+
+    // As-of join: Spark has no ASOF — window emulation (SURVEY.md §2.3 #19).
+    // Union clicks+purchases per user ordered by (ts, is_click DESC, event_id)
+    // so a ts-equal click sorts before the purchase (`>=` tie semantics),
+    // then last_value(click_id) IGNORE NULLS carries the latest click forward.
+    q("q23_asof_join",
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type='click' THEN 1 ELSE 0 END AS is_click,
+        |         CASE WHEN event_type='click' THEN event_id END AS cid
+        |  FROM events WHERE event_type IN ('click','purchase')),
+        |w AS (
+        |  SELECT event_id, is_click,
+        |         last_value(cid, true) OVER (
+        |           PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, click_id FROM w WHERE is_click=0
+        |ORDER BY purchase_id""".stripMargin,
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin),
+
+    q("q24_broadcast_join",
+      "SELECT n_name, r_name FROM nation JOIN region ON n_regionkey=r_regionkey ORDER BY n_name"),
+
+    // ---- window functions -------------------------------------------------
+    q("q25_ranking",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice,4) AS tp,
+        |         rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |         dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS dr
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk, o_orderkey""".stripMargin),
+
+    q("q26_lag_gap",
+      """SELECT user_id, round(avg(gap_ms),4) AS avg_gap
+        |FROM (SELECT user_id,
+        |             unix_millis(ts) - lag(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |      FROM events)
+        |WHERE gap_ms IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT user_id, round(avg(gap_ms),4) AS avg_gap
+        |FROM (SELECT user_id,
+        |             epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+        |      FROM events)
+        |WHERE gap_ms IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q27_moving_avg",
+      """SELECT d, round(avg(s) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),4) AS ma7
+        |FROM (SELECT cast(date_trunc('day',ts) AS DATE) AS d, sum(value) AS s FROM events GROUP BY 1) ORDER BY d""".stripMargin),
+
+    q("q28_running_total",
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING),4) AS rt
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    q("q29_ntile",
+      """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quart,
+        |       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),4) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    q("q30_first_last",
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ev,
+        |  last_value(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev
+        |FROM events ORDER BY user_id""".stripMargin),
+
+    q("q31_sessionization",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR unix_millis(ts) - lag(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS sessions, round(avg(n),4) AS avg_len FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS sessions, round(avg(n),4) AS avg_len FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- sorts / limits / set ops ----------------------------------------
+    q("q32_sort_limit_offset",
+      """SELECT c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_name LIMIT 20 OFFSET 10""".stripMargin),
+
+    q("q33_union",
+      """SELECT 'all' AS tag, count(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'dist' AS tag, count(*) AS c FROM (SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+        |ORDER BY tag""".stripMargin),
+
+    q("q34_intersect",
+      """SELECT user_id FROM events WHERE event_type='purchase' AND value>190
+        |INTERSECT
+        |SELECT user_id FROM events WHERE event_type='error' AND value>190 ORDER BY user_id""".stripMargin),
+
+    q("q35_except",
+      """SELECT user_id FROM events WHERE event_type='purchase' AND value>180
+        |EXCEPT
+        |SELECT user_id FROM events WHERE event_type='error' AND value>180 ORDER BY user_id""".stripMargin),
+
+    // ---- scalar function batteries ---------------------------------------
+    q("q36_string_funcs",
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo, substr(c_name,1,8) AS sub,
+        |       length(c_name) AS len, concat(c_name,'-',c_mktsegment) AS cat,
+        |       replace(c_name,'#','@') AS rep,
+        |       lpad(cast(c_custkey AS STRING),8,'0') AS pad
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, upper(c_name) AS up, lower(c_name) AS lo, substr(c_name,1,8) AS sub,
+        |       length(c_name) AS len, concat(c_name,'-',c_mktsegment) AS cat,
+        |       replace(c_name,'#','@') AS rep,
+        |       lpad(cast(c_custkey AS VARCHAR),8,'0') AS pad
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    q("q37_date_funcs",
+      """SELECT o_orderkey, extract(year FROM o_orderdate) AS y, extract(month FROM o_orderdate) AS m,
+        |       extract(day FROM o_orderdate) AS d, cast(o_orderdate + INTERVAL 30 DAY AS DATE) AS due
+        |FROM orders ORDER BY o_orderkey LIMIT 100""".stripMargin),
+
+    q("q38_math_funcs",
+      """SELECT l_orderkey, l_linenumber, round(abs(l_discount-0.05),4) AS a, cast(ceil(l_quantity) AS BIGINT) AS c,
+        |       cast(floor(l_quantity) AS BIGINT) AS f, round(sqrt(l_extendedprice),4) AS sq,
+        |       round(ln(l_extendedprice+1),4) AS lg, round(power(l_discount+1,2),4) AS pw,
+        |       mod(l_orderkey,7) AS md
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity, l_discount
+        |LIMIT 500""".stripMargin),
+
+    q("q39_json_extract",
+      """SELECT event_id, cast(get_json_object(props,'$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, cast(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    q("q40_array_access",
+      """SELECT vec_id, size(embedding) AS dim,
+        |       round(cast(element_at(embedding,1) AS DOUBLE),4) AS e1, label
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin,
+      """SELECT vec_id, len(embedding) AS dim,
+        |       round(cast(embedding[1] AS DOUBLE),4) AS e1, label
+        |FROM embeddings ORDER BY vec_id LIMIT 100""".stripMargin),
+
+    q("q41_collect_agg",
+      """SELECT user_id, array_join(sort_array(collect_set(event_type)),',') AS types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)),',') AS types
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ---- LLM-data-pipeline (hash-checked subset, SURVEY.md §2.8) ----------
+    q("q42_dedup_census",
+      """SELECT count(*) AS total, count(DISTINCT text) AS uniq_text, count(DISTINCT md5(text)) AS uniq_hash
+        |FROM documents""".stripMargin),
+
+    // Cosine top-k with built-in higher-order functions — no UDF, stays in
+    // codegen. Floats cast to DOUBLE before arithmetic so both engines round
+    // the same widened value (FIXTURES.md determinism fact 3).
+    q("q43_cosine_topk",
+      """WITH q AS (SELECT transform(embedding, x -> cast(x AS DOUBLE)) AS e
+        |           FROM embeddings WHERE vec_id=0),
+        |v AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS e
+        |      FROM embeddings WHERE vec_id <> 0)
+        |SELECT v.vec_id,
+        |       round(aggregate(zip_with(v.e, q.e, (x,y) -> x*y), 0D, (s,x) -> s+x)
+        |             / (sqrt(aggregate(v.e, 0D, (s,x) -> s+x*x))
+        |                * sqrt(aggregate(q.e, 0D, (s,x) -> s+x*x))),4) AS sim
+        |FROM v, q ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id=0)
+        |SELECT v.vec_id, round(cast(list_cosine_similarity(v.embedding, q.e) AS DOUBLE),4) AS sim
+        |FROM embeddings v, q WHERE v.vec_id <> 0 ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin),
+
+    q("q44_text_stats",
+      """SELECT lang, count(*) AS n, round(avg(n_chars),4) AS avg_c,
+        |       round(cast(median(n_chars) AS DOUBLE),1) AS med
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q45_tumbling_window",
+      """SELECT cast(floor(unix_millis(ts)/21600000.0) AS BIGINT) AS w, count(*) AS c, round(sum(value),4) AS s
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT cast(floor(epoch_ms(ts)/21600000.0) AS BIGINT) AS w, count(*) AS c, round(sum(value),4) AS s
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    q("q46_correlated_scalar",
+      """SELECT c_custkey, (SELECT round(max(o_totalprice),4) FROM orders WHERE o_custkey=c_custkey) AS max_order
+        |FROM customer ORDER BY c_custkey""".stripMargin)
+  )
+
+  /** name → Spark SQL, insertion-ordered. */
+  val sparkSql: ListMap[String, String] =
+    ListMap(all.map(x => x.name -> x.spark): _*)
+
+  /** name → DuckDB oracle SQL, insertion-ordered. */
+  val oracleSql: ListMap[String, String] =
+    ListMap(all.map(x => x.name -> x.oracle): _*)
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local pre-flight for the driver's correctness gate (SURVEY.md §5.2 t2).
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
+matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+<sfDir> parquet tables; compares row count, column names (sorted), and
+canonicalized values. Mirrors SURVEY.md §5.3: floats %.4f (-0.0000→0.0000),
+NULL literal, timestamps µs, columns sorted by name.
+"""
+import sys, json, glob, datetime, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        s = f"{v:.4f}"
+        return "0.0000" if s == "-0.0000" else s
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bool): return "true" if v else "false"
+    return str(v)
+
+def run(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        try:
+            ref_cur = con.execute(sql)
+            ref_cols = [d[0] for d in ref_cur.description]
+            ref = ref_cur.fetchall()
+            got_cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
+            got_cols = [d[0] for d in got_cur.description]
+            got = got_cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(ref_cols) != sorted(got_cols):
+            print(f"FAIL {name}: cols oracle={sorted(ref_cols)} spark={sorted(got_cols)}")
+            n_fail += 1; continue
+        if len(ref) != len(got):
+            print(f"FAIL {name}: rows oracle={len(ref)} spark={len(got)}")
+            n_fail += 1; continue
+        # driver sorts columns by name before hashing
+        rperm = sorted(range(len(ref_cols)), key=lambda i: ref_cols[i])
+        gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+        bad = None
+        for i, (r, g) in enumerate(zip(ref, got)):
+            rc = tuple(canon(r[j]) for j in rperm)
+            gc = tuple(canon(g[j]) for j in gperm)
+            if rc != gc:
+                bad = (i, rc, gc); break
+        if bad:
+            i, rc, gc = bad
+            print(f"FAIL {name}: row {i} oracle={rc} spark={gc}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(ref)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass / {n_fail} fail ==")
+    return n_fail
+
+if __name__ == "__main__":
+    sys.exit(1 if run(sys.argv[1], sys.argv[2]) else 0)
