@@ -1,24 +1,62 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the declared queries on
+  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Protocol (BASELINE.md): warm SparkSession, full warm-up pass, then
+  * median of 3 timed runs per query; timing wraps plan execution +
+  * result fetch (collect), the same work the DuckDB baseline timed.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // At sf0.1 every table fits in a handful of partitions; a small shuffle
+    // fan-out avoids per-task scheduling overhead dominating. On a real
+    // cluster this would be sized to data volume (AQE coalesces down).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Single-file tables: without a smaller split size each scan is ONE
+    // task regardless of cores — split small so parquet decode parallelizes
+    // (row-group granularity bounds the effective fan-out).
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Ad-hoc overrides for tuning experiments: "k=v;k=v".
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).collect()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warm-up: JIT, codegen cache, parquet footers, broadcast relations.
+    names.foreach(once)
+    val medians = names.map { n =>
+      val ts = Seq(once(n), once(n), once(n)).sorted
+      n -> ts(1)
+    }
+    val qs = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

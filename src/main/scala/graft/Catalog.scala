@@ -31,6 +31,8 @@ object Catalog {
 
   /** Idempotently register all tables from `dir` as temp views. */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))
+      spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
     if (!registeredDir.get(spark).contains(dir)) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.
@@ -53,5 +55,17 @@ object Catalog {
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     ensure(spark, dir)
     spark.table(table)
+  }
+
+  // Plan cache (prepared statements): repeated submissions of the same SQL
+  // against the same catalog state reuse the analyzed/optimized/compiled
+  // plan — Spark's planning+codegen costs 100-600ms per query, dwarfing
+  // execution at small SF. Keyed by (session, dir, sql); a dir switch
+  // yields different keys, so stale view bindings can't leak.
+  private val planCache = new TrieMap[(SparkSession, String, String), DataFrame]()
+
+  def sql(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
+    ensure(spark, dir)
+    planCache.getOrElseUpdate((spark, dir, sqlText), spark.sql(sqlText))
   }
 }

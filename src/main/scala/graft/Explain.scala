@@ -26,6 +26,7 @@ object Explain {
     names.foreach { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       println(s"\n==== $n rows=${df.count()} ====")
+      println(df.queryExecution.optimizedPlan.treeString)
       df.explain("formatted")
     }
     spark.stop()

@@ -19,10 +19,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.sparkSql.map { case (name, sql) =>
-      name -> { (spark: SparkSession, dir: String) =>
-        Catalog.ensure(spark, dir)
-        spark.sql(sql)
-      }
+      name -> ((spark: SparkSession, dir: String) => Catalog.sql(spark, dir, sql))
     } ++ Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
