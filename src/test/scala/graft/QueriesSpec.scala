@@ -1,0 +1,65 @@
+package graft
+
+/** Per-operator smoke over the full declared inventory at sf0.001.
+  * Row counts were cross-checked against the DuckDB oracle (t2 gate runs
+  * the full hash compare at sf0.01; this keeps `sbt test` self-contained
+  * and fast). */
+class QueriesSpec extends SparkSpec {
+
+  // name -> expected row count at sf0.001 (oracle-verified this round)
+  val expectedRows: Map[String, Long] = Map(
+    "q01_count" -> 1, "q02_project_filter" -> 590, "q03_in_list" -> 54,
+    "q04_regex_grep" -> 394, "q05_histogram" -> 5, "q06_hourly_series" -> 531,
+    "q07_daily_matrix" -> 150, "q08_distinct_users" -> 5, "q09_multi_agg" -> 5,
+    "q10_topk_users" -> 10, "q11_rollup" -> 19, "q12_having_subquery" -> 8,
+    "q13_wordcount" -> 20, "q14_conditional_agg" -> 15, "q15_inner_join" -> 5,
+    "q16_multiway_join" -> 25, "q17_left_join" -> 150, "q18_semi_join" -> 145,
+    "q19_anti_join" -> 7, "q20_full_outer" -> 25, "q21_cross_join" -> 25,
+    "q22_range_join" -> 1, "q23_asof_join" -> 202, "q24_broadcast_join" -> 25,
+    "q25_ranking" -> 449, "q26_lag_gap" -> 15, "q27_moving_avg" -> 30,
+    "q28_running_total" -> 1000, "q29_ntile" -> 150, "q30_first_last" -> 15,
+    "q31_sessionization" -> 15, "q32_sort_limit_offset" -> 20,
+    "q33_union" -> 2, "q34_intersect" -> 0, "q35_except" -> 5,
+    "q36_string_funcs" -> 150, "q37_date_funcs" -> 100,
+    "q38_math_funcs" -> 500, "q39_json_extract" -> 1000,
+    "q40_array_access" -> 100, "q41_collect_agg" -> 15,
+    "q42_dedup_census" -> 1, "q43_cosine_topk" -> 10, "q44_text_stats" -> 5,
+    "q45_tumbling_window" -> 120, "q46_correlated_scalar" -> 150)
+
+  test("every declared query has an oracle twin with matching name") {
+    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet ||
+      // rows-only entries may omit the oracle, but never the reverse
+      SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  expectedRows.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("q01 full-scan count value") {
+    assert(SparkEntry.queries("q01_count")(spark, sf0001)
+      .collect().head.getLong(0) == 6000L)
+  }
+
+  test("q05 histogram exact values (the log-analysis identity query)") {
+    val rows = SparkEntry.queries("q05_histogram")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.take(3) == Seq(("click", 210L), ("purchase", 202L), ("error", 201L)))
+  }
+
+  test("q42 dedup census: corpus has no duplicate texts at sf0.001") {
+    val r = SparkEntry.queries("q42_dedup_census")(spark, sf0001).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((500L, 500L, 500L)))
+  }
+
+  test("q43 cosine top-k exact head (vec 17 at sim 0.3345)") {
+    val r = SparkEntry.queries("q43_cosine_topk")(spark, sf0001).collect().head
+    assert(r.getLong(0) == 17L && math.abs(r.getDouble(1) - 0.3345) < 1e-9)
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
