@@ -333,7 +333,128 @@ object Queries {
 
     q("q46_correlated_scalar",
       """SELECT c_custkey, (SELECT round(max(o_totalprice),4) FROM orders WHERE o_custkey=c_custkey) AS max_order
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // ==== LLM-data-pipeline extensions (x47+) ============================
+    // Oracle-checked like the core inventory; excluded from Bench (the
+    // BASELINE.md suite is exactly q01-q46).
+
+    // Exact dedup over a normalized representation (sorted distinct token
+    // set): keep the lowest doc_id per key, report the dropped docs.
+    q("x47_dedup_keep_first",
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key
+        |  FROM documents),
+        |f AS (SELECT key, min(doc_id) AS keeper FROM k GROUP BY 1)
+        |SELECT k.doc_id, f.keeper FROM k JOIN f ON k.key=f.key
+        |WHERE k.doc_id <> f.keeper ORDER BY k.doc_id""".stripMargin,
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key
+        |  FROM documents),
+        |f AS (SELECT key, min(doc_id) AS keeper FROM k GROUP BY 1)
+        |SELECT k.doc_id, f.keeper FROM k JOIN f ON k.key=f.key
+        |WHERE k.doc_id <> f.keeper ORDER BY k.doc_id""".stripMargin),
+
+    // Near-dup candidate generation + scoring: word 3-gram shingles,
+    // inverted index self-join, exact Jaccard, top-20 most similar pairs.
+    // (The shuffle-heavy classic; MinHash/LSH scale path lives in
+    // Extensions as a rows-only operator with a recall spec.)
+    q("x48_jaccard_topk",
+      """WITH t AS (SELECT doc_id,
+        |  array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))) AS shs
+        |  FROM (SELECT doc_id, split(text,' ') AS w FROM documents) WHERE size(w) >= 3),
+        |n AS (SELECT doc_id, size(shs) AS n FROM t),
+        |s AS (SELECT doc_id, explode(shs) AS sh FROM t),
+        |p AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS c
+        |      FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id GROUP BY 1,2)
+        |SELECT p.a, p.b, cast(floor(p.c*10000.0/(na.n + nb.n - p.c)) AS BIGINT) AS jac_bp
+        |FROM p JOIN n na ON p.a=na.doc_id JOIN n nb ON p.b=nb.doc_id
+        |ORDER BY jac_bp DESC, p.a, p.b LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |  list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)]) AS shs
+        |  FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents) WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, len(shs) AS n FROM t),
+        |s AS (SELECT doc_id, unnest(shs) AS sh FROM t),
+        |p AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS c
+        |      FROM s sa JOIN s sb ON sa.sh = sb.sh AND sa.doc_id < sb.doc_id GROUP BY 1,2)
+        |SELECT p.a, p.b, cast(floor(p.c*10000.0/(na.n + nb.n - p.c)) AS BIGINT) AS jac_bp
+        |FROM p JOIN n na ON p.a=na.doc_id JOIN n nb ON p.b=nb.doc_id
+        |ORDER BY jac_bp DESC, p.a, p.b LIMIT 20""".stripMargin),
+
+    // Brute-force all-pairs cosine over the embedding table, top-20 pairs —
+    // the exact baseline an ANN index must approximate. Norms precomputed
+    // per vector so the pair join does one dot product, not three.
+    q("x49_cosine_pairs",
+      """WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
+        |n AS (SELECT vec_id, e, sqrt(aggregate(e, 0D, (s,x) -> s + x*x)) AS nrm FROM v)
+        |SELECT va.vec_id AS a, vb.vec_id AS b,
+        |       round(aggregate(zip_with(va.e, vb.e, (x,y) -> x*y), 0D, (s,x) -> s+x) / (va.nrm*vb.nrm), 4) AS sim
+        |FROM n va JOIN n vb ON va.vec_id < vb.vec_id
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
+      """SELECT va.vec_id AS a, vb.vec_id AS b,
+        |       round(cast(list_cosine_similarity(va.embedding, vb.embedding) AS DOUBLE), 4) AS sim
+        |FROM embeddings va JOIN embeddings vb ON va.vec_id < vb.vec_id
+        |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin),
+
+    // Per-document quality scoring: token counts, type-token ratio,
+    // stopword ratio, composite quality. All ratio outputs are integer
+    // basis points via floor() — round-half rules differ across engines
+    // and small-integer ratios hit .xxxx5 boundaries often (observed:
+    // quality 0.65875 at sf0.1 rounded 0.6587 vs 0.6588).
+    q("x50_quality_score",
+      """SELECT doc_id, n_toks, n_types,
+        |       cast(floor(n_types*10000.0/n_toks) AS BIGINT) AS ttr_bp,
+        |       cast(floor(n_stop*10000.0/n_toks) AS BIGINT) AS stop_bp,
+        |       cast(floor((0.4*(n_types/cast(n_toks AS DOUBLE))
+        |             + 0.3*(1.0 - n_stop/cast(n_toks AS DOUBLE))
+        |             + 0.3*least(n_toks/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |FROM (SELECT doc_id, size(w) AS n_toks, size(array_distinct(w)) AS n_types,
+        |             size(filter(w, x -> x IN ('a','the'))) AS n_stop
+        |      FROM (SELECT doc_id, split(text,' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, n_toks, n_types,
+        |       cast(floor(n_types*10000.0/n_toks) AS BIGINT) AS ttr_bp,
+        |       cast(floor(n_stop*10000.0/n_toks) AS BIGINT) AS stop_bp,
+        |       cast(floor((0.4*(n_types/cast(n_toks AS DOUBLE))
+        |             + 0.3*(1.0 - n_stop/cast(n_toks AS DOUBLE))
+        |             + 0.3*least(n_toks/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |FROM (SELECT doc_id, len(w) AS n_toks, len(list_distinct(w)) AS n_types,
+        |             len(list_filter(w, x -> x IN ('a','the'))) AS n_stop
+        |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin),
+
+    // Language-ID as a trained classifier: per-language unigram profiles
+    // (Laplace-smoothed), per-doc log-likelihood argmax, accuracy by true
+    // lang. Profiles are tiny → broadcast to the doc-word join at scale.
+    q("x51_langid",
+      """WITH wt AS (SELECT doc_id, lang, explode(split(text,' ')) AS w FROM documents),
+        |counts AS (SELECT lang AS l, w, count(*) AS c FROM wt GROUP BY 1,2),
+        |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
+        |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
+        |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
+        |              sum(d.n * ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))) AS score
+        |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
+        |       GROUP BY 1,2,3),
+        |pred AS (SELECT doc_id, true_lang, cand,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |         FROM sc)
+        |SELECT true_lang AS lang, count(*) AS n,
+        |       sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS correct
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH wt AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
+        |counts AS (SELECT lang AS l, w, count(*) AS c FROM wt GROUP BY 1,2),
+        |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
+        |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
+        |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
+        |              sum(d.n * ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))) AS score
+        |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
+        |       GROUP BY 1,2,3),
+        |pred AS (SELECT doc_id, true_lang, cand,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |         FROM sc)
+        |SELECT true_lang AS lang, count(*) AS n,
+        |       sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS correct
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
