@@ -1,12 +1,40 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.llm.{Ann, Dedup, Fingerprint}
 
-/** LLM-data-pipeline operators beyond the SURVEY.md §2.10 inventory
-  * (dedup, similarity search, text analysis) — populated incrementally;
-  * every declared entry must hash-match its oracle (SURVEY.md §7.3).
+/** LLM-data-pipeline operators beyond the oracle-checked SQL inventory:
+  * sketch/LSH-based scale paths with no DuckDB analog (SURVEY.md §2.9).
+  * These are declared WITHOUT oracle SQL → the driver records a
+  * rows-only check; their correctness contract is the ScalaTest recall/
+  * consistency specs against the exact operators (x48/x49).
   */
 object Extensions {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MinHash+LSH near-dup: banded candidates, exact-Jaccard verified.
+    "x52_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDups(Catalog.load(s, dir, "documents"),
+        numHashes = 64, rowsPerBand = 4, minJacBp = 5000L)),
+
+    // SimHash near-dup within Hamming radius 6 (banded, pigeonhole-exact).
+    "x53_simhash_neardup" -> ((s, dir) =>
+      Dedup.simHashNearDups(Catalog.load(s, dir, "documents"), maxHamming = 6)),
+
+    // LSH ANN top-10 vs the vec_id=0 embedding (approximate analog of q43).
+    "x54_ann_lsh" -> { (s, dir) =>
+      val q = Catalog.load(s, dir, "embeddings")
+        .where("vec_id = 0").select("embedding")
+        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.lshTopK(Catalog.load(s, dir, "embeddings").where("vec_id <> 0"),
+        q, k = 10, numPlanes = 8, probeRadius = 2)
+    },
+
+    // Winnowing fingerprint containment (copy-paste detection).
+    "x55_fingerprint_contain" -> ((s, dir) =>
+      Fingerprint.containment(Catalog.load(s, dir, "documents"),
+        minContainBp = 5000L))
+  )
+
   def oracleSql: Map[String, String] = Map()
 }

@@ -26,17 +26,14 @@ object Profile {
     def ms(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
     }
-    // global warm-up
-    names.foreach(n => spark.sql(Queries.sparkSql(n)).collect())
-    println(f"${"query"}%-24s ${"sql()"}%8s ${"exec1"}%8s ${"exec2"}%8s ${"exec3"}%8s")
+    println(f"${"query"}%-24s ${"plan"}%8s ${"exec1"}%8s ${"exec2"}%8s ${"exec3"}%8s")
     names.foreach { n =>
-      val sql = Queries.sparkSql(n)
       var df: org.apache.spark.sql.DataFrame = null
-      val tSql = ms { df = spark.sql(sql) }
+      val tPlan = ms { df = SparkEntry.queries(n)(spark, dir) }
       val t1 = ms { df.collect() }
       val t2 = ms { df.collect() }
       val t3 = ms { df.collect() }
-      println(f"$n%-24s $tSql%8.1f $t1%8.1f $t2%8.1f $t3%8.1f")
+      println(f"$n%-24s $tPlan%8.1f $t1%8.1f $t2%8.1f $t3%8.1f")
     }
     spark.stop()
   }

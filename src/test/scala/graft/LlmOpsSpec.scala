@@ -1,0 +1,116 @@
+package graft
+
+import graft.llm.{Ann, Dedup, Fingerprint}
+import org.apache.spark.sql.functions._
+
+/** Contracts for the sketch/LSH operators that have no SQL oracle:
+  * recall against the exact operators, plus algebraic invariants. */
+class LlmOpsSpec extends SparkSpec {
+
+  lazy val docs = Catalog.load(spark, sf0001, "documents")
+  lazy val embs = Catalog.load(spark, sf0001, "embeddings")
+
+  // --- MinHash ---------------------------------------------------------
+  test("minhash: exact dups get jac_bp 10000 and are always candidates") {
+    // plant: duplicate the first 5 docs with shifted ids
+    val planted = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(docs)
+    val dups = Dedup.minHashNearDups(planted, minJacBp = 9999L)
+      .where(col("b") >= 1000000L && col("a") === col("b") - 1000000L)
+    assert(dups.count() == 5, "all 5 planted exact dups must be found")
+  }
+
+  test("minhash: recall 1.0 on high-similarity pairs vs exact x48") {
+    // exact top pairs with J >= 0.8 from the oracle-checked query
+    val exact = SparkEntry.queries("x48_jaccard_topk")(spark, sf0001)
+      .where(col("jac_bp") >= 8000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.minHashNearDups(docs, minJacBp = 8000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus must contain high-sim pairs")
+    assert(exact.subsetOf(got),
+      s"missed ${exact -- got} of ${exact.size} high-sim pairs")
+  }
+
+  test("minhash: candidate pairs are a small fraction of all pairs") {
+    val n = docs.count()
+    val cands = Dedup.candidatePairs(docs, numHashes = 64, rowsPerBand = 4).count()
+    assert(cands < n * (n - 1) / 2 / 10,
+      s"$cands candidates vs ${n * (n - 1) / 2} total pairs — LSH not pruning")
+  }
+
+  // --- SimHash ---------------------------------------------------------
+  test("simhash: identical and token-permuted texts hash identically") {
+    val base = docs.select(col("doc_id"), col("text"))
+    val permuted = base.withColumn("text",
+      array_join(reverse(split(col("text"), " ")), " "))
+    val a = Dedup.simHashes(base).withColumnRenamed("simhash", "ha")
+    val b = Dedup.simHashes(permuted).withColumnRenamed("simhash", "hb")
+    val diff = a.join(b, "doc_id").where(col("ha") =!= col("hb")).count()
+    assert(diff == 0, "simhash must be token-order invariant")
+  }
+
+  test("simhash near-dups: exact dups at hamming 0, found via banding") {
+    val planted = docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(docs)
+    val found = Dedup.simHashNearDups(planted, maxHamming = 0)
+      .where(col("b") >= 1000000L).count()
+    assert(found >= 3)
+  }
+
+  // --- ANN -------------------------------------------------------------
+  lazy val queryVec: Seq[Double] = embs.where("vec_id = 0")
+    .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+
+  test("ann brute force matches oracle-checked q43 exactly") {
+    val q43 = SparkEntry.queries("q43_cosine_topk")(spark, sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    val bf = Ann.bruteForceTopK(embs.where("vec_id <> 0"), queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(bf == q43)
+  }
+
+  test("ann lsh: planted near-identical vector is always retrieved") {
+    // plant a copy of the query vector with tiny deterministic noise
+    import spark.implicits._
+    val planted = Seq((999999L, queryVec.map(x => (x + 1e-4).toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val all = embs.select("vec_id", "embedding").where("vec_id <> 0")
+      .unionByName(planted)
+    val got = Ann.lshTopK(all, queryVec, k = 10).collect().map(_.getLong(0))
+    assert(got.headOption.contains(999999L),
+      s"planted near-dup not ranked first: ${got.toSeq}")
+  }
+
+  test("ann lsh: probes a strict subset yet overlaps exact top-10") {
+    val exact = Ann.bruteForceTopK(embs.where("vec_id <> 0"), queryVec, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Ann.lshTopK(embs.where("vec_id <> 0"), queryVec, 10,
+      numPlanes = 8, probeRadius = 3).collect().map(_.getLong(0)).toSet
+    assert(approx.nonEmpty)
+    // random 64-d embeddings are weakly clustered; require non-trivial recall
+    assert((exact intersect approx).nonEmpty,
+      s"zero overlap between exact $exact and approx $approx")
+  }
+
+  // --- Fingerprint -----------------------------------------------------
+  test("fingerprint: doc fully contained in a concatenation scores 10000") {
+    import spark.implicits._
+    val two = docs.orderBy("doc_id").limit(2).collect()
+    val concatenated = two(0).getAs[String]("text") + " " + two(1).getAs[String]("text")
+    val planted = Seq((888888L, concatenated)).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(planted)
+    val hits = Fingerprint.containment(all, minContainBp = 9000L)
+      .where(col("b") === 888888L && col("a") === two(0).getLong(0))
+    assert(hits.count() == 1, "full substring containment must score >= 0.9")
+  }
+
+  test("rows-only extension queries all return rows at sf0.001") {
+    Extensions.queries.keys.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, sf0001).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+}
