@@ -42,6 +42,12 @@ object Scratch {
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id")).count()
       })
     t("containment.count")(Fingerprint.containment(docs, 5000L).count())
+    t("stream tumbling6h drain")({
+      val s = graft.streaming.EventStream.readEvents(spark, dir)
+      graft.streaming.EventStream.drainToMemory(spark,
+        graft.streaming.EventStream.tumbling6h(s), "scratch_t6h", complete = true)
+      spark.table("scratch_t6h").count()
+    })
     spark.stop()
   }
 }

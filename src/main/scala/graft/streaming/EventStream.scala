@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion of the `events` table (file-source
+  * replay) with the event-time operators a log pipeline needs: tumbling /
+  * sliding windows, session windows, watermarked dedup.
+  *
+  * Correctness contract (SURVEY.md §2.9): streaming output on a fully
+  * replayed bounded source must equal the batch answers — asserted by
+  * StreamingSpec against q45 (tumbling) and q31 (sessionization).
+  *
+  * Scale notes: state lives in the executor StateStore keyed by the
+  * window/group key, checkpointed per micro-batch; watermarks bound state
+  * size. On a real deployment the source would be a date-partitioned
+  * directory or Kafka; `Trigger.AvailableNow` here drains the bounded
+  * replay deterministically.
+  */
+object EventStream {
+
+  /** Parquet physical schema of events (ts as raw nanos — the file stores
+    * TIMESTAMP(NANOS) which Spark only reads as long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming events with ts converted ns→µs timestamp (same view the
+    * batch Catalog exposes). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file source monitors a DIRECTORY; the corpus stores one file per
+    // table in the sf dir, so filter the listing down to the events file
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 6-hour window: count + sum(value) (streaming analog of q45). */
+  def tumbling6h(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
+      .select(col("window.start").as("w_start"), col("c"), col("s"))
+
+  /** Sliding 6h/3h window counts. */
+  def sliding6h3h(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("w_start"), col("c"))
+
+  /** 30-minute-gap session windows per user (streaming analog of q31's
+    * lag-based sessionization): one row per (user, session) with its
+    * event count. */
+  def sessions30m(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s_start"), col("n"))
+
+  /** Watermarked exact dedup on event_id. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Drain a bounded streaming DF into an in-memory table; returns the
+    * table name. Complete mode for aggregations, append otherwise. */
+  def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
+                    complete: Boolean): String = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(if (complete) "complete" else "append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    name
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Stream-batch parity (SURVEY.md §5.2 t1): a fully-replayed bounded
+  * stream must produce exactly the batch answers. */
+class StreamingSpec extends SparkSpec {
+
+  test("tumbling 6h stream == batch q45") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.tumbling6h(stream),
+      "t6h", complete = true)
+    val got = spark.table("t6h")
+      .select(
+        (unix_millis(col("w_start")) / 21600000L).cast("long").as("w"),
+        col("c"), round(col("s"), 4).as("s"))
+      .orderBy("w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = SparkEntry.queries("q45_tumbling_window")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("session windows stream == batch q31 sessionization") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.sessions30m(stream),
+      "sess", complete = true)
+    // second-level aggregation (sessions per user, avg length) done in
+    // batch over the drained state — multiple chained stream aggs are not
+    // a streaming-expressible shape
+    val got = spark.table("sess")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("sessions"), round(avg(col("n")), 4).as("avg_len"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = SparkEntry.queries("q31_sessionization")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want)
+  }
+
+  test("sliding windows cover each event twice") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.sliding6h3h(stream),
+      "s63", complete = true)
+    val total = spark.table("s63").agg(sum("c")).collect().head.getLong(0)
+    val events = Catalog.load(spark, sf0001, "events").count()
+    assert(total == 2 * events, "6h window sliding by 3h sees each event in exactly 2 windows")
+  }
+
+  test("watermarked dedup drops a replayed duplicate batch") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.dedup(stream),
+      "dd", complete = false)
+    val n = spark.table("dd").count()
+    val distinct = Catalog.load(spark, sf0001, "events")
+      .select("event_id").distinct().count()
+    assert(n == distinct)
+  }
+}
