@@ -42,6 +42,12 @@ object Scratch {
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id")).count()
       })
     t("containment.count")(Fingerprint.containment(docs, 5000L).count())
+    t("multimodal decode+resize")({
+      val m = graft.multimodal.Multimodal.demoMedia(spark, dir)
+      val f = graft.multimodal.Multimodal.resize(
+        graft.multimodal.Multimodal.decodeFeatures(m), 128)
+      (f.count(), graft.multimodal.Multimodal.sampleFrames(m).count())
+    })
     t("stream tumbling6h drain")({
       val s = graft.streaming.EventStream.readEvents(spark, dir)
       graft.streaming.EventStream.drainToMemory(spark,
