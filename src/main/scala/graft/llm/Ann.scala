@@ -58,6 +58,69 @@ object Ann {
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("bucket", signature(col("e"), planeMat))
 
+  // ---- IVF (inverted-file) tier --------------------------------------
+
+  /** Train IVF centroids: deterministic seeding (vec_id mod nLists) plus
+    * `iters` Lloyd refinement steps. The per-list mean is computed with
+    * the typed VectorAvg Aggregator — partial buffers merge map-side, so
+    * training shuffles one (dim+1)-wide buffer per list per partition,
+    * never the vectors. Centroids (nLists × dim) collect to the driver:
+    * that's the index metadata a real deployment broadcasts. */
+  def ivfTrain(embeddings: DataFrame, nLists: Int, dim: Int,
+               iters: Int = 2): Array[(Int, Array[Double])] = {
+    import embeddings.sparkSession.implicits._
+    val avg = new graft.functions.Udfs.VectorAvg(dim)
+    val base = embeddings.select(col("vec_id"),
+      toDouble(col("embedding")).as("e"))
+    def listMeans(df: DataFrame): Array[(Int, Array[Double])] =
+      df.select(col("list"), col("e").cast("array<float>").as("ef"))
+        .as[(Int, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(avg.toColumn.name("c"))
+        .collect().map { case (l, c) => (l, c.map(_.toDouble)) }
+
+    var centroids = listMeans(
+      base.withColumn("list", (col("vec_id") % nLists).cast("int")))
+    var i = 0
+    while (i < iters) {
+      centroids = listMeans(ivfAssign(base, centroids))
+      i += 1
+    }
+    centroids.sortBy(_._1)
+  }
+
+  /** Assign each vector to its nearest centroid (list). At scale the
+    * result is what you write out partitioned/bucketed by `list`. */
+  def ivfAssign(vectors: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    // argmax over nLists dot products, unrolled as a greatest-of-structs
+    val scored = centroids.map { case (l, c) =>
+      struct(dot(col("e"), lit(c)).as("sim"), lit(l).as("list"))
+    }
+    vectors.withColumn("list", greatest(scored: _*).getField("list"))
+  }
+
+  /** IVF query: score the (driver-resident) centroids, probe the nProbe
+    * best lists, exact cosine within. */
+  def ivfTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+              nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
+              centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
+    val cs = centroids.getOrElse(ivfTrain(embeddings, nLists, dim))
+    val probe = cs.map { case (l, c) =>
+        val qn = math.sqrt(query.map(x => x * x).sum)
+        val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
+        (l, c.zip(query).map { case (a, b) => a * b }.sum / (qn * cn))
+      }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val assigned = ivfAssign(base, cs)
+    val q = lit(query.toArray)
+    assigned.where(col("list").isin(probe.toSeq: _*))
+      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: probe all buckets within `probeRadius` Hamming distance of
     * the query bucket, exact cosine within the candidate set. */
   def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,

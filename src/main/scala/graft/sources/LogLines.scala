@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Raw text log ingestion: the reference category's native input shape
+  * (line-oriented log files), parsed into typed columns with regex —
+  * schema-on-read (SURVEY.md §2.1 #3).
+  *
+  * Pattern: `YYYY-MM-DD HH:MM:SS.mmm LEVEL [component] message`.
+  * Malformed lines are preserved (null fields) so pipelines can route
+  * them to a dead-letter sink instead of silently dropping.
+  */
+object LogLines {
+
+  private val Ts = """^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3})"""
+  private val Level = """ (TRACE|DEBUG|INFO|WARN|ERROR|FATAL)"""
+  private val Comp = """ \[([^\]]+)\]"""
+  private val Msg = """ (.*)$"""
+  val pattern: String = Ts + Level + Comp + Msg
+
+  /** Parse a directory/glob of text log files into typed columns. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    parse(spark.read.text(path))
+
+  /** Parse an existing single-column text DataFrame (`value`). */
+  def parse(lines: DataFrame): DataFrame =
+    lines.select(
+      to_timestamp(nullif(regexp_extract(col("value"), pattern, 1), lit("")),
+        "yyyy-MM-dd HH:mm:ss.SSS").as("ts"),
+      nullif(regexp_extract(col("value"), pattern, 2), lit("")).as("level"),
+      nullif(regexp_extract(col("value"), pattern, 3), lit("")).as("component"),
+      nullif(regexp_extract(col("value"), pattern, 4), lit("")).as("message"),
+      col("value").as("raw"))
+
+  /** Render the events table as log lines (round-trip fixture: the corpus
+    * ships parquet, not raw logs — SURVEY.md §2.9). */
+  def renderEvents(events: DataFrame): DataFrame =
+    events.select(concat(
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS"),
+      when(col("event_type") === "error", lit(" ERROR")).otherwise(lit(" INFO")),
+      lit(" [evt-"), col("user_id"), lit("] "),
+      col("event_type"), lit(" value="), col("value")).as("value"))
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.Udfs
+import graft.llm.Ann
+import graft.sources.LogLines
+import org.apache.spark.sql.functions._
+
+class SourcesAndUdfsSpec extends SparkSpec {
+
+  // --- raw text log ingestion -----------------------------------------
+  test("log lines round-trip: events -> text -> parsed columns") {
+    val events = Catalog.load(spark, sf0001, "events")
+    val rendered = LogLines.renderEvents(events)
+    val parsed = LogLines.parse(rendered)
+    assert(parsed.count() == events.count())
+    assert(parsed.where(col("level").isNull).count() == 0, "all lines must parse")
+    val errs = parsed.where(col("level") === "ERROR").count()
+    val expect = events.where(col("event_type") === "error").count()
+    assert(errs == expect)
+    // the classic log histogram, straight off raw text
+    val hist = parsed.groupBy("level").count().orderBy("level")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hist.map(_._2).sum == events.count())
+  }
+
+  test("malformed lines survive with null fields, raw preserved") {
+    import spark.implicits._
+    val lines = Seq("not a log line", "2024-01-01 00:00:00.000 INFO [x] ok")
+      .toDF("value")
+    val parsed = LogLines.parse(lines).collect()
+    assert(parsed.length == 2)
+    val bad = parsed.find(_.getAs[String]("raw") == "not a log line").get
+    assert(bad.isNullAt(bad.fieldIndex("level")))
+    val ok = parsed.find(_.getAs[String]("raw").endsWith("ok")).get
+    assert(ok.getAs[String]("component") == "x")
+  }
+
+  test("log file read from disk") {
+    val events = Catalog.load(spark, sf0001, "events")
+    val dir = java.nio.file.Files.createTempDirectory("graftlogs").toString
+    LogLines.renderEvents(events).coalesce(1).write.mode("overwrite").text(dir)
+    val back = LogLines.read(spark, dir)
+    assert(back.count() == events.count())
+    assert(back.where(col("ts").isNull).count() == 0)
+  }
+
+  // --- UDF surface -----------------------------------------------------
+  test("registered scalar UDF + generator UDF run through SQL") {
+    Udfs.register(spark)
+    Catalog.ensure(spark, sf0001)
+    val n = spark.sql(
+      "SELECT subword_count(text) AS c FROM documents WHERE doc_id = 0")
+      .collect().head.getInt(0)
+    assert(n > 0)
+    val grams = spark.sql(
+      "SELECT explode(char_ngrams(text, 3)) AS g FROM documents WHERE doc_id = 0")
+      .count()
+    val len = Catalog.load(spark, sf0001, "documents")
+      .where("doc_id = 0").select(length(col("text"))).collect().head.getInt(0)
+    assert(grams == len - 2)
+  }
+
+  test("VectorAvg aggregator: mean of a constant set is the constant") {
+    import spark.implicits._
+    val vecs = Seq.fill(7)(Array(1f, 2f, 3f)).toDS()
+    val avg = new Udfs.VectorAvg(3)
+    val got = vecs.select(avg.toColumn).collect().head
+    assert(got.toSeq == Seq(1f, 2f, 3f))
+  }
+
+  // --- IVF ANN ---------------------------------------------------------
+  lazy val embs = Catalog.load(spark, sf0001, "embeddings")
+  lazy val queryVec: Seq[Double] = embs.where("vec_id = 0")
+    .select("embedding").collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+
+  test("ivf: every vector lands in exactly one list; lists are non-trivial") {
+    val cs = Ann.ivfTrain(embs, nLists = 8, dim = 64, iters = 1)
+    assert(cs.length == 8)
+    val base = embs.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("e"))
+    val assigned = Ann.ivfAssign(base, cs)
+    assert(assigned.count() == embs.count())
+    assert(assigned.select("list").distinct().count() > 1)
+  }
+
+  test("ivf topk: full probe equals brute force; partial probe overlaps") {
+    val cs = Ann.ivfTrain(embs.where("vec_id <> 0"), nLists = 8, dim = 64, iters = 1)
+    val exact = Ann.bruteForceTopK(embs.where("vec_id <> 0"), queryVec, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val full = Ann.ivfTopK(embs.where("vec_id <> 0"), queryVec, 10,
+      nLists = 8, nProbe = 8, centroids = Some(cs))
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, "probing all lists must equal brute force")
+    val partial = Ann.ivfTopK(embs.where("vec_id <> 0"), queryVec, 10,
+      nLists = 8, nProbe = 3, centroids = Some(cs))
+      .collect().map(_.getLong(0)).toSet
+    assert((partial intersect exact.toSet).nonEmpty)
+  }
+}
