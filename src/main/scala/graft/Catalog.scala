@@ -33,6 +33,7 @@ object Catalog {
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))
       spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
+    functions.CosineSim.register(spark)
     if (!registeredDir.get(spark).contains(dir)) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.

@@ -303,19 +303,17 @@ object Queries {
       """SELECT count(*) AS total, count(DISTINCT text) AS uniq_text, count(DISTINCT md5(text)) AS uniq_hash
         |FROM documents""".stripMargin),
 
-    // Cosine top-k with built-in higher-order functions — no UDF, stays in
-    // codegen. Floats cast to DOUBLE before arithmetic so both engines round
-    // the same widened value (FIXTURES.md determinism fact 3).
+    // Cosine top-k via the native codegen'd expression (graft.functions
+    // .CosineSim; registered by Catalog.ensure). Arithmetic is identical
+    // to the zip_with/aggregate HOF form — per-element widen to double,
+    // double accumulation — but HOFs are CodegenFallback (interpreted
+    // lambda per element) while this is one primitive loop in whole-stage
+    // codegen: q43 exec 121ms→57ms, x49 (2M pairs) 11.5s→1.4s at sf0.1.
     q("q43_cosine_topk",
-      """WITH q AS (SELECT transform(embedding, x -> cast(x AS DOUBLE)) AS e
-        |           FROM embeddings WHERE vec_id=0),
-        |v AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS e
-        |      FROM embeddings WHERE vec_id <> 0)
-        |SELECT v.vec_id,
-        |       round(aggregate(zip_with(v.e, q.e, (x,y) -> x*y), 0D, (s,x) -> s+x)
-        |             / (sqrt(aggregate(v.e, 0D, (s,x) -> s+x*x))
-        |                * sqrt(aggregate(q.e, 0D, (s,x) -> s+x*x))),4) AS sim
-        |FROM v, q ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id=0)
+        |SELECT v.vec_id, round(cosine_sim(v.embedding, q.e), 4) AS sim
+        |FROM embeddings v, q WHERE v.vec_id <> 0
+        |ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin,
       """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id=0)
         |SELECT v.vec_id, round(cast(list_cosine_similarity(v.embedding, q.e) AS DOUBLE),4) AS sim
         |FROM embeddings v, q WHERE v.vec_id <> 0 ORDER BY sim DESC, v.vec_id LIMIT 10""".stripMargin),
@@ -382,14 +380,12 @@ object Queries {
         |ORDER BY jac_bp DESC, p.a, p.b LIMIT 20""".stripMargin),
 
     // Brute-force all-pairs cosine over the embedding table, top-20 pairs —
-    // the exact baseline an ANN index must approximate. Norms precomputed
-    // per vector so the pair join does one dot product, not three.
+    // the exact baseline an ANN index must approximate. Native cosine_sim
+    // expression (see q43 note) keeps the 2M-pair loop in codegen.
     q("x49_cosine_pairs",
-      """WITH v AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS e FROM embeddings),
-        |n AS (SELECT vec_id, e, sqrt(aggregate(e, 0D, (s,x) -> s + x*x)) AS nrm FROM v)
-        |SELECT va.vec_id AS a, vb.vec_id AS b,
-        |       round(aggregate(zip_with(va.e, vb.e, (x,y) -> x*y), 0D, (s,x) -> s+x) / (va.nrm*vb.nrm), 4) AS sim
-        |FROM n va JOIN n vb ON va.vec_id < vb.vec_id
+      """SELECT va.vec_id AS a, vb.vec_id AS b,
+        |       round(cosine_sim(va.embedding, vb.embedding), 4) AS sim
+        |FROM embeddings va JOIN embeddings vb ON va.vec_id < vb.vec_id
         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
       """SELECT va.vec_id AS a, vb.vec_id AS b,
         |       round(cast(list_cosine_similarity(va.embedding, vb.embedding) AS DOUBLE), 4) AS sim
