@@ -33,7 +33,17 @@ object Extensions {
     // Winnowing fingerprint containment (copy-paste detection).
     "x55_fingerprint_contain" -> ((s, dir) =>
       Fingerprint.containment(Catalog.load(s, dir, "documents"),
-        minContainBp = 5000L))
+        minContainBp = 5000L)),
+
+    // HLL++ sketch distinct counts (the 100 TB path for q08-style
+    // distincts: mergeable fixed-size state instead of an exact expand).
+    "x56_approx_distinct" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      Catalog.load(s, dir, "events")
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"))
+        .orderBy("event_type")
+    }
   )
 
   def oracleSql: Map[String, String] = Map()

@@ -107,6 +107,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits.count() == 1, "full substring containment must score >= 0.9")
   }
 
+  test("hll approx distinct within rsd bound of exact q08") {
+    val exact = SparkEntry.queries("q08_distinct_users")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = SparkEntry.queries("x56_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e < 0.1,
+        s"$k: approx $a vs exact $e exceeds 10% (rsd 2% sketch)")
+    }
+  }
+
   test("rows-only extension queries all return rows at sf0.001") {
     Extensions.queries.keys.foreach { name =>
       val n = SparkEntry.queries(name)(spark, sf0001).count()
