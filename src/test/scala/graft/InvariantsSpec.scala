@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants (SURVEY.md §5.2 t4), driven with seeded
+  * generated data in single Spark jobs (scalacheck runner integration
+  * isn't available offline; generators are hand-seeded). */
+class InvariantsSpec extends SparkSpec {
+
+  val rnd = new Random(42)
+
+  test("cosine: symmetry and bound over 200 random float vectors") {
+    import spark.implicits._
+    Catalog.ensure(spark, sf0001)
+    val vecs = Seq.fill(200)(
+      (Array.fill(16)(rnd.nextFloat() * 2 - 1), Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+      .select(expr("cosine_sim(a, b)").as("ab"), expr("cosine_sim(b, a)").as("ba"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "cosine must be symmetric bit-for-bit")
+      assert(r.getDouble(0) <= 1.0 + 1e-9 && r.getDouble(0) >= -1.0 - 1e-9)
+    }
+  }
+
+  test("cosine: invariant to positive scaling") {
+    import spark.implicits._
+    Catalog.ensure(spark, sf0001)
+    val vecs = Seq.fill(100)(
+      (Array.fill(16)(rnd.nextFloat() * 2 - 1), rnd.nextFloat() * 9 + 0.5f))
+    val df = vecs.toDF("a", "k")
+      .select(expr("cosine_sim(a, a)").as("self"),
+        expr("cosine_sim(a, transform(a, x -> cast(x * k AS float)))").as("scaled"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(0)) < 1e-5,
+        s"scaling changed cosine: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+  }
+
+  test("declared queries are invariant to shuffle width (determinism)") {
+    // the riskiest ordering/accumulation queries, executed under different
+    // shuffle fan-out — results must be identical row-for-row
+    val risky = Seq("q23_asof_join", "q28_running_total",
+      "q31_sessionization", "q41_collect_agg", "q13_wordcount")
+    Catalog.ensure(spark, sf0001)
+    risky.foreach { name =>
+      val sql = Queries.sparkSql(name)
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = spark.sql(sql).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = spark.sql(sql).collect().map(_.toString).toSeq
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      assert(a == b, s"$name changed under different shuffle widths")
+    }
+  }
+
+  test("sessionization is invariant to input row order") {
+    Catalog.ensure(spark, sf0001)
+    val base = SparkEntry.queries("q31_sessionization")(spark, sf0001)
+      .collect().map(_.toString).toSeq
+    // same computation over a shuffled materialization of events
+    val shuffled = Catalog.load(spark, sf0001, "events")
+      .orderBy(expr("xxhash64(event_id)"))
+    shuffled.createOrReplaceTempView("events_shuffled")
+    val sql = Queries.sparkSql("q31_sessionization")
+      .replace("FROM events", "FROM events_shuffled")
+    val got = spark.sql(sql).collect().map(_.toString).toSeq
+    assert(got == base)
+  }
+
+  test("typed facade loads every table with the declared schema") {
+    assert(Tables.region(spark, sf0001).count() == 5)
+    assert(Tables.nation(spark, sf0001).count() == 25)
+    assert(Tables.customer(spark, sf0001).filter(_.c_acctbal > 0).count() > 0)
+    assert(Tables.orders(spark, sf0001).filter(_.o_orderstatus == "F").count() > 0)
+    assert(Tables.lineitem(spark, sf0001).count() == 6000)
+    assert(Tables.events(spark, sf0001).filter(_.event_type == "click").count() > 0)
+    assert(Tables.documents(spark, sf0001).count() == 500)
+    assert(Tables.embeddings(spark, sf0001).head().embedding.length == 64)
+    assert(Tables.supplier(spark, sf0001).count() == 10)
+    assert(Tables.part(spark, sf0001).count() == 200)
+  }
+}
