@@ -35,6 +35,23 @@ object Extensions {
       Fingerprint.containment(Catalog.load(s, dir, "documents"),
         minContainBp = 5000L)),
 
+    // Native as-of join operator (plans.AsOfJoin: custom LogicalPlan +
+    // Strategy + merge SparkPlan) — same semantics as q23, verified
+    // row-identical by AsOfJoinSpec at sf0.001/sf0.01.
+    "x57_asof_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val events = Catalog.load(s, dir, "events")
+      val purchases = events.where("event_type = 'purchase'")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = events.where("event_type = 'click'")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      graft.plans.AsOf.join(purchases, clicks,
+          "user_id", "c_user", "ts", "c_ts", "click_id")
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy("purchase_id")
+    },
+
     // HLL++ sketch distinct counts (the 100 TB path for q08-style
     // distincts: mergeable fixed-size state instead of an exact expand).
     "x56_approx_distinct" -> { (s, dir) =>
