@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-layout writers implementing the SCALE.md §2 design: the sink
+  * side of the engine. The corpus ships unpartitioned single files (fine
+  * for the oracle gate); these produce the layouts the 100 TB deployment
+  * reads:
+  *  - events → date-partitioned parquet (`dt=YYYY-MM-DD/`): time-bucketed
+  *    queries prune partitions statically, and a dim-filtered join prunes
+  *    them dynamically (DPP).
+  *  - facts → bucketed + sorted tables on the join key: co-located joins
+  *    with no exchange.
+  */
+object Layout {
+
+  /** Write events date-partitioned. `dt` becomes a partition column. */
+  def writeEventsDatePartitioned(events: DataFrame, path: String): Unit =
+    events.withColumn("dt", to_date(col("ts")))
+      .write.partitionBy("dt").mode("overwrite").parquet(path)
+
+  def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Persist a DataFrame as a bucketed, per-bucket-sorted table (catalog
+    * table — bucketing metadata lives in the catalog). True overwrite:
+    * also clears a stale managed-table location left by a previous
+    * session's metastore (in-memory catalogs forget tables but not
+    * their directories). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").format("parquet").saveAsTable(table)
+  }
+}

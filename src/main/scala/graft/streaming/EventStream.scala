@@ -75,14 +75,39 @@ object EventStream {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Custom keyed state via mapGroupsWithState: running event count and
+    * value sum per user, one update row per user per micro-batch. The
+    * state is a (count, sum) pair in the executor StateStore — the shape
+    * any bespoke streaming accumulator takes when windows/aggs can't
+    * express it. */
+  def runningPerUser(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (n, s) = state.getOption.getOrElse((0L, 0.0))
+        rows.foreach { r => n += 1; s += r._2 }
+        state.update((n, s))
+        (user, n, s)
+      }
+      .toDF("user_id", "n", "s")
+  }
+
   /** Drain a bounded streaming DF into an in-memory table; returns the
     * table name. Complete mode for aggregations, append otherwise. */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
-                    complete: Boolean): String = {
+                    complete: Boolean): String =
+    drainToMemory(spark, df, name, if (complete) "complete" else "append")
+
+  /** Same, with an explicit output mode ("update" for mapGroupsWithState). */
+  def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
+                    mode: String): String = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode(if (complete) "complete" else "append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -1,0 +1,73 @@
+package graft
+
+import graft.sources.Layout
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+
+/** Proves the SCALE.md layout claims on real (small) data: partition
+  * pruning reaches the scan, bucketed joins skip the exchange, and the
+  * stateful stream accumulator matches batch. */
+class LayoutSpec extends SparkSpec {
+
+  lazy val events = Catalog.load(spark, sf0001, "events")
+
+  test("date-partitioned events: static partition pruning in the plan") {
+    val path = "/tmp/graft-layout/events_dt"
+    Layout.writeEventsDatePartitioned(events, path)
+    val back = Layout.readDatePartitioned(spark, path)
+    assert(back.count() == events.count())
+    val plan = back.where(col("dt") === "2024-01-05")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("dt"), plan)
+    // pruned read touches exactly one day's rows
+    val day = back.where(col("dt") === "2024-01-05").count()
+    val full = events.where(to_date(col("ts")) === "2024-01-05").count()
+    assert(day == full && day > 0)
+  }
+
+  test("dim-filtered join on partitioned fact triggers dynamic pruning") {
+    val path = "/tmp/graft-layout/events_dt"
+    Layout.writeEventsDatePartitioned(events, path)
+    val fact = Layout.readDatePartitioned(spark, path)
+    import spark.implicits._
+    val dim = Seq(("2024-01-03", "a"), ("2024-01-04", "b"))
+      .toDF("dt_key", "tag")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    val joined = fact.join(dim, fact("dt") === to_date(dim("dt_key")) && dim("tag") === "a")
+    val plan = joined.queryExecution.executedPlan.toString
+    val rows = joined.count()
+    val expect = events.where(to_date(col("ts")) === "2024-01-03").count()
+    assert(rows == expect)
+    assert(plan.toLowerCase.contains("dynamicpruning") ||
+      plan.contains("PartitionFilters"), plan)
+  }
+
+  test("bucketed fact-fact join plans without an exchange") {
+    val li = Catalog.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Catalog.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_b", "l_orderkey", 4)
+    Layout.writeBucketed(ord, "ord_b", "o_orderkey", 4)
+    val j = spark.table("li_b").join(spark.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    // co-located bucketed join: no shuffle exchange on either side
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(j.count() == li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+  }
+
+  test("stateful stream (mapGroupsWithState) final counts match batch") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark,
+      EventStream.runningPerUser(stream), "runpu", mode = "update")
+    // last update per user = totals (AvailableNow may emit several
+    // intermediate updates; take the max count per user)
+    val got = spark.table("runpu").groupBy("user_id")
+      .agg(max("n").as("n")).orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = events.groupBy("user_id").count().orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+}
