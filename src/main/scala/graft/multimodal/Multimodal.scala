@@ -32,7 +32,7 @@ object Multimodal {
                            embedding: Array[Float])
 
   /** Deterministic fake decode — REPLACE with a real codec binding. */
-  private[multimodal] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
+  private[graft] def decodeStub(bytes: Array[Byte]): (Int, Int, Array[Float]) = {
     // stand-in for image decode: derive stable pseudo-dimensions and a
     // unit-norm pseudo-embedding from the content
     val h = bytes.foldLeft(1125899906842597L)((acc, b) => 31 * acc + b)

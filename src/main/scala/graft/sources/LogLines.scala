@@ -33,6 +33,17 @@ object LogLines {
       nullif(regexp_extract(col("value"), pattern, 4), lit("")).as("message"),
       col("value").as("raw"))
 
+  /** Parse with side-channel job metrics (the MapReduce Counters analog —
+    * SURVEY.md §1.1): total lines and successfully-parsed lines arrive via
+    * Dataset.observe without a second pass over the data. */
+  def parseWithMetrics(lines: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("loglines")
+    val parsed = parse(lines).observe(obs,
+      count(lit(1)).as("lines"),
+      count(col("level")).as("parsed"))
+    (parsed, obs)
+  }
+
   /** Render the events table as log lines (round-trip fixture: the corpus
     * ships parquet, not raw logs — SURVEY.md §2.9). */
   def renderEvents(events: DataFrame): DataFrame =
