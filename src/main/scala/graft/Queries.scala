@@ -419,6 +419,20 @@ object Queries {
         |      FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents))
         |ORDER BY doc_id""".stripMargin),
 
+    // Token counting per source: whitespace tokens, distinct vocab, chars
+    // (the corpus-accounting pass a training-data pipeline runs first).
+    q("x58_token_counts",
+      """SELECT source, count(*) AS docs,
+        |       sum(size(split(text,' '))) AS toks,
+        |       sum(size(array_distinct(split(text,' ')))) AS vocab_sum,
+        |       sum(n_chars) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT source, count(*) AS docs,
+        |       sum(len(string_split(text,' '))) AS toks,
+        |       sum(len(list_distinct(string_split(text,' ')))) AS vocab_sum,
+        |       sum(n_chars) AS chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Language-ID as a trained classifier: per-language unigram profiles
     // (Laplace-smoothed), per-doc log-likelihood argmax, accuracy by true
     // lang. Profiles are tiny → broadcast to the doc-word join at scale.
