@@ -121,6 +121,33 @@ object Ann {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
+    * generation (probe = own bucket ∪ single-bit flips), exact cosine
+    * verification ≥ minSimBp. Completes the dedup family (exact /
+    * MinHash / SimHash / n-gram Jaccard / embedding-cosine): true
+    * near-identical vectors agree on nearly all hyperplane signs, so
+    * radius-1 probing finds them without the all-pairs join. */
+  def cosineNearDups(embeddings: DataFrame, minSimBp: Long = 9000L,
+                     numPlanes: Int = 12, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val mat = planes(numPlanes, dim, seed)
+    val b = bucketed(embeddings, mat)
+    val masks = 0L +: (0 until numPlanes).map(p => 1L << p)
+    val probed = b.withColumn("pb",
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+    val cands = probed.as("x").join(b.as("y"),
+        col("x.pb") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("x.e").as("ea"),
+        col("y.vec_id").as("b"), col("y.e").as("eb"))
+      .dropDuplicates("a", "b")
+    cands
+      .withColumn("sim_bp",
+        floor(cosine(col("ea"), col("eb")) * 10000.0).cast("long"))
+      .where(col("sim_bp") >= minSimBp)
+      .select(col("a"), col("b"), col("sim_bp"))
+      .orderBy(desc("sim_bp"), col("a"), col("b"))
+  }
+
   /** ANN top-k: probe all buckets within `probeRadius` Hamming distance of
     * the query bucket, exact cosine within the candidate set. */
   def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
