@@ -50,7 +50,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm-up: JIT, codegen cache, parquet footers, broadcast relations.
+    // Warm-up ×2: JIT, codegen cache, parquet footers, broadcast
+    // relations, AQE final plans (second pass runs fully warm, narrowing
+    // run-to-run variance of the timed medians).
+    names.foreach(once)
     names.foreach(once)
     val medians = names.map { n =>
       val ts = Seq(once(n), once(n), once(n)).sorted

@@ -95,6 +95,42 @@ object EventStream {
       .toDF("user_id", "n", "s")
   }
 
+  /** Sessionization via flatMapGroupsWithState — the third independent
+    * implementation of the 30-minute-gap semantics (after q31's SQL
+    * windows and sessions30m's session_window), emitting one row per
+    * CLOSED session per micro-batch and carrying the open session tail in
+    * keyed state across batches. All three must agree on a full replay. */
+  def sessionsViaFlatMap(events: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // state: (lastTs µs, openSessionCount)
+    events.select(col("user_id"), unix_millis(col("ts")).as("tms"),
+        col("event_id")).as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        // batch rows arrive unordered within the group; sort by (ts, id)
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var (lastTs, openN) = state.getOption.getOrElse((Long.MinValue, 0L))
+        val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { case (_, tms, _) =>
+          if (openN > 0 && tms - lastTs > gapMs) {
+            closed += ((user, openN)); openN = 0
+          }
+          openN += 1; lastTs = tms
+        }
+        state.update((lastTs, openN))
+        closed.iterator
+      }
+      .toDF("user_id", "n")
+  }
+
+  // NOTE on bounded replays of sessionsViaFlatMap: open sessions stay in
+  // state (correct for an unbounded stream). To flush them on a bounded
+  // source, append one synthetic far-future event per user to the replay
+  // input — each open real session then closes, and the synthetic events
+  // themselves form the new open session that never emits.
+
   /** Drain a bounded streaming DF into an in-memory table; returns the
     * table name. Complete mode for aggregations, append otherwise. */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
