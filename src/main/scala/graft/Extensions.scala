@@ -52,6 +52,16 @@ object Extensions {
         .orderBy("purchase_id")
     },
 
+    // IVF ANN top-10 vs the vec_id=0 embedding (trained inverted-file
+    // index; probes 4 of 16 lists — the partition-prunable ANN tier).
+    "x59_ann_ivf" -> { (s, dir) =>
+      val q = Catalog.load(s, dir, "embeddings")
+        .where("vec_id = 0").select("embedding")
+        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.ivfTopK(Catalog.load(s, dir, "embeddings").where("vec_id <> 0"),
+        q, k = 10, nLists = 16, nProbe = 4)
+    },
+
     // HLL++ sketch distinct counts (the 100 TB path for q08-style
     // distincts: mergeable fixed-size state instead of an exact expand).
     "x56_approx_distinct" -> { (s, dir) =>

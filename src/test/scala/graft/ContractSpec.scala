@@ -20,7 +20,7 @@ class ContractSpec extends SparkSpec {
     ((47 to 51).map(i => s"x$i") :+ "x58").foreach { p =>
       assert(SparkEntry.oracleSql.keys.exists(_.startsWith(p)), s"$p needs an oracle")
     }
-    (52 to 57).map(i => s"x$i").foreach { p =>
+    (52 to 57).map(i => s"x$i").:+("x59").foreach { p =>
       assert(SparkEntry.queries.keys.exists(_.startsWith(p)), s"$p missing")
     }
   }
