@@ -433,6 +433,42 @@ object Queries {
         |       sum(n_chars) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // CUBE over two dims (same Expand machinery as q11's ROLLUP, all four
+    // grouping combinations).
+    q("x60_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS c, round(sum(l_quantity),4) AS q
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Pivot: per-user event-type count matrix. Spark PIVOT with an
+    // explicit IN list (deterministic columns); oracle spells the same
+    // matrix as conditional aggregates with matching column names.
+    // coalesce the pivoted cells: Spark PIVOT yields NULL for an empty
+    // (user, type) cell, DuckDB's FILTER count yields 0
+    q("x61_pivot",
+      """SELECT user_id, coalesce(click,0) AS click, coalesce(purchase,0) AS purchase,
+        |       coalesce(error,0) AS error, coalesce(signup,0) AS signup,
+        |       coalesce(view,0) AS view
+        |FROM (SELECT * FROM (SELECT user_id, event_type FROM events)
+        |      PIVOT (count(*) FOR event_type IN ('click' AS click, 'purchase' AS purchase,
+        |             'error' AS error, 'signup' AS signup, 'view' AS view)))
+        |ORDER BY user_id""".stripMargin,
+      """SELECT user_id,
+        |       count(*) FILTER (WHERE event_type='click') AS click,
+        |       count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |       count(*) FILTER (WHERE event_type='error') AS error,
+        |       count(*) FILTER (WHERE event_type='signup') AS signup,
+        |       count(*) FILTER (WHERE event_type='view') AS view
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin),
+
+    // Typed JSON parse (from_json with a schema — parse once into a
+    // struct, the at-scale alternative to per-field get_json_object).
+    q("x62_json_typed",
+      """SELECT event_id, from_json(props, 'k INT').k AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, cast(props->>'$.k' AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Language-ID as a trained classifier: per-language unigram profiles
     // (Laplace-smoothed), per-doc log-likelihood argmax, accuracy by true
     // lang. Profiles are tiny → broadcast to the doc-word join at scale.
