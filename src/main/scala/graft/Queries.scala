@@ -469,6 +469,20 @@ object Queries {
       """SELECT event_id, cast(props->>'$.k' AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Exact interpolated percentiles per group (beyond q44's median):
+    // Spark percentile() and DuckDB quantile_cont both linear-interpolate.
+    q("x63_percentiles",
+      """SELECT event_type,
+        |       round(percentile(value, 0.25), 4) AS p25,
+        |       round(percentile(value, 0.5), 4) AS p50,
+        |       round(percentile(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.25), 4) AS p25,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Language-ID as a trained classifier: per-language unigram profiles
     // (Laplace-smoothed), per-doc log-likelihood argmax, accuracy by true
     // lang. Profiles are tiny → broadcast to the doc-word join at scale.

@@ -17,7 +17,7 @@ class ContractSpec extends SparkSpec {
   }
 
   test("inventory: extension queries x47-x51 oracle-checked, x52+ rows-only") {
-    ((47 to 51).map(i => s"x$i") ++ Seq("x58", "x60", "x61", "x62")).foreach { p =>
+    ((47 to 51).map(i => s"x$i") ++ Seq("x58", "x60", "x61", "x62", "x63")).foreach { p =>
       assert(SparkEntry.oracleSql.keys.exists(_.startsWith(p)), s"$p needs an oracle")
     }
     (52 to 57).map(i => s"x$i").:+("x59").foreach { p =>
