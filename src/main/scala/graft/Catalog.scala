@@ -62,11 +62,16 @@ object Catalog {
   // against the same catalog state reuse the analyzed/optimized/compiled
   // plan — Spark's planning+codegen costs 100-600ms per query, dwarfing
   // execution at small SF. Keyed by (session, dir, sql); a dir switch
-  // yields different keys, so stale view bindings can't leak.
+  // yields different keys, so stale view bindings can't leak. Bounded
+  // (simple size cap with full clear — an LRU would be overkill for a
+  // per-session statement cache an order of magnitude above the
+  // inventory size).
+  private val planCacheMax = 512
   private val planCache = new TrieMap[(SparkSession, String, String), DataFrame]()
 
   def sql(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
     ensure(spark, dir)
+    if (planCache.size > planCacheMax) planCache.clear()
     planCache.getOrElseUpdate((spark, dir, sqlText), spark.sql(sqlText))
   }
 }
