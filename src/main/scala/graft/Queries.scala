@@ -427,10 +427,13 @@ object Queries {
         |       sum(size(array_distinct(split(text,' ')))) AS vocab_sum,
         |       sum(n_chars) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      // CAST the sums: DuckDB sum(INTEGER) yields HUGEINT (int128), which
+      // survives fetchall() as int but turns float64 through pandas —
+      // "1435.0" vs Spark's BIGINT "1435" is a hash mismatch (r1 failure).
       """SELECT source, count(*) AS docs,
-        |       sum(len(string_split(text,' '))) AS toks,
-        |       sum(len(list_distinct(string_split(text,' ')))) AS vocab_sum,
-        |       sum(n_chars) AS chars
+        |       cast(sum(len(string_split(text,' '))) AS BIGINT) AS toks,
+        |       cast(sum(len(list_distinct(string_split(text,' ')))) AS BIGINT) AS vocab_sum,
+        |       cast(sum(n_chars) AS BIGINT) AS chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // CUBE over two dims (same Expand machinery as q11's ROLLUP, all four
@@ -486,13 +489,19 @@ object Queries {
     // Language-ID as a trained classifier: per-language unigram profiles
     // (Laplace-smoothed), per-doc log-likelihood argmax, accuracy by true
     // lang. Profiles are tiny → broadcast to the doc-word join at scale.
+    // Determinism: per-term log-prob is quantized to integer micro-nats
+    // (floor(ln·1e6)) BEFORE summing, so the score is an exact integer in
+    // both engines — a float score sum is order-dependent and an exact
+    // mathematical tie between two languages would be broken by noise,
+    // not by the cand tie-break. The oracle's `correct` sum is cast to
+    // BIGINT (DuckDB integer sum → HUGEINT → float64 via pandas).
     q("x51_langid",
       """WITH wt AS (SELECT doc_id, lang, explode(split(text,' ')) AS w FROM documents),
         |counts AS (SELECT lang AS l, w, count(*) AS c FROM wt GROUP BY 1,2),
         |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
         |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
         |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
-        |              sum(d.n * ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))) AS score
+        |              sum(d.n * cast(floor(ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
         |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
         |       GROUP BY 1,2,3),
         |pred AS (SELECT doc_id, true_lang, cand,
@@ -506,14 +515,14 @@ object Queries {
         |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
         |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
         |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
-        |              sum(d.n * ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))) AS score
+        |              sum(d.n * cast(floor(ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
         |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
         |       GROUP BY 1,2,3),
         |pred AS (SELECT doc_id, true_lang, cand,
         |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
         |         FROM sc)
         |SELECT true_lang AS lang, count(*) AS n,
-        |       sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS correct
+        |       cast(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS correct
         |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 

@@ -40,12 +40,17 @@ def run(sf_dir, out_dir):
         if not files:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
         try:
-            ref_cur = con.execute(sql)
-            ref_cols = [d[0] for d in ref_cur.description]
-            ref = ref_cur.fetchall()
-            got_cur = con.execute(f"SELECT * FROM read_parquet({files!r})")
-            got_cols = [d[0] for d in got_cur.description]
-            got = got_cur.fetchall()
+            # fetchdf (pandas) on BOTH sides, mirroring the driver's compare
+            # path: DuckDB HUGEINT (e.g. sum(INTEGER)) becomes float64 in
+            # pandas, so an uncast integer sum canonicalizes as "1435.0000"
+            # vs Spark's BIGINT "1435" — the r1 x51/x58 hash failures.
+            # fetchall() hides this (HUGEINT -> python int).
+            ref_df = con.execute(sql).fetchdf()
+            ref_cols = list(ref_df.columns)
+            ref = list(ref_df.itertuples(index=False, name=None))
+            got_df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            got_cols = list(got_df.columns)
+            got = list(got_df.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if sorted(ref_cols) != sorted(got_cols):
