@@ -73,5 +73,17 @@ object Extensions {
     }
   )
 
-  def oracleSql: Map[String, String] = Map()
+  /** Oracles for the extension operators that ARE deterministically
+    * SQL-expressible in DuckDB. The native as-of operator's contract is
+    * exactly q23's semantics, and DuckDB has first-class ASOF JOIN — so
+    * x57 gets a real hash check, not just the rows-only fallback.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "x57_asof_native" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type='purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin
+  )
 }

@@ -523,7 +523,174 @@ object Queries {
         |         FROM sc)
         |SELECT true_lang AS lang, count(*) AS n,
         |       cast(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END) AS BIGINT) AS correct
-        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM pred WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Statistical aggregates (corr / covariance / stddev / variance) —
+    // the profiling pass of a data-quality pipeline. Same function names
+    // in both dialects; both compute in double and are rounded 4dp.
+    q("x64_stats",
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice),4) AS co,
+        |       round(covar_pop(l_quantity, l_extendedprice),4) AS cv,
+        |       round(stddev_samp(l_quantity),4) AS sd,
+        |       round(var_samp(l_quantity),4) AS vr
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Edit distance (levenshtein) vs an anchor string — the fuzzy-match
+    // primitive for near-dup keys too short for shingling.
+    q("x65_editdist",
+      """SELECT c_custkey, cast(levenshtein(c_name,'Customer#000000001') AS INT) AS d
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Regex capture-group extraction + regex replace (structured field
+    // recovery from semi-structured log text — the core parse op).
+    // DuckDB's regexp_replace is first-match-only without the 'g' flag;
+    // Spark's is global by default.
+    q("x66_regex_extract",
+      """SELECT o_orderkey,
+        |       regexp_extract(o_orderpriority,'([0-9])-(.*)',2) AS word,
+        |       cast(regexp_extract(o_orderpriority,'([0-9])',1) AS INT) AS num,
+        |       regexp_replace(o_orderpriority,'[AEIOU]','_') AS rep
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |       regexp_extract(o_orderpriority,'([0-9])-(.*)',2) AS word,
+        |       cast(regexp_extract(o_orderpriority,'([0-9])',1) AS INT) AS num,
+        |       regexp_replace(o_orderpriority,'[AEIOU]','_','g') AS rep
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // RANGE-frame window (value-based, not row-based): 3-day windowed sum
+    // over the daily revenue series — gaps in the day sequence widen the
+    // frame correctly, unlike a ROWS frame.
+    q("x67_range_frame",
+      """SELECT dn, round(sum(s) OVER (ORDER BY dn RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS r3
+        |FROM (SELECT cast(floor(unix_millis(ts)/86400000.0) AS BIGINT) AS dn, sum(value) AS s
+        |      FROM events GROUP BY 1)
+        |ORDER BY dn""".stripMargin,
+      """SELECT dn, round(sum(s) OVER (ORDER BY dn RANGE BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS r3
+        |FROM (SELECT cast(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS dn, sum(value) AS s
+        |      FROM events GROUP BY 1)
+        |ORDER BY dn""".stripMargin),
+
+    // Explicit GROUPING SETS + grouping() markers (the general form of
+    // q11's ROLLUP / x60's CUBE). grouping() output cast to INT on both
+    // sides (Spark returns TINYINT, DuckDB BIGINT).
+    q("x68_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority,
+        |       cast(grouping(o_orderstatus) AS INT) AS g1,
+        |       cast(grouping(o_orderpriority) AS INT) AS g2, count(*) AS c
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+
+    // Time-series gap fill: dense hour axis from sequence/generate_series,
+    // left join the sparse per-hour counts, zero-fill the holes (the
+    // dashboard-correctness op a log pipeline always needs).
+    q("x69_gap_fill",
+      """WITH h AS (SELECT cast(floor(unix_millis(ts)/3600000.0) AS BIGINT) AS hn, count(*) AS c
+        |           FROM events WHERE event_type='signup' AND value > 150 GROUP BY 1)
+        |SELECT b.hn, coalesce(h.c, 0) AS c
+        |FROM (SELECT explode(sequence((SELECT min(hn) FROM h),(SELECT max(hn) FROM h))) AS hn) b
+        |LEFT JOIN h ON b.hn = h.hn ORDER BY b.hn""".stripMargin,
+      """WITH h AS (SELECT cast(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS hn, count(*) AS c
+        |           FROM events WHERE event_type='signup' AND value > 150 GROUP BY 1)
+        |SELECT b.hn, coalesce(h.c, 0) AS c
+        |FROM (SELECT unnest(generate_series((SELECT min(hn) FROM h),(SELECT max(hn) FROM h))) AS hn) b
+        |LEFT JOIN h ON b.hn = h.hn ORDER BY b.hn""".stripMargin),
+
+    // Conditional-expression battery: searched CASE, nullif/coalesce,
+    // greatest/least (all identical across dialects).
+    q("x70_conditional",
+      """SELECT l_orderkey, l_linenumber,
+        |       CASE WHEN l_quantity>25 THEN 'hi' WHEN l_quantity>10 THEN 'mid' ELSE 'lo' END AS band,
+        |       coalesce(nullif(l_returnflag,'N'),'none') AS rf,
+        |       round(greatest(l_quantity, l_discount*100),4) AS g,
+        |       round(least(l_tax, l_discount),4) AS l
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        |LIMIT 1000""".stripMargin),
+
+    // Bitwise ops (hash-bucketing / flag-mask primitives). Spark `^` is
+    // XOR while DuckDB's is power — DuckDB side uses xor(); shifts are
+    // functions in Spark, operators in DuckDB.
+    q("x71_bitwise",
+      """SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+        |       o_orderkey ^ 21845 AS bxor, shiftleft(o_orderkey,2) AS shl,
+        |       shiftright(o_orderkey,3) AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey, o_orderkey & 255 AS band, o_orderkey | 4096 AS bor,
+        |       xor(o_orderkey, 21845) AS bxor, o_orderkey << 2 AS shl,
+        |       o_orderkey >> 3 AS shr
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Null-safe equality over full-outer-join results: Spark `<=>` ==
+    // DuckDB `IS NOT DISTINCT FROM`.
+    q("x72_nullsafe_eq",
+      """SELECT coalesce(c.k, s.k) AS k, (c.cc <=> s.sc) AS eq_counts,
+        |       (c.cc IS NULL) AS cust_missing
+        |FROM (SELECT c_nationkey AS k, count(*) AS cc FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS sc FROM supplier GROUP BY 1) s ON c.k=s.k
+        |ORDER BY k""".stripMargin,
+      """SELECT coalesce(c.k, s.k) AS k, (c.cc IS NOT DISTINCT FROM s.sc) AS eq_counts,
+        |       (c.cc IS NULL) AS cust_missing
+        |FROM (SELECT c_nationkey AS k, count(*) AS cc FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS k, count(*) AS sc FROM supplier GROUP BY 1) s ON c.k=s.k
+        |ORDER BY k""".stripMargin),
+
+    // Per-doc token-distribution entropy in integer micro-nats: each term
+    // -(p·ln p) is floored to an integer BEFORE summing (same determinism
+    // argument as x51 — float sums are order-dependent across engines).
+    q("x73_entropy",
+      """WITH c AS (SELECT doc_id, w, count(*) AS n
+        |           FROM (SELECT doc_id, explode(split(text,' ')) AS w FROM documents)
+        |           GROUP BY 1,2),
+        |t AS (SELECT doc_id, sum(n) AS nt FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |       cast(sum(cast(floor(-(c.n/cast(t.nt AS DOUBLE))*ln(c.n/cast(t.nt AS DOUBLE))*1000000) AS BIGINT)) AS BIGINT) AS ent_unat
+        |FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH c AS (SELECT doc_id, w, count(*) AS n
+        |           FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |           GROUP BY 1,2),
+        |t AS (SELECT doc_id, sum(n) AS nt FROM c GROUP BY 1)
+        |SELECT c.doc_id,
+        |       cast(sum(cast(floor(-(c.n/cast(t.nt AS DOUBLE))*ln(c.n/cast(t.nt AS DOUBLE))*1000000) AS BIGINT)) AS BIGINT) AS ent_unat
+        |FROM c JOIN t ON c.doc_id = t.doc_id GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // MinHash signatures computed entirely in SQL — 16 affine permutations
+    // over a 32-bit md5-prefix shingle hash, near-dup pairs where ≥8 of 16
+    // signature slots agree. Unlike x52 (Scala MinHash+LSH, rows-only)
+    // this variant is exactly reproducible in DuckDB → full hash check.
+    // Spark gets hex→int via conv(); DuckDB casts a '0x…' literal.
+    q("x74_minhash_sql",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(
+        |         transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS m
+        |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1,2)
+        |SELECT a, b, m FROM pairs WHERE m >= 8 ORDER BY a, b""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS m
+        |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1,2)
+        |SELECT a, b, m FROM pairs WHERE m >= 8 ORDER BY a, b""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
