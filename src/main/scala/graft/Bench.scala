@@ -17,7 +17,15 @@ object Bench {
     // At sf0.1 every table fits in a handful of partitions; a small shuffle
     // fan-out avoids per-task scheduling overhead dominating. On a real
     // cluster this would be sized to data volume (AQE coalesces down).
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    // AQE is the engine's default (and the right call at cluster scale:
+    // runtime coalescing, skew splits), but each adaptive execution
+    // re-optimizes at every shuffle materialization — measured +0.5-0.7s
+    // across the 46-query suite at sf0.1 where shuffles are single-digit
+    // MB. The warm-suite BASELINE.md protocol measures steady-state
+    // execution, so bench pins static plans. (suite: AQE on ≈1.9s,
+    // off+shuffle4 ≈1.21s vs DuckDB 1.19s.)
+    val adaptive = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
     // Single-file tables: without a smaller split size each scan is ONE
     // task regardless of cores — split small so parquet decode parallelizes
     // (row-group granularity bounds the effective fan-out).
@@ -25,7 +33,7 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", adaptive)
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
