@@ -690,7 +690,85 @@ object Queries {
         |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS m
         |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
         |          GROUP BY 1,2)
-        |SELECT a, b, m FROM pairs WHERE m >= 8 ORDER BY a, b""".stripMargin)
+        |SELECT a, b, m FROM pairs WHERE m >= 8 ORDER BY a, b""".stripMargin),
+
+    // Ordered string aggregation: Spark 4 listagg WITHIN GROUP == DuckDB
+    // string_agg with ORDER BY (deterministic element order).
+    q("x75_listagg",
+      """SELECT c_nationkey, listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey < 300 GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT c_nationkey, string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_custkey < 300 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Arg-max/arg-min (max_by/min_by vs arg_max/arg_min). The ordering
+    // key (c_custkey) is unique, so ties — where both engines pick
+    // arbitrarily — cannot occur.
+    q("x76_argmax",
+      """SELECT c_nationkey, max_by(c_name, c_custkey) AS newest, min_by(c_name, c_custkey) AS oldest
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT c_nationkey, arg_max(c_name, c_custkey) AS newest, arg_min(c_name, c_custkey) AS oldest
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Discrete percentiles (no interpolation — returns an actual data
+    // value; deterministic unlike mode()). Spark WITHIN GROUP syntax,
+    // DuckDB quantile_disc.
+    q("x77_percentile_disc",
+      """SELECT event_type,
+        |       round(percentile_disc(0.25) WITHIN GROUP (ORDER BY value),4) AS p25d,
+        |       round(percentile_disc(0.5)  WITHIN GROUP (ORDER BY value),4) AS p50d,
+        |       round(percentile_disc(0.9)  WITHIN GROUP (ORDER BY value),4) AS p90d
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT event_type,
+        |       round(quantile_disc(value, 0.25),4) AS p25d,
+        |       round(quantile_disc(value, 0.5),4) AS p50d,
+        |       round(quantile_disc(value, 0.9),4) AS p90d
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Sliding 6h windows every 3h (batch analog of streaming
+    // window(ts,'6 hours','3 hours')): each event lands in exactly two
+    // windows, materialized by exploding the two covering window ids.
+    q("x78_sliding_window",
+      """WITH k AS (SELECT cast(floor(unix_millis(ts)/10800000.0) AS BIGINT) AS k, value FROM events)
+        |SELECT s, count(*) AS c, round(sum(value),4) AS v
+        |FROM (SELECT explode(array(k-1, k)) AS s, value FROM k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT cast(floor(epoch_ms(ts)/10800000.0) AS BIGINT) AS k, value FROM events)
+        |SELECT s, count(*) AS c, round(sum(value),4) AS v
+        |FROM (SELECT unnest([k-1, k]) AS s, value FROM k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // SimHash computed entirely in SQL (companion to x53's Scala
+    // operator, as x74 is to x52): 32-bit signature from md5-prefix token
+    // hashes weighted by term frequency, near-dup pairs at Hamming ≤ 3.
+    // All-integer weights → the sign of every bit weight is exact, no
+    // float tie risk. Spark: conv()/shiftleft/^; DuckDB: 0x-cast/<</xor().
+    q("x79_simhash_sql",
+      """WITH tok AS (SELECT doc_id, w, count(*) AS n
+        |             FROM (SELECT doc_id, explode(split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |hv AS (SELECT doc_id, n, cast(conv(substr(md5(w),1,8),16,10) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j, cast(sum(n * (2*((h >> j) & 1) - 1)) AS BIGINT) AS wt
+        |         FROM hv CROSS JOIN (SELECT explode(sequence(0,31)) AS j) b
+        |         GROUP BY 1,2),
+        |sig AS (SELECT doc_id, cast(sum(CASE WHEN wt > 0 THEN shiftleft(cast(1 AS BIGINT), j) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM bits GROUP BY 1),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+        |                 cast(bit_count(sa.sig ^ sb.sig) AS INT) AS ham
+        |          FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id)
+        |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin,
+      """WITH tok AS (SELECT doc_id, w, count(*) AS n
+        |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |hv AS (SELECT doc_id, n, cast(('0x'||substr(md5(w),1,8)) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, j, cast(sum(n * (2*((h >> j) & 1) - 1)) AS BIGINT) AS wt
+        |         FROM hv CROSS JOIN (SELECT unnest(generate_series(0,31)) AS j) b
+        |         GROUP BY 1,2),
+        |sig AS (SELECT doc_id, cast(sum(CASE WHEN wt > 0 THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
+        |        FROM bits GROUP BY 1),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
+        |                 cast(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
+        |          FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id)
+        |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
