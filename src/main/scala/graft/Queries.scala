@@ -768,7 +768,35 @@ object Queries {
         |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
         |                 cast(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
         |          FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id)
-        |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin)
+        |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin),
+
+    // Winnowing fingerprints entirely in SQL (companion to x55's Scala
+    // operator): char 8-gram md5-prefix hashes, per-window (4) minima via
+    // a ROWS window frame, distinct fingerprint set per doc, containment
+    // = |common| / |smaller set| in basis points, pairs ≥ 50%.
+    q("x80_winnowing_sql",
+      """WITH pos AS (SELECT doc_id, explode(sequence(1, greatest(length(text)-7,1))) AS i, text FROM documents),
+        |h AS (SELECT doc_id, i, cast(conv(substr(md5(substr(text,i,8)),1,8),16,10) AS BIGINT) AS h FROM pos),
+        |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
+        |n AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
+        |SELECT a, b, contain_bp FROM (
+        |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
+        |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)
+        |WHERE contain_bp >= 5000 ORDER BY contain_bp DESC, a, b""".stripMargin,
+      """WITH pos AS (SELECT doc_id, unnest(generate_series(1, greatest(length(text)-7,1))) AS i, text FROM documents),
+        |h AS (SELECT doc_id, i, cast(('0x'||substr(md5(substr(text,i,8)),1,8)) AS BIGINT) AS h FROM pos),
+        |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
+        |n AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+        |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+        |           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
+        |SELECT a, b, contain_bp FROM (
+        |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
+        |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)
+        |WHERE contain_bp >= 5000 ORDER BY contain_bp DESC, a, b""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
