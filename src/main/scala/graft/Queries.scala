@@ -796,7 +796,58 @@ object Queries {
         |SELECT a, b, contain_bp FROM (
         |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
         |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)
-        |WHERE contain_bp >= 5000 ORDER BY contain_bp DESC, a, b""".stripMargin)
+        |WHERE contain_bp >= 5000 ORDER BY contain_bp DESC, a, b""".stripMargin),
+
+    // Session funnel: within q31's 30-min sessions, count sessions that
+    // contain a click and sessions that convert (a purchase at-or-after
+    // the first click). The click→purchase attribution query a log
+    // pipeline exists to answer. Sums cast BIGINT (HUGEINT hazard).
+    q("x81_funnel_sessions",
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR unix_millis(ts) - lag(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |per AS (SELECT user_id, sid,
+        |               min(CASE WHEN event_type='click' THEN ts END) AS fc,
+        |               max(CASE WHEN event_type='purchase' THEN ts END) AS lp
+        |        FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS sessions,
+        |       cast(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_click,
+        |       cast(sum(CASE WHEN fc IS NOT NULL AND lp IS NOT NULL AND lp >= fc THEN 1 ELSE 0 END) AS BIGINT) AS conversions
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |               OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+        |per AS (SELECT user_id, sid,
+        |               min(CASE WHEN event_type='click' THEN ts END) AS fc,
+        |               max(CASE WHEN event_type='purchase' THEN ts END) AS lp
+        |        FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS sessions,
+        |       cast(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_click,
+        |       cast(sum(CASE WHEN fc IS NOT NULL AND lp IS NOT NULL AND lp >= fc THEN 1 ELSE 0 END) AS BIGINT) AS conversions
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Cohort retention: users bucketed by first-active day, activity
+    // counted per (cohort, days-since-cohort) cell — the retention
+    // triangle. datediff arg order differs across dialects.
+    q("x82_cohort_retention",
+      """WITH f AS (SELECT user_id, min(cast(date_trunc('day', ts) AS DATE)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
+        |SELECT f.cohort, cast(datediff(a.d, f.cohort) AS INT) AS age, count(*) AS active
+        |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+      """WITH f AS (SELECT user_id, min(cast(date_trunc('day', ts) AS DATE)) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
+        |SELECT f.cohort, cast(date_diff('day', f.cohort, a.d) AS INT) AS age, count(*) AS active
+        |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

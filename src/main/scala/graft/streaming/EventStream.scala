@@ -70,6 +70,26 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("user_id"), col("session_window.start").as("s_start"), col("n"))
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks within the preceding hour. Watermarks on both sides
+    * let Spark expire click state once the purchase-side watermark passes
+    * `p_ts - 1h` — state stays bounded on an unbounded stream, which is
+    * what distinguishes this from a batch band join (q22) or as-of
+    * (q23/x57: latest-click-only). Inner join → append mode. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks, expr(
+        "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"))
+  }
+
   /** Watermarked exact dedup on event_id. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

@@ -81,6 +81,26 @@ class StreamingSpec extends SparkSpec {
     assert(total == 2 * events, "6h window sliding by 3h sees each event in exactly 2 windows")
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.clickPurchaseJoin(stream),
+      "ssj", complete = false)
+    val got = spark.table("ssj").orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val events = Catalog.load(spark, sf0001, "events")
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val want = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .join(clicks, expr(
+        "p_user = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR"))
+      .select("purchase_id", "click_id").orderBy("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("watermarked dedup drops a replayed duplicate batch") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark, EventStream.dedup(stream),
