@@ -847,7 +847,23 @@ object Queries {
       """WITH f AS (SELECT user_id, min(cast(date_trunc('day', ts) AS DATE)) AS cohort FROM events GROUP BY 1),
         |a AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
         |SELECT f.cohort, cast(date_diff('day', f.cohort, a.d) AS INT) AS age, count(*) AS active
-        |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1,2 ORDER BY 1,2""".stripMargin)
+        |FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1,2 ORDER BY 1,2""".stripMargin),
+
+    // Boolean aggregates (universal / existential quantification per
+    // group). Predicates chosen so both answers vary across users.
+    q("x83_bool_agg",
+      """SELECT user_id, bool_and(value < 195) AS never_hi, bool_or(value > 199) AS any_extreme
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Linear-regression aggregates (slope/intercept/R²/count) — the
+    // one-pass OLS family both engines implement.
+    q("x84_regression",
+      """SELECT l_returnflag,
+        |       round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity),4) AS r2,
+        |       cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
