@@ -863,7 +863,55 @@ object Queries {
         |       round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
         |       round(regr_r2(l_extendedprice, l_quantity),4) AS r2,
         |       cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Safe casting (try_cast → NULL instead of error) — the dirty-data
+    // ingestion primitive.
+    q("x85_try_cast",
+      """SELECT c_custkey, try_cast(substr(c_name,10,9) AS BIGINT) AS id_num,
+        |       try_cast(c_mktsegment AS INT) AS bad,
+        |       try_cast(c_acctbal AS STRING) IS NOT NULL AS ok
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, try_cast(substr(c_name,10,9) AS BIGINT) AS id_num,
+        |       try_cast(c_mktsegment AS INT) AS bad,
+        |       try_cast(c_acctbal AS VARCHAR) IS NOT NULL AS ok
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Second string battery: trim family (NOTE Spark's two-arg
+    // ltrim/rtrim take (trimStr, str); DuckDB takes (str, chars)),
+    // repeat, reverse, split_part, prefix/suffix tests.
+    q("x86_string_trim",
+      """SELECT c_custkey, trim('  x  '||c_mktsegment) AS tr,
+        |       ltrim('xy', 'xxy'||c_name) AS lt, rtrim('0123456789', c_name) AS rt,
+        |       repeat(substr(c_mktsegment,1,2),3) AS rp, reverse(c_mktsegment) AS rv,
+        |       split_part(c_name,'#',2) AS sp,
+        |       startswith(c_name,'Customer') AS sw, endswith(c_name,'1') AS ew
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, trim('  x  '||c_mktsegment) AS tr,
+        |       ltrim('xxy'||c_name, 'xy') AS lt, rtrim(c_name, '0123456789') AS rt,
+        |       repeat(substr(c_mktsegment,1,2),3) AS rp, reverse(c_mktsegment) AS rv,
+        |       split_part(c_name,'#',2) AS sp,
+        |       starts_with(c_name,'Customer') AS sw, ends_with(c_name,'1') AS ew
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Second window battery: lead, nth_value over a full frame, and
+    // cume_dist (unique order keys — no tie ambiguity).
+    q("x87_window_lead",
+      """SELECT o_orderkey,
+        |       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS nxt,
+        |       nth_value(o_orderkey, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third,
+        |       round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderkey),4) AS cd
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Second date battery: month interval arithmetic, last_day, quarter,
+    // day-of-year (dayofweek remains banned — SURVEY.md §5.4).
+    q("x88_date_parts",
+      """SELECT o_orderkey, cast(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |       last_day(cast(o_orderdate AS DATE)) AS eom,
+        |       extract(quarter FROM o_orderdate) AS q,
+        |       extract(doy FROM o_orderdate) AS doy
+        |FROM orders ORDER BY o_orderkey""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
