@@ -70,6 +70,23 @@ object Extensions {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"))
         .orderBy("event_type")
+    },
+
+    // Corpus-level similarity via the mergeable MinHash sketch Aggregator
+    // (functions.Udfs.MinHashSketch): one 16-slot sketch per source, pair
+    // similarity = matching slots. Oracle-checkable because the sketch
+    // uses x74's md5-based hash family, which DuckDB reproduces with a
+    // group-min (see oracleSql below).
+    "x89_source_minhash" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val sketch = udaf(new graft.functions.Udfs.MinHashSketch(16))
+      val tok = Catalog.load(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val sig = tok.groupBy("source").agg(sketch(col("w")).as("sig"))
+      sig.as("x").join(sig.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("a"), col("y.source").as("b"),
+          expr("cast(aggregate(zip_with(x.sig, y.sig, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v) AS INT)").as("m"))
+        .orderBy("a", "b")
     }
   )
 
@@ -79,6 +96,20 @@ object Extensions {
     * x57 gets a real hash check, not just the rows-only fallback.
     */
   def oracleSql: Map[String, String] = Map(
+    "x89_source_minhash" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
+        |hv AS (SELECT source, cast(('0x'||substr(md5(w),1,8)) AS BIGINT) AS hv FROM tok),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT source, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2)
+        |SELECT sa.source AS a, sb.source AS b,
+        |       cast(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS INT) AS m
+        |FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "x57_asof_native" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type='purchase') p

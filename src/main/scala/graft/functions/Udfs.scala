@@ -39,6 +39,59 @@ object Udfs {
   }
   object VectorAvg { case class Buf(sum: Array[Double], n: Long) }
 
+  /** Mergeable MinHash sketch of a GROUP's string values (vs the per-row
+    * signatures in graft.llm.Dedup): slot i = min over values of
+    * (a_i·H(v) + b_i) mod p with H = first-8-hex of md5 — the exact hash
+    * family of query x74, so DuckDB reproduces the sketch with a plain
+    * group-min and the operator is hash-checkable (x89).
+    *
+    * The buffer is `slots` longs regardless of group size, and merge is
+    * elementwise min — associative and commutative, so map-side combine
+    * applies and sketches of shards/days/partitions union by min: the
+    * 100 TB path to corpus-level similarity without re-reading text.
+    */
+  class MinHashSketch(slots: Int = 16) extends Aggregator[String, Array[Long], Array[Long]] {
+    private val P = 2147483647L
+    // same affine constants as x74's inline perm table
+    private val A = Array(1299721L, 1299827L, 1300021L, 1300033L, 1300109L,
+      1300151L, 1300187L, 1300201L, 1300247L, 1300289L, 1300303L, 1300313L,
+      1300333L, 1300351L, 1300369L, 1300387L)
+    private val B = Array(104729L, 104743L, 104759L, 104761L, 104773L,
+      104779L, 104789L, 104801L, 104803L, 104827L, 104831L, 104849L,
+      104851L, 104869L, 104879L, 104891L)
+    require(slots <= A.length)
+
+    private def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def zero: Array[Long] = Array.fill(slots)(Long.MaxValue)
+    def reduce(buf: Array[Long], v: String): Array[Long] = {
+      if (v != null) {
+        val h = h32(v)
+        var i = 0
+        while (i < slots) {
+          val x = (A(i) * h + B(i)) % P
+          if (x < buf(i)) buf(i) = x
+          i += 1
+        }
+      }
+      buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < slots) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Array[Long] = b
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
   /** Register the scalar-UDF examples on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udf

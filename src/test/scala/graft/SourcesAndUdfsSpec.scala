@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
 
 class SourcesAndUdfsSpec extends SparkSpec {
 
+  test("MinHashSketch is partitioning-invariant (mergeable sketch)") {
+    val docs = Catalog.load(spark, sf0001, "documents")
+    val sketch = udaf(new Udfs.MinHashSketch(16))
+    val tok = docs.select(col("source"), explode(split(col("text"), " ")).as("w"))
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("source").agg(sketch(col("w")).as("sig")).orderBy("source")
+        .collect().map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+    // identical sketches from 32-way-partitioned and single-partition input
+    // proves merge() is a true monoid over partial buffers
+    assert(sig(tok.repartition(32)) == sig(tok.coalesce(1)))
+  }
+
   // --- raw text log ingestion -----------------------------------------
   test("log lines round-trip: events -> text -> parsed columns") {
     val events = Catalog.load(spark, sf0001, "events")
