@@ -911,7 +911,68 @@ object Queries {
         |       last_day(cast(o_orderdate AS DATE)) AS eom,
         |       extract(quarter FROM o_orderdate) AS q,
         |       extract(doy FROM o_orderdate) AS doy
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Correlated LATERAL derived table (dependent join): top-2 customers
+    // by balance per nation — the per-group top-k shape without window
+    // functions. Catalyst decorrelates to a ranked join.
+    q("x90_lateral_topk",
+      """SELECT n.n_nationkey, t.c_custkey, round(t.c_acctbal,4) AS bal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_nationkey, t.c_custkey""".stripMargin),
+
+    // Recursive CTE (iteration in the plan — Spark 4 UnionLoop): closed
+    // 1..100 series, aggregated to a checkable single row.
+    q("x91_recursive_cte",
+      """WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM t WHERE n < 100)
+        |SELECT count(*) AS n, cast(sum(n) AS BIGINT) AS total FROM t""".stripMargin),
+
+    // UNPIVOT: per-user event-type count matrix back to long form (the
+    // inverse of x61's PIVOT; same standard syntax in both dialects).
+    q("x92_unpivot",
+      """SELECT user_id, metric, val
+        |FROM (SELECT user_id,
+        |             count(*) FILTER (WHERE event_type='click') AS click,
+        |             count(*) FILTER (WHERE event_type='purchase') AS purchase,
+        |             count(*) FILTER (WHERE event_type='error') AS error
+        |      FROM events GROUP BY 1)
+        |UNPIVOT (val FOR metric IN (click, purchase, error))
+        |ORDER BY user_id, metric""".stripMargin),
+
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities, unlike q34/q35).
+    q("x93_set_ops_all",
+      """SELECT 'ia' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='purchase' AND value>150
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type='error' AND value>150)
+        |UNION ALL
+        |SELECT 'ea' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type='purchase' AND value>150
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type='error' AND value>150)
+        |ORDER BY op, user_id""".stripMargin),
+
+    // Array-function battery with scalar outputs (array-valued output
+    // columns canonicalize fragilely across engines): intersect size,
+    // 1-based position, membership, flatten size. Spark slice(a,5,8) ==
+    // DuckDB a[5:12] (both 8 elements).
+    q("x94_array_battery",
+      """SELECT vec_id,
+        |       size(array_intersect(slice(embedding,1,8), slice(embedding,5,8))) AS ni,
+        |       cast(array_position(embedding, element_at(embedding,3)) AS INT) AS ap,
+        |       array_contains(embedding, element_at(embedding,1)) AS ac,
+        |       size(flatten(array(slice(embedding,1,2), slice(embedding,3,2)))) AS fl
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id,
+        |       cast(len(list_intersect(embedding[1:8], embedding[5:12])) AS INT) AS ni,
+        |       cast(list_position(embedding, embedding[3]) AS INT) AS ap,
+        |       list_contains(embedding, embedding[1]) AS ac,
+        |       cast(len(flatten([embedding[1:2], embedding[3:4]])) AS INT) AS fl
+        |FROM embeddings ORDER BY vec_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
