@@ -49,6 +49,26 @@ class MultimodalSpec extends SparkSpec {
     assert(over == 0)
   }
 
+  test("extracted embeddings flow into similarity search (multimodal -> ANN)") {
+    import graft.llm.Ann
+    // features from the blob pipeline become a standard (vec_id, embedding)
+    // table — the contract that makes every ANN tier (brute/LSH/IVF)
+    // apply unchanged to multimodal content
+    val vecs = Multimodal.decodeFeatures(media)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    val exact = Ann.bruteForceTopK(vecs.where(col("vec_id") =!= 0), q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(exact.length == 5)
+    // LSH candidates at radius 2 should recover most of the exact top-5
+    val approx = Ann.lshTopK(vecs.where(col("vec_id") =!= 0), q,
+      k = 5, numPlanes = 6, probeRadius = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact.toSet).size >= 3,
+      s"LSH recall too low: exact=$exact approx=$approx")
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()
