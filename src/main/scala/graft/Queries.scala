@@ -972,7 +972,22 @@ object Queries {
         |       cast(list_position(embedding, embedding[3]) AS INT) AS ap,
         |       list_contains(embedding, embedding[1]) AS ac,
         |       cast(len(flatten([embedding[1:2], embedding[3:4]])) AS INT) AS fl
-        |FROM embeddings ORDER BY vec_id""".stripMargin)
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // BPE-ish subword counting per source (SURVEY.md §2.8 companion to
+    // x58's whitespace counts): regex tokenization (runs of letters /
+    // digits / single punctuation) with a length-bucket cost of
+    // 1 + (len-1)/4 subwords per token — the no-tokenizer-binary
+    // heuristic, computed with codegen'd HOFs, oracle-matched exactly.
+    q("x95_subword_counts",
+      """SELECT source,
+        |       cast(sum(aggregate(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0),
+        |                cast(0 AS BIGINT), (a, t) -> a + 1 + ((length(t)-1) div 4))) AS BIGINT) AS subwords
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT source,
+        |       cast(sum(list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
+        |                t -> 1 + (length(t)-1)//4))) AS BIGINT) AS subwords
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -19,6 +19,20 @@ class SourcesAndUdfsSpec extends SparkSpec {
     assert(sig(tok.repartition(32)) == sig(tok.coalesce(1)))
   }
 
+  test("CSV and JSONL round-trip events losslessly") {
+    import graft.sources.Delimited
+    val events = Catalog.load(spark, sf0001, "events")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))).toSeq
+    val want = canon(events)
+    Delimited.writeCsv(events, "/tmp/graft-ev-csv")
+    assert(canon(Delimited.readCsv(spark, "/tmp/graft-ev-csv", events.schema)) == want)
+    Delimited.writeJsonl(events, "/tmp/graft-ev-jsonl")
+    assert(canon(Delimited.readJsonl(spark, "/tmp/graft-ev-jsonl", events.schema)) == want)
+  }
+
   // --- raw text log ingestion -----------------------------------------
   test("log lines round-trip: events -> text -> parsed columns") {
     val events = Catalog.load(spark, sf0001, "events")
