@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data pipeline: the composition the individual
+  * operators exist for. Stages (each one a declared-and-verified operator
+  * family from SURVEY.md §2):
+  *
+  *   documents ─ quality filter (x50 scoring)
+  *             ─ exact dedup, keep lowest doc_id (x47)
+  *             ─ MinHash+LSH near-dup prune (x52 scale path)
+  *             ─ corpus accounting (x58/x95 token + vocab counts)
+  *   embeddings ─ IVF index build + sample ANN probe (x59)
+  *
+  * Prints one JSON line per stage with rows in/out and wall-clock. On a
+  * cluster the inter-stage hand-offs would be materialized parquet
+  * (date-partitioned per SCALE.md §2) rather than in-plan lineage, making
+  * each stage restartable — the shape here is the per-day incremental job.
+  *
+  * Usage: runMain graft.Pipeline [sfDir]
+  */
+object Pipeline {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def stage(name: String, in: Long)(f: => DataFrame): (DataFrame, Long) = {
+      val t0 = System.nanoTime()
+      val out = f
+      val n = out.count()
+      println(f"""{"stage":"$name","rows_in":$in,"rows_out":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      (out, n)
+    }
+
+    val docs = Catalog.load(spark, dir, "documents")
+    val total = docs.count()
+
+    // 1. quality filter: x50's composite score, keep quality_bp >= 6500
+    val (quality, nQ) = stage("quality_filter", total) {
+      docs.withColumn("w", split(col("text"), " "))
+        .withColumn("n_toks", size(col("w")))
+        .withColumn("n_types", size(array_distinct(col("w"))))
+        .withColumn("n_stop", size(filter(col("w"), x => x.isin("a", "the"))))
+        .withColumn("quality_bp", floor(
+          (lit(0.4) * (col("n_types") / col("n_toks").cast("double"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks").cast("double"))
+            + lit(0.3) * least(col("n_toks") / lit(100.0), lit(1.0))) * 10000).cast("long"))
+        .where(col("quality_bp") >= 6500)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    }
+
+    // 2. exact dedup on the normalized token-set key, keep lowest doc_id
+    val (exact, nE) = stage("exact_dedup", nQ) {
+      val keyed = quality.withColumn("key",
+        md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")))
+      val keep = keyed.groupBy("key").agg(min("doc_id").as("doc_id"))
+      keyed.join(keep, Seq("key", "doc_id")).drop("key")
+    }
+
+    // 3. near-dup prune: LSH candidates verified >= 50% Jaccard; drop the
+    // higher doc_id of each surviving pair
+    val (neardup, nN) = stage("neardup_dedup", nE) {
+      val pairs = llm.Dedup.minHashNearDups(exact,
+        numHashes = 64, rowsPerBand = 4, minJacBp = 5000L)
+      exact.join(pairs.select(col("b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    }
+
+    // 4. corpus accounting per source (what reaches the tokenizer)
+    stage("corpus_accounting", nN) {
+      neardup.groupBy("source").agg(
+        count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " "))).as("toks"),
+        sum(col("n_chars")).as("chars"))
+    }
+
+    // 5. similarity index: train IVF on embeddings, probe with vec 0
+    val emb = Catalog.load(spark, dir, "embeddings")
+    stage("ivf_probe", emb.count()) {
+      val q = emb.where(col("vec_id") === 0)
+        .head().getSeq[Float](1).map(_.toDouble).toSeq
+      llm.Ann.ivfTopK(emb.where(col("vec_id") =!= 0), q,
+        k = 10, nLists = 16, nProbe = 4)
+    }
+
+    spark.stop()
+  }
+}
