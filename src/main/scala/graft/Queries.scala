@@ -987,7 +987,35 @@ object Queries {
       """SELECT source,
         |       cast(sum(list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'),
         |                t -> 1 + (length(t)-1)//4))) AS BIGINT) AS subwords
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Higher-order quantifiers over arrays (exists/forall vs DuckDB's
+    // bool_or/bool_and list_aggregate) + ordered HOF reduction (L2 norm —
+    // both engines fold the transformed list left-to-right in element
+    // order, so the double sum is bit-identical).
+    q("x96_hof_quantifiers",
+      """SELECT vec_id, exists(embedding, x -> x > 0.2) AS has_hi,
+        |       forall(embedding, x -> x > -1.0) AS all_gt,
+        |       round(sqrt(aggregate(transform(embedding, x -> cast(x AS DOUBLE)*x),
+        |             cast(0 AS DOUBLE), (s, x) -> s + x)),4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id,
+        |       list_aggregate(list_transform(embedding, x -> x > 0.2), 'bool_or') AS has_hi,
+        |       list_aggregate(list_transform(embedding, x -> x > -1.0), 'bool_and') AS all_gt,
+        |       round(sqrt(list_aggregate(list_transform(embedding, x -> cast(x AS DOUBLE)*x), 'sum')),4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // Timestamp ↔ string round-trip (the log-parsing core op). The format
+    // languages differ wholesale: JDK letters (yyyy-MM-dd HH:mm:ss) vs
+    // C strftime (%Y-%m-%d %H:%M:%S).
+    q("x97_ts_parse",
+      """SELECT event_id, date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS s,
+        |       unix_millis(to_timestamp(date_format(ts, 'yyyy-MM-dd HH:mm:ss'),
+        |                   'yyyy-MM-dd HH:mm:ss')) AS ems
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
+        |       epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS ems
+        |FROM events ORDER BY event_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
