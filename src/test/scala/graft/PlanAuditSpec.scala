@@ -1,0 +1,55 @@
+package graft
+
+/** Plan-shape regression guards (SCALE.md §1): the physical properties
+  * that make each query family scale are asserted on the actual plans, so
+  * a refactor that silently de-optimizes (drops pushdown, breaks
+  * broadcast, loses partial aggregation) fails CI — not the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection reach the parquet scan") {
+    val p = physical("q02_project_filter")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("q24: dimension join broadcasts") {
+    val p = physical("q24_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), s"dim join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("q16: all three dim joins broadcast; only the agg shuffles") {
+    val p = physical("q16_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact scan should never shuffle for dims:\n$p")
+  }
+
+  test("q10: top-k short-circuits (no global sort)") {
+    val p = physical("q10_topk_users")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("q05: aggregation is two-phase (partial before the exchange)") {
+    val p = physical("q05_histogram")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"expected partial+final agg:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("x89: sketch aggregate merges map-side (partial ObjectHashAggregate)") {
+    val p = physical("x89_source_minhash")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final sketch agg:\n$p")
+  }
+
+  test("q43: cosine runs as the native expression, not HOF fallback") {
+    val p = physical("q43_cosine_topk")
+    assert(p.contains("cosine_sim"), s"native expression missing:\n$p")
+  }
+}
