@@ -41,9 +41,12 @@ object Catalog {
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
         val view =
-          if (t == "events")
+          if (t == "events" &&
+              df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
             // ts arrives as BIGINT nanos under nanosAsLong; floor-truncate
             // to µs (matches DuckDB's ns→µs conversion, SURVEY.md §5.35).
+            // Re-materialized corpora (ScaleSoak) store µs timestamps
+            // directly and skip the conversion.
             df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           else df
         view.createOrReplaceTempView(t)

@@ -31,6 +31,11 @@ object ScaleSoak {
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
 
+    if (args.contains("full")) {
+      buildFull(spark, sf, "/tmp/graft_sf1x")
+      spark.stop(); return
+    }
+
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val built = fs.exists(new org.apache.hadoop.fs.Path(s"$root/events"))
     if (!built || args.contains("rebuild")) build(spark, sf)
@@ -113,6 +118,46 @@ object ScaleSoak {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     spark.stop()
+  }
+
+  /** Build a FULL 10× copy of every table as multi-file parquet (each
+    * `<t>.parquet` is a directory of part files — the layout real
+    * pipelines read), with referentially consistent key offsets, so the
+    * complete query inventory can be verified by Verify + the DuckDB
+    * oracle at a fourth scale point. Invoked via
+    * `runMain graft.ScaleSoak full`. */
+  def buildFull(spark: SparkSession, sf: String, out: String): Unit = {
+    println(s"[soak] building full 10x corpus under $out")
+    val stride = 10 * 1000 * 1000L
+    // repartition BEFORE the 10x explode: the source tables are
+    // single-row-group files, so without this the whole build (and every
+    // later scan of the output) is one task — each output table must be
+    // a genuinely multi-file parquet directory.
+    def rep10(df: DataFrame): DataFrame =
+      df.repartition(16).withColumn("rep", explode(sequence(lit(0), lit(9))))
+    def shift(df: DataFrame, cols: String*): DataFrame =
+      cols.foldLeft(rep10(df)) { (d, c) =>
+        d.withColumn(c, col(c) + col("rep") * lit(stride))
+      }.drop("rep")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    // dims unchanged (joins stay valid: replicated custkeys keep their
+    // original nationkeys, lineitems their part/supp keys)
+    Seq("region", "nation", "part", "supplier").foreach { t =>
+      write(Catalog.load(spark, sf, t), t)
+    }
+    write(shift(Catalog.load(spark, sf, "customer"), "c_custkey"), "customer")
+    write(shift(Catalog.load(spark, sf, "orders"), "o_orderkey", "o_custkey"), "orders")
+    write(shift(Catalog.load(spark, sf, "lineitem"), "l_orderkey"), "lineitem")
+    // events: µs-timestamp view materialized directly (Catalog detects
+    // the TimestampType column and skips the ns conversion on read)
+    write(rep10(Catalog.load(spark, sf, "events"))
+      .withColumn("event_id", col("event_id") * 10 + col("rep"))
+      .withColumn("user_id", col("user_id") + col("rep") * lit(10000L))
+      .drop("rep"), "events")
+    write(shift(Catalog.load(spark, sf, "documents"), "doc_id"), "documents")
+    write(shift(Catalog.load(spark, sf, "embeddings"), "vec_id"), "embeddings")
   }
 
   /** Build the 10× corpus: replicate each sf0.1 row 10 times with disjoint

@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // "parallel": skip the coalesce(1) and write the final stage's
+    // partitions as-is (sorted part-file concatenation preserves the
+    // global order of a range-partitioned final sort). Used for the 10x
+    // soak corpus where single-file writes serialize heavy queries; the
+    // driver's sf0.01 gate keeps the proven single-file layout.
+    val parallelWrite = args.length > 2 && args(2) == "parallel"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -16,9 +22,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // coalesce(1) preserves the parent sort order (sequential partition
+      // read) and gives the driver one part file — but it also collapses
+      // the whole upstream pipeline into one task (no shuffle barrier),
+      // which serializes heavy queries; at the 10x soak scale that pinned
+      // Verify to a single core. parallelWrite trades file count for
+      // upstream parallelism there.
+      try {
+        val df = fn(spark, sfDir)
+        (if (parallelWrite) df else df.coalesce(1))
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

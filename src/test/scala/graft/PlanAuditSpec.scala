@@ -7,8 +7,18 @@ package graft
   */
 class PlanAuditSpec extends SparkSpec {
 
+  // Bypass Catalog's plan cache: a cached DataFrame another spec already
+  // EXECUTED has a mutated AdaptiveSparkPlanExec whose text shows final
+  // ShuffleQueryStage nodes instead of the Exchange operators these
+  // assertions match — audit a fresh, un-executed plan instead.
   private def physical(name: String): String =
-    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    Queries.sparkSql.get(name) match {
+      case Some(sql) =>
+        Catalog.ensure(spark, sf0001)
+        spark.sql(sql).queryExecution.executedPlan.toString
+      case None =>
+        SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+    }
 
   test("q02: filter and projection reach the parquet scan") {
     val p = physical("q02_project_filter")
