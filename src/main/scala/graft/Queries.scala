@@ -1015,7 +1015,30 @@ object Queries {
         |FROM events ORDER BY event_id""".stripMargin,
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS s,
         |       epoch_ms(strptime(strftime(ts, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS ems
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Extended math battery: trig, atan2, degrees, exp, log10/log2, sign
+    // (complements q38; both engines round libm doubles at 4dp).
+    q("x98_trig_math",
+      """SELECT p_partkey, round(sin(p_retailprice/100),4) AS sn, round(cos(p_retailprice/100),4) AS cs,
+        |       round(atan2(p_retailprice, cast(p_size AS DOUBLE)),4) AS at2,
+        |       round(degrees(atan(p_size/10.0)),4) AS dg, round(exp(p_size/25.0),4) AS ex,
+        |       round(log10(p_retailprice),4) AS l10, round(log2(p_retailprice),4) AS l2,
+        |       cast(sign(p_retailprice-1000) AS INT) AS sg
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // Date-interval series generation (sequence/generate_series with a
+    // MONTH step) + zero-filled monthly order counts — x69's gap fill at
+    // calendar granularity.
+    q("x99_month_series",
+      """WITH b AS (SELECT explode(sequence(DATE '1995-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS m),
+        |o AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS c FROM orders GROUP BY 1)
+        |SELECT cast(b.m AS DATE) AS m, coalesce(o.c, 0) AS c
+        |FROM b LEFT JOIN o ON cast(b.m AS DATE) = o.m ORDER BY 1""".stripMargin,
+      """WITH b AS (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS m),
+        |o AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS c FROM orders GROUP BY 1)
+        |SELECT cast(b.m AS DATE) AS m, coalesce(o.c, 0) AS c
+        |FROM b LEFT JOIN o ON cast(b.m AS DATE) = o.m ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
