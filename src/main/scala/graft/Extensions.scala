@@ -72,6 +72,47 @@ object Extensions {
         .orderBy("event_type")
     },
 
+    // Two-pass scalable global windows (operators.GlobalWindow.ranks):
+    // q29's exact output computed WITHOUT the single-task global-window
+    // plan — range-partitioned local ranks + broadcast offsets. Oracle =
+    // q29's own SQL, so the hash check proves plan-shape change ⇏
+    // result change.
+    "x100_global_ntile" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.GlobalWindow
+        .ranks(Catalog.load(s, dir, "customer"),
+          Seq("c_acctbal", "c_custkey"), ntileBuckets = 4)
+        .select(col("c_custkey"), col("g_ntile").cast("int").as("quart"),
+          round(col("g_percent_rank"), 4).as("pr"))
+        .orderBy("c_custkey")
+    },
+
+    // Tie-bearing global ranks (c_acctbal alone is non-unique at
+    // sf≥0.01): rank/dense_rank/cume_dist are tie-invariant, so the
+    // output ordered by the unique c_custkey is deterministic on both
+    // engines even though ties straddle nothing.
+    "x101_global_rank_ties" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.GlobalWindow
+        .ranks(Catalog.load(s, dir, "customer"), Seq("c_acctbal"))
+        .select(col("c_custkey"), col("g_rank").as("rk"),
+          col("g_dense_rank").as("drk"),
+          round(col("g_cume_dist"), 4).as("cd"))
+        .orderBy("c_custkey")
+    },
+
+    // Integral global running sum via the two-pass runningSum — exact
+    // (order-independent) arithmetic, so it hash-checks where a float
+    // running sum could only ulp-match.
+    "x102_global_running_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.GlobalWindow
+        .runningSum(Catalog.load(s, dir, "orders"),
+          Seq("o_orderkey"), "o_custkey", "rs")
+        .select(col("o_orderkey"), col("rs").cast("long").as("rs"))
+        .orderBy("o_orderkey")
+    },
+
     // Corpus-level similarity via the mergeable MinHash sketch Aggregator
     // (functions.Udfs.MinHashSketch): one 16-slot sketch per source, pair
     // similarity = matching slots. Oracle-checkable because the sketch
@@ -96,6 +137,22 @@ object Extensions {
     * x57 gets a real hash check, not just the rows-only fallback.
     */
   def oracleSql: Map[String, String] = Map(
+    // x100 is q29's contract restated — the two-pass operator must hash-
+    // match the same single-task-window SQL the oracle runs.
+    "x100_global_ntile" ->
+      """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quart,
+        |       round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),4) AS pr
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x101_global_rank_ties" ->
+      """SELECT c_custkey,
+        |       cast(rank() OVER (ORDER BY c_acctbal) AS BIGINT) AS rk,
+        |       cast(dense_rank() OVER (ORDER BY c_acctbal) AS BIGINT) AS drk,
+        |       round(cume_dist() OVER (ORDER BY c_acctbal),4) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "x102_global_running_sum" ->
+      """SELECT o_orderkey,
+        |       cast(sum(o_custkey) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "x89_source_minhash" ->
       """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS w FROM documents),
         |hv AS (SELECT source, cast(('0x'||substr(md5(w),1,8)) AS BIGINT) AS hv FROM tok),

@@ -742,6 +742,12 @@ object Queries {
     // hashes weighted by term frequency, near-dup pairs at Hamming ≤ 3.
     // All-integer weights → the sign of every bit weight is exact, no
     // float tie risk. Spark: conv()/shiftleft/^; DuckDB: 0x-cast/<</xor().
+    // The pair stage is pigeonhole-banded exactly like the Scala path
+    // (llm.Dedup.simHashNearDups): Hamming ≤ 3 over 32 bits means at
+    // least one of 4 disjoint 8-bit chunks matches exactly, so the join
+    // is chunk-equality (candidate-bounded), never doc_id < doc_id over
+    // the full signature table — the O(n²) shape that exhausted the
+    // oracle's temp disk at the 10× soak (SCALE.md §7).
     q("x79_simhash_sql",
       """WITH tok AS (SELECT doc_id, w, count(*) AS n
         |             FROM (SELECT doc_id, explode(split(text,' ')) AS w FROM documents)
@@ -752,9 +758,12 @@ object Queries {
         |         GROUP BY 1,2),
         |sig AS (SELECT doc_id, cast(sum(CASE WHEN wt > 0 THEN shiftleft(cast(1 AS BIGINT), j) ELSE 0 END) AS BIGINT) AS sig
         |        FROM bits GROUP BY 1),
-        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
-        |                 cast(bit_count(sa.sig ^ sb.sig) AS INT) AS ham
-        |          FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id)
+        |chunks AS (SELECT doc_id, sig, c, (sig >> (8*c)) & 255 AS ck
+        |           FROM sig CROSS JOIN (SELECT explode(sequence(0,3)) AS c) cs),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |                 cast(bit_count(x.sig ^ y.sig) AS INT) AS ham
+        |          FROM chunks x JOIN chunks y
+        |            ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
         |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin,
       """WITH tok AS (SELECT doc_id, w, count(*) AS n
         |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
@@ -765,23 +774,34 @@ object Queries {
         |         GROUP BY 1,2),
         |sig AS (SELECT doc_id, cast(sum(CASE WHEN wt > 0 THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sig
         |        FROM bits GROUP BY 1),
-        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b,
-        |                 cast(bit_count(xor(sa.sig, sb.sig)) AS INT) AS ham
-        |          FROM sig sa JOIN sig sb ON sa.doc_id < sb.doc_id)
+        |chunks AS (SELECT doc_id, sig, c, (sig >> (8*c)) & 255 AS ck
+        |           FROM sig CROSS JOIN (SELECT unnest(generate_series(0,3)) AS c) cs(c)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |                 cast(bit_count(xor(x.sig, y.sig)) AS INT) AS ham
+        |          FROM chunks x JOIN chunks y
+        |            ON x.c = y.c AND x.ck = y.ck AND x.doc_id < y.doc_id)
         |SELECT a, b, ham FROM pairs WHERE ham <= 3 ORDER BY a, b""".stripMargin),
 
     // Winnowing fingerprints entirely in SQL (companion to x55's Scala
     // operator): char 8-gram md5-prefix hashes, per-window (4) minima via
     // a ROWS window frame, distinct fingerprint set per doc, containment
     // = |common| / |smaller set| in basis points, pairs ≥ 50%.
+    // The pair join reads only REPEATED fingerprints (df ≥ 2 via the
+    // `rep` prefilter): unique fps — the vast majority of any corpus —
+    // contribute no pairs, so dropping them is output-preserving while
+    // bounding the join input to actual candidates. This is what kept
+    // the 10×-soak oracle from spilling to death (SCALE.md §7).
     q("x80_winnowing_sql",
       """WITH pos AS (SELECT doc_id, explode(sequence(1, greatest(length(text)-7,1))) AS i, text FROM documents),
         |h AS (SELECT doc_id, i, cast(conv(substr(md5(substr(text,i,8)),1,8),16,10) AS BIGINT) AS h FROM pos),
         |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
         |n AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+        |rep AS (SELECT doc_id, fp FROM (
+        |          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        |        WHERE df >= 2),
         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-        |           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
+        |           FROM rep x JOIN rep y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
         |SELECT a, b, contain_bp FROM (
         |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
         |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)
@@ -791,8 +811,11 @@ object Queries {
         |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
         |n AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
+        |rep AS (SELECT doc_id, fp FROM (
+        |          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
+        |        WHERE df >= 2),
         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
-        |           FROM fps x JOIN fps y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
+        |           FROM rep x JOIN rep y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
         |SELECT a, b, contain_bp FROM (
         |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
         |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)

@@ -11,7 +11,11 @@ object Verify {
     // global order of a range-partitioned final sort). Used for the 10x
     // soak corpus where single-file writes serialize heavy queries; the
     // driver's sf0.01 gate keeps the proven single-file layout.
-    val parallelWrite = args.length > 2 && args(2) == "parallel"
+    val parallelWrite = args.contains("parallel")
+    // optional `only=name1,name2` arg: targeted re-verification of a few
+    // queries without a full-inventory run (the driver never passes it)
+    val only: Set[String] = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +25,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       // coalesce(1) preserves the parent sort order (sequential partition
       // read) and gives the driver one part file — but it also collapses
       // the whole upstream pipeline into one task (no shuffle barrier),
@@ -30,8 +36,17 @@ object Verify {
       // upstream parallelism there.
       try {
         val df = fn(spark, sfDir)
-        (if (parallelWrite) df else df.coalesce(1))
+        // parallelWrite reconstructs global order from lexicographically
+        // sorted part files — sound ONLY if the final stage is a range-
+        // partitioned total sort. Guard the assumption (ADVICE r2 #4):
+        // fall back to the single-file path when the plan has no output
+        // ordering rather than silently comparing partition-ordered rows.
+        val totallyOrdered =
+          df.queryExecution.executedPlan.outputOrdering.nonEmpty
+        (if (parallelWrite && totallyOrdered) df else df.coalesce(1))
           .write.mode("overwrite").parquet(s"$outDir/$name")
+        if (parallelWrite && !totallyOrdered)
+          System.err.println(s"[verify] $name: no output ordering — wrote coalesce(1)")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -49,6 +64,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
