@@ -167,10 +167,16 @@ object Extensions {
         |       cast(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS INT) AS m
         |FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.source < sb.source
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // Click side pre-deduped per (user_id, ts) keeping max event_id: the
+    // native operator resolves equal-timestamp ties toward the largest
+    // click_id deterministically, while DuckDB ASOF's pick among duplicate
+    // right timestamps is unspecified — dedup makes the oracle tie-free
+    // (ADVICE r2 #3).
     "x57_asof_native" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type='purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
+        |                FROM events WHERE event_type='click' GROUP BY 1,2) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin
   )

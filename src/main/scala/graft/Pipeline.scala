@@ -58,11 +58,12 @@ object Pipeline {
     }
 
     // 2. exact dedup on the normalized token-set key, keep lowest doc_id
+    // (hierarchical single-shuffle min_by path — SCALE.md §4; the old
+    // groupBy+join-back shape shuffled the full text twice)
     val (exact, nE) = stage("exact_dedup", nQ) {
-      val keyed = quality.withColumn("key",
-        md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")))
-      val keep = keyed.groupBy("key").agg(min("doc_id").as("doc_id"))
-      keyed.join(keep, Seq("key", "doc_id")).drop("key")
+      llm.Dedup.exactKeepFirst(quality,
+        md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")),
+        "doc_id")
     }
 
     // 3. near-dup prune: LSH candidates verified >= 50% Jaccard; drop the

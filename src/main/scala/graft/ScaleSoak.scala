@@ -37,7 +37,11 @@ object ScaleSoak {
     }
 
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val built = fs.exists(new org.apache.hadoop.fs.Path(s"$root/events"))
+    // li_big/ord_big live in the session (in-memory) catalog — a fresh JVM
+    // loses them even when the events directory survived on disk, so gate
+    // the rebuild on BOTH (ADVICE r2 #1).
+    val built = fs.exists(new org.apache.hadoop.fs.Path(s"$root/events")) &&
+      spark.catalog.tableExists("li_big") && spark.catalog.tableExists("ord_big")
     if (!built || args.contains("rebuild")) build(spark, sf)
 
     val events1 = Catalog.load(spark, sf, "events")
@@ -89,7 +93,10 @@ object ScaleSoak {
     // the 10× layout, vs a full scan + row filter on the single-file corpus.
     val minDate = events10.select(min("dt")).collect()(0).getDate(0)
     val oneDay = events10.where(col("dt") === lit(minDate))
-    val pruned = oneDay.queryExecution.executedPlan.toString.contains("PartitionFilters")
+    // every FileSourceScan prints `PartitionFilters: [...]` (even empty) —
+    // require a NON-EMPTY filter on the dt partition column (ADVICE r2 #2)
+    val pruned = "PartitionFilters: \\[[^\\]]*dt".r
+      .findFirstIn(oneDay.queryExecution.executedPlan.toString).isDefined
     bench("one-day count",
       { events1.where(to_date(col("ts")) === lit(minDate)).count() },
       { oneDay.count() })
@@ -115,6 +122,92 @@ object ScaleSoak {
       cols = ("unbucketed", "bucketed"))
     println(s"[soak] shuffle exchanges: bucketed=${exchanges(bucketPlan)} " +
       s"(SMJ=${bucketPlan.contains("SortMergeJoin")}) vs unbucketed=${exchanges(plainPlan)}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // ---- hierarchical exact dedup: shuffle-bytes head-to-head ----------
+    // Same output rows, two plans: (a) groupBy+join-back (shuffles the
+    // full rows twice), (b) min_by single-shuffle with map-side partial
+    // dedup (SCALE.md §4). Measured on the 1M-row 10x events with a
+    // replicated-content key so real duplicates exist in every map task.
+    def withShuffleBytes[T](f: => T): (T, Long) = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          acc.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      val r = f
+      Thread.sleep(600) // let the listener bus drain
+      spark.sparkContext.removeSparkListener(l)
+      (r, acc.get())
+    }
+    // content key EXCLUDING the per-replica ids (event_id/user_id are
+    // offset per copy): each original row has exactly 10 content-equal
+    // replicas — the duplication profile hierarchical dedup exists for
+    val dupKey = md5(concat_ws("|", unix_micros(col("ts")), col("event_type"),
+      col("value"), col("props")))
+    // at 100 TB the keeper set never fits a broadcast — disable it so the
+    // join-back path pays the shuffle it would pay at scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (nJoin, bJoin) = withShuffleBytes {
+      val keyed = events10.withColumn("key", dupKey)
+      val keep = keyed.groupBy("key").agg(min("event_id").as("event_id"))
+      keyed.join(keep, Seq("key", "event_id")).drop("key").count()
+    }
+    val (nHier, bHier) = withShuffleBytes {
+      llm.Dedup.exactKeepFirst(events10.drop("dt"), dupKey, "event_id").count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    println(f"[soak] exact dedup: rows join-back=$nJoin hier=$nHier equal=${nJoin == nHier}; " +
+      f"shuffle MB join-back=${bJoin / 1e6}%.1f hier=${bHier / 1e6}%.1f " +
+      f"(${bJoin.toDouble / math.max(bHier, 1)}%.1fx less)")
+
+    // ---- table statistics + CBO probe ----------------------------------
+    // With column stats, the optimizer can see that a selective filter on
+    // the 1.5M-row orders side shrinks it under the broadcast threshold —
+    // without stats the estimate is raw file size and the join stays
+    // sort-merge. (VERDICT r2 missing #2.)
+    spark.sql("ANALYZE TABLE li_big COMPUTE STATISTICS")
+    spark.sql("ANALYZE TABLE ord_big COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_totalprice, o_orderstatus")
+    def joinNode(p: String): String =
+      if (p.contains("BroadcastHashJoin")) "BroadcastHashJoin"
+      else if (p.contains("SortMergeJoin")) "SortMergeJoin"
+      else "other"
+    // ~5% selective filter (p5 of o_totalprice ≈ 26k); the 22 MB orders
+    // table sits above the 10 MB broadcast threshold, its 5% slice below —
+    // only an optimizer that can SEE the filter selectivity (CBO + column
+    // stats) picks the broadcast plan.
+    // IMPORTANT: resolve the tables FRESH after ANALYZE — a DataFrame's
+    // LogicalRelation captures catalog stats at resolution time, so
+    // pre-ANALYZE handles never see the new statistics.
+    val selective = () => {
+      val li = spark.table("li_big"); val ord = spark.table("ord_big")
+      li.join(ord.where(col("o_totalprice") < lit(26000.0)),
+        li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderstatus").agg(sum("l_quantity"))
+    }
+    def sizeEst(df: DataFrame): String =
+      f"${df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1e6}%.1f MB"
+    def filteredOrd() = spark.table("ord_big").where(col("o_totalprice") < lit(26000.0))
+    // column pruning alone squeezes the 3-col projection of the 22 MB
+    // table under the default 10 MB broadcast bar — pin the bar at 2 MB so
+    // only an estimate that also SEES the 5% filter selectivity (CBO +
+    // column stats) clears it; the contrast, not the absolute threshold,
+    // is the at-scale point
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
+    spark.conf.set("spark.sql.cbo.enabled", "false")
+    val planNoCbo = joinNode(selective().queryExecution.executedPlan.toString)
+    val estNo = sizeEst(filteredOrd())
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    val planCbo = joinNode(selective().queryExecution.executedPlan.toString)
+    val estCbo = sizeEst(filteredOrd())
+    val (tSel, nSel) = median3 { selective().collect().length.toLong }
+    println(s"[soak] CBO probe (selective fact-fact join, $nSel groups, " +
+      f"${tSel * 1000}%.1f ms): no-stats est=$estNo join=$planNoCbo vs " +
+      s"cbo+stats est=$estCbo join=$planCbo")
+    spark.conf.set("spark.sql.cbo.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
     spark.stop()

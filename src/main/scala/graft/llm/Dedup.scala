@@ -91,6 +91,20 @@ object Dedup {
       .orderBy(desc("jac_bp"), col("a"), col("b"))
   }
 
+  /** Exact dedup keeping the lowest-`id` row per `key` — the hierarchical
+    * per-partition-then-global dedup of SCALE.md §4 expressed Spark-first:
+    * `min_by(struct(row), id)` runs as a PARTIAL aggregate inside each map
+    * task (local dedup, no shuffle) and the exchange then carries at most
+    * one candidate row per distinct key per task — vs the groupBy +
+    * join-back shape, which shuffles the full corpus twice (both join
+    * sides) to produce the same rows. Output column set/order preserved. */
+  def exactKeepFirst(df: DataFrame, key: Column, id: String): DataFrame = {
+    val cols = df.columns
+    df.groupBy(key.as("__key"))
+      .agg(min_by(struct(cols.map(col): _*), col(id)).as("__row"))
+      .select(cols.map(c => col(s"__row.$c")): _*)
+  }
+
   /** 64-bit SimHash over a document's tokens, entirely row-local:
     * bit b = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). */
   def simHash(words: Column): Column = Cols.bind(words) { w =>

@@ -10,6 +10,20 @@ class LlmOpsSpec extends SparkSpec {
   lazy val docs = Catalog.load(spark, sf0001, "documents")
   lazy val embs = Catalog.load(spark, sf0001, "embeddings")
 
+  // --- exact dedup -----------------------------------------------------
+  test("exactKeepFirst == groupBy+join-back dedup, full rows preserved") {
+    val key = md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " "))
+    val keyed = docs.withColumn("key", key)
+    val keep = keyed.groupBy("key").agg(min("doc_id").as("doc_id"))
+    val want = keyed.join(keep, Seq("key", "doc_id")).drop("key")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val got = Dedup.exactKeepFirst(docs, key, "doc_id")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+    assert(Dedup.exactKeepFirst(docs, key, "doc_id").columns.toSeq
+      == docs.columns.toSeq, "column set/order must be preserved")
+  }
+
   // --- MinHash ---------------------------------------------------------
   test("minhash: exact dups get jac_bp 10000 and are always candidates") {
     // plant: duplicate the first 5 docs with shifted ids

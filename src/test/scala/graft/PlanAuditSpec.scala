@@ -62,4 +62,34 @@ class PlanAuditSpec extends SparkSpec {
     val p = physical("q43_cosine_topk")
     assert(p.contains("cosine_sim"), s"native expression missing:\n$p")
   }
+
+  // ---- inventory-wide sweep (VERDICT r2 next-#7) -----------------------
+  // Every declared query's physical plan must be free of the two
+  // anti-patterns that silently kill 100x scale-ups: CartesianProduct
+  // (except the operators DECLARED as cross/all-pairs shapes) and UDFs in
+  // the SQL tier (whose plans must stay 100% codegen'd built-ins — the
+  // custom-Expression tier excepted by construction since cosine_sim IS
+  // codegen'd, printed as cosine_sim(...), never UDF(...)).
+  test("inventory sweep: no cartesian product, no UDF, plans all build") {
+    val cartesianAllowed = Set(
+      "q21_cross_join",    // the declared cross-join operator itself
+      "x48_jaccard_topk",  // declared exact all-pairs baseline (banded twin: x52)
+      "x49_cosine_pairs")  // declared exact all-pairs baseline (ANN twins: x54/x59)
+    Catalog.ensure(spark, sf0001)
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct") && !cartesianAllowed(name))
+          failures += s"$name: CartesianProduct in plan"
+        if (p.contains("BatchEvalPython"))
+          failures += s"$name: python UDF in plan"
+        if (Queries.sparkSql.contains(name) && p.contains("UDF("))
+          failures += s"$name: UDF in SQL-tier plan"
+      } catch {
+        case e: Throwable => failures += s"$name: planning failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, s"${failures.length} plan regressions:\n${failures.mkString("\n")}")
+  }
 }

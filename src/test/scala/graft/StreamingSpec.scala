@@ -101,6 +101,44 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("exactly-once parquet sink survives a lost commit (crash replay)") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    val base = "/tmp/graft-eos"
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val ev = Catalog.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "value")
+    // 6 source files → 3 micro-batches at maxFilesPerTrigger=2
+    ev.repartition(6, col("event_id")).write.parquet(src)
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+    EventStream.sinkExactlyOnce(stream, out, cp)
+    val batchDirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(batchDirs.length == 3, s"expected 3 micro-batches, got ${batchDirs.toSeq}")
+    // crash at the worst point: batch 2's output is on disk but its
+    // commit marker is lost → restart MUST replay batch 2 idempotently
+    val lastCommit = Paths.get(s"$cp/commits/2")
+    assert(Files.exists(lastCommit), "commit marker for batch 2 must exist")
+    Files.delete(lastCommit)
+    // the local FS writes a checksum sidecar; leaving it behind makes the
+    // replayed commit's rename look like a concurrent writer
+    Files.deleteIfExists(Paths.get(s"$cp/commits/.2.crc"))
+    EventStream.sinkExactlyOnce(stream, out, cp)
+    // no duplicates, no loss: sink output set-equals the batch table
+    val got = spark.read.parquet(out)
+      .groupBy("event_id").agg(count(lit(1)).as("k"))
+    assert(got.where(col("k") > 1).count() == 0, "replay must not duplicate rows")
+    assert(got.count() == ev.count(), "replay must not lose rows")
+    // and the replay reused batch id 2, not a new directory
+    val after = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(after.toSeq == batchDirs.toSeq)
+  }
+
   test("watermarked dedup drops a replayed duplicate batch") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark, EventStream.dedup(stream),
