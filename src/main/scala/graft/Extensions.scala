@@ -62,6 +62,18 @@ object Extensions {
         q, k = 10, nLists = 16, nProbe = 4)
     },
 
+    // IVFADC ANN top-10: product-quantized residual codes over the IVF
+    // lists (memory-bounded index: 64 float dims → 8 byte-codes + norm),
+    // probe + asymmetric-distance scoring + exact re-rank. Spec contract:
+    // recall@10 ≥ 0.9 vs exact (LlmOpsSpec).
+    "x103_ann_ivfpq" -> { (s, dir) =>
+      val q = Catalog.load(s, dir, "embeddings")
+        .where("vec_id = 0").select("embedding")
+        .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+      Ann.pqTopK(Catalog.load(s, dir, "embeddings").where("vec_id <> 0"),
+        q, k = 10, nLists = 16, nProbe = 4)
+    },
+
     // HLL++ sketch distinct counts (the 100 TB path for q08-style
     // distincts: mergeable fixed-size state instead of an exact expand).
     "x56_approx_distinct" -> { (s, dir) =>

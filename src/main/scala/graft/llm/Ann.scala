@@ -121,6 +121,164 @@ object Ann {
       .limit(k)
   }
 
+  // ---- IVFADC: product-quantized residual codes ----------------------
+  // Public design: inverted file + asymmetric distance computation
+  // (Jégou/Douze/Schmid's IVFADC line). Memory per vector drops from
+  // dim×4 float bytes to m sub-codes + a stored norm — the tier that
+  // keeps a 100 TB embedding corpus's index in executor memory.
+
+  /** Index metadata: IVF centroids + per-subspace codebooks. Driver-sized
+    * (nLists×dim + m×ksub×dsub doubles) — broadcast in practice. */
+  final case class PqIndex(nLists: Int, m: Int, ksub: Int, dsub: Int,
+                           centroids: Array[(Int, Array[Double])],
+                           codebooks: Array[Array[Array[Double]]])
+
+  /** Train IVF centroids + product codebooks on residuals. Codebooks are
+    * fit with driver-side Lloyd iterations over a bounded SAMPLE of
+    * residuals (index training is sample-based by design — at 100 TB you
+    * still train on a few thousand rows; encoding is the distributed
+    * pass). Deterministic: seeded sample, first-distinct init, fixed
+    * iteration count. */
+  def pqTrain(embeddings: DataFrame, nLists: Int = 16, dim: Int = 64,
+              m: Int = 8, ksub: Int = 16, sampleN: Int = 4096,
+              seed: Long = 7L, iters: Int = 8): PqIndex = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val dsub = dim / m
+    val cs = ivfTrain(embeddings, nLists, dim)
+    val byList = cs.toMap
+    val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val total = embeddings.count()
+    val frac = math.min(1.0, sampleN.toDouble * 2 / math.max(total, 1))
+    val sampled = ivfAssign(base, cs)
+      .sample(withReplacement = false, frac, seed)
+      .select(col("list"), col("e")).collect()
+    val residuals: Array[Array[Double]] = sampled.map { r =>
+      val c = byList(r.getInt(0))
+      r.getSeq[Double](1).toArray.zip(c).map { case (x, y) => x - y }
+    }
+    // per-subspace k-means on the driver (ksub × dsub doubles each)
+    val codebooks = Array.tabulate(m) { mi =>
+      val pts = residuals.map(_.slice(mi * dsub, (mi + 1) * dsub))
+      kmeans(pts, ksub, iters)
+    }
+    PqIndex(nLists, m, ksub, dsub, cs, codebooks)
+  }
+
+  /** Tiny deterministic Lloyd: first-distinct init, stable argmin. */
+  private def kmeans(pts: Array[Array[Double]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val distinct = pts.distinct
+    val init = Array.tabulate(k)(i => distinct(i % math.max(distinct.length, 1)).clone())
+    var cents = init
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.headOption.map(_.length).getOrElse(0)))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        val j = nearest(p, cents)
+        counts(j) += 1
+        var d = 0; while (d < p.length) { sums(j)(d) += p(d); d += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j)))
+      it += 1
+    }
+    cents
+  }
+
+  private def nearest(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var j = 0
+    while (j < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < p.length) { val t = p(i) - cents(j)(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** Distributed encode: one narrow scan → (vec_id, list, vnorm, codes).
+    * A typed map kernel (tight loops over primitive arrays — the nested
+    * argmin falls out of whole-stage codegen as an expression anyway, and
+    * this is the same per-row-numeric-kernel tier as the multimodal
+    * decoder). Codes are m small ints: dim×4 bytes → m bytes + norm. */
+  def pqEncode(embeddings: DataFrame, idx: PqIndex): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val byList = idx.centroids.toMap
+    val lists = idx.centroids.map(_._1)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, ef) =>
+        val e = ef.map(_.toDouble)
+        // argmax dot, ties toward the larger list id — mirrors
+        // ivfAssign's greatest(struct(sim, list)) exactly
+        var bl = lists(0); var bs = Double.NegativeInfinity
+        lists.foreach { l =>
+          val c = byList(l)
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * c(i); i += 1 }
+          if (s > bs || (s == bs && l > bl)) { bs = s; bl = l }
+        }
+        val c = byList(bl)
+        val r = new Array[Double](e.length)
+        var i = 0
+        while (i < e.length) { r(i) = e(i) - c(i); i += 1 }
+        val codes = Array.tabulate(idx.m)(mi =>
+          nearest(r.slice(mi * idx.dsub, (mi + 1) * idx.dsub), idx.codebooks(mi)))
+        var n2 = 0.0; i = 0
+        while (i < e.length) { n2 += e(i) * e(i); i += 1 }
+        (id, bl, math.sqrt(n2), codes)
+      }
+      .toDF("vec_id", "list", "vnorm", "codes")
+  }
+
+  /** IVFADC query: probe the nProbe best lists, score codes by table
+    * lookup — dot(q,x) ≈ dot(q,c_list) + Σ_m lut(m)(code_m) where
+    * lut(m)(j) = dot(q_sub_m, codebook(m)(j)) — then re-rank the top
+    * k×refine candidates with exact cosine (asymmetric-distance recall
+    * is bounded by quantization error; the refine pass restores exact
+    * ordering among retrieved candidates). Partition the encoded table
+    * by `list` at scale and a query reads nProbe/nLists of it. */
+  def pqTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
+             nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
+             m: Int = 8, ksub: Int = 16, refine: Int = 4,
+             idx: Option[PqIndex] = None): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    val ix = idx.getOrElse(pqTrain(embeddings, nLists, dim, m, ksub))
+    val qn = math.sqrt(query.map(x => x * x).sum) max 1e-12
+    val dotQC: Map[Int, Double] = ix.centroids.map { case (l, c) =>
+      l -> c.zip(query).map { case (a, b) => a * b }.sum
+    }.toMap
+    val probe = ix.centroids.map { case (l, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
+      (l, dotQC(l) / (qn * cn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val lut: Array[Array[Double]] = Array.tabulate(ix.m)(mi =>
+      ix.codebooks(mi).map(cb =>
+        cb.zipWithIndex.map { case (v, i) => v * query(mi * ix.dsub + i) }.sum))
+    val approx = pqEncode(embeddings, ix)
+      .where(col("list").isin(probe.toSeq: _*))
+      .as[(Long, Int, Double, Array[Int])]
+      .map { case (id, l, vnorm, codes) =>
+        var s = dotQC(l)
+        var mi = 0
+        while (mi < codes.length) { s += lut(mi)(codes(mi)); mi += 1 }
+        (id, s / (qn * math.max(vnorm, 1e-12)))
+      }
+      .toDF("vec_id", "sim_approx")
+      .orderBy(desc("sim_approx"), col("vec_id"))
+      .limit(math.max(k * refine, k))
+    // exact re-rank of the candidate set (tiny: k×refine rows)
+    val q = lit(query.toArray)
+    approx.join(embeddings.select(col("vec_id"),
+        toDouble(col("embedding")).as("e")), "vec_id")
+      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidate
     * generation (probe = own bucket ∪ single-bit flips), exact cosine
     * verification ≥ minSimBp. Completes the dedup family (exact /

@@ -121,6 +121,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits.count() == 1, "full substring containment must score >= 0.9")
   }
 
+  test("pq-ivf (ivfadc): recall@10 >= 0.9 vs exact, >10x smaller codes") {
+    // sf0.1: 2000 64-dim vectors — the largest corpus in the testdata
+    val sf01 = "/root/testdata/sf0.1"
+    val embs01 = Catalog.load(spark, sf01, "embeddings")
+    val q = embs01.where("vec_id = 0").select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val corpus = embs01.where("vec_id <> 0")
+    val exact = Ann.bruteForceTopK(corpus, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Ann.pqTrain(corpus, nLists = 16, dim = 64, m = 8, ksub = 16)
+    val got = Ann.pqTopK(corpus, q, 10, nProbe = 4, idx = Some(idx))
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size / 10.0
+    assert(recall >= 0.9, s"recall@10 $recall < 0.9 (got=$got exact=$exact)")
+    // memory: 64 float dims (256 B) vs m byte-codes + f32 norm + list id
+    val rawBytes = 64 * 4
+    val codeBytes = idx.m * 1 + 4 + 2
+    assert(rawBytes.toDouble / codeBytes > 10.0,
+      s"expected >10x compression, got ${rawBytes.toDouble / codeBytes}x")
+  }
+
   test("hll approx distinct within rsd bound of exact q08") {
     val exact = SparkEntry.queries("q08_distinct_users")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
