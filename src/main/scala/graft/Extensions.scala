@@ -63,9 +63,11 @@ object Extensions {
     },
 
     // IVFADC ANN top-10: product-quantized residual codes over the IVF
-    // lists (memory-bounded index: 64 float dims → 8 byte-codes + norm),
-    // probe + asymmetric-distance scoring + exact re-rank. Spec contract:
-    // recall@10 ≥ 0.9 vs exact (LlmOpsSpec).
+    // lists (memory-bounded index: 64 float dims → 16 byte-codes + norm,
+    // 11.6× smaller), probe + asymmetric-distance scoring + exact
+    // re-rank. Params pinned from the PqProbe sf0.1 sweep (SCALE.md
+    // §9.4). Spec contract (LlmOpsSpec): full-probe recall@10 ≥ 0.9 vs
+    // exact, and planted-cluster recall@10 ≥ 0.9 at nProbe=4.
     "x103_ann_ivfpq" -> { (s, dir) =>
       val q = Catalog.load(s, dir, "embeddings")
         .where("vec_id = 0").select("embedding")

@@ -1,4 +1,9 @@
 import org.apache.spark.sql.SparkSession
+
+/** Dev harness: sweep IVFPQ (nProbe, m, ksub, refine) recall@10 at sf0.1.
+  * Findings drive the pqTopK defaults and the LlmOpsSpec contract — see
+  * SCALE.md §9.4 for the measured curve.
+  */
 object PqProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -10,18 +15,18 @@ object PqProbe {
     val embs = graft.Catalog.load(spark, sf, "embeddings")
     val q = embs.where("vec_id = 0").select("embedding")
       .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
-    val corpus = embs.where("vec_id <> 0")
+    val corpus = embs.where("vec_id <> 0").cache()
     val exact = graft.llm.Ann.bruteForceTopK(corpus, q, 10)
       .collect().map(_.getLong(0)).toSet
-    val idx = graft.llm.Ann.pqTrain(corpus, nLists = 16, dim = 64, m = 8, ksub = 16)
-    for (np <- Seq(4, 6, 8, 16)) {
-      val ivf = graft.llm.Ann.ivfTopK(corpus, q, 10, nLists = 16, nProbe = np,
-        centroids = Some(idx.centroids)).collect().map(_.getLong(0)).toSet
-      val pq = graft.llm.Ann.pqTopK(corpus, q, 10, nProbe = np, refine = 4,
-        idx = Some(idx)).collect().map(_.getLong(0)).toSet
-      val pq10 = graft.llm.Ann.pqTopK(corpus, q, 10, nProbe = np, refine = 10,
-        idx = Some(idx)).collect().map(_.getLong(0)).toSet
-      println(s"nProbe=$np ivf-exact=${exact.intersect(ivf).size} pq-r4=${exact.intersect(pq).size} pq-r10=${exact.intersect(pq10).size}")
+    for ((m, ksub) <- Seq((8, 16), (8, 64), (16, 64), (16, 256))) {
+      val idx = graft.llm.Ann.pqTrain(corpus, nLists = 16, dim = 64,
+        m = m, ksub = ksub)
+      for (np <- Seq(4, 8, 16); rf <- Seq(4, 10, 20)) {
+        val pq = graft.llm.Ann.pqTopK(corpus, q, 10, nProbe = np, m = m,
+          ksub = ksub, refine = rf, idx = Some(idx))
+          .collect().map(_.getLong(0)).toSet
+        println(s"m=$m ksub=$ksub nProbe=$np refine=$rf recall=${exact.intersect(pq).size}/10")
+      }
     }
     spark.stop()
   }

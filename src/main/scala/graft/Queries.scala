@@ -27,6 +27,12 @@ object Queries {
   private def q(name: String, spark: String, oracle: String): Q =
     Q(name, spark, oracle)
 
+  /** Deliberately-quadratic exact baselines (the plans their banded/LSH
+    * siblings are recall-verified against). Contract-SF only: Verify
+    * skips them on non-contract corpora (the 10× soak), where their
+    * O(n²) shape is the known scale-killer, not a regression. */
+  val exactBaselines: Set[String] = Set("x48_jaccard_topk", "x49_cosine_pairs")
+
   val all: Seq[Q] = Seq(
     // ---- scans / filters / predicates -------------------------------------
     q("q01_count",
@@ -353,10 +359,13 @@ object Queries {
         |SELECT k.doc_id, f.keeper FROM k JOIN f ON k.key=f.key
         |WHERE k.doc_id <> f.keeper ORDER BY k.doc_id""".stripMargin),
 
+    // EXACT BASELINE — quadratic in per-shingle document frequency BY
+    // DESIGN; at scale use x52 (MinHash+LSH) / x74 (banded SQL twin),
+    // whose recall is spec-verified against THIS query. Capped to the
+    // contract SFs: Verify skips it on non-contract corpora
+    // (Queries.exactBaselines).
     // Near-dup candidate generation + scoring: word 3-gram shingles,
     // inverted index self-join, exact Jaccard, top-20 most similar pairs.
-    // (The shuffle-heavy classic; MinHash/LSH scale path lives in
-    // Extensions as a rows-only operator with a recall spec.)
     q("x48_jaccard_topk",
       """WITH t AS (SELECT doc_id,
         |  array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))) AS shs
@@ -379,8 +388,10 @@ object Queries {
         |FROM p JOIN n na ON p.a=na.doc_id JOIN n nb ON p.b=nb.doc_id
         |ORDER BY jac_bp DESC, p.a, p.b LIMIT 20""".stripMargin),
 
-    // Brute-force all-pairs cosine over the embedding table, top-20 pairs —
-    // the exact baseline an ANN index must approximate. Native cosine_sim
+    // EXACT BASELINE — all-pairs (O(n²)) BY DESIGN; at scale use x54
+    // (LSH ANN) / x59 (IVF) / x103 (IVFPQ), spec-verified against this
+    // brute force. Capped to the contract SFs via Queries.exactBaselines.
+    // Top-20 cosine pairs over the embedding table; the native cosine_sim
     // expression (see q43 note) keeps the 2M-pair loop in codegen.
     q("x49_cosine_pairs",
       """SELECT va.vec_id AS a, vb.vec_id AS b,

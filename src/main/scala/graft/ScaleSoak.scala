@@ -191,10 +191,11 @@ object ScaleSoak {
       f"${df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / 1e6}%.1f MB"
     def filteredOrd() = spark.table("ord_big").where(col("o_totalprice") < lit(26000.0))
     // column pruning alone squeezes the 3-col projection of the 22 MB
-    // table under the default 10 MB broadcast bar — pin the bar at 2 MB so
+    // table under the default 10 MB broadcast bar — pin the bar at 4 MB so
     // only an estimate that also SEES the 5% filter selectivity (CBO +
     // column stats) clears it; the contrast, not the absolute threshold,
-    // is the at-scale point
+    // is the at-scale point (validated at 4 MB: no-stats est stays above
+    // the bar, cbo+stats est drops below it)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (4 * 1024 * 1024).toString)
     spark.conf.set("spark.sql.cbo.enabled", "false")
     val planNoCbo = joinNode(selective().queryExecution.executedPlan.toString)

@@ -25,8 +25,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Quadratic exact baselines run only on the contract corpora (the
+    // driver's /root/testdata SFs); on soak-scale inputs they are the
+    // documented scale-killers their LSH siblings replace. `only=` still
+    // forces them for targeted runs.
+    val contractCorpus = sfDir.startsWith("/root/testdata/")
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) =>
+        contractCorpus || only(name) || !Queries.exactBaselines(name) }
       .foreach { case (name, fn) =>
       // coalesce(1) preserves the parent sort order (sequential partition
       // read) and gives the driver one part file — but it also collapses
@@ -38,11 +45,21 @@ object Verify {
         val df = fn(spark, sfDir)
         // parallelWrite reconstructs global order from lexicographically
         // sorted part files — sound ONLY if the final stage is a range-
-        // partitioned total sort. Guard the assumption (ADVICE r2 #4):
-        // fall back to the single-file path when the plan has no output
-        // ordering rather than silently comparing partition-ordered rows.
-        val totallyOrdered =
-          df.queryExecution.executedPlan.outputOrdering.nonEmpty
+        // partitioned total sort. Guard the assumption (ADVICE r2 #4) on
+        // the OPTIMIZED LOGICAL plan: a top-level Sort(global=true) is
+        // exactly "range-partition + local sort" physically, and unlike
+        // executedPlan.outputOrdering it survives AQE, whose
+        // AdaptiveSparkPlanExec wrapper always reports Nil ordering
+        // (ADVICE r3 #1 — the physical check silently disabled the
+        // parallel path for every query). Projections preserve ordering,
+        // so walk through them.
+        import org.apache.spark.sql.catalyst.plans.logical
+        def globallySorted(p: logical.LogicalPlan): Boolean = p match {
+          case s: logical.Sort    => s.global
+          case pr: logical.Project => globallySorted(pr.child)
+          case _                  => false
+        }
+        val totallyOrdered = globallySorted(df.queryExecution.optimizedPlan)
         (if (parallelWrite && totallyOrdered) df else df.coalesce(1))
           .write.mode("overwrite").parquet(s"$outDir/$name")
         if (parallelWrite && !totallyOrdered)

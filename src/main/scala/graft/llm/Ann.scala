@@ -138,9 +138,15 @@ object Ann {
     * residuals (index training is sample-based by design — at 100 TB you
     * still train on a few thousand rows; encoding is the distributed
     * pass). Deterministic: seeded sample, first-distinct init, fixed
-    * iteration count. */
+    * iteration count.
+    *
+    * Defaults (m=16, ksub=64) are pinned from the PqProbe sweep at sf0.1
+    * (SCALE.md §9.4): with these codebooks + refine=10 the PQ tier is
+    * recall-lossless relative to the IVF probe ceiling — the coarser
+    * m=8/ksub=16 config lost 4 of 10 true neighbors to quantization
+    * error even at full probe. */
   def pqTrain(embeddings: DataFrame, nLists: Int = 16, dim: Int = 64,
-              m: Int = 8, ksub: Int = 16, sampleN: Int = 4096,
+              m: Int = 16, ksub: Int = 64, sampleN: Int = 4096,
               seed: Long = 7L, iters: Int = 8): PqIndex = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
@@ -156,10 +162,13 @@ object Ann {
       val c = byList(r.getInt(0))
       r.getSeq[Double](1).toArray.zip(c).map { case (x, y) => x - y }
     }
-    // per-subspace k-means on the driver (ksub × dsub doubles each)
+    // per-subspace k-means on the driver (ksub × dsub doubles each);
+    // an empty residual sample (empty corpus / unlucky tiny fraction)
+    // degrades to zero codebooks = centroid-only encoding, not a crash
     val codebooks = Array.tabulate(m) { mi =>
       val pts = residuals.map(_.slice(mi * dsub, (mi + 1) * dsub))
-      kmeans(pts, ksub, iters)
+      if (pts.isEmpty) Array.fill(ksub)(new Array[Double](dsub))
+      else kmeans(pts, ksub, iters)
     }
     PqIndex(nLists, m, ksub, dsub, cs, codebooks)
   }
@@ -242,7 +251,7 @@ object Ann {
     * by `list` at scale and a query reads nProbe/nLists of it. */
   def pqTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
              nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
-             m: Int = 8, ksub: Int = 16, refine: Int = 4,
+             m: Int = 16, ksub: Int = 64, refine: Int = 10,
              idx: Option[PqIndex] = None): DataFrame = {
     import embeddings.sparkSession.implicits._
     val ix = idx.getOrElse(pqTrain(embeddings, nLists, dim, m, ksub))

@@ -46,8 +46,14 @@ object GlobalWindow {
     val sample = df.select(oc: _*).sample(withReplacement = false, fraction, seed = 7)
       .orderBy(oc: _*).collect()
     val step = math.max(1, sample.length / n)
+    // A NULL inside a boundary row would make geq() evaluate to NULL for
+    // every row (mapped to 0 by otherwise(0)), silently collapsing that
+    // boundary into its left neighbor — correct but skew-prone on
+    // NULL-heavy keys (ADVICE r3 #4). NULL keys already land in bucket 0
+    // by construction, so NULL-bearing rows are never useful boundaries.
     val bounds = (step until sample.length by step).take(n - 1)
       .map(sample(_)).distinct
+      .filterNot(b => order.indices.exists(b.isNullAt))
     // key >= boundary, lexicographically over the order columns
     def geq(b: org.apache.spark.sql.Row): Column =
       order.indices.reverse.foldLeft(lit(true)) { (tieRest, i) =>
