@@ -1,0 +1,63 @@
+#!/usr/bin/env bash
+# Preflight gate (VERDICT r3 #2): a red build must not ship silently.
+# Runs the full ScalaTest+ScalaCheck suite, the sf0.01 correctness dump,
+# the DuckDB oracle compare, and a source leak sweep, then writes
+# PREFLIGHT.json with every component's outcome and a single "green"
+# verdict. Exit code is nonzero when any component is red, so callers
+# (the end-of-round snapshot, a pre-commit hook) can gate on it.
+#
+# Usage: tools/preflight.sh   (from anywhere; ~4 min warm)
+set -u
+cd "$(dirname "$0")/.."
+ts_start=$(date -u +%Y-%m-%dT%H:%M:%SZ)
+
+echo "[preflight] sbt test ..."
+sbt -batch test >/tmp/preflight_test.log 2>&1
+test_rc=$?
+tests_line=$(grep -E "^\[info\] Tests: " /tmp/preflight_test.log | tail -1 \
+  | sed 's/^\[info\] //')
+props_line=$(grep -E "^\[info\] Passed: Total" /tmp/preflight_test.log | tail -1 \
+  | sed 's/^\[info\] //')
+
+echo "[preflight] Verify sf0.01 ..."
+rm -rf /tmp/preflight_verify
+SPARK_GRAFT_CPUS=8 sbt -batch \
+  "runMain graft.Verify /root/testdata/sf0.01 /tmp/preflight_verify" \
+  >/tmp/preflight_verify.log 2>&1
+verify_rc=$?
+verify_errs=$(grep -c "^\[verify\] .* failed:" /tmp/preflight_verify.log)
+
+echo "[preflight] DuckDB oracle compare ..."
+python3 tools/oracle_check.py /root/testdata/sf0.01 /tmp/preflight_verify \
+  >/tmp/preflight_oracle.log 2>&1
+oracle_rc=$?
+oracle_line=$(grep -E "^== " /tmp/preflight_oracle.log | tail -1)
+
+echo "[preflight] leak sweep ..."
+# Non-public references must never appear in shipped source: cloud bucket
+# URIs, non-localhost URLs outside the public Apache/GitHub docs, AWS key
+# ids, internal-looking hostnames, and hardcoded credentials.
+leak_hits=$(grep -RInE \
+  '(s3a?|gs|abfss?|wasbs?)://|AKIA[0-9A-Z]{16}|\.(corp|internal)\b|https?://(?!(www\.)?(apache\.org|github\.com|spark\.apache\.org|localhost))[a-z0-9]' \
+  --include='*.scala' --include='*.sbt' --include='*.py' src build.sbt tools \
+  -P 2>/dev/null | grep -v 'localhost' | wc -l)
+
+green=false
+if [ "$test_rc" = 0 ] && [ "$verify_rc" = 0 ] && [ "$verify_errs" = 0 ] \
+   && [ "$oracle_rc" = 0 ] && [ "$leak_hits" = 0 ]; then green=true; fi
+
+cat > PREFLIGHT.json <<EOF
+{
+  "started": "$ts_start",
+  "finished": "$(date -u +%Y-%m-%dT%H:%M:%SZ)",
+  "git_head": "$(git rev-parse --short HEAD)",
+  "sbt_test": {"rc": $test_rc, "summary": "$tests_line", "scalacheck": "$props_line"},
+  "verify_sf001": {"rc": $verify_rc, "query_errors": $verify_errs},
+  "oracle": {"rc": $oracle_rc, "summary": "$oracle_line"},
+  "leak_hits": $leak_hits,
+  "green": $green
+}
+EOF
+echo "[preflight] green=$green  ($tests_line; $oracle_line; leaks=$leak_hits)"
+cat PREFLIGHT.json
+[ "$green" = true ]
