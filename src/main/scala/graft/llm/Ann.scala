@@ -315,6 +315,65 @@ object Ann {
       .orderBy(desc("sim_bp"), col("a"), col("b"))
   }
 
+  /** Sorted multi-probe bucket sequence (the design popularized by Lv
+    * et al., VLDB'07): a vector near the query most likely differs in
+    * the sign bits whose hyperplane margin |dot(q, plane)| is SMALLEST,
+    * so probe buckets in increasing order of summed flipped-bit margin
+    * rather than blind Hamming radius. Subsets are enumerated in exact
+    * increasing-sum order with the classic successor heap (append /
+    * shift the largest rank), so probe t is always the t-th most likely
+    * bucket — radius-3 flips reachable long before unlikely radius-1
+    * ones. Returns `maxProbes` bucket ids, query bucket first.
+    *
+    * Unlike a `bit_count(bucket ^ sig) <= r` scan filter, the explicit
+    * id list compiles to `bucket IN (...)` — partition-prunable when the
+    * table is laid out by bucket, which is the whole point at 100 TB:
+    * cost scales with probes touched, not corpus size. */
+  def multiProbeBuckets(query: Seq[Double], planeMat: Array[Array[Double]],
+                        maxProbes: Int): Seq[Long] = {
+    val nb = planeMat.length
+    val dots = planeMat.map(_.zip(query).map { case (a, b) => a * b }.sum)
+    val qSig = dots.foldLeft(0L)((acc, d) => acc * 2 + (if (d > 0) 1L else 0L))
+    // rank bits by |margin| ascending; rank r flips bit order(r)._2
+    val order = dots.map(math.abs).zipWithIndex.sortBy(_._1)
+    // min-heap of (margin sum, flip set as ranks, head = largest rank)
+    val pq = collection.mutable.PriorityQueue.empty[(Double, List[Int])](
+      Ordering.by[(Double, List[Int]), Double](_._1).reverse)
+    if (nb > 0) pq.enqueue((order(0)._1, List(0)))
+    val out = collection.mutable.ArrayBuffer[Long](qSig)
+    while (out.size < maxProbes && pq.nonEmpty) {
+      val (s, subset) = pq.dequeue()
+      // signature() builds bits MSB-first: plane i is bit (nb - 1 - i)
+      val mask = subset.map(r => 1L << (nb - 1 - order(r)._2)).reduce(_ | _)
+      out += (qSig ^ mask)
+      val last = subset.head
+      if (last + 1 < nb) {
+        pq.enqueue((s + order(last + 1)._1, (last + 1) :: subset))
+        pq.enqueue((s - order(last)._1 + order(last + 1)._1,
+          (last + 1) :: subset.tail))
+      }
+    }
+    out.toSeq
+  }
+
+  /** ANN top-k via sorted multi-probe: scan exactly the `maxProbes` most
+    * likely buckets (any Hamming radius the margin ordering reaches),
+    * exact cosine within. The probe list is a driver-side computation on
+    * index metadata; the cluster-side predicate is a prunable IN. */
+  def lshTopKMultiProbe(embeddings: DataFrame, query: Seq[Double], k: Int,
+                        numPlanes: Int = 8, maxProbes: Int = 64,
+                        seed: Long = 42L): DataFrame = {
+    val mat = planes(numPlanes, query.length, seed)
+    val probeList = multiProbeBuckets(query, mat, maxProbes)
+    val b = bucketed(embeddings, mat)
+    val q = lit(query.toArray)
+    b.where(col("bucket").isin(probeList: _*))
+      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: probe all buckets within `probeRadius` Hamming distance of
     * the query bucket, exact cosine within the candidate set. */
   def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,

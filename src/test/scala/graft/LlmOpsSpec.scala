@@ -98,6 +98,71 @@ class LlmOpsSpec extends SparkSpec {
       s"planted near-dup not ranked first: ${got.toSeq}")
   }
 
+  test("multiprobe lsh: probe sequence invariants (pure, no Spark)") {
+    val mat = Ann.planes(8, 64, 42L)
+    val probes = Ann.multiProbeBuckets(queryVec, mat, 64)
+    assert(probes.size == 64, "must emit exactly maxProbes buckets")
+    assert(probes.distinct.size == 64, "probes must be distinct")
+    assert(probes.forall(b => b >= 0 && b < 256), "buckets within 2^numPlanes")
+    // first probe is the query's own bucket (empty flip set has sum 0)
+    val dots = mat.map(_.zip(queryVec).map { case (a, b) => a * b }.sum)
+    val qSig = dots.foldLeft(0L)((acc, d) => acc * 2 + (if (d > 0) 1L else 0L))
+    assert(probes.head == qSig)
+    // probe 2 flips exactly the single lowest-|margin| bit
+    val minBit = dots.map(math.abs).zipWithIndex.minBy(_._1)._2
+    assert(probes(1) == (qSig ^ (1L << (8 - 1 - minBit))))
+    // margin sums are non-decreasing along the sequence
+    def flipSum(b: Long): Double = {
+      val diff = b ^ qSig
+      (0 until 8).filter(i => (diff & (1L << (8 - 1 - i))) != 0)
+        .map(i => math.abs(dots(i))).sum
+    }
+    val sums = probes.map(flipSum)
+    assert(sums.zip(sums.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "probes must come in increasing flipped-margin order")
+  }
+
+  test("multiprobe lsh: planted near-identical vector retrieved, 4 probes") {
+    import spark.implicits._
+    val planted = Seq((999999L, queryVec.map(x => (x + 1e-4).toFloat).toArray))
+      .toDF("vec_id", "embedding")
+    val all = embs.select("vec_id", "embedding").where("vec_id <> 0")
+      .unionByName(planted)
+    val got = Ann.lshTopKMultiProbe(all, queryVec, k = 10, maxProbes = 4)
+      .collect().map(_.getLong(0))
+    assert(got.headOption.contains(999999L),
+      s"planted near-dup not ranked first: ${got.toSeq}")
+  }
+
+  test("multiprobe lsh: recall >= IVF at equal candidate budget (sf0.1)") {
+    // Measured sweep (PqProbe, SCALE.md §9.3): at ~500 candidates IVF
+    // nProbe=4/16 reaches 6/10; multiprobe planes=8/probes=64 reaches
+    // 6/10 over 529 — equal recall at equal budget, and the probe list
+    // is a prunable IN where x54's radius filter is a full scan. At 2×
+    // budget (probes=128, ~976 cands) multiprobe reaches 8/10, beating
+    // both IVF nProbe=8 (6/10) and radius-2 probing (5/10). All seeded
+    // and deterministic.
+    val sf01 = "/root/testdata/sf0.1"
+    val embs01 = Catalog.load(spark, sf01, "embeddings")
+    val q = embs01.where("vec_id = 0").select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val corpus = embs01.where("vec_id <> 0")
+    val exact = Ann.bruteForceTopK(corpus, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ivf = Ann.ivfTopK(corpus, q, 10, nLists = 16, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val mp64 = Ann.lshTopKMultiProbe(corpus, q, 10, numPlanes = 8,
+      maxProbes = 64).collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(mp64).size >= exact.intersect(ivf).size,
+      s"multiprobe@64 ${exact.intersect(mp64).size} < ivf@4 ${exact.intersect(ivf).size}")
+    val mp128 = Ann.lshTopKMultiProbe(corpus, q, 10, numPlanes = 8,
+      maxProbes = 128).collect().map(_.getLong(0)).toSet
+    val r2 = Ann.lshTopK(corpus, q, 10, numPlanes = 8, probeRadius = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(mp128).size > exact.intersect(r2).size,
+      s"multiprobe@128 ${exact.intersect(mp128).size} must beat radius-2 ${exact.intersect(r2).size}")
+  }
+
   test("ann lsh: probes a strict subset yet overlaps exact top-10") {
     val exact = Ann.bruteForceTopK(embs.where("vec_id <> 0"), queryVec, 10)
       .collect().map(_.getLong(0)).toSet
