@@ -149,7 +149,48 @@ object EventStream {
   // state (correct for an unbounded stream). To flush them on a bounded
   // source, append one synthetic far-future event per user to the replay
   // input — each open real session then closes, and the synthetic events
-  // themselves form the new open session that never emits.
+  // themselves form the new open session that never emits. An event-time
+  // timeout can NOT replace this: the final watermark lags the last real
+  // event by the delay, so the freshest sessions never time out on a
+  // bounded source. [[flushOpenSessions]] implements the workaround.
+
+  /** Materialize `events` (batch view, µs timestamps) plus one synthetic
+    * far-future event per user under `replayDir`, and return the replay
+    * as a stream. Synthetic rows get unique negative event_ids, a ts one
+    * year past the corpus maximum (beyond any session gap), and
+    * `flushType` as event_type so downstream consumers can recognize
+    * them. Bounded-replay tooling: the write is a one-file snapshot of a
+    * test/backfill corpus, not a production path. */
+  def withFlushEvents(events: DataFrame, replayDir: String,
+                      flushType: String = "__flush"): DataFrame = {
+    val spark = events.sparkSession
+    val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val flushTs = new java.sql.Timestamp(maxTs.getTime + 366L * 86400000L)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val flush = events.select(col("user_id")).distinct()
+      .select(
+        (-col("user_id") - 1).as("event_id"),
+        lit(flushTs).as("ts"),
+        col("user_id"),
+        lit(flushType).as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val augmented = events.select(cols.map(col): _*).unionByName(flush)
+    val schema = augmented.schema
+    augmented.write.mode("overwrite").parquet(s"$replayDir/events.parquet")
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$replayDir/events.parquet")
+  }
+
+  /** [[sessionsViaFlatMap]] over a flush-augmented bounded replay: every
+    * real session (open tails included) is emitted exactly once; the
+    * synthetic flush events form the one never-emitted open session per
+    * user. Output counts therefore match the batch sessionization (q31)
+    * on any bounded corpus — spec-checked in StreamingSpec. */
+  def flushOpenSessions(events: DataFrame, replayDir: String,
+                        gapMs: Long = 1800000L): DataFrame =
+    sessionsViaFlatMap(withFlushEvents(events, replayDir), gapMs)
 
   /** Exactly-once durable sink: foreachBatch writes each micro-batch to
     * `outDir/batch_id=<id>/` with overwrite, checkpointed at

@@ -39,30 +39,12 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("flatMapGroupsWithState sessionization == batch q31 (3rd impl)") {
-    import spark.implicits._
+  test("flushOpenSessions == batch q31 (3rd impl); unflushed leaves one open/user") {
     import org.apache.spark.sql.functions._
-    // bounded-replay flush: one far-future synthetic event per user closes
-    // every real session (see EventStream note)
     val events = Catalog.load(spark, sf0001, "events")
-    val flush = events.select("user_id").distinct()
-      .withColumn("event_id", lit(-1L))
-      .withColumn("ts", lit("2030-01-01 00:00:00").cast("timestamp"))
-      .withColumn("event_type", lit("flush"))
-      .withColumn("value", lit(0.0))
-      .withColumn("props", lit("{}"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
     val dir = "/tmp/graft-flatmap-replay"
-    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .unionByName(flush)
-      // write ts as µs-timestamp parquet; re-read through a ns-free schema
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val stream = spark.readStream
-      .schema(Catalog.load(spark, sf0001, "events").schema)
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(s"$dir/events.parquet")
     EventStream.drainToMemory(spark,
-      EventStream.sessionsViaFlatMap(stream), "fmsess", complete = false)
+      EventStream.flushOpenSessions(events, dir), "fmsess", complete = false)
     val got = spark.table("fmsess").groupBy("user_id")
       .agg(count(lit(1)).as("sessions"), round(avg(col("n")), 4).as("avg_len"))
       .orderBy("user_id")
@@ -70,6 +52,17 @@ class StreamingSpec extends SparkSpec {
     val want = SparkEntry.queries("q31_sessionization")(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == want)
+    // contrast: WITHOUT the flush, each user's final session stays open in
+    // keyed state — exactly one emitted session per user is missing
+    EventStream.drainToMemory(spark,
+      EventStream.sessionsViaFlatMap(EventStream.readEvents(spark, sf0001)),
+      "fmsess_raw", complete = false)
+    val emittedRaw = spark.table("fmsess_raw").count()
+    val totalSessions = want.map(_._2).sum
+    val nUsers = want.size
+    assert(emittedRaw == totalSessions - nUsers,
+      s"unflushed replay must hold exactly one open session per user: " +
+        s"emitted $emittedRaw vs $totalSessions total - $nUsers users")
   }
 
   test("sliding windows cover each event twice") {
