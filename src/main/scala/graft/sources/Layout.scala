@@ -27,7 +27,22 @@ object Layout {
     * table — bucketing metadata lives in the catalog). True overwrite:
     * also clears a stale managed-table location left by a previous
     * session's metastore (in-memory catalogs forget tables but not
-    * their directories). */
+    * their directories).
+    *
+    * The pre-write `repartition(buckets, key)` matters: repartition's
+    * hash placement (pmod(murmur3(key), n)) is the SAME function as the
+    * bucket spec's, so each write task holds exactly one bucket and each
+    * bucket gets exactly ONE file. That is the condition under which the
+    * scan advertises its per-bucket sort order (FileSourceScan only
+    * trusts sortBy metadata for single-file buckets) — and a sorted
+    * advertised scan is what lets a fact-fact SortMergeJoin plan with no
+    * Sort AND no Exchange (LayoutSpec asserts both). Multi-file buckets
+    * silently re-sort on every join, paying the layout's write cost
+    * without its read benefit. Readers must also enable
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering` — since 3.0
+    * Spark hides the advertised sort by default because it is unsound
+    * for multi-file buckets; this writer restores the soundness
+    * condition. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int): Unit = {
     val spark = df.sparkSession
@@ -36,7 +51,8 @@ object Layout {
     val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write.bucketBy(buckets, key).sortBy(key)
+    df.repartition(buckets, col(key))
+      .write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
   }
 }

@@ -57,6 +57,39 @@ class LayoutSpec extends SparkSpec {
     assert(j.count() == li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
   }
 
+  test("bucketed+sorted layout: merge join with no Sort and no Exchange") {
+    // SCALE.md §2's strongest layout claim: because writeBucketed gives
+    // each bucket exactly one sorted file, the scan advertises the sort
+    // and the fact-fact SortMergeJoin needs neither a shuffle NOR a sort
+    // on either side — the join cost at 100 TB is a pure streamed merge.
+    val li = Catalog.load(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val ord = Catalog.load(spark, sf0001, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Layout.writeBucketed(li, "li_bs", "l_orderkey", 4)
+    Layout.writeBucketed(ord, "ord_bs", "o_orderkey", 4)
+    val bar = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // Spark >= 3.0 only advertises per-bucket sort order behind this
+    // flag (sound ONLY with one file per bucket, which writeBucketed
+    // guarantees via its aligned pre-write repartition)
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val j = spark.table("li_bs").join(spark.table("ord_bs"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(!plan.contains("Sort ["),
+        s"bucketed+sorted scan must advertise ordering (no Sort node):\n$plan")
+      assert(j.count() ==
+        li.join(ord, col("l_orderkey") === col("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bar)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+  }
+
   test("stateful stream (mapGroupsWithState) final counts match batch") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark,
