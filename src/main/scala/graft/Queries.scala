@@ -1072,7 +1072,103 @@ object Queries {
       """WITH b AS (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1998-12-01', INTERVAL 1 MONTH)) AS m),
         |o AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS m, count(*) AS c FROM orders GROUP BY 1)
         |SELECT cast(b.m AS DATE) AS m, coalesce(o.c, 0) AS c
-        |FROM b LEFT JOIN o ON cast(b.m AS DATE) = o.m ORDER BY 1""".stripMargin)
+        |FROM b LEFT JOIN o ON cast(b.m AS DATE) = o.m ORDER BY 1""".stripMargin),
+
+    // ---- round-4 training-data pipeline ops (x105-x108) -----------------
+
+    // Reproducible content-keyed sampling: the training-pipeline
+    // downsample must be a pure function of the record (NOT rand()) so
+    // reruns, backfills, and engines agree on the kept set. Same md5
+    // hash family as x74/x89 — both engines reproduce it bit-for-bit.
+    // Embarrassingly parallel at any scale (per-row predicate, no
+    // shuffle before the sort).
+    q("x105_hash_sample",
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |        cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |WHERE b < 10 ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, source
+        |FROM (SELECT doc_id, source,
+        |        cast(('0x'||substr(md5(cast(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |WHERE b < 10 ORDER BY doc_id""".stripMargin),
+
+    // Stratified train/val/test split (80/10/10) by the same content
+    // hash: split assignment is stable under corpus growth (a doc never
+    // changes split when new docs arrive — the property random splits
+    // lack), leakage-free by construction, and auditable as counts per
+    // (source, split).
+    q("x106_stratified_split",
+      """WITH h AS (SELECT source,
+        |    cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH h AS (SELECT source,
+        |    cast(('0x'||substr(md5(cast(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |SELECT source,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |       count(*) AS n
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Concat-and-chunk sequence packing: lay all documents end-to-end in
+    // doc_id order and split the token stream into 512-token context
+    // windows — each doc's start offset, first window and last window
+    // (GPT-style pretraining batching). The global running sum is the
+    // q28-shaped single-task window kept for oracle parity; the scale
+    // tier is operators.GlobalWindow.runningSum, hash-proven equivalent
+    // by x102.
+    q("x107_sequence_packing",
+      """WITH t AS (SELECT doc_id, size(split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS start_tok
+        |      FROM t)
+        |SELECT doc_id, cast(n AS BIGINT) AS n_toks,
+        |       cast(start_tok AS BIGINT) AS start_tok,
+        |       cast(floor(start_tok/512.0) AS BIGINT) AS first_win,
+        |       cast(floor((start_tok + n - 1)/512.0) AS BIGINT) AS last_win
+        |FROM c ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, n,
+        |        cast(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start_tok
+        |      FROM t)
+        |SELECT doc_id, cast(n AS BIGINT) AS n_toks,
+        |       cast(start_tok AS BIGINT) AS start_tok,
+        |       cast(floor(start_tok/512.0) AS BIGINT) AS first_win,
+        |       cast(floor((start_tok + n - 1)/512.0) AS BIGINT) AS last_win
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Benchmark-contamination scan: docs outside the held-out source
+    // (src0) sharing any word 5-gram with it. Shingle semi-join shape —
+    // explode + distinct-gram semi join, NO pair join, so unlike x48 it
+    // stays linear in corpus size at scale (the benchmark gram set is
+    // the small side; broadcast it).
+    q("x108_contamination",
+      """WITH sh AS (SELECT doc_id, source, g
+        |  FROM (SELECT doc_id, source,
+        |          explode(array_distinct(transform(sequence(1, size(w)-4),
+        |            i -> concat_ws(' ', slice(w, i, 5))))) AS g
+        |        FROM (SELECT doc_id, source, split(text,' ') AS w FROM documents)
+        |        WHERE size(w) >= 5))
+        |SELECT source, count(DISTINCT doc_id) AS contaminated
+        |FROM sh
+        |WHERE source <> 'src0'
+        |  AND g IN (SELECT g FROM sh WHERE source = 'src0')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH sh AS (SELECT doc_id, source, unnest(gs) AS g
+        |  FROM (SELECT doc_id, source,
+        |          list_distinct([array_to_string(w[i:i+4],' ') FOR i IN range(1, len(w)-3)]) AS gs
+        |        FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents)
+        |        WHERE len(w) >= 5))
+        |SELECT source, count(DISTINCT doc_id) AS contaminated
+        |FROM sh
+        |WHERE source <> 'src0'
+        |  AND g IN (SELECT g FROM sh WHERE source = 'src0')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
