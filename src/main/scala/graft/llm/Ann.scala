@@ -374,6 +374,50 @@ object Ann {
       .limit(k)
   }
 
+  /** Multi-probe ANN over a bucket-PARTITIONED layout
+    * (sources.Layout.writeLshPartitioned): the probe list prunes whole
+    * directories — LayoutSpec asserts the scan's PartitionFilters and
+    * result parity with the inline [[lshTopKMultiProbe]]. This is the
+    * deployment shape of x104: signatures computed once at ingest,
+    * probes as metadata-only pruning. */
+  def lshTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, query: Seq[Double], k: Int,
+                         numPlanes: Int = 8, maxProbes: Int = 64,
+                         seed: Long = 42L): DataFrame = {
+    val mat = planes(numPlanes, query.length, seed)
+    val probeList = multiProbeBuckets(query, mat, maxProbes)
+    val q = lit(query.toArray)
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probeList: _*))
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF ANN over a list-PARTITIONED layout
+    * (sources.Layout.writeIvfPartitioned): nProbe best lists by centroid
+    * cosine, read as pruned partitions. */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, query: Seq[Double], k: Int,
+                         centroids: Array[(Int, Array[Double])],
+                         nProbe: Int = 4): DataFrame = {
+    val qn = math.sqrt(query.map(x => x * x).sum) max 1e-12
+    val probe = centroids.map { case (l, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
+      (l, c.zip(query).map { case (a, b) => a * b }.sum / (qn * cn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val q = lit(query.toArray)
+    spark.read.parquet(path)
+      .where(col("list").isin(probe: _*))
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("sim"))
+      .orderBy(desc("sim"), col("vec_id"))
+      .limit(k)
+  }
+
   /** ANN top-k: probe all buckets within `probeRadius` Hamming distance of
     * the query bucket, exact cosine within the candidate set. */
   def lshTopK(embeddings: DataFrame, query: Seq[Double], k: Int,

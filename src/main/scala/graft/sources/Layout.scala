@@ -23,6 +23,30 @@ object Layout {
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Write embeddings partitioned by LSH bucket (SCALE.md §2): the
+    * signature is computed ONCE at ingest and becomes a directory key,
+    * so an ANN probe (`Ann.lshTopKPartitioned`) is a partition-pruned
+    * scan — cost scales with probes touched, not corpus size. */
+  def writeLshPartitioned(embeddings: DataFrame, path: String,
+                          planeMat: Array[Array[Double]]): Unit =
+    embeddings.select(col("vec_id"), col("embedding"),
+        graft.llm.Ann.signature(
+          transform(col("embedding"), x => x.cast("double")), planeMat)
+          .as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Write embeddings partitioned by IVF list id (same at-scale shape
+    * for the trained-index tier: a query probing nProbe of nLists reads
+    * nProbe/nLists of the directory tree). */
+  def writeIvfPartitioned(embeddings: DataFrame, path: String,
+                          centroids: Array[(Int, Array[Double])]): Unit =
+    graft.llm.Ann.ivfAssign(
+        embeddings.select(col("vec_id"), col("embedding"),
+          transform(col("embedding"), x => x.cast("double")).as("e")),
+        centroids)
+      .select(col("vec_id"), col("embedding"), col("list"))
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+
   /** Persist a DataFrame as a bucketed, per-bucket-sorted table (catalog
     * table — bucketing metadata lives in the catalog). True overwrite:
     * also clears a stale managed-table location left by a previous

@@ -90,6 +90,40 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("ANN-partitioned layouts: probes prune partitions, results match inline") {
+    import graft.llm.Ann
+    val embs = Catalog.load(spark, sf0001, "embeddings")
+    val q = embs.where(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val corpus = embs.where(col("vec_id") =!= 0)
+
+    // LSH-bucket partitioned
+    val lshPath = "/tmp/graft-layout/emb_lsh"
+    Layout.writeLshPartitioned(corpus, lshPath, Ann.planes(8, 64, 42L))
+    val part = Ann.lshTopKPartitioned(spark, lshPath, q, 10,
+      numPlanes = 8, maxProbes = 32)
+    val plan = part.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"probe must prune bucket partitions:\n$plan")
+    val inline = Ann.lshTopKMultiProbe(corpus, q, 10,
+      numPlanes = 8, maxProbes = 32).collect().map(_.getLong(0)).toSeq
+    assert(part.collect().map(_.getLong(0)).toSeq == inline,
+      "partitioned probe must equal the inline multiprobe operator")
+
+    // IVF-list partitioned
+    val ivfPath = "/tmp/graft-layout/emb_ivf"
+    val cs = Ann.ivfTrain(corpus, nLists = 16, dim = 64)
+    Layout.writeIvfPartitioned(corpus, ivfPath, cs)
+    val ivfPart = Ann.ivfTopKPartitioned(spark, ivfPath, q, 10, cs, nProbe = 4)
+    val ivfPlan = ivfPart.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*list".r.findFirstIn(ivfPlan).isDefined,
+      s"probe must prune list partitions:\n$ivfPlan")
+    val ivfInline = Ann.ivfTopK(corpus, q, 10, nLists = 16, nProbe = 4,
+      centroids = Some(cs)).collect().map(_.getLong(0)).toSeq
+    assert(ivfPart.collect().map(_.getLong(0)).toSeq == ivfInline,
+      "partitioned IVF probe must equal the inline operator")
+  }
+
   test("stateful stream (mapGroupsWithState) final counts match batch") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark,
