@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   *             ─ exact dedup, keep lowest doc_id (x47)
   *             ─ MinHash+LSH near-dup prune (x52 scale path)
   *             ─ corpus accounting (x58/x95 token + vocab counts)
+  *             ─ stable train/val/test split (x106 content-hash assignment)
+  *             ─ sequence packing into 512-token windows (x107 semantics
+  *               via the GlobalWindow.runningSum scale tier, not the
+  *               single-task window)
+  *             ─ mixture resampling to target source weights (x109)
   *   embeddings ─ IVF index build + sample ANN probe (x59)
   *
   * Prints one JSON line per stage with rows in/out and wall-clock. On a
@@ -83,7 +88,48 @@ object Pipeline {
         sum(col("n_chars")).as("chars"))
     }
 
-    // 5. similarity index: train IVF on embeddings, probe with vec 0
+    // 5. stable train/val/test assignment by content hash (x106): a doc
+    // never changes split as the corpus grows
+    val (splitDf, nS) = stage("split_assign", nN) {
+      neardup.withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("split", when(col("b") < 80, "train")
+          .when(col("b") < 90, "val").otherwise("test"))
+        .drop("b")
+    }
+
+    // 6. concat-and-chunk packing of the train split into 512-token
+    // context windows — THROUGH THE SCALE TIER (GlobalWindow.runningSum,
+    // hash-proven equivalent to the single-task window by x102), not the
+    // q28-shaped global window the SQL contract keeps for oracle parity
+    stage("sequence_packing", nS) {
+      val train = splitDf.where(col("split") === "train")
+        .withColumn("n", size(split(col("text"), " ")))
+      operators.GlobalWindow.runningSum(train, Seq("doc_id"), "n", "cum")
+        .withColumn("start_tok", col("cum") - col("n"))
+        .withColumn("first_win", floor(col("start_tok") / 512).cast("long"))
+        .select("doc_id", "n", "start_tok", "first_win")
+    }
+
+    // 7. mixture resampling toward target source weights (x109):
+    // deterministic replicate + hash-sample, no randomness
+    stage("mixture_resample", nS) {
+      splitDf.where(col("split") === "train")
+        .withColumn("hb",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 10000)
+        .withColumn("w_bp", when(
+          substring(col("source"), -1, 1).isin("0", "2", "4", "6", "8"),
+          15000).otherwise(5000))
+        .withColumn("copies", (col("w_bp") / 10000).cast("int")
+          + when(col("hb") < col("w_bp") % 10000, 1).otherwise(0))
+        .where(col("copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("copies"))).as("copy_id"))
+    }
+
+    // 8. similarity index: train IVF on embeddings, probe with vec 0
     val emb = Catalog.load(spark, dir, "embeddings")
     stage("ivf_probe", emb.count()) {
       val q = emb.where(col("vec_id") === 0)

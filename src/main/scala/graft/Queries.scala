@@ -1168,7 +1168,37 @@ object Queries {
         |FROM sh
         |WHERE source <> 'src0'
         |  AND g IN (SELECT g FROM sh WHERE source = 'src0')
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Deterministic mixture resampling: per-source target weight in
+    // basis points (here: 1.5x for even-digit sources, 0.5x for odd) —
+    // the integer part replicates each doc, the fractional part keeps a
+    // content-hash-selected subset, so the output mixture hits the
+    // target in expectation with zero randomness: reruns and engines
+    // produce the identical multiset. Replication via explode(sequence)
+    // stays row-local (no shuffle); the training-data "source mixing"
+    // op every pretraining pipeline runs.
+    q("x109_mixture_resample",
+      """WITH w AS (SELECT doc_id, source,
+        |    cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) % 10000 AS hb,
+        |    CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 15000 ELSE 5000 END AS w_bp
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        cast(w_bp div 10000 AS INT) + CASE WHEN hb < w_bp % 10000 THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, source, explode(sequence(1, copies)) AS copy_id
+        |FROM r WHERE copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, source,
+        |    cast(('0x'||substr(md5(cast(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 10000 AS hb,
+        |    CASE WHEN right(source, 1) IN ('0','2','4','6','8') THEN 15000 ELSE 5000 END AS w_bp
+        |  FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        cast(w_bp // 10000 AS INT) + CASE WHEN hb < w_bp % 10000 THEN 1 ELSE 0 END AS copies
+        |      FROM w)
+        |SELECT doc_id, source, cast(unnest(range(1, copies + 1)) AS INT) AS copy_id
+        |FROM r WHERE copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
