@@ -1198,7 +1198,30 @@ object Queries {
         |      FROM w)
         |SELECT doc_id, source, cast(unnest(range(1, copies + 1)) AS INT) AS copy_id
         |FROM r WHERE copies > 0
-        |ORDER BY doc_id, copy_id""".stripMargin)
+        |ORDER BY doc_id, copy_id""".stripMargin),
+
+    // Repetition quality signal (the C4-style boilerplate detector x50's
+    // battery lacks): fraction of repeated word 3-grams per doc, integer
+    // basis points via the same floor(a*10000.0/b) shape x50 proved
+    // hash-stable. Pure per-row HOFs — no shuffle, codegen end-to-end.
+    q("x110_repetition_filter",
+      """SELECT doc_id, n_grams, n_distinct,
+        |       cast(floor((n_grams - n_distinct)*10000.0/n_grams) AS BIGINT) AS rep_bp
+        |FROM (SELECT doc_id, cast(size(gs) AS BIGINT) AS n_grams,
+        |             cast(size(array_distinct(gs)) AS BIGINT) AS n_distinct
+        |      FROM (SELECT doc_id, transform(sequence(1, size(w)-2),
+        |                     i -> concat_ws(' ', slice(w, i, 3))) AS gs
+        |            FROM (SELECT doc_id, split(text,' ') AS w FROM documents)
+        |            WHERE size(w) >= 3))
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, n_grams, n_distinct,
+        |       cast(floor((n_grams - n_distinct)*10000.0/n_grams) AS BIGINT) AS rep_bp
+        |FROM (SELECT doc_id, cast(len(gs) AS BIGINT) AS n_grams,
+        |             cast(len(list_distinct(gs)) AS BIGINT) AS n_distinct
+        |      FROM (SELECT doc_id, [array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)] AS gs
+        |            FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
+        |            WHERE len(w) >= 3))
+        |ORDER BY doc_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -26,19 +26,45 @@ object Fingerprint {
          |  transform(sequence(1, greatest(size(hs)-${window - 1}, 1)),
          |            j -> array_min(slice(hs, j, $window)))), 1))""".stripMargin
     // repartition first: single-row-group input parquet pins the scan to
-    // one task, serializing this row-local compute otherwise
-    docs.repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .withColumn("fps", expr(fps))
+    // one task, serializing this row-local compute otherwise. Size by
+    // CLUSTER parallelism, not numShufflePartitions — the latter is
+    // tuned for shuffle volume (4 in the bench protocol) and starved
+    // this CPU-bound kernel to 4 of 32 cores (measured: the extraction
+    // dominated x55 at ~5 s of its runtime)
+    val par = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    docs.repartition(par).withColumn("fps", expr(fps))
   }
 
   /** Containment of the smaller doc's fingerprints in the larger's (basis
     * points). Because fingerprint sets are distinct per doc, |common| falls
     * straight out of the inverted-index pair counts — no per-pair set
     * intersection, so the shuffle carries only (fp → doc_id) and the
-    * aggregation is a plain pair count. */
+    * aggregation is a plain pair count.
+    *
+    * Plan shape pinned by measurement (sf0.1, BENCH_r04_xops.json;
+    * 16.2 s naive → 6.3 s):
+    *  1. The rolling-hash extraction dominates, twice over: every plan
+    *     branch referencing it re-ran it (3 branches ≈ 15 s), and it was
+    *     parallelized by numShufflePartitions (4 in the bench protocol)
+    *     instead of cluster cores. `persist()` materializes it once and
+    *     [[fingerprints]] now sizes by defaultParallelism. At 100 TB the
+    *     same decision holds — write fingerprints to parquet once, every
+    *     consumer reads the materialization.
+    *  2. Prefilter counter-measurements, recorded so nobody re-walks
+    *     them: a df ≥ 2 count-WINDOW over the high-cardinality fp column
+    *     is a full sort (41.8 s — 2.6× WORSE than no prefilter), and a
+    *     collect_list pair-generation aggregate falls back to sort-based
+    *     object aggregation (51.1 s). The hash-agg + broadcast semi-join
+    *     prefilter is a wash at this scale (12.8 vs 12.3 s pre-
+    *     parallelism) — at 100 TB, add exactly x80's agg-based df ≥ 2
+    *     prefilter before this join so only repeated fingerprints are
+    *     shuffled; here the plain reused-exchange self-join wins. */
   def containment(docs: DataFrame, minContainBp: Long = 5000L): DataFrame = {
     val fps = fingerprints(docs).select(col("doc_id"),
       size(col("fps")).as("n"), col("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val common = inv.as("x").join(inv.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
