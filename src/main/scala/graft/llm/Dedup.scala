@@ -25,9 +25,15 @@ object Dedup {
 
   /** Spread row-local heavy compute across the cluster regardless of input
     * split count — the corpus files are single-row-group parquet, which
-    * pins an unshuffled scan to ONE task no matter the split size. */
+    * pins an unshuffled scan to ONE task no matter the split size. Sized
+    * by CLUSTER parallelism, not numShufflePartitions: the latter is
+    * tuned for shuffle volume (4 in the bench protocol) and starved the
+    * CPU-bound signature kernels to 4 of 32 cores (same fix as
+    * Fingerprint; measured on x52/x53 in BENCH_r04_xops.json). */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.repartition(math.max(
+      df.sparkSession.sessionState.conf.numShufflePartitions,
+      df.sparkSession.sparkContext.defaultParallelism))
 
   /** docs(doc_id, text) → (doc_id, shs: array<string>, n: int). */
   def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
@@ -49,9 +55,16 @@ object Dedup {
     * band key are candidates. P(candidate) = 1-(1-J^r)^b — pick r small
     * (2) for low-similarity corpora, large (8) for high thresholds. */
   def candidatePairs(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-                     shingleN: Int = 3): DataFrame = {
+                     shingleN: Int = 3): DataFrame =
+    candidatePairsFromSets(shingleSets(docs, shingleN), numHashes, rowsPerBand)
+
+  /** Banding over precomputed shingle sets — lets [[minHashNearDups]]
+    * share (and persist) ONE shingle extraction between candidate
+    * generation and Jaccard verification instead of re-running the
+    * row-local kernel per plan branch (the x55 lesson applied here). */
+  private def candidatePairsFromSets(sets: DataFrame, numHashes: Int,
+                                     rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    val sets = shingleSets(docs, shingleN)
     val sig = sets.withColumn("sig", minHashSignature(col("shs"), numHashes))
     // let-bind sig: the banding lambda must slice a computed signature,
     // not recompute it per band
@@ -77,9 +90,10 @@ object Dedup {
   def minHashNearDups(docs: DataFrame, numHashes: Int = 64,
                       rowsPerBand: Int = 2, minJacBp: Long = 3000L,
                       shingleN: Int = 3): DataFrame = {
-    val sets = shingleSets(docs, shingleN).select(
-      col("doc_id"), col("shs"), col("n"))
-    val cands = candidatePairs(docs, numHashes, rowsPerBand, shingleN)
+    val sets = shingleSets(docs, shingleN)
+      .select(col("doc_id"), col("shs"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatePairsFromSets(sets, numHashes, rowsPerBand)
     cands
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
