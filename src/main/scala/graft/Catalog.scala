@@ -34,6 +34,7 @@ object Catalog {
     if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))
       spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
     functions.CosineSim.register(spark)
+    functions.SimHash64.register(spark)
     if (!registeredDir.get(spark).contains(dir)) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.

@@ -17,9 +17,14 @@ object Verify {
     val only: Set[String] = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle fan-out defaults to core count (the driver-gate protocol),
+    // but pair-explosion queries at soak scale need partitions ≫ cores so
+    // per-task hash state fits execution memory — the same knob a real
+    // cluster turns (observed: x80 at the 10x corpus needs ~256).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -120,8 +120,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash over a document's tokens, entirely row-local:
-    * bit b = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1). */
-  def simHash(words: Column): Column = Cols.bind(words) { w =>
+    * bit b = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
+    * HOF reference form — kept as the executable spec for the native
+    * [[graft.functions.SimHash64]] expression (LlmOpsSpec asserts
+    * equality on the corpus); 64 interpreted aggregate() passes per row
+    * made the HOF the x53 bottleneck (x53 end-to-end 2.45 s → 0.40 s
+    * at sf0.1 after the swap), so the operator path ([[simHashes]])
+    * uses the native one. */
+  def simHashHof(words: Column): Column = Cols.bind(words) { w =>
     // hash each token once, then take 64 bit-votes over the hash array
     Cols.bind(transform(w, t => xxhash64(t))) { hs =>
       // unrolled over the 64 bits (shiftright needs a literal bit index)
@@ -136,10 +142,14 @@ object Dedup {
     }
   }
 
-  /** docs(doc_id, text) → (doc_id, simhash: long). */
-  def simHashes(docs: DataFrame): DataFrame =
+  /** docs(doc_id, text) → (doc_id, simhash: long), via the native
+    * codegen'd expression (identical bits to [[simHashHof]]). */
+  def simHashes(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
     spread(docs)
-      .select(col("doc_id"), simHash(split(col("text"), " ")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
+  }
 
   /** Pairs within a Hamming radius. Scale path: band the 64-bit signature
     * into (radius+1) chunks — pigeonhole guarantees pairs within the

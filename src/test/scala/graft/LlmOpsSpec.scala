@@ -65,6 +65,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(diff == 0, "simhash must be token-order invariant")
   }
 
+  test("simhash: native expression == HOF reference, corpus + edge cases") {
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    // every corpus doc, plus edges: "" splits to [""] (single empty
+    // token), one-token doc (all votes ±1, no ties beyond bit identity)
+    val edges = Seq((9000001L, ""), (9000002L, "solo"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edges)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        graft.functions.SimHash64(col("w")).as("native"),
+        Dedup.simHashHof(col("w")).as("hof"))
+    assert(both.where(col("native") =!= col("hof")).count() == 0,
+      "native simhash64 must be bit-identical to the HOF reference")
+  }
+
   test("simhash near-dups: exact dups at hamming 0, found via banding") {
     val planted = docs.limit(3)
       .withColumn("doc_id", col("doc_id") + lit(1000000L))
