@@ -90,6 +90,23 @@ object Extensions {
         .where("vec_id <> 0"), q, k = 10, numPlanes = 8, maxProbes = 64)
     },
 
+    // Near-dup CLUSTERS: connected components over the x74 banded-MinHash
+    // pair list (operators.ConnectedComponents — min-label propagation +
+    // pointer jumping, O(log n) rounds). Pairs alone can't drive "keep
+    // one doc per duplicate group": the transitive closure can merge
+    // pairs into larger groups (sf0.01 already has a 3-cluster). The
+    // oracle recomputes the same edge set in DuckDB SQL and closes it
+    // with a recursive CTE → full hash check of an iterative distributed
+    // algorithm against a declarative fixpoint.
+    "x111_neardup_clusters" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val pairs = Catalog.sql(s, dir, Queries.sparkSql("x74_minhash_sql"))
+      graft.operators.ConnectedComponents.withSizes(pairs.select("a", "b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("csize"))
+        .orderBy("doc_id")
+    },
+
     // HLL++ sketch distinct counts (the 100 TB path for q08-style
     // distincts: mergeable fixed-size state instead of an exact expand).
     "x56_approx_distinct" -> { (s, dir) =>
@@ -177,6 +194,35 @@ object Extensions {
         |       cast(dense_rank() OVER (ORDER BY c_acctbal) AS BIGINT) AS drk,
         |       round(cume_dist() OVER (ORDER BY c_acctbal),4) AS cd
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // x111: the x74 edge set (verbatim CTE chain through `pairs`) closed
+    // into components by a recursive CTE — min reachable id per vertex ≡
+    // the operator's min-label fixpoint.
+    "x111_neardup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(
+        |         [array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+        |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1,2 HAVING count(*) >= 8),
+        |und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT s AS id, s AS r FROM (SELECT DISTINCT s FROM und)
+        |  UNION
+        |  SELECT u.d AS id, reach.r FROM reach JOIN und u ON u.s = reach.id
+        |),
+        |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT doc_id, cluster_id,
+        |       cast(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS csize
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "x102_global_running_sum" ->
       """SELECT o_orderkey,
         |       cast(sum(o_custkey) OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rs

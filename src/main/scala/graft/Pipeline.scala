@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *   documents ─ quality filter (x50 scoring)
   *             ─ exact dedup, keep lowest doc_id (x47)
-  *             ─ MinHash+LSH near-dup prune (x52 scale path)
+  *             ─ MinHash+LSH near-dup prune, cluster-canonical keep
+  *               (x52 scale path + x111 connected components)
   *             ─ corpus accounting (x58/x95 token + vocab counts)
   *             ─ stable train/val/test split (x106 content-hash assignment)
   *             ─ sequence packing into 512-token windows (x107 semantics
@@ -71,13 +72,15 @@ object Pipeline {
         "doc_id")
     }
 
-    // 3. near-dup prune: LSH candidates verified >= 50% Jaccard; drop the
-    // higher doc_id of each surviving pair
+    // 3. near-dup prune: LSH candidates verified >= 50% Jaccard, closed
+    // into duplicate GROUPS (x111 connected components), one canonical
+    // doc kept per group — pairwise dropping can keep two docs that are
+    // near-dups of each other only through a third (see
+    // Dedup.keepClusterCanonical)
     val (neardup, nN) = stage("neardup_dedup", nE) {
       val pairs = llm.Dedup.minHashNearDups(exact,
         numHashes = 64, rowsPerBand = 4, minJacBp = 5000L)
-      exact.join(pairs.select(col("b").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")
+      llm.Dedup.keepClusterCanonical(exact, pairs, "doc_id")
     }
 
     // 4. corpus accounting per source (what reaches the tokenizer)

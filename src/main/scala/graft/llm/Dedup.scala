@@ -119,6 +119,24 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c")): _*)
   }
 
+  /** Near-dup GROUP dedup: resolve a pair list (a, b) into connected
+    * components ([[graft.operators.ConnectedComponents]]) and keep one
+    * canonical doc (the min id) per duplicate group. Strictly stronger
+    * than dropping the larger id of each pair: with pairs (1,3),(2,3)
+    * pairwise dropping keeps BOTH 1 and 2 — near-dups of each other
+    * through 3 — while the transitive closure keeps only 1. Cost: the
+    * component loop runs on the pair graph (vertices = docs with ≥1
+    * near-dup, typically a tiny fraction of the corpus), then one
+    * broadcast-sized anti join back to the full table. */
+  def keepClusterCanonical(df: DataFrame, pairs: DataFrame,
+                           id: String): DataFrame = {
+    val losers = graft.operators.ConnectedComponents
+      .run(pairs.select(col("a"), col("b")))
+      .where(col("label") =!= col("id"))
+      .select(col("id").as(id))
+    df.join(losers, Seq(id), "left_anti")
+  }
+
   /** 64-bit SimHash over a document's tokens, entirely row-local:
     * bit b = sign of Σ_tokens (bit b of xxhash64(token) ? +1 : -1).
     * HOF reference form — kept as the executable spec for the native

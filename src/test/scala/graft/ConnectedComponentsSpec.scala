@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+/** Contract for the near-dup clustering operator (x111's engine):
+  * component labels are the component-minimum id, convergence is
+  * logarithmic (pointer jumping), and the transitive closure merges
+  * chained pairs that pairwise logic would miss. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("two components: chain and isolated pair get min-id labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (100L, 101L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (100L, 100L), (101L, 100L)))
+  }
+
+  test("long chain converges within the pointer-jump bound, not O(n)") {
+    // A 64-vertex path: plain 1-hop propagation needs 63 rounds to carry
+    // the min to the far end; propagation+jumping halves remaining
+    // distances each round. maxIters=14 only terminates if the fused
+    // update is genuinely superlinear (empirically 8 rounds incl. the
+    // convergence-confirming one).
+    val n = 64
+    val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges, maxIters = 14)
+    assert(got.where(col("label") =!= 0L).isEmpty,
+      "all 64 path vertices must reach label 0 within 14 fused rounds")
+    assert(got.count() === n.toLong)
+  }
+
+  test("duplicate edges, reversed orientation, and self-loops are tolerated") {
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("a", "b")
+    val got = ConnectedComponents.run(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("empty edge list yields empty labeling") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(ConnectedComponents.run(edges).isEmpty)
+  }
+
+  test("x111 clusters refine the x74 pair list transitively (sf0.001)") {
+    // Every pair endpoint lands in one cluster with its partner, and the
+    // cluster id is the min doc over the whole group — even when the
+    // group is larger than any single pair.
+    val pairs = Catalog.sql(spark, sf0001, Queries.sparkSql("x74_minhash_sql"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    val labels = ConnectedComponents.run(pairs)
+      .as[(Long, Long)].collect().toMap
+    val ps = pairs.as[(Long, Long)].collect()
+    assert(ps.forall { case (a, b) => labels(a) == labels(b) },
+      "pair endpoints must share a component label")
+    assert(labels.forall { case (id, l) => l <= id },
+      "labels are component minima")
+  }
+}
