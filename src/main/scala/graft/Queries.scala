@@ -1221,7 +1221,86 @@ object Queries {
         |      FROM (SELECT doc_id, [array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)] AS gs
         |            FROM (SELECT doc_id, string_split(text,' ') AS w FROM documents)
         |            WHERE len(w) >= 3))
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // PII redaction (the scrub stage every training pipeline runs before
+    // text ships): emails, IPv4s, and phone-shaped numbers replaced with
+    // typed placeholder tokens, plus per-row match counts for the audit
+    // trail. The corpus text carries no PII, so the rows synthesize it
+    // deterministically from c_custkey — the redaction still exercises
+    // real matches. Patterns stay in the Java∩RE2 common subset ([.] and
+    // [0-9] instead of \. and \d, no \b) so both engines compile the
+    // IDENTICAL pattern string; per-row codegen'd regexps, no shuffle.
+    // Dialect: Spark regexp_replace is replace-all and counts via
+    // regexp_count; DuckDB needs the 'g' flag and len(regexp_extract_all).
+    q("x112_pii_redact",
+      """WITH t AS (SELECT c_custkey,
+        |    concat('contact user', cast(c_custkey AS STRING), '@mail.example.com ip=10.',
+        |           cast(c_custkey % 256 AS STRING), '.', cast((c_custkey * 7) % 256 AS STRING), '.',
+        |           cast((c_custkey * 13) % 256 AS STRING), ' tel 555-',
+        |           lpad(cast(c_custkey % 1000 AS STRING), 3, '0'), '-',
+        |           lpad(cast((c_custkey * 31) % 10000 AS STRING), 4, '0'), ' end') AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>'),
+        |         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>'),
+        |         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>') AS redacted,
+        |       cast(regexp_count(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}') AS BIGINT) AS n_email,
+        |       cast(regexp_count(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}') AS BIGINT) AS n_ip,
+        |       cast(regexp_count(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}') AS BIGINT) AS n_phone
+        |FROM t ORDER BY c_custkey""".stripMargin,
+      """WITH t AS (SELECT c_custkey,
+        |    concat('contact user', cast(c_custkey AS VARCHAR), '@mail.example.com ip=10.',
+        |           cast(c_custkey % 256 AS VARCHAR), '.', cast((c_custkey * 7) % 256 AS VARCHAR), '.',
+        |           cast((c_custkey * 13) % 256 AS VARCHAR), ' tel 555-',
+        |           lpad(cast(c_custkey % 1000 AS VARCHAR), 3, '0'), '-',
+        |           lpad(cast((c_custkey * 31) % 10000 AS VARCHAR), 4, '0'), ' end') AS text
+        |  FROM customer)
+        |SELECT c_custkey,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+        |         '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+        |       cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       cast(len(regexp_extract_all(text, '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}')) AS BIGINT) AS n_ip,
+        |       cast(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone
+        |FROM t ORDER BY c_custkey""".stripMargin),
+
+    // TF-IDF top-3 terms per document (corpus keyword extraction). Scores
+    // in integer micro-units — floor(tf·ln(N/df)·1e6) — the x73 trick
+    // that makes a float formula hash-exact across engines; rank ties
+    // (common here: idf=0 for corpus-universal words) break on the term
+    // itself. Scale shape: tf is a (doc,term) aggregate, df a broadcast-
+    // sized term aggregate joined back on term, top-k a per-doc window —
+    // all key-partitioned, nothing global.
+    q("x113_tfidf_topk",
+      """WITH tok AS (SELECT doc_id, w, count(*) AS tf
+        |             FROM (SELECT doc_id, explode(split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.w,
+        |         cast(floor(t.tf * ln(n.n / cast(d.df AS DOUBLE)) * 1000000) AS BIGINT) AS score_u
+        |       FROM tok t JOIN dfq d ON t.w = d.w CROSS JOIN n),
+        |r AS (SELECT doc_id, w, score_u,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, w) AS rk
+        |      FROM sc)
+        |SELECT doc_id, w, score_u, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+      """WITH tok AS (SELECT doc_id, w, count(*) AS tf
+        |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT t.doc_id, t.w,
+        |         cast(floor(t.tf * ln(n.n / cast(d.df AS DOUBLE)) * 1000000) AS BIGINT) AS score_u
+        |       FROM tok t JOIN dfq d ON t.w = d.w CROSS JOIN n),
+        |r AS (SELECT doc_id, w, score_u,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, w) AS rk
+        |      FROM sc)
+        |SELECT doc_id, w, score_u, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
