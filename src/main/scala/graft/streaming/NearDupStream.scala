@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate filter: the incremental form of x53's batch
+  * SimHash dedup, for ingest pipelines that must drop near-dups as
+  * documents ARRIVE (continuous crawl ingestion) instead of re-running a
+  * corpus-wide batch join.
+  *
+  * Semantics (greedy keep-first, the streaming dedup contract): a doc is
+  * flagged duplicate iff some EARLIER-arriving doc is within `maxHamming`
+  * of its 64-bit SimHash. Every arrival's signature enters state whether
+  * kept or dropped, so chains collapse onto their first arrival (A~B,
+  * B~C drops both B and C even when A≁C) — the same transitive behavior
+  * the batch side gets from x111's connected components when arrival
+  * order is id order. On a bounded ordered replay the kept set equals
+  * the batch rule "doc b is dropped iff some pair (a, b) with a < b" over
+  * [[graft.llm.Dedup.simHashNearDups]]'s pair list — spec-checked.
+  *
+  * Mechanics, mirroring the batch operator's banding exactly:
+  *  - SimHash is the codegen'd native expression, row-local on arrival.
+  *  - The signature is banded into (maxHamming+1) chunks; pigeonhole
+  *    guarantees two sigs within the radius share at least one exact
+  *    chunk, so grouping by (chunk, chunkBits) routes every potential
+  *    pair through at least one shared state bucket. Candidates are then
+  *    verified with the exact 64-bit Hamming distance inside the bucket —
+  *    banding only gates WHERE comparisons happen, never the answer.
+  *  - Each bucket is a flatMapGroupsWithState group whose state is the
+  *    signature list of prior arrivals; per micro-batch the group emits
+  *    (doc_id, dupInThisBucket) with rows processed in doc_id order for
+  *    within-batch determinism.
+  *  - A doc lands in maxHamming+1 buckets; the per-doc verdict is the OR
+  *    of its bucket flags — a streaming aggregation keyed by doc_id
+  *    (legal after Append-mode flatMapGroupsWithState). All of a doc's
+  *    bucket rows are produced by the same input row, hence the same
+  *    micro-batch: the verdict finalizes in that batch (drain in update
+  *    mode).
+  *
+  * Scale notes: state is sharded by bucket across executors (no global
+  * structure); volume is one (docId, sig) pair per doc per band —
+  * 16 bytes × (maxHamming+1) per doc. On an unbounded crawl, bound it
+  * with `maxPerBucket` (ring-buffer eviction of the oldest signatures,
+  * trading exactness for a hard memory cap) — boilerplate-heavy buckets
+  * are the same skew hotspot the batch band join has, and cap first.
+  */
+object NearDupStream {
+
+  /** docs (streaming; doc_id long, text string) →
+    * (doc_id, is_dup) — drain in "update" output mode. */
+  def nearDupFlags(docs: DataFrame, maxHamming: Int = 6,
+                   maxPerBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.functions.SimHash64.register(spark)
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+
+    val banded = docs
+      .select(col("doc_id"),
+        graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
+      .select(col("doc_id"), col("simhash"),
+        explode(array((0 until chunks).map { c =>
+          // bucket id = chunk index ⊕ that chunk's bits, packed in a long
+          (shiftright(col("simhash"), c * width)
+            .bitwiseAND((1L << width) - 1) + lit(c.toLong << (width + 1)))
+            .as(s"b$c")
+        }: _*)).as("bucket"))
+
+    val flagged = banded.as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (_, rows, state) =>
+        var seen = state.getOption.getOrElse(Seq.empty)
+        val out = rows.toSeq.sortBy(_._1).map { case (docId, sig, _) =>
+          val dup = seen.exists { case (_, s) =>
+            java.lang.Long.bitCount(s ^ sig) <= maxHamming }
+          seen = (seen :+ (docId, sig)).takeRight(maxPerBucket)
+          (docId, dup)
+        }
+        state.update(seen)
+        out.iterator
+      }
+      .toDF("doc_id", "dup_in_bucket")
+
+    flagged.groupBy("doc_id").agg(max(col("dup_in_bucket")).as("is_dup"))
+  }
+}
