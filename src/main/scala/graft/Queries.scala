@@ -1300,7 +1300,49 @@ object Queries {
         |        row_number() OVER (PARTITION BY doc_id ORDER BY score_u DESC, w) AS rk
         |      FROM sc)
         |SELECT doc_id, w, score_u, cast(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // BM25 top-20 corpus search (Robertson/Spärck Jones k1=1.2, b=0.75)
+    // for a 3-term query. Hash-exact across engines by the x73 rule:
+    // each per-term contribution is floored to integer micro-units
+    // BEFORE the per-doc sum (float addition order never observable),
+    // and avgdl is an exact integer sum ÷ count, not engine-avg().
+    // Scale shape: tf and dl are per-doc aggregates, the 3-row query
+    // term df joins broadcast, top-20 is TakeOrderedAndProject — no
+    // global sort materializes.
+    q("x114_bm25",
+      """WITH tok AS (SELECT doc_id, w, count(*) AS tf
+        |             FROM (SELECT doc_id, explode(split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |dl AS (SELECT doc_id, size(split(text,' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n, cast(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT explode(array('spark','window','join')) AS w),
+        |dfq AS (SELECT t.w, count(*) AS df FROM tok t JOIN qt ON t.w = qt.w GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         sum(cast(floor(ln((st.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+        |             * t.tf * 2.2
+        |             / (t.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl)) * 1000000) AS BIGINT)) AS score_u
+        |       FROM tok t JOIN dfq d ON t.w = d.w
+        |       JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        |       GROUP BY 1)
+        |SELECT doc_id, cast(score_u AS BIGINT) AS score_u
+        |FROM sc ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH tok AS (SELECT doc_id, w, count(*) AS tf
+        |             FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents)
+        |             GROUP BY 1,2),
+        |dl AS (SELECT doc_id, len(string_split(text,' ')) AS dl FROM documents),
+        |st AS (SELECT count(*) AS n, cast(sum(dl) AS DOUBLE)/count(*) AS avgdl FROM dl),
+        |qt AS (SELECT unnest(['spark','window','join']) AS w),
+        |dfq AS (SELECT t.w, count(*) AS df FROM tok t JOIN qt ON t.w = qt.w GROUP BY 1),
+        |sc AS (SELECT t.doc_id,
+        |         sum(cast(floor(ln((st.n - d.df + 0.5)/(d.df + 0.5) + 1.0)
+        |             * t.tf * 2.2
+        |             / (t.tf + 1.2*(0.25 + 0.75*dl.dl/st.avgdl)) * 1000000) AS BIGINT)) AS score_u
+        |       FROM tok t JOIN dfq d ON t.w = d.w
+        |       JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
+        |       GROUP BY 1)
+        |SELECT doc_id, cast(score_u AS BIGINT) AS score_u
+        |FROM sc ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
