@@ -1342,7 +1342,175 @@ object Queries {
         |       JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN st
         |       GROUP BY 1)
         |SELECT doc_id, cast(score_u AS BIGINT) AS score_u
-        |FROM sc ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM sc ORDER BY score_u DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Gopher-style quality-rule audit (Rae et al. 2021 §A1 shape): four
+    // independent per-doc rules — too short (<30 tokens), mean word
+    // length outside [4.00, 5.00] chars, type-token ratio < 50%, and
+    // single-word dominance (>10% of tokens are one word) — rolled up
+    // to violation counts per source plus the pass-all census. All
+    // integer arithmetic (centichars/doubled counts), so hash-exact.
+    // Scale shape: every rule is per-row HOF work over the token array
+    // (codegen, no shuffle); the only exchange is the final per-source
+    // rollup. Dominance is O(types·tokens) per row — bounded by the
+    // vocabulary, and never a join.
+    q("x115_gopher_rules",
+      """WITH t AS (SELECT doc_id, source, split(text,' ') AS w, n_chars FROM documents),
+        |m AS (SELECT doc_id, source,
+        |        size(w) AS n_toks,
+        |        size(array_distinct(w)) AS n_types,
+        |        (n_chars - (size(w)-1)) * 100 div size(w) AS mwl_c,
+        |        array_max(transform(array_distinct(w),
+        |          x -> size(filter(w, y -> y = x)))) AS top_cnt
+        |      FROM t)
+        |SELECT source,
+        |       count(*) AS docs,
+        |       cast(sum(CASE WHEN n_toks < 30 THEN 1 ELSE 0 END) AS BIGINT) AS viol_short,
+        |       cast(sum(CASE WHEN mwl_c < 400 OR mwl_c > 500 THEN 1 ELSE 0 END) AS BIGINT) AS viol_wordlen,
+        |       cast(sum(CASE WHEN n_types*2 < n_toks THEN 1 ELSE 0 END) AS BIGINT) AS viol_ttr,
+        |       cast(sum(CASE WHEN top_cnt*10 > n_toks THEN 1 ELSE 0 END) AS BIGINT) AS viol_dominance,
+        |       cast(sum(CASE WHEN n_toks >= 30 AND mwl_c BETWEEN 400 AND 500
+        |                      AND n_types*2 >= n_toks AND top_cnt*10 <= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w, n_chars FROM documents),
+        |m AS (SELECT doc_id, source,
+        |        len(w) AS n_toks,
+        |        len(list_distinct(w)) AS n_types,
+        |        (n_chars - (len(w)-1)) * 100 // len(w) AS mwl_c,
+        |        list_max(list_transform(list_distinct(w),
+        |          x -> len(list_filter(w, y -> y = x)))) AS top_cnt
+        |      FROM t)
+        |SELECT source,
+        |       count(*) AS docs,
+        |       cast(sum(CASE WHEN n_toks < 30 THEN 1 ELSE 0 END) AS BIGINT) AS viol_short,
+        |       cast(sum(CASE WHEN mwl_c < 400 OR mwl_c > 500 THEN 1 ELSE 0 END) AS BIGINT) AS viol_wordlen,
+        |       cast(sum(CASE WHEN n_types*2 < n_toks THEN 1 ELSE 0 END) AS BIGINT) AS viol_ttr,
+        |       cast(sum(CASE WHEN top_cnt*10 > n_toks THEN 1 ELSE 0 END) AS BIGINT) AS viol_dominance,
+        |       cast(sum(CASE WHEN n_toks >= 30 AND mwl_c BETWEEN 400 AND 500
+        |                      AND n_types*2 >= n_toks AND top_cnt*10 <= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Duplicate-window scan (Lee et al. 2022 "Deduplicating Training
+    // Data" signal): hash every 8-token window, mark windows appearing
+    // in ≥2 distinct docs, report the top-20 docs by duplicated-window
+    // fraction. The per-doc fraction is the practical "this doc is
+    // mostly boilerplate copied elsewhere" filter that exact-dup (x47)
+    // and near-dup (x52) both miss when only a passage repeats.
+    // Scale shape: windows shuffle as 32-char md5 keys (never text),
+    // the shared set is a semi-join back on the same key, and the
+    // top-20 is TakeOrderedAndProject. Linear in total windows.
+    q("x116_dup_window_scan",
+      """WITH t AS (SELECT doc_id, split(text,' ') AS w FROM documents WHERE size(split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, explode(transform(sequence(1, size(w)-7),
+        |           i -> md5(concat_ws(' ', slice(w, i, 8))))) AS h
+        |         FROM t),
+        |shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_win,
+        |          cast(sum(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |        FROM wins GROUP BY 1)
+        |SELECT doc_id, n_win, n_dup, cast(floor(n_dup*10000.0/n_win) AS BIGINT) AS dup_bp
+        |FROM per ORDER BY dup_bp DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, unnest(hs) AS h
+        |         FROM (SELECT doc_id, [md5(array_to_string(w[i:i+7],' ')) FOR i IN range(1, len(w)-6)] AS hs FROM t)),
+        |shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_win,
+        |          cast(sum(CASE WHEN h IN (SELECT h FROM shared) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |        FROM wins GROUP BY 1)
+        |SELECT doc_id, n_win, n_dup, cast(floor(n_dup*10000.0/n_win) AS BIGINT) AS dup_bp
+        |FROM per ORDER BY dup_bp DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Anchor-based semantic clustering census: assign every vector to
+    // its nearest of 8 fixed anchor vectors (vec_id 0-7) by cosine, and
+    // report cluster sizes + similarity mass. The k-means-free analog of
+    // semantic dedup bucketing: anchors stand in for trained centroids
+    // so the assignment is closed-form and oracle-checkable (DuckDB has
+    // list_cosine_similarity but no trainer). Determinism: q43's 4dp
+    // round is NOT enough here — summing 492 rounded sims exposes every
+    // knife edge, and DuckDB's float32-kernel cosine really did land one
+    // sim 1 ulp across a .00005 boundary (anchor-7 sum off by 1). The
+    // oracle therefore casts to DOUBLE[] so both engines run the same
+    // sequential double accumulation (bit-identical, measured); ties
+    // break on anchor_id via row_number.
+    // Scale shape: the 8-anchor side broadcasts; assignment is a
+    // per-row argmax (8 codegen'd cosine_sim calls, no explode); the
+    // only exchange is the 8-group rollup. This is IVF assignment
+    // (llm.Ann.ivfTopK) with frozen centroids.
+    q("x117_anchor_clusters",
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |sc AS (SELECT v.vec_id, a.anchor_id,
+        |         round(cosine_sim(v.embedding, a.ae), 4) AS sim
+        |       FROM v CROSS JOIN a),
+        |best AS (SELECT vec_id, anchor_id, sim,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+        |         FROM sc)
+        |SELECT anchor_id, count(*) AS n_assigned,
+        |       cast(sum(cast(round(sim*10000, 0) AS BIGINT)) AS BIGINT) AS sum_sim4
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |sc AS (SELECT v.vec_id, a.anchor_id,
+        |         round(list_cosine_similarity(cast(v.embedding AS DOUBLE[]), cast(a.ae AS DOUBLE[])), 4) AS sim
+        |       FROM v CROSS JOIN a),
+        |best AS (SELECT vec_id, anchor_id, sim,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, anchor_id) AS rn
+        |         FROM sc)
+        |SELECT anchor_id, count(*) AS n_assigned,
+        |       cast(sum(cast(round(sim*10000, 0) AS BIGINT)) AS BIGINT) AS sum_sim4
+        |FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Incremental near-dup: dedup the NEW batch (doc_id ≡ 4 mod 5, the
+    // daily increment) against the EXISTING corpus without ever
+    // comparing corpus×corpus — the shape every production pipeline
+    // actually runs (x74 is the one-shot full-corpus variant). MinHash
+    // signatures on both sides, but the candidate join is restricted to
+    // new×old, so rework per day is O(batch), not O(corpus). Output:
+    // each new doc's best corpus match at ≥8/16 matching minhashes.
+    // Scale shape: the signature join shuffles (i, mh) int pairs only;
+    // at a real corpus the old side's signatures are a precomputed index
+    // read from parquet, not recomputed (sources.Layout bucketed by mh).
+    q("x118_incremental_neardup",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w, doc_id % 5 = 4 AS is_new FROM documents),
+        |sh AS (SELECT doc_id, is_new, explode(array_distinct(
+        |         transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, is_new, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, is_new, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2,3),
+        |cand AS (SELECT sn.doc_id AS new_id, sc.doc_id AS corpus_id, count(*) AS m
+        |         FROM sig sn JOIN sig sc ON sn.i = sc.i AND sn.mh = sc.mh
+        |         WHERE sn.is_new AND NOT sc.is_new
+        |         GROUP BY 1,2),
+        |best AS (SELECT new_id, corpus_id, m,
+        |           row_number() OVER (PARTITION BY new_id ORDER BY m DESC, corpus_id) AS rn
+        |         FROM cand WHERE m >= 8)
+        |SELECT new_id, corpus_id, m FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w, doc_id % 5 = 4 AS is_new FROM documents),
+        |sh AS (SELECT doc_id, is_new, unnest(list_distinct(
+        |         [array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, is_new, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, is_new, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2,3),
+        |cand AS (SELECT sn.doc_id AS new_id, sc.doc_id AS corpus_id, count(*) AS m
+        |         FROM sig sn JOIN sig sc ON sn.i = sc.i AND sn.mh = sc.mh
+        |         WHERE sn.is_new AND NOT sc.is_new
+        |         GROUP BY 1,2),
+        |best AS (SELECT new_id, corpus_id, m,
+        |           row_number() OVER (PARTITION BY new_id ORDER BY m DESC, corpus_id) AS rn
+        |         FROM cand WHERE m >= 8)
+        |SELECT new_id, corpus_id, m FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

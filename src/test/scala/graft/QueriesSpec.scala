@@ -38,6 +38,24 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // round-4 training-data ops (counts oracle-verified vs DuckDB at
+  // sf0.001 when the queries were authored)
+  val expectedRowsR4: Map[String, Long] = Map(
+    "x115_gopher_rules" -> 20, "x116_dup_window_scan" -> 20,
+    "x117_anchor_clusters" -> 8, "x118_incremental_neardup" -> 9)
+
+  expectedRowsR4.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("x117 anchor clusters: every non-anchor vector is assigned exactly once") {
+    val total = SparkEntry.queries("x117_anchor_clusters")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("n_assigned")).collect().head.getLong(0)
+    assert(total == 492L) // 500 vectors - 8 anchors
+  }
+
   test("q01 full-scan count value") {
     assert(SparkEntry.queries("q01_count")(spark, sf0001)
       .collect().head.getLong(0) == 6000L)
