@@ -1510,7 +1510,143 @@ object Queries {
         |best AS (SELECT new_id, corpus_id, m,
         |           row_number() OVER (PARTITION BY new_id ORDER BY m DESC, corpus_id) AS rn
         |         FROM cand WHERE m >= 8)
-        |SELECT new_id, corpus_id, m FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin)
+        |SELECT new_id, corpus_id, m FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin),
+
+    // SemDeDup (Abbas et al. 2023): embedding near-dup detection scoped
+    // to semantic clusters — assign every vector to its nearest anchor
+    // (same closed-form assignment as x117), then pair-compare ONLY
+    // within a cluster. That scoping is the whole algorithm: pair space
+    // drops from O(n²) to O(Σ cluster²), and at 100 TB the cluster id
+    // becomes the shuffle/partition key so each cluster's pairs are
+    // computed co-located, no global cross join. Keep-rule: the lower
+    // vec_id of each qualifying pair survives (keep_id). The LSH-bucketed
+    // scale sibling with no exact pair pass is llm/Ann.cosineNearDups.
+    q("x119_semdedup",
+      """WITH a AS (SELECT vec_id AS anchor_id, embedding AS ae FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+        |sc AS (SELECT v.vec_id, v.embedding, a.anchor_id,
+        |         round(cosine_sim(v.embedding, a.ae), 4) AS asim
+        |       FROM v CROSS JOIN a),
+        |best AS (SELECT vec_id, embedding, anchor_id
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY asim DESC, anchor_id) AS rn FROM sc) t
+        |         WHERE rn = 1),
+        |pairs AS (SELECT x.anchor_id AS cluster_id, x.vec_id AS keep_id, y.vec_id AS drop_id,
+        |            round(cosine_sim(x.embedding, y.embedding), 4) AS sim
+        |          FROM best x JOIN best y
+        |            ON x.anchor_id = y.anchor_id AND x.vec_id < y.vec_id)
+        |SELECT cluster_id, keep_id, drop_id,
+        |       cast(round(sim*10000, 0) AS BIGINT) AS sim4
+        |FROM pairs WHERE sim >= 0.35
+        |ORDER BY cluster_id, keep_id, drop_id""".stripMargin,
+      """WITH a AS (SELECT vec_id AS anchor_id, cast(embedding AS DOUBLE[]) AS ae FROM embeddings WHERE vec_id < 8),
+        |v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS embedding FROM embeddings WHERE vec_id >= 8),
+        |sc AS (SELECT v.vec_id, v.embedding, a.anchor_id,
+        |         round(list_cosine_similarity(v.embedding, a.ae), 4) AS asim
+        |       FROM v CROSS JOIN a),
+        |best AS (SELECT vec_id, embedding, anchor_id
+        |         FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                 ORDER BY asim DESC, anchor_id) AS rn FROM sc) t
+        |         WHERE rn = 1),
+        |pairs AS (SELECT x.anchor_id AS cluster_id, x.vec_id AS keep_id, y.vec_id AS drop_id,
+        |            round(list_cosine_similarity(x.embedding, y.embedding), 4) AS sim
+        |          FROM best x JOIN best y
+        |            ON x.anchor_id = y.anchor_id AND x.vec_id < y.vec_id)
+        |SELECT cluster_id, keep_id, drop_id,
+        |       cast(round(sim*10000, 0) AS BIGINT) AS sim4
+        |FROM pairs WHERE sim >= 0.35
+        |ORDER BY cluster_id, keep_id, drop_id""".stripMargin),
+
+    // kNN-vote label propagation: predict each held-out vector's label
+    // from the majority label of its 5 nearest labeled neighbors (cosine).
+    // The shape behind quality-classifier bootstrapping on embeddings.
+    // Vote tie-break: larger count, then higher best-sim, then lower
+    // label — all deterministic on 4dp sims. Scale path: the CROSS JOIN
+    // becomes an ANN probe (x59/x104) feeding the same vote aggregation;
+    // here the exact form doubles as the recall oracle.
+    q("x120_knn_vote",
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 50),
+        |r AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id >= 50),
+        |sc AS (SELECT q.vec_id AS qid, q.label AS true_label, r.vec_id AS rid, r.label AS nlabel,
+        |         round(cosine_sim(q.embedding, r.embedding), 4) AS sim
+        |       FROM q CROSS JOIN r),
+        |top AS (SELECT qid, true_label, nlabel, sim,
+        |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, rid) AS rn
+        |        FROM sc),
+        |votes AS (SELECT qid, true_label, nlabel, count(*) AS c, max(sim) AS msim
+        |          FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, true_label, nlabel AS pred_label,
+        |           row_number() OVER (PARTITION BY qid
+        |             ORDER BY c DESC, msim DESC, nlabel) AS vr
+        |         FROM votes)
+        |SELECT qid, true_label, pred_label,
+        |       CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+        |FROM pred WHERE vr = 1 ORDER BY qid""".stripMargin,
+      """WITH q AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS embedding, label FROM embeddings WHERE vec_id < 50),
+        |r AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS embedding, label FROM embeddings WHERE vec_id >= 50),
+        |sc AS (SELECT q.vec_id AS qid, q.label AS true_label, r.vec_id AS rid, r.label AS nlabel,
+        |         round(list_cosine_similarity(q.embedding, r.embedding), 4) AS sim
+        |       FROM q CROSS JOIN r),
+        |top AS (SELECT qid, true_label, nlabel, sim,
+        |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, rid) AS rn
+        |        FROM sc),
+        |votes AS (SELECT qid, true_label, nlabel, count(*) AS c, max(sim) AS msim
+        |          FROM top WHERE rn <= 5 GROUP BY 1, 2, 3),
+        |pred AS (SELECT qid, true_label, nlabel AS pred_label,
+        |           row_number() OVER (PARTITION BY qid
+        |             ORDER BY c DESC, msim DESC, nlabel) AS vr
+        |         FROM votes)
+        |SELECT qid, true_label, pred_label,
+        |       CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS correct
+        |FROM pred WHERE vr = 1 ORDER BY qid""".stripMargin),
+
+    // Boilerplate-prefix census: hash each document's first 8 words and
+    // report prefix groups shared by ≥2 docs — the cheap first-pass
+    // filter for template/boilerplate families (nav headers, license
+    // stubs) that near-dup passes then refine. One hash per doc, one
+    // hash-agg shuffle; at 100 TB this is the cheapest dedup signal that
+    // exists, and keep_id implements keep-first within each family.
+    q("x121_prefix_census",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |p AS (SELECT doc_id, md5(concat_ws(' ', slice(w, 1, 8))) AS prefix_hash
+        |      FROM w WHERE size(w) >= 8)
+        |SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS last_id
+        |FROM p GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix_hash""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |p AS (SELECT doc_id, md5(array_to_string(w[1:8], ' ')) AS prefix_hash
+        |      FROM w WHERE len(w) >= 8)
+        |SELECT prefix_hash, count(*) AS n_docs, min(doc_id) AS keep_id, max(doc_id) AS last_id
+        |FROM p GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY n_docs DESC, prefix_hash""".stripMargin),
+
+    // Token-budget planner: given per-source token counts and an
+    // equal-share target mixture, compute each source's natural weight
+    // and the epoch multiplier (how many passes over the source fill its
+    // share of the budget) — the arithmetic behind "repeat small
+    // high-quality sources, subsample big ones". Pure two-level agg on
+    // fixed-point outputs; the heavy input (token counting) is one scan.
+    q("x122_token_budget",
+      """WITH s AS (SELECT source, cast(sum(size(split(text,' '))) AS BIGINT) AS n_tokens,
+        |             count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT source, n_docs, n_tokens,
+        |        sum(n_tokens) OVER () AS tot, count(*) OVER () AS n_src
+        |      FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       cast(floor(n_tokens * 10000.0 / tot) AS BIGINT) AS weight_bp,
+        |       cast(floor((tot * 1.0 / n_src) * 10000.0 / n_tokens) AS BIGINT) AS epochs_4dp
+        |FROM t ORDER BY source""".stripMargin,
+      """WITH s AS (SELECT source, cast(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens,
+        |             count(*) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT source, n_docs, n_tokens,
+        |        sum(n_tokens) OVER () AS tot, count(*) OVER () AS n_src
+        |      FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       cast(floor(n_tokens * 10000.0 / tot) AS BIGINT) AS weight_bp,
+        |       cast(floor((tot * 1.0 / n_src) * 10000.0 / n_tokens) AS BIGINT) AS epochs_4dp
+        |FROM t ORDER BY source""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

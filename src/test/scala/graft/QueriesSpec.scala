@@ -42,7 +42,9 @@ class QueriesSpec extends SparkSpec {
   // sf0.001 when the queries were authored)
   val expectedRowsR4: Map[String, Long] = Map(
     "x115_gopher_rules" -> 20, "x116_dup_window_scan" -> 20,
-    "x117_anchor_clusters" -> 8, "x118_incremental_neardup" -> 9)
+    "x117_anchor_clusters" -> 8, "x118_incremental_neardup" -> 9,
+    "x119_semdedup" -> 67, "x120_knn_vote" -> 50,
+    "x121_prefix_census" -> 21, "x122_token_budget" -> 20)
 
   expectedRowsR4.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
