@@ -35,6 +35,7 @@ object Catalog {
       spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
     functions.CosineSim.register(spark)
     functions.SimHash64.register(spark)
+    functions.WinnowFps.register(spark)
     if (!registeredDir.get(spark).contains(dir)) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.

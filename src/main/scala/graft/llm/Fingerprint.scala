@@ -10,9 +10,27 @@ import org.apache.spark.sql.functions._
 object Fingerprint {
 
   /** Winnowing fingerprint set: min hash of each sliding window of
-    * `window` consecutive k-gram hashes, deduplicated. */
+    * `window` consecutive k-gram hashes, deduplicated. One fused
+    * codegen'd loop per row (functions.WinnowFps — same xxhash64/substr
+    * semantics as [[fingerprintsHof]], which LlmOpsSpec holds
+    * bit-identical). */
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.WinnowFps.register(docs.sparkSession)
+    val par = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    // repartition first — single-row-group parquet otherwise pins this
+    // CPU-bound kernel to one task (see fingerprintsHof's note)
+    docs.repartition(par)
+      .withColumn("fps", graft.functions.WinnowFps(col(textCol), k, window))
+  }
+
+  /** The original HOF composition of [[fingerprints]] — kept as the
+    * executable specification the native expression is equivalence-
+    * tested against (LlmOpsSpec "winnow_fps native == HOF"). */
+  def fingerprintsHof(docs: DataFrame, textCol: String = "text",
+                      k: Int = 8, window: Int = 4): DataFrame = {
     // SQL expr() because Column-lambda substring(start=i) is clumsy in the
     // DSL. The k-gram hash array is LET-BOUND via a single-element
     // transform: projection collapse would otherwise inline its

@@ -191,6 +191,27 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   // --- Fingerprint -----------------------------------------------------
+  test("winnow_fps native expression == HOF composition, bit-identical") {
+    val native = Fingerprint.fingerprints(docs)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = Fingerprint.fingerprintsHof(docs)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native.keySet == hof.keySet)
+    // same hashes, same window minima, same first-occurrence dedup order
+    native.foreach { case (id, fps) => assert(fps == hof(id), s"doc $id") }
+    // degenerate inputs: shorter than one k-gram / one window
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "ab"), (3L, "abcdefgh"), (4L, "abcdefghij"))
+      .toDF("doc_id", "text")
+    val ne = Fingerprint.fingerprints(edge).select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val he = Fingerprint.fingerprintsHof(edge).select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(ne == he)
+  }
+
   test("fingerprint: doc fully contained in a concatenation scores 10000") {
     import spark.implicits._
     val two = docs.orderBy("doc_id").limit(2).collect()
