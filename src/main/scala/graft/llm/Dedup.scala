@@ -51,6 +51,51 @@ object Dedup {
         i => array_min(transform(a, s => xxhash64(s, i))))
     }
 
+  // ---------------------------------------------------------------------
+  // Portable (oracle-reproducible) hash family.
+  //
+  // The production family above hashes with xxhash64 — fast, but no other
+  // engine reproduces it, so operators built on it can only ever get
+  // rows-only correctness checks. This family trades per-hash speed for
+  // bit-level portability: 32-bit md5-prefix content hashes pushed
+  // through affine permutations mod the Mersenne prime 2^31-1, every
+  // constant shared verbatim with the generated DuckDB oracle SQL
+  // (Extensions.oracleSql). Running the SAME Scala operator code path
+  // (shingling, signature, banding, candidate join, exact verification)
+  // under the portable family puts the whole pipeline under the driver's
+  // full rows+schema+hash gate — the VERDICT r4 twin-equality promotion.
+  // ---------------------------------------------------------------------
+
+  /** 32-bit content hash both engines evaluate identically:
+    * first 8 hex chars of md5, as a BIGINT.
+    * (Spark: conv(substr(md5(s),1,8),16,10); DuckDB: '0x'||… cast.) */
+  def md5Hash32(s: Column): Column =
+    conv(substr(md5(s), lit(1), lit(8)), 16, 10).cast("long")
+
+  /** Affine permutation constants — consecutive primes from two fixed
+    * seeds, generated (not listed) so the Scala operators and the
+    * DuckDB oracle SQL interpolate the IDENTICAL values from one source
+    * of truth. */
+  def portablePerms(n: Int): Seq[(Long, Long)] = {
+    def isPrime(x: Long): Boolean =
+      x > 1 && !(2L to math.sqrt(x.toDouble).toLong).exists(x % _ == 0)
+    def primesFrom(start: Long): Iterator[Long] =
+      Iterator.iterate(start)(_ + 1).filter(isPrime)
+    primesFrom(1299721L).zip(primesFrom(104729L)).take(n).toSeq
+  }
+
+  /** MinHash signature under the portable family: element i =
+    * min over shingles of (a_i * md5Hash32(s) + b_i) mod (2^31-1).
+    * The hash array is let-bound: one md5 pass per shingle, reused by
+    * all |perms| permutations. a_i·hv < 2^21·2^32 = 2^53 — exact in
+    * BIGINT on both engines. */
+  def affineMinHashSignature(shs: Column, perms: Seq[(Long, Long)]): Column =
+    Cols.bind(transform(shs, s => md5Hash32(s))) { hvs =>
+      array(perms.map { case (a, b) =>
+        array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
+      }: _*)
+    }
+
   /** LSH banding: numHashes/rowsPerBand band keys per doc; docs sharing a
     * band key are candidates. P(candidate) = 1-(1-J^r)^b — pick r small
     * (2) for low-similarity corpora, large (8) for high thresholds. */
@@ -63,9 +108,16 @@ object Dedup {
     * generation and Jaccard verification instead of re-running the
     * row-local kernel per plan branch (the x55 lesson applied here). */
   private def candidatePairsFromSets(sets: DataFrame, numHashes: Int,
-                                     rowsPerBand: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val sig = sets.withColumn("sig", minHashSignature(col("shs"), numHashes))
+                                     rowsPerBand: Int): DataFrame =
+    candidatePairsFromSig(sets, minHashSignature(col("shs"), numHashes),
+      numHashes / rowsPerBand, rowsPerBand)
+
+  /** Banding over an arbitrary signature expression — the hash family
+    * (production xxhash64 vs portable md5-affine) is the caller's
+    * choice; the candidate-generation machinery is shared. */
+  private def candidatePairsFromSig(sets: DataFrame, sigCol: Column,
+                                    numBands: Int, rowsPerBand: Int): DataFrame = {
+    val sig = sets.withColumn("sig", sigCol)
     // let-bind sig: the banding lambda must slice a computed signature,
     // not recompute it per band
     val bands = sig.select(
@@ -89,11 +141,30 @@ object Dedup {
     * (integer basis points), keeping pairs with jac_bp >= minJacBp. */
   def minHashNearDups(docs: DataFrame, numHashes: Int = 64,
                       rowsPerBand: Int = 2, minJacBp: Long = 3000L,
-                      shingleN: Int = 3): DataFrame = {
+                      shingleN: Int = 3): DataFrame =
+    nearDupsWithSig(docs, shingleN, minJacBp, rowsPerBand, numHashes,
+      shs => minHashSignature(shs, numHashes))
+
+  /** [[minHashNearDups]] under the portable md5-affine family — the SAME
+    * shingling/banding/verification code path, hash-checkable against
+    * the generated DuckDB oracle (Extensions.oracleSql "x52"). 64 perms
+    * in 16 bands of 4 at jac >= 0.5 mirrors the production defaults. */
+  def minHashNearDupsPortable(docs: DataFrame,
+                              perms: Seq[(Long, Long)] = portablePerms(64),
+                              rowsPerBand: Int = 4, minJacBp: Long = 5000L,
+                              shingleN: Int = 3): DataFrame =
+    nearDupsWithSig(docs, shingleN, minJacBp, rowsPerBand, perms.length,
+      shs => affineMinHashSignature(shs, perms))
+
+  private def nearDupsWithSig(docs: DataFrame, shingleN: Int,
+                              minJacBp: Long, rowsPerBand: Int,
+                              numHashes: Int,
+                              sigOf: Column => Column): DataFrame = {
     val sets = shingleSets(docs, shingleN)
       .select(col("doc_id"), col("shs"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatePairsFromSets(sets, numHashes, rowsPerBand)
+    val cands = candidatePairsFromSig(sets, sigOf(col("shs")),
+      numHashes / rowsPerBand, rowsPerBand)
     cands
       .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
       .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
@@ -173,10 +244,17 @@ object Dedup {
     * into (radius+1) chunks — pigeonhole guarantees pairs within the
     * radius share at least one exact chunk — join per chunk, then verify
     * with bit_count(xor). The full cross-join is never materialized. */
-  def simHashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simHashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame =
+    hammingPairs(simHashes(docs), 64, maxHamming)
+      .orderBy(col("hd"), col("a"), col("b"))
+
+  /** Pigeonhole-banded Hamming-radius pairs over any (doc_id, simhash)
+    * signature table — shared by the 64-bit production path and the
+    * 32-bit portable path. */
+  private def hammingPairs(sigs: DataFrame, sigBits: Int,
+                           maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
-    val width = 64 / chunks
-    val sigs = simHashes(docs)
+    val width = sigBits / chunks
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map(c => struct(
         lit(c).as("chunk"),
@@ -190,6 +268,32 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hd"))
       .distinct()
       .where(col("hd") <= maxHamming)
-      .orderBy(col("hd"), col("a"), col("b"))
+  }
+
+  /** 32-bit SimHash under the portable family: bit j set iff
+    * Σ_occurrences (bit j of md5Hash32(token) ? +1 : -1) > 0 — the
+    * per-occurrence vote is exactly the term-frequency weighting the
+    * x79 SQL twin states as sum(n·(2·bit−1)). All-integer weights, so
+    * the sign of every bit is exact on both engines. */
+  def simHash32Md5(words: Column): Column = Cols.bind(words) { w =>
+    Cols.bind(transform(w, t => md5Hash32(t))) { hs =>
+      (0 until 32).map { j =>
+        val vote = aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        when(vote > 0, shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce(_ + _) // disjoint bits: plain sum == bitwise OR, no overflow
+    }
+  }
+
+  /** [[simHashNearDups]] under the portable family: 32-bit md5-based
+    * signatures, Hamming <= 3 via 4 disjoint 8-bit pigeonhole chunks —
+    * the same banding code path as production, hash-checked against the
+    * x79 SQL twin's DuckDB form (Extensions.oracleSql "x53"). */
+  def simHashNearDupsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = spread(docs).select(col("doc_id"),
+      simHash32Md5(split(col("text"), " ")).as("simhash"))
+    hammingPairs(sigs, 32, maxHamming)
+      .select(col("a"), col("b"), col("hd").cast("int").as("ham"))
+      .orderBy(col("a"), col("b"))
   }
 }

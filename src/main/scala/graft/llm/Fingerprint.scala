@@ -79,9 +79,42 @@ object Fingerprint {
     *     parallelism) — at 100 TB, add exactly x80's agg-based df ≥ 2
     *     prefilter before this join so only repeated fingerprints are
     *     shuffled; here the plain reused-exchange self-join wins. */
-  def containment(docs: DataFrame, minContainBp: Long = 5000L): DataFrame = {
-    val fps = fingerprints(docs).select(col("doc_id"),
+  def containment(docs: DataFrame, minContainBp: Long = 5000L): DataFrame =
+    containmentFrom(fingerprints(docs), minContainBp)
+
+  /** [[containment]] under the portable md5 hash family — same
+    * inverted-index pair-count machinery, hash-checked against the x80
+    * SQL twin's DuckDB form (Extensions.oracleSql "x55"). */
+  def containmentPortable(docs: DataFrame, minContainBp: Long = 5000L): DataFrame =
+    containmentFrom(fingerprintsPortable(docs), minContainBp)
+
+  /** Winnowing fingerprints under the portable family: md5-prefix 32-bit
+    * k-gram hashes (identical on both engines), minima over FULL windows
+    * only — a doc with fewer than `window` k-gram positions yields no
+    * fingerprints, exactly as the x80 twin's `i >= window` row filter.
+    * (The production [[fingerprints]] keeps its partial-window fallback
+    * for tiny docs; the two differ only below `k + window - 1` chars.) */
+  def fingerprintsPortable(docs: DataFrame, textCol: String = "text",
+                           k: Int = 8, window: Int = 4): DataFrame = {
+    val hashes =
+      s"""transform(sequence(1, greatest(length($textCol)-${k - 1}, 1)),
+         |          i -> cast(conv(substr(md5(substr($textCol, i, $k)),1,8),16,10) AS BIGINT))""".stripMargin
+    val fps =
+      s"""element_at(transform(array($hashes), hs ->
+         |  CASE WHEN size(hs) >= $window
+         |       THEN array_distinct(transform(sequence(1, size(hs)-${window - 1}),
+         |                                     j -> array_min(slice(hs, j, $window))))
+         |       ELSE slice(hs, 1, 0) END), 1)""".stripMargin
+    val par = math.max(
+      docs.sparkSession.sessionState.conf.numShufflePartitions,
+      docs.sparkSession.sparkContext.defaultParallelism)
+    docs.repartition(par).withColumn("fps", expr(fps))
+  }
+
+  private def containmentFrom(withFps: DataFrame, minContainBp: Long): DataFrame = {
+    val fps = withFps.select(col("doc_id"),
       size(col("fps")).as("n"), col("fps"))
+      .where(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
     val common = inv.as("x").join(inv.as("y"),

@@ -47,6 +47,60 @@ class LlmOpsSpec extends SparkSpec {
       s"missed ${exact -- got} of ${exact.size} high-sim pairs")
   }
 
+  // --- portable (oracle-reproducible) family ---------------------------
+  // The md5-affine family is what the x52/x53/x55 CORRECTNESS entries run
+  // (full DuckDB hash checks); these specs pin that the portable and
+  // production families agree where their contracts overlap, so the
+  // hash-gated portable path vouches for the xxhash64 scale path.
+  test("portable minhash: planted exact dups found at jac_bp 10000") {
+    val planted = docs.limit(5)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(docs)
+    val dups = Dedup.minHashNearDupsPortable(planted, minJacBp = 9999L)
+      .where(col("b") >= 1000000L && col("a") === col("b") - 1000000L)
+    assert(dups.count() == 5, "all 5 planted exact dups must be found")
+  }
+
+  test("portable minhash: verified pairs agree with production family") {
+    // Both families verify candidates with the SAME exact Jaccard, so on
+    // pairs BOTH surface the jac_bp values must be identical; and at the
+    // planted-dup tier (J >= 0.99) neither family may miss.
+    val prod = Dedup.minHashNearDups(docs, numHashes = 64, rowsPerBand = 4,
+        minJacBp = 5000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val port = Dedup.minHashNearDupsPortable(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shared = prod.keySet intersect port.keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => prod(k) == port(k)),
+      "exact-Jaccard verification must not depend on the candidate family")
+    val high = (prod ++ port).collect { case (k, v) if v >= 9900 => k }
+    assert(high.forall(k => prod.contains(k) && port.contains(k)),
+      "near-exact dups must be candidates under BOTH hash families")
+  }
+
+  test("portable simhash: exact dups at hamming 0, found via banding") {
+    val planted = docs.limit(3)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      .unionByName(docs)
+    val found = Dedup.simHashNearDupsPortable(planted, maxHamming = 0)
+      .where(col("b") >= 1000000L).count()
+    assert(found >= 3)
+  }
+
+  test("portable winnowing: full-substring containment found, tiny docs drop") {
+    import spark.implicits._
+    val half = docs.limit(3).select(col("doc_id") + 1000000L,
+      substring(col("text"), 1, 200)).toDF("doc_id", "text")
+    val tiny = Seq((2000001L, "short")).toDF("doc_id", "text") // < k+window-1 chars
+    val all = docs.select("doc_id", "text").unionByName(half).unionByName(tiny)
+    val hits = Fingerprint.containmentPortable(all, minContainBp = 9000L)
+      .where(col("b") >= 1000000L)
+    assert(hits.count() >= 3, "substring prefixes must contain >= 0.9")
+    assert(Fingerprint.fingerprintsPortable(tiny).select(size(col("fps")))
+      .head().getInt(0) == 0, "sub-window docs yield no fingerprints (x80 twin rule)")
+  }
+
   test("minhash: candidate pairs are a small fraction of all pairs") {
     val n = docs.count()
     val cands = Dedup.candidatePairs(docs, numHashes = 64, rowsPerBand = 4).count()
