@@ -22,6 +22,22 @@ object Scratch {
       val r = f
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
     }
+    if (args.contains("semdedup")) {
+      // pair-count curve for SCALE.md §10: planted mega-cluster of
+      // identical vectors, capped vs uncapped candidate pairs
+      import spark.implicits._
+      val embs = Catalog.load(spark, dir, "embeddings").select("vec_id", "embedding")
+      val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head._2
+      val m = 5000
+      val planted = (0 until m).map(i => (1000000L + i, proto)).toDF("vec_id", "embedding")
+      val all = embs.unionByName(planted).cache(); all.count()
+      for (cap <- Seq(50, 100, 200, 400, Int.MaxValue)) {
+        t(s"semdedup cap=$cap pairs")(
+          llm.Ann.semDeDup(all, cap = cap, minSimBp = -20000L)
+            .where(col("keep_id") >= 1000000L).count())
+      }
+      spark.stop(); return
+    }
     t("shingleSets.count")(Dedup.shingleSets(docs).count())
     val sets = Dedup.shingleSets(docs)
     t("signature[64].agg")(sets

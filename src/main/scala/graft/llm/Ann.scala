@@ -315,6 +315,67 @@ object Ann {
       .orderBy(desc("sim_bp"), col("a"), col("b"))
   }
 
+  /** SemDeDup with a bounded per-group pair cost — the scale-safe form of
+    * the x119 shape (VERDICT r4 "weak-at-scale" #1). The uncapped
+    * algorithm pairs all vectors within a semantic cluster: O(Σ cluster²),
+    * and one degenerate mega-cluster (boilerplate-heavy real corpora
+    * produce exactly this) makes a single shuffle partition quadratic.
+    *
+    * Bounding strategy, two levels, applied only to clusters above `cap`:
+    *  1. LSH sub-bucket (hyperplane sign bits): semantically-near vectors
+    *     agree on nearly all sign bits, so near-dup recall survives the
+    *     split — but an all-identical mega-cluster lands in ONE bucket,
+    *     so LSH alone does NOT bound the cost;
+    *  2. uniform salt: each (cluster, bucket) group larger than `cap` is
+    *     split ceil(gsize/cap) ways by hash(vec_id) — a hard expected
+    *     bound of ~cap rows per join group. Identical vectors split
+    *     uniformly, so a mega-cluster of M identical docs yields
+    *     ~M·cap/2 pairs instead of M²/2, and dedup still drops all but
+    *     one doc per salt group (M → ceil(M/cap) survivors per pass).
+    *
+    * Clusters at-or-under `cap` keep exact all-pairs semantics (k2 = 0,
+    * one salt), so cap = MaxValue degrades to the uncapped algorithm.
+    * The per-(cluster,bucket) group-size table joined back is index
+    * metadata (≤ nAnchors·2^numPlanes rows) — broadcast, like IVF
+    * centroids. Measured pair-count curve: SCALE.md §10. */
+  def semDeDup(embeddings: DataFrame, nAnchors: Int = 8,
+               minSimBp: Long = 3500L, cap: Int = Int.MaxValue,
+               numPlanes: Int = 12, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val anchors = embeddings.where(col("vec_id") < nAnchors)
+      .select(col("vec_id"), toDouble(col("embedding")).as("ae"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // nearest-anchor assignment, unrolled greatest-of-structs (driver-
+    // resident anchors broadcast as literals, same pattern as ivfAssign)
+    val scored = anchors.map { case (id, a) =>
+      val an = math.sqrt(a.map(x => x * x).sum)
+      struct((dot(col("e"), lit(a)) / (norm(col("e")) * an)).as("sim"),
+        lit(id).as("aid"))
+    }
+    val mat = planes(numPlanes, dim, seed)
+    val assigned = bucketed(embeddings.where(col("vec_id") >= nAnchors), mat)
+      .withColumn("cluster_id", greatest(scored: _*).getField("aid"))
+    val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val keyed = assigned.join(broadcast(sizes), "cluster_id")
+      .withColumn("k2",
+        when(col("csize") <= cap, lit(0L)).otherwise(col("bucket")))
+    val groups = keyed.groupBy("cluster_id", "k2").agg(count(lit(1)).as("gsize"))
+    val salted = keyed.join(broadcast(groups), Seq("cluster_id", "k2"))
+      .withColumn("salt",
+        when(col("csize") <= cap, lit(0L))
+          .otherwise(pmod(xxhash64(col("vec_id")),
+            greatest(ceil(col("gsize") / lit(cap.toDouble)).cast("long"), lit(1L)))))
+      .select(col("cluster_id"), col("k2"), col("salt"), col("vec_id"), col("e"))
+    salted.as("x").join(salted.as("y"),
+        col("x.cluster_id") === col("y.cluster_id") &&
+        col("x.k2") === col("y.k2") && col("x.salt") === col("y.salt") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.cluster_id").as("cluster_id"),
+        col("x.vec_id").as("keep_id"), col("y.vec_id").as("drop_id"),
+        floor(cosine(col("x.e"), col("y.e")) * 10000.0).cast("long").as("sim_bp"))
+      .where(col("sim_bp") >= minSimBp)
+      .orderBy(col("cluster_id"), col("keep_id"), col("drop_id"))
+  }
+
   /** Sorted multi-probe bucket sequence (the design popularized by Lv
     * et al., VLDB'07): a vector near the query most likely differs in
     * the sign bits whose hyperplane margin |dot(q, plane)| is SMALLEST,

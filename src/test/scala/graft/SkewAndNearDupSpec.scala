@@ -61,4 +61,58 @@ class SkewAndNearDupSpec extends SparkSpec {
       .collect()
     assert(got.forall(_.getLong(2) >= 3000L))
   }
+
+  test("semdedup: huge cap equals independent exact within-cluster pairs") {
+    val embs = Catalog.load(spark, sf0001, "embeddings")
+    // independent reference: cross-join + window argmax assignment, then
+    // all within-cluster pairs — a different execution path than the
+    // operator's greatest-of-structs + salted self-join
+    val a = embs.where(col("vec_id") < 8)
+      .select(col("vec_id").as("aid"),
+        transform(col("embedding"), x => x.cast("double")).as("ae"))
+    val v = embs.where(col("vec_id") >= 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+    val best = v.crossJoin(a)
+      .withColumn("asim", Ann.cosine(col("e"), col("ae")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(desc("asim"), desc("aid"))))
+      .where(col("rn") === 1).select(col("vec_id"), col("e"), col("aid"))
+    val want = best.as("x").join(best.as("y"),
+        col("x.aid") === col("y.aid") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.aid").as("cluster_id"), col("x.vec_id").as("keep_id"),
+        col("y.vec_id").as("drop_id"),
+        floor(Ann.cosine(col("x.e"), col("y.e")) * 10000.0).cast("long").as("sim_bp"))
+      .where(col("sim_bp") >= 3500L)
+      .collect().map(_.toSeq).toSet
+    val got = Ann.semDeDup(embs).collect().map(_.toSeq).toSet
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("semdedup: cap bounds mega-cluster pair cost, dedup coverage survives") {
+    import spark.implicits._
+    val embs = Catalog.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    // degenerate mega-cluster: 1500 identical copies of one vector —
+    // the boilerplate-duplication shape that makes uncapped SemDeDup
+    // quadratic in one shuffle partition
+    val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head._2
+    val planted = (0 until 1500).map(i => (100000L + i, proto)).toDF("vec_id", "embedding")
+    val all = embs.unionByName(planted)
+    val cap = 100
+    // minSimBp below any cosine → counts CANDIDATE pairs, not verified ones
+    val cand = Ann.semDeDup(all, cap = cap, minSimBp = -20000L)
+      .where(col("keep_id") >= 100000L).cache()
+    val nPairs = cand.count()
+    assert(nPairs > 0 && nPairs <= 1500L * cap,
+      s"$nPairs mega-cluster pairs — expected O(n*cap), uncapped would be ${1500L * 1499 / 2}")
+    // identical vectors pair at sim ~1.0: all but one doc per salt group
+    // must be droppable (ceil(1500/cap) ~ 15 survivors + float slack)
+    val droppable = cand.where(col("sim_bp") >= 9990L)
+      .select("drop_id").distinct().count()
+    assert(droppable >= 1500 - 30,
+      s"only $droppable of 1500 planted dups droppable under cap=$cap")
+    cand.unpersist()
+  }
 }
