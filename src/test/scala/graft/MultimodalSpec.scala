@@ -69,6 +69,47 @@ class MultimodalSpec extends SparkSpec {
       s"LSH recall too low: exact=$exact approx=$approx")
   }
 
+  test("real PNG/BMP decode: true dimensions, content features reach ANN") {
+    import spark.implicits._
+    def encode(fmt: String, w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val halves = encode("png", 48, 32,
+      (x, _) => if (x < 24) 0x101010 else 0xf0f0f0)   // dark left, bright right
+    val bmp = encode("bmp", 20, 10, (_, _) => 0x808080)
+    val notAnImage = "definitely not image bytes".getBytes("UTF-8")
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", halves, Map()),
+      Multimodal.MediaRow(2L, "image", bmp, Map()),
+      Multimodal.MediaRow(3L, "image", notAnImage, Map()))
+    val f = Multimodal.decodeFeatures(rows.toDS())
+      .collect().map(r => r.media_id -> r).toMap
+    // true dimensions from the real decoder, through the Spark pipeline
+    assert(f(1L).width == 48 && f(1L).height == 32)
+    assert(f(2L).width == 20 && f(2L).height == 10)
+    // content-derived features: left grid cells darker than right cells
+    val e = f(1L).embedding
+    assert(e(0) < e(3) && e(4) < e(7), e.toSeq.toString)
+    // unit norm — the shape the ANN tier expects
+    assert(math.abs(e.map(v => v.toDouble * v).sum - 1.0) < 1e-4)
+    // near-identical images must land at cosine ~1 (multimodal -> ANN)
+    val shifted = encode("png", 48, 32,
+      (x, _) => if (x < 24) 0x111111 else 0xefefef)
+    val e2 = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(4L, "image", shifted, Map())).toDS())
+      .head().embedding
+    val cos = e.zip(e2).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos > 0.999, s"near-identical images cosine $cos")
+    // undecodable bytes fall back to the deterministic stub
+    val (sw, sh, _) = Multimodal.decodeStub(notAnImage)
+    assert(f(3L).width == sw && f(3L).height == sh)
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()
