@@ -27,43 +27,61 @@ object GlobalWindow {
     * exchange, and the RangePartitioner re-SAMPLES boundaries per
     * execution — the branches can disagree on which partition a row
     * belongs to, silently corrupting every offset (caught by the sf0.1
-    * oracle on x101). Instead: one tiny up-front job collects ~`n`
-    * evenly-spaced sample quantile keys, pins them as LITERAL
-    * boundaries, and assigns `__pid` = number of boundaries ≤ key — the
-    * same id in every branch, every re-execution, every plan shape.
+    * oracle on x101). Instead: ONE aggregation job computes n-1
+    * approximate quantiles of a monotone numeric surrogate of the first
+    * order column (percentile_approx — agg-side GK sketch, mergeable
+    * fixed-size state; the driver receives n-1 doubles, not a row
+    * sample — VERDICT r4 #4 replacing the 1M-row collect), pins them as
+    * LITERAL boundaries, and assigns `__pid` = number of boundaries
+    * ≤ surrogate(key) — the same id in every branch, every
+    * re-execution, every plan shape.
+    *
+    * Correctness needs only that the bucketing function is a monotone
+    * (non-strict) function of the order key: equal keys share a bucket
+    * (ties never straddle), bucket ids respect key order, and the
+    * offsets are computed exactly from the actual bucket contents —
+    * boundary PLACEMENT affects balance, never results. Surrogate
+    * collapse (string prefix ties, heavy first-column duplicates) can
+    * skew bucket sizes; a degenerate single-value key degrades to one
+    * bucket — the single-task shape, correct, and no worse than what
+    * any range partitioner does with one key value.
     *
     * NULL keys compare to false against every boundary → bucket 0,
-    * matching Spark's ASC NULLS FIRST window-order default.
+    * matching Spark's ASC NULLS FIRST window-order default (the sketch
+    * ignores NULLs, so boundaries are never NULL — ADVICE r3 #4).
     */
   private def bucketed(df: DataFrame, order: Seq[String], n: Int)
       : (DataFrame, Int) = {
-    val oc = order.map(col)
-    val total = df.count()
-    if (total == 0) return (df.withColumn("__pid", lit(0)), 1)
-    // ~60 samples per target bucket, capped — one column-pruned pass
-    val sampleN = math.min(60L * n, 1000000L)
-    val fraction = math.min(1.0, sampleN.toDouble / total)
-    val sample = df.select(oc: _*).sample(withReplacement = false, fraction, seed = 7)
-      .orderBy(oc: _*).collect()
-    val step = math.max(1, sample.length / n)
-    // A NULL inside a boundary row would make geq() evaluate to NULL for
-    // every row (mapped to 0 by otherwise(0)), silently collapsing that
-    // boundary into its left neighbor — correct but skew-prone on
-    // NULL-heavy keys (ADVICE r3 #4). NULL keys already land in bucket 0
-    // by construction, so NULL-bearing rows are never useful boundaries.
-    val bounds = (step until sample.length by step).take(n - 1)
-      .map(sample(_)).distinct
-      .filterNot(b => order.indices.exists(b.isNullAt))
-    // key >= boundary, lexicographically over the order columns
-    def geq(b: org.apache.spark.sql.Row): Column =
-      order.indices.reverse.foldLeft(lit(true)) { (tieRest, i) =>
-        val bi = lit(b.get(i))
-        (col(order(i)) > bi) || (col(order(i)) === bi && tieRest)
-      }
+    val s = surrogate(col(order.head), df.schema(order.head).dataType)
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val qRow = df.agg(
+      percentile_approx(s, lit(probs), lit(10000)).as("q")).head()
+    val bounds: Seq[Double] =
+      if (qRow.isNullAt(0)) Nil // empty input or all-NULL key
+      else qRow.getSeq[Double](0).distinct.filterNot(_.isNaN)
     val pid = bounds.foldLeft(lit(0))((acc, b) =>
-      acc + when(geq(b), 1).otherwise(0))
-    (df.withColumn("__pid", pid).repartition(n, col("__pid")),
+      acc + when(s >= lit(b), 1).otherwise(0))
+    (df.withColumn("__pid", pid).repartition(math.max(n, 1), col("__pid")),
       bounds.length + 1)
+  }
+
+  /** Monotone numeric surrogate for quantile sketching: numeric kinds
+    * cast to double (round-to-nearest is order-preserving, collisions
+    * become ties); date/timestamp via epoch seconds; strings via their
+    * first 7 UTF-8 bytes as a big-endian integer — Spark compares
+    * strings byte-wise, so the zero-padded prefix is byte-order-
+    * compatible and fits exactly in a double-precise long. */
+  private def surrogate(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        conv(rpad(substring(hex(c.cast("binary")), 1, 14), 14, "0"), 16, 10)
+          .cast("double")
+      case DateType | TimestampType | TimestampNTZType =>
+        c.cast(TimestampType).cast("double")
+      case BooleanType => c.cast("int").cast("double")
+      case _ => c.cast("double")
+    }
   }
 
   /** Global running sum of `value` in `order` order, `out` column added.

@@ -54,6 +54,32 @@ class GlobalWindowSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("wide string keys: ranks match single-task window, driver gets a sketch") {
+    // wide multi-column string key — the case whose 1M-row boundary
+    // sample could reach hundreds of driver MB before the
+    // percentile_approx sketch replaced it (VERDICT r4 #4). The first
+    // order column is a padded string (exercises the 7-byte-prefix
+    // surrogate, including shared prefixes that collapse to ties);
+    // c_custkey makes the full key unique.
+    val wide = customer.withColumn("wkey",
+      concat(lit("prefix-shared-"), substring(col("c_name"), -4, 4),
+        lit("-"), rpad(col("c_mktsegment"), 64, "x")))
+    val w = Window.orderBy(col("wkey"), col("c_custkey"))
+    val want = wide
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("cd", round(cume_dist().over(w), 6))
+      .select("c_custkey", "rn", "rk", "cd")
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val ranked = GlobalWindow.ranks(wide,
+      Seq("wkey", "c_custkey"), partitions = 7)
+    val got = ranked
+      .select(col("c_custkey"), col("g_rn").as("rn"), col("g_rank").as("rk"),
+        round(col("g_cume_dist"), 6).as("cd"))
+      .orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("two-pass ranks handle ties straddling nothing (tie-heavy key)") {
     // user_id has ~50 rows per value at sf0.001 — ties MUST stay
     // partition-local under range partitioning; only tie-invariant
