@@ -70,6 +70,47 @@ class PlanAuditSpec extends SparkSpec {
   // the SQL tier (whose plans must stay 100% codegen'd built-ins — the
   // custom-Expression tier excepted by construction since cosine_sim IS
   // codegen'd, printed as cosine_sim(...), never UDF(...)).
+  test("CBO: collected stats reorder a badly-written join (fact no longer first)") {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    // At 100 TB, join order on fact-fact joins is stats-driven: ANALYZE
+    // feeds row counts + column min/max/ndv to CostBasedJoinReorder,
+    // which must rewrite a query whose WRITTEN order joins the big fact
+    // first into the selective-dimension-first shape (SCALE.md §1).
+    Catalog.ensure(spark, sf0001)
+    for (t <- Seq("lineitem", "orders", "customer")) {
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      spark.sql(s"CREATE TABLE cbo_$t USING parquet AS SELECT * FROM $t")
+      spark.sql(s"ANALYZE TABLE cbo_$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    // badly written: the 6k-row fact scans first, while the c_acctbal
+    // filter makes customer the by-far smallest input (stats know it)
+    val bad =
+      """SELECT count(*) AS c
+        |FROM cbo_lineitem JOIN cbo_orders ON l_orderkey = o_orderkey
+        |  JOIN cbo_customer ON o_custkey = c_custkey
+        |WHERE c_acctbal < -900.0""".stripMargin
+    def leafOrder(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.catalogTable.map(_.identifier.table)
+      case _ => None
+    }
+    def withCbo[A](on: Boolean)(f: => A): A = {
+      spark.conf.set("spark.sql.cbo.enabled", on)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", on)
+      try f finally {
+        spark.conf.set("spark.sql.cbo.enabled", false)
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", false)
+      }
+    }
+    val off = withCbo(false)(leafOrder(spark.sql(bad).queryExecution.optimizedPlan))
+    val on = withCbo(true)(leafOrder(spark.sql(bad).queryExecution.optimizedPlan))
+    assert(off.head == "cbo_lineitem", s"written order must start at the fact: $off")
+    assert(on != off && on.head != "cbo_lineitem",
+      s"CBO must reorder the filtered dimension ahead of the fact: off=$off on=$on")
+    for (t <- Seq("lineitem", "orders", "customer"))
+      spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself
