@@ -228,6 +228,15 @@ object EventStream {
   /** Same, with an explicit output mode ("update" for mapGroupsWithState). */
   def drainToMemory(spark: SparkSession, df: DataFrame, name: String,
                     mode: String): String = {
+    drainToMemoryWithQuery(spark, df, name, mode)
+    name
+  }
+
+  /** Same, returning the terminated query handle — `lastProgress` stays
+    * readable after termination, which is how StreamingSpec asserts
+    * state-store provider + bounded state metrics (RocksDB case). */
+  def drainToMemoryWithQuery(spark: SparkSession, df: DataFrame, name: String,
+                             mode: String): org.apache.spark.sql.streaming.StreamingQuery = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
@@ -235,6 +244,6 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    name
+    q
   }
 }
