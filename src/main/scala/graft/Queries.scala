@@ -1678,7 +1678,125 @@ object Queries {
         |       cast(max(m) AS VARCHAR) AS max_money,
         |       cast(cast(round(sum(m * cast(0.9 AS DECIMAL(2,1))), 1) AS DECIMAL(18,1)) AS VARCHAR) AS disc_money,
         |       round(cast(avg(m) AS DOUBLE), 4) AS avg_money
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Statistical moment aggregates. stddev/variance (sample+population)
+    // have identical semantics on both engines; skewness/kurtosis do NOT
+    // (Spark: population central-moment ratios m3/m2^1.5 and m4/m2²-3;
+    // DuckDB: bias-corrected sample versions), so the oracle states
+    // Spark's definition explicitly via a two-pass central-moment CTE —
+    // the battery doubles as executable documentation of the delta.
+    q("x124_stats_battery",
+      """SELECT event_type,
+        |       round(stddev_samp(value),4) AS sd_s, round(stddev_pop(value),4) AS sd_p,
+        |       round(var_samp(value),4) AS var_s, round(var_pop(value),4) AS var_p,
+        |       round(skewness(value),4) AS skew, round(kurtosis(value),4) AS kurt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH mu AS (SELECT event_type, avg(value) AS mean FROM events GROUP BY 1),
+        |m AS (SELECT e.event_type,
+        |        avg(pow(e.value - mu.mean, 2)) AS m2,
+        |        avg(pow(e.value - mu.mean, 3)) AS m3,
+        |        avg(pow(e.value - mu.mean, 4)) AS m4
+        |      FROM events e JOIN mu ON e.event_type = mu.event_type GROUP BY 1)
+        |SELECT e.event_type,
+        |       round(stddev_samp(e.value),4) AS sd_s, round(stddev_pop(e.value),4) AS sd_p,
+        |       round(var_samp(e.value),4) AS var_s, round(var_pop(e.value),4) AS var_p,
+        |       round(any_value(m.m3 / pow(m.m2, 1.5)),4) AS skew,
+        |       round(any_value(m.m4 / pow(m.m2, 2) - 3),4) AS kurt
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Bivariate/regression aggregates over genuinely correlated columns
+    // (quantity drives extendedprice): corr / covar / the regr_* family —
+    // identical ANSI semantics on both engines.
+    q("x125_regression_agg",
+      """SELECT l_returnflag,
+        |       round(corr(l_extendedprice, l_quantity),4) AS r,
+        |       round(covar_samp(l_extendedprice, l_quantity),4) AS cov_s,
+        |       round(covar_pop(l_extendedprice, l_quantity),4) AS cov_p,
+        |       round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
+        |       round(regr_r2(l_extendedprice, l_quantity),4) AS r2,
+        |       cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |       round(regr_avgx(l_extendedprice, l_quantity),4) AS ax,
+        |       round(regr_avgy(l_extendedprice, l_quantity),4) AS ay
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Edit-distance fuzzy matching (the typo-tier dedup signal exact and
+    // shingle dedup both miss). Candidates banded by p_brand with a
+    // bounded key-distance window — the candidate-generation discipline
+    // of every dedup operator here — then classic Levenshtein, identical
+    // DP semantics on both engines.
+    q("x126_levenshtein",
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |       cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | AND b.p_partkey - a.p_partkey <= 40
+        |WHERE levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY dist, pa, pb""".stripMargin),
+
+    // Ordinal explode (position-aware tokenization — the shape BPE-style
+    // token pipelines need). Spark posexplode; DuckDB reconstructs the
+    // ordinal with a range lateral join over the split list.
+    q("x127_posexplode",
+      """SELECT doc_id, pos, tok
+        |FROM (SELECT doc_id, posexplode(split(text, ' ')) AS (pos, tok) FROM documents)
+        |WHERE doc_id < 40 AND pos < 5
+        |ORDER BY doc_id, pos""".stripMargin,
+      """SELECT doc_id, i - 1 AS pos, w[i] AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |     range(1, 6) r(i)
+        |WHERE doc_id < 40 AND i <= len(w)
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // PIVOT: event-type columns per user bucket (Spark's native PIVOT
+    // syntax; the oracle states the equivalent conditional aggregation —
+    // which is also exactly the plan Spark compiles PIVOT into).
+    q("x128_pivot",
+      """SELECT * FROM (
+        |  SELECT user_id % 10 AS ub, event_type FROM events)
+        |PIVOT (count(*) FOR event_type IN ('click' AS click, 'view' AS view, 'purchase' AS purchase))
+        |ORDER BY ub""".stripMargin,
+      """SELECT user_id % 10 AS ub,
+        |       cast(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       cast(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |       cast(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Map-typed column construction + lookup, surfaced as scalars (map
+    // values cannot hash-compare across engines; element_at lookups can).
+    // Spark builds a real MapType from collected entries; the oracle
+    // computes the same lookups with conditional aggregation.
+    q("x129_map_funcs",
+      """WITH per AS (SELECT event_type, user_id % 5 AS ub, count(*) AS c
+        |             FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, map_from_entries(sort_array(collect_list(struct(ub, c)))) AS mp
+        |      FROM per GROUP BY 1)
+        |SELECT event_type,
+        |       cast(size(mp) AS BIGINT) AS nkeys,
+        |       element_at(mp, 0) AS b0, element_at(mp, 4) AS b4,
+        |       cast(aggregate(map_values(mp), 0L, (s, v) -> s + v) AS BIGINT) AS total
+        |FROM m ORDER BY event_type""".stripMargin,
+      """WITH per AS (SELECT event_type, user_id % 5 AS ub, count(*) AS c
+        |             FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       cast(count(*) AS BIGINT) AS nkeys,
+        |       cast(sum(c) FILTER (WHERE ub = 0) AS BIGINT) AS b0,
+        |       cast(sum(c) FILTER (WHERE ub = 4) AS BIGINT) AS b4,
+        |       cast(sum(c) AS BIGINT) AS total
+        |FROM per GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // Bitwise aggregates (feature-flag folding): bit_and/bit_or/bit_xor
+    // over a deterministic per-event flag word — identical semantics on
+    // both engines.
+    q("x130_bit_aggs",
+      """WITH f AS (SELECT event_type, user_id % 256 AS flags FROM events)
+        |SELECT event_type,
+        |       cast(bit_and(flags) AS BIGINT) AS f_and,
+        |       cast(bit_or(flags) AS BIGINT) AS f_or,
+        |       cast(bit_xor(flags) AS BIGINT) AS f_xor
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
