@@ -44,6 +44,34 @@ object EventStream {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Deterministic synthetic event from an ordinal `value` column —
+    * shared by the unbounded rate source and its batch parity
+    * recomputation, so "same ordinals in" must mean "same windows out"
+    * regardless of which source delivered them. Event time advances one
+    * minute per ordinal from a fixed epoch; the wall-clock rate
+    * timestamp is deliberately ignored (it can never be replayed). */
+  def synthEvents(ordinals: DataFrame): DataFrame =
+    ordinals.select(
+      col("value").as("event_id"),
+      expr("timestamp_micros(1704067200000000 + value * 60000000)").as("ts"),
+      (col("value") % 97).as("user_id"),
+      element_at(lit(Array("click", "view", "purchase")),
+        (col("value") % 3 + 1).cast("int")).as("event_type"),
+      (col("value") % 1000).cast("double").as("value"))
+
+  /** UNBOUNDED source tier (the path a bounded file replay never
+    * exercises): the rate source emits ordinals forever, so the query
+    * has no end-of-input — windows are finalized purely by watermark
+    * advance and the query is stopped, not drained. StreamingSpec
+    * asserts every window emitted before the stop matches the batch
+    * recomputation over the same ordinals. On a real deployment the
+    * message bus slots in here: same unbounded contract, same
+    * watermark-driven finalization. */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int = 2000): DataFrame =
+    synthEvents(spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(col("value")))
+
   /** Tumbling 6-hour window: count + sum(value) (streaming analog of q45). */
   def tumbling6h(events: DataFrame): DataFrame =
     events

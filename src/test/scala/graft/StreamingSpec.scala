@@ -132,6 +132,37 @@ class StreamingSpec extends SparkSpec {
     assert(after.toSeq == batchDirs.toSeq)
   }
 
+  test("unbounded rate source: watermark-finalized windows match batch") {
+    // No end-of-input here: windows close only because the watermark
+    // advances, and the query is STOPPED mid-stream — the correctness
+    // contract is that every window emitted before the stop equals the
+    // batch recomputation over the same deterministic ordinals.
+    val q = EventStream.tumbling6h(EventStream.rateEvents(spark, 2000))
+      .writeStream.format("memory").queryName("rate_t6h")
+      .outputMode("append").start()
+    try {
+      val deadline = System.currentTimeMillis() + 90000
+      while (spark.table("rate_t6h").count() < 3 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(500)
+    } finally q.stop()
+    val got = spark.table("rate_t6h")
+      .select(col("w_start"), col("c"), col("s").cast("long").as("s"))
+      .collect().map(_.toSeq).toSet
+    assert(got.size >= 3, s"only ${got.size} windows finalized before stop")
+    // batch parity over enough ordinals to cover every emitted window
+    // (360 one-minute ordinals per 6h window, + slack)
+    val maxStart = spark.table("rate_t6h")
+      .agg(max(unix_timestamp(col("w_start")))).head().getLong(0)
+    val nOrd = (maxStart - 1704067200L) / 60 + 720
+    val batch = EventStream.synthEvents(spark.range(0, nOrd).toDF("value"))
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).cast("long").as("s"))
+      .select(col("window.start").as("w_start"), col("c"), col("s"))
+      .collect().map(_.toSeq).toSet
+    assert(got.subsetOf(batch),
+      s"streamed windows must equal batch: extra=${got -- batch}")
+  }
+
   test("RocksDB state store: same answers, bounded state, provider active") {
     // The 100 TB streaming claim needs state that spills off-heap: run
     // the watermarked-dedup replay on RocksDBStateStoreProvider (bundled
