@@ -21,6 +21,45 @@ object Scratch {
       val t0 = System.nanoTime()
       val r = f
       println(f"[scratch] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($r)")
+      // same hygiene as Verify: operators persist shared extractions and
+      // never unpersist (correct within one query's lifetime); letting
+      // them accumulate across the battery starves execution memory and
+      // produced phantom 20× "regressions" (a 137 s minHashNearDups that
+      // times at 5-7 s in a fresh JVM)
+      spark.catalog.clearCache()
+    }
+    if (args.contains("minhash")) {
+      // isolated production-vs-portable MinHash timing, both orders
+      if (args.contains("rev")) {
+        t("portable first")(Dedup.minHashNearDupsPortable(docs).count())
+        t("production second")(Dedup.minHashNearDups(docs, 64, 4, 5000L).count())
+      } else {
+        t("production first")(Dedup.minHashNearDups(docs, 64, 4, 5000L).count())
+        t("portable second")(Dedup.minHashNearDupsPortable(docs).count())
+      }
+      spark.stop(); return
+    }
+    if (args.contains("sigkernel")) {
+      // signature-kernel A/B for the Dedup.minHashSignature comment: the
+      // retired per-slot form (64 string hashes per shingle) vs the
+      // single-hash + affine form now shipped. Same shingle input, same
+      // reduction, fresh JVM, alternating order over 3 reps.
+      val sets = Dedup.shingleSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sets.count()
+      def perSlot(shs: org.apache.spark.sql.Column, n: Int) =
+        Cols.bind(shs) { a =>
+          transform(sequence(lit(0), lit(n - 1)),
+            i => array_min(transform(a, s => xxhash64(s, i))))
+        }
+      def run(label: String, sig: org.apache.spark.sql.Column): Unit =
+        t(label)(sets.select(sig.as("sig"))
+          .agg(sum(element_at(col("sig"), 1).cast("double"))).collect()(0))
+      for (rep <- 1 to 3) {
+        run(s"affine   sig64 rep$rep", Dedup.minHashSignature(col("shs"), 64))
+        run(s"per-slot sig64 rep$rep", perSlot(col("shs"), 64))
+      }
+      spark.stop(); return
     }
     if (args.contains("semdedup")) {
       // pair-count curve for SCALE.md §10: planted mega-cluster of
@@ -49,6 +88,9 @@ object Scratch {
       Dedup.candidatePairs(docs, 64, 4).count())
     t("minHashNearDups.count")(
       Dedup.minHashNearDups(docs, 64, 4, 5000L).count())
+    t("minHashNearDupsPortable")(Dedup.minHashNearDupsPortable(docs).count())
+    t("simHashNearDupsPortable")(Dedup.simHashNearDupsPortable(docs).count())
+    t("containmentPortable")(Fingerprint.containmentPortable(docs, 5000L).count())
     t("fingerprints.count")(Fingerprint.fingerprints(docs).count())
     t("fp inv pairs")(
       {

@@ -42,13 +42,30 @@ object Dedup {
       .where(size(col("shs")) > 0)
       .withColumn("n", size(col("shs")))
 
-  /** MinHash signature: element i = min over shingles of xxhash64(s, i).
-    * The shingle array is let-bound so it's built once per row, not once
-    * per hash function (see [[Cols.bind]]). */
+  /** MinHash signature, single-hash + affine-permutation construction
+    * (Broder's classic form): hash every shingle ONCE with xxhash64,
+    * then element i = min over shingles of (a_i·hv + b_i) mod 2^31-1.
+    *
+    * The previous form — element i = min of xxhash64(s, i) — re-hashed
+    * every shingle STRING per signature slot: 64 string hashes per
+    * shingle, vs one here plus 64 integer affine transforms. Honest
+    * measurement (Scratch `sigkernel`, fresh JVM, 3 alternating reps at
+    * sf0.1): kernel 1.1–1.7 s affine vs 1.5–2.0 s per-slot — ~1.2–1.6×,
+    * NOT the 46× an earlier in-battery timing suggested (that was cache
+    * starvation across the battery, see the `t()` note in Scratch). The
+    * win is asymptotic, not local: string-hash work drops 64× per
+    * shingle byte, and this corpus's ~short synthetic shingles make the
+    * kernel scheduling-bound; at real KB-document scale the per-slot
+    * form's cost grows with text volume while the affine form's stays
+    * one pass (SCALE.md §4). The 31-bit truncation costs ~n²/2^32
+    * birthday collisions across distinct shingles — noise relative to
+    * the LSH candidate-probability curve. Hash array let-bound
+    * ([[Cols.bind]]) so it is built once per row. */
   def minHashSignature(shs: Column, numHashes: Int): Column =
-    Cols.bind(shs) { a =>
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(a, s => xxhash64(s, i))))
+    Cols.bind(transform(shs, s => xxhash64(s).bitwiseAND(0x7FFFFFFFL))) { hvs =>
+      array(portablePerms(numHashes).map { case (a, b) =>
+        array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
+      }: _*)
     }
 
   // ---------------------------------------------------------------------
