@@ -132,12 +132,22 @@ object Pipeline {
           explode(sequence(lit(1), col("copies"))).as("copy_id"))
     }
 
-    // 8. similarity index: train IVF on embeddings, probe with vec 0
+    // 8. semantic embedding dedup: capped SemDeDup (Ann.semDeDup — the
+    // cap keeps any mega-cluster's pair cost at ~cap per row, SCALE.md
+    // §10) drops near-identical vectors before the index build
     val emb = Catalog.load(spark, dir, "embeddings")
-    stage("ivf_probe", emb.count()) {
-      val q = emb.where(col("vec_id") === 0)
+    val (embDedup, nEmb) = stage("semantic_dedup", emb.count()) {
+      val losers = llm.Ann.semDeDup(emb, minSimBp = 9500L, cap = 256)
+        .select(col("drop_id").as("vec_id")).distinct()
+      emb.join(losers, Seq("vec_id"), "left_anti")
+    }
+
+    // 9. similarity index: train IVF on the deduped embeddings, probe
+    // with vec 0
+    stage("ivf_probe", nEmb) {
+      val q = embDedup.where(col("vec_id") === 0)
         .head().getSeq[Float](1).map(_.toDouble).toSeq
-      llm.Ann.ivfTopK(emb.where(col("vec_id") =!= 0), q,
+      llm.Ann.ivfTopK(embDedup.where(col("vec_id") =!= 0), q,
         k = 10, nLists = 16, nProbe = 4)
     }
 
