@@ -1796,7 +1796,251 @@ object Queries {
         |       cast(bit_and(flags) AS BIGINT) AS f_and,
         |       cast(bit_or(flags) AS BIGINT) AS f_or,
         |       cast(bit_xor(flags) AS BIGINT) AS f_xor
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Time-RANGE window frame: per-user rolling 6h count/sum keyed by
+    // EVENT TIME, not row position (ROWS frames — q27 — cannot express
+    // this). RANGE includes all ts-peers, so the frame contents are
+    // deterministic even with duplicate timestamps; the sum is floored
+    // to centi-units pre-comparison to keep float accumulation order
+    // out of the hash.
+    q("x131_time_range_frame",
+      """SELECT event_id, user_id,
+        |       cast(count(*) OVER w AS BIGINT) AS n6h,
+        |       cast(floor(sum(value) OVER w * 100) AS BIGINT) AS s6h_c
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 6 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+      """SELECT event_id, user_id,
+        |       cast(count(*) OVER w AS BIGINT) AS n6h,
+        |       cast(floor(sum(value) OVER w * 100) AS BIGINT) AS s6h_c
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
+    // URL parsing battery (crawl-corpus provenance handling): synthetic
+    // deterministic URLs through Spark's parse_url; DuckDB reconstructs
+    // each component with anchored regexes — the oracle doubles as the
+    // component grammar.
+    q("x132_url_parse",
+      """WITH u AS (SELECT c_custkey,
+        |             concat('https://', lower(replace(c_mktsegment,' ','')),
+        |                    '.example.com/seg/', cast(c_nationkey AS STRING),
+        |                    '/item?id=', cast(c_custkey AS STRING), '&ref=mail') AS url
+        |           FROM customer WHERE c_custkey <= 500)
+        |SELECT c_custkey,
+        |       parse_url(url, 'HOST') AS host,
+        |       parse_url(url, 'PATH') AS path,
+        |       parse_url(url, 'QUERY') AS query,
+        |       parse_url(url, 'QUERY', 'id') AS qid
+        |FROM u ORDER BY c_custkey""".stripMargin,
+      """WITH u AS (SELECT c_custkey,
+        |             concat('https://', lower(replace(c_mktsegment,' ','')),
+        |                    '.example.com/seg/', cast(c_nationkey AS VARCHAR),
+        |                    '/item?id=', cast(c_custkey AS VARCHAR), '&ref=mail') AS url
+        |           FROM customer WHERE c_custkey <= 500)
+        |SELECT c_custkey,
+        |       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+        |       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+        |       regexp_extract(url, '\?([^#]*)', 1) AS query,
+        |       regexp_extract(url, '[?&]id=([^&#]*)', 1) AS qid
+        |FROM u ORDER BY c_custkey""".stripMargin),
+
+    // Deterministic per-group sampling ("take k docs per source" — the
+    // subsample-big-sources step of x122's budget plan, made replayable):
+    // rank by md5 of the doc id, a content-independent uniform order both
+    // engines reproduce bit-for-bit, then keep the k smallest.
+    q("x133_per_group_sample",
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(cast(doc_id AS STRING)), doc_id) AS rk
+        |           FROM documents)
+        |SELECT source, doc_id, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+      """WITH r AS (SELECT source, doc_id,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) AS rk
+        |           FROM documents)
+        |SELECT source, doc_id, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+
+    // Cross-source overlap matrix: distinct 8-token windows shared
+    // between source pairs (the between-source counterpart of x116's
+    // within-corpus duplicated-window scan). Grams shuffle as md5 keys,
+    // never text; the pair join sees only grams present in ≥2 sources.
+    q("x134_source_overlap",
+      """WITH w AS (SELECT source, split(text,' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, md5(concat_ws(' ', slice(w, i, 8))) AS h
+        |      FROM (SELECT source, w, explode(sequence(1, size(w)-7)) AS i
+        |            FROM w WHERE size(w) >= 8))
+        |SELECT x.source AS a, y.source AS b, cast(count(*) AS BIGINT) AS shared
+        |FROM g x JOIN g y ON x.h = y.h AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH w AS (SELECT source, string_split(text,' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT source, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |      FROM (SELECT source, w, unnest(generate_series(1, len(w)-7)) AS i
+        |            FROM w WHERE len(w) >= 8))
+        |SELECT x.source AS a, y.source AS b, cast(count(*) AS BIGINT) AS shared
+        |FROM g x JOIN g y ON x.h = y.h AND x.source < y.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Unigram LM cross-entropy per doc (the perplexity quality signal):
+    // corpus-trained unigram probabilities, per-token negative log-probs
+    // floored to micro-nats BEFORE summing (x73's fixed-point trick —
+    // integer sums are accumulation-order-independent, so the hash
+    // compare survives any execution order). High xent = improbable
+    // token stream = noise/garbage candidate.
+    q("x135_perplexity",
+      """WITH tok AS (SELECT doc_id, explode(split(text,' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c) AS t FROM cnt),
+        |lp AS (SELECT tok.doc_id,
+        |         cast(floor(-ln(cnt.c * 1.0 / tot.t) * 1000000) AS BIGINT) AS nlp_u
+        |       FROM tok JOIN cnt ON tok.w = cnt.w CROSS JOIN tot)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_tok,
+        |       cast(sum(nlp_u) AS BIGINT) AS nll_u,
+        |       cast(floor(sum(nlp_u) * 1.0 / count(*)) AS BIGINT) AS xent_u
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT cast(sum(c) AS BIGINT) AS t FROM cnt),
+        |lp AS (SELECT tok.doc_id,
+        |         cast(floor(-ln(cnt.c * 1.0 / tot.t) * 1000000) AS BIGINT) AS nlp_u
+        |       FROM tok JOIN cnt ON tok.w = cnt.w CROSS JOIN tot)
+        |SELECT doc_id, cast(count(*) AS BIGINT) AS n_tok,
+        |       cast(sum(nlp_u) AS BIGINT) AS nll_u,
+        |       cast(floor(sum(nlp_u) * 1.0 / count(*)) AS BIGINT) AS xent_u
+        |FROM lp GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Iterative graph op: PageRank over the nation-level trade graph
+    // (edge c_nation -> s_nation weighted by lineitem count), 3 unrolled
+    // iterations, damping 0.85. ALL arithmetic is BIGINT nano-units with
+    // integer division (Spark `div` / DuckDB `//`) — no float enters the
+    // computation, so both engines produce bit-identical ranks regardless
+    // of join/agg execution order. Dangling mass is dropped (documented:
+    // classic PageRank-without-redistribution); 1e9/25 = 40_000_000 nano
+    // start, 0.15/25 = 6_000_000 teleport. At 100 TB the same shape is
+    // N log-N: edges aggregate once, each iteration is one broadcast-able
+    // deg join + one shuffle on dst.
+    q("x136_pagerank",
+      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           GROUP BY 1, 2),
+        |deg AS (SELECT src, sum(w) AS d FROM e GROUP BY 1),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |p0 AS (SELECT node, cast(40000000 AS BIGINT) AS r FROM n),
+        |p1 AS (SELECT n.node,
+        |         cast(6000000 + (85 * coalesce(sum((p.r * e.w) div d.d), 0)) div 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p0 p ON p.node = e.src
+        |       GROUP BY 1),
+        |p2 AS (SELECT n.node,
+        |         cast(6000000 + (85 * coalesce(sum((p.r * e.w) div d.d), 0)) div 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p1 p ON p.node = e.src
+        |       GROUP BY 1),
+        |p3 AS (SELECT n.node,
+        |         cast(6000000 + (85 * coalesce(sum((p.r * e.w) div d.d), 0)) div 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p2 p ON p.node = e.src
+        |       GROUP BY 1)
+        |SELECT p3.node AS nationkey, nat.n_name AS nation, p3.r AS rank_nano
+        |FROM p3 JOIN nation nat ON nat.n_nationkey = p3.node
+        |ORDER BY 1""".stripMargin,
+      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           GROUP BY 1, 2),
+        |deg AS (SELECT src, sum(w) AS d FROM e GROUP BY 1),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |p0 AS (SELECT node, CAST(40000000 AS BIGINT) AS r FROM n),
+        |p1 AS (SELECT n.node,
+        |         CAST(6000000 + (85 * coalesce(sum((p.r * e.w) // d.d), 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p0 p ON p.node = e.src
+        |       GROUP BY 1),
+        |p2 AS (SELECT n.node,
+        |         CAST(6000000 + (85 * coalesce(sum((p.r * e.w) // d.d), 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p1 p ON p.node = e.src
+        |       GROUP BY 1),
+        |p3 AS (SELECT n.node,
+        |         CAST(6000000 + (85 * coalesce(sum((p.r * e.w) // d.d), 0)) // 100 AS BIGINT) AS r
+        |       FROM n LEFT JOIN e ON e.dst = n.node
+        |              LEFT JOIN deg d ON d.src = e.src
+        |              LEFT JOIN p2 p ON p.node = e.src
+        |       GROUP BY 1)
+        |SELECT p3.node AS nationkey, nat.n_name AS nation, p3.r AS rank_nano
+        |FROM p3 JOIN nation nat ON nat.n_nationkey = p3.node
+        |ORDER BY 1""".stripMargin),
+
+    // Skew-salted two-phase aggregation, promoted from spec-only to the
+    // hash gate: the Spark side groups by (key, salt) first — the shape
+    // that splits a hot key across `nSalts` reducers at 100 TB — then
+    // re-aggregates by key; the oracle is the PLAIN group-by, so the hash
+    // match proves salting is semantics-preserving. l_quantity is
+    // integral (checked: 0 non-integer rows), so double partial sums are
+    // exact and re-summation order cannot change the result.
+    q("x137_salted_agg",
+      """WITH p AS (SELECT l_partkey AS k, pmod(l_orderkey, 8) AS salt,
+        |             count(*) AS c, sum(l_quantity) AS sq
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT k, cast(sum(c) AS BIGINT) AS n,
+        |       cast(floor(sum(sq)) AS BIGINT) AS qty
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(floor(sum(l_quantity)) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Ordered funnel (view -> click -> purchase): per-user earliest view,
+    // earliest click strictly after it, earliest purchase strictly after
+    // that — the classic clickstream conversion scan. Each stage is one
+    // groupBy over a pushed event_type filter joined back on user_id;
+    // min() of microsecond-distinct timestamps is deterministic, no
+    // floats anywhere. Same SQL runs on both engines.
+    q("x138_funnel",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |       cast(CASE WHEN s3.t3 IS NOT NULL THEN 3
+        |                 WHEN s2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS depth
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin),
+
+    // Gaps-and-islands: maximal runs of consecutive identical event_type
+    // per user, via the classic row_number-difference trick (global rn
+    // minus per-type rn is constant exactly within a run). Run identity
+    // is (user, type, rn gap) — pure integer window arithmetic over
+    // µs-distinct timestamps, so both engines carve identical runs.
+    // Output one row per run with its bounds and length; runs are
+    // time-disjoint per user, making (user_id, run_start) a unique
+    // deterministic sort key. Same SQL runs on both engines.
+    q("x139_event_runs",
+      """WITH o AS (SELECT user_id, event_type, ts,
+        |             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+        |             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts) AS rn_t
+        |           FROM events)
+        |SELECT user_id, event_type, min(ts) AS run_start, max(ts) AS run_end,
+        |       cast(count(*) AS BIGINT) AS run_len
+        |FROM o GROUP BY user_id, event_type, rn - rn_t
+        |ORDER BY user_id, run_start""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
