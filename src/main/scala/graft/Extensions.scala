@@ -189,6 +189,34 @@ object Extensions {
         .select(col("x.source").as("a"), col("y.source").as("b"),
           expr("cast(aggregate(zip_with(x.sig, y.sig, (p, q) -> IF(p = q, 1, 0)), 0, (acc, v) -> acc + v) AS INT)").as("m"))
         .orderBy("a", "b")
+    },
+
+    // Iterative PageRank (operators.PageRank): the scale-shaped twin of
+    // x136's unrolled-CTE SQL. Same integer nano-unit arithmetic → same
+    // DuckDB oracle checks both, proving iterative-materialized ==
+    // declarative-unrolled bit-for-bit; but THIS plan aggregates the
+    // 4-table trade join once (persisted) instead of 7× (58 scans →
+    // one scan per table; see PageRank.scala scaladoc).
+    "x140_pagerank_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val edges = Catalog.load(s, dir, "orders")
+        .join(Catalog.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Catalog.load(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Catalog.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nation = Catalog.load(s, dir, "nation")
+      val nodes = nation.select(col("n_nationkey").as("node"))
+      graft.operators.PageRank
+        .run(edges, nodes, iters = 3,
+          startNano = 40000000L, teleportNano = 6000000L)
+        .join(nation, col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name").as("nation"),
+          col("r").as("rank_nano"))
+        .orderBy("nationkey")
     }
   )
 
@@ -205,6 +233,10 @@ object Extensions {
     perms.zipWithIndex.map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
 
   def oracleSql: Map[String, String] = Map(
+    // x140: the iterative operator must land exactly where the unrolled
+    // declarative form lands — one oracle text, two Spark plans.
+    "x140_pagerank_native" -> Queries.oracleSql("x136_pagerank"),
+
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle
     // fallback), 64 md5-affine minhashes, 16 bands of 4 (band key =
