@@ -2040,7 +2040,32 @@ object Queries {
         |SELECT user_id, event_type, min(ts) AS run_start, max(ts) AS run_end,
         |       cast(count(*) AS BIGINT) AS run_len
         |FROM o GROUP BY user_id, event_type, rn - rn_t
-        |ORDER BY user_id, run_start""".stripMargin)
+        |ORDER BY user_id, run_start""".stripMargin),
+
+    // Training-chunk extraction: overlapping token windows of 64 with
+    // stride 48 (16-token overlap) — the doc→sequence step between
+    // cleaning and packing (x107). Chunk count = ceil((n-64)/48)+1
+    // (short docs yield their single partial chunk); both engines' array
+    // slices clamp at the end, and the md5 of the joined window makes
+    // the content comparable without shipping text. Per-row explode,
+    // no shuffle — at 100 TB this is a map-only stage.
+    q("x141_chunking",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, explode(sequence(0,
+        |        greatest(cast(ceil((size(w) - 64) / 48.0) AS INT), 0))) AS i
+        |      FROM w)
+        |SELECT doc_id, cast(i AS BIGINT) AS chunk_id,
+        |       cast(size(slice(w, i*48 + 1, 64)) AS BIGINT) AS n_tok,
+        |       md5(concat_ws(' ', slice(w, i*48 + 1, 64))) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, unnest(generate_series(0,
+        |        greatest(CAST(ceil((len(w) - 64) / 48.0) AS INT), 0))) AS i
+        |      FROM w)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tok,
+        |       md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -41,4 +41,16 @@ object Delimited {
       .option("timestampFormat", tsFmt)
       .option("mode", "FAILFAST")
       .json(path)
+
+  /** ORC round-trip — the other columnar format a Hadoop-era warehouse
+    * hands this engine (Hive's default). Types carry natively (no string
+    * bridge needed): Spark's OrcFileFormat preserves timestamps at µs
+    * and pushes filters to ORC stripe/row-group indexes the same way
+    * parquet pushdown works (SourcesAndUdfsSpec asserts PushedFilters
+    * lands in the ORC scan). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

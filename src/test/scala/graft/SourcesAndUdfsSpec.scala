@@ -33,6 +33,27 @@ class SourcesAndUdfsSpec extends SparkSpec {
     assert(canon(Delimited.readJsonl(spark, "/tmp/graft-ev-jsonl", events.schema)) == want)
   }
 
+  test("ORC round-trips events losslessly and pushes filters to the scan") {
+    import graft.sources.Delimited
+    val events = Catalog.load(spark, sf0001, "events")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_id").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getString(5))).toSeq
+    Delimited.writeOrc(events, "/tmp/graft-ev-orc")
+    val back = Delimited.readOrc(spark, "/tmp/graft-ev-orc")
+    assert(canon(back) == canon(events))
+    // pushdown parity with parquet: the predicate must reach the ORC
+    // scan (stripe/row-group index pruning at scale), not a post-filter
+    val filtered = back.where(col("event_type") === "purchase")
+    val scan = filtered.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scan.contains("PushedFilters") && scan.contains("event_type"),
+      s"expected event_type in ORC PushedFilters:\n$scan")
+    assert(filtered.count() ==
+      events.where(col("event_type") === "purchase").count())
+  }
+
   // --- raw text log ingestion -----------------------------------------
   test("log lines round-trip: events -> text -> parsed columns") {
     val events = Catalog.load(spark, sf0001, "events")
