@@ -63,11 +63,19 @@ object Bench {
 
     // Warm-up ×2: JIT, codegen cache, parquet footers, broadcast
     // relations, AQE final plans (second pass runs fully warm, narrowing
-    // run-to-run variance of the timed medians).
-    names.foreach(once)
-    names.foreach(once)
+    // run-to-run variance of the timed medians). Cache is cleared per
+    // NAME (not per rep): the persist-heavy extension operators register
+    // a cache entry per canonicalized plan, and letting ~100 of them
+    // accumulate starves execution memory — the same phantom-regression
+    // class Verify/Scratch hit (see Scratch's t() note). Within one
+    // name's warm-up + 3 timed reps the cache stays, so reps measure the
+    // operator's warm cost exactly as the r4 protocol did.
+    names.foreach { n => once(n); spark.catalog.clearCache() }
+    names.foreach { n => once(n); spark.catalog.clearCache() }
     val medians = names.map { n =>
+      once(n) // re-populate this name's cache entries after the clear
       val ts = Seq(once(n), once(n), once(n)).sorted
+      spark.catalog.clearCache()
       n -> ts(1)
     }
     val qs = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }

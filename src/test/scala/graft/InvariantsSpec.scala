@@ -81,4 +81,25 @@ class InvariantsSpec extends SparkSpec {
     assert(Tables.supplier(spark, sf0001).count() == 10)
     assert(Tables.part(spark, sf0001).count() == 200)
   }
+
+  test("percentile_approx stays inside the GK rank-error bound vs exact") {
+    // the sketch-tier quantile (mergeable, fixed-size state — the 100 TB
+    // replacement for exact percentile sorts, and what GlobalWindow's
+    // boundary pass uses). accuracy=100 guarantees rank error <= 1%, so
+    // the approx p50 must land between the exact p45 and p55 per group —
+    // same error-bound pattern as the HLL spec, wider margin for safety.
+    val events = Catalog.load(spark, sf0001, "events")
+    val rows = events.groupBy("event_type").agg(
+        percentile_approx(col("value"), lit(0.5), lit(100)).as("approx"),
+        expr("percentile(value, array(0.45, 0.55))").as("bounds"))
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val approx = r.getDouble(1)
+      val lo = r.getSeq[Double](2).head
+      val hi = r.getSeq[Double](2).last
+      assert(approx >= lo && approx <= hi,
+        s"${r.getString(0)}: approx p50 $approx outside exact [$lo, $hi]")
+    }
+  }
 }
