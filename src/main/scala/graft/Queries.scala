@@ -2065,7 +2065,47 @@ object Queries {
         |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
         |       CAST(len(w[i*48+1 : i*48+64]) AS BIGINT) AS n_tok,
         |       md5(array_to_string(w[i*48+1 : i*48+64], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Error-tolerant parsing battery (dirty-log ingestion): try_cast /
+    // try_divide / try_to_timestamp over a deterministic mix of valid,
+    // garbage-suffixed, empty, and padded-whitespace values. The ANSI
+    // try_* tier is how a 100 TB ingest survives malformed rows without
+    // either FAILFAST aborts or silent permissive-mode nulling of whole
+    // lines — bad FIELDS become NULL, the row survives, and the engines
+    // agree on every edge (whitespace-trimmed int cast, empty string,
+    // invalid calendar date, divide by zero). Sentinels keep the
+    // NULL-vs-value distinction in the hash (-1 before the fixed-point
+    // floor, epoch for failed timestamps — a bare NULL TIMESTAMP also
+    // lands as pandas NaT in the compare's strftime path, the one spot
+    // §5.3 canonicalization doesn't cover).
+    q("x142_try_parse",
+      """WITH s AS (SELECT c_custkey AS k,
+        |  CASE c_custkey % 4 WHEN 0 THEN cast(c_custkey AS STRING)
+        |                     WHEN 1 THEN concat(cast(c_custkey AS STRING), 'x')
+        |                     WHEN 2 THEN '' ELSE '  42  ' END AS raw,
+        |  CASE c_custkey % 3 WHEN 0 THEN '2024-01-15' WHEN 1 THEN '2024-13-40'
+        |                     ELSE 'nope' END AS draw
+        |  FROM customer)
+        |SELECT k, try_cast(raw AS INT) AS as_int,
+        |       cast(floor(coalesce(try_cast(raw AS DOUBLE), -1) * 100) AS BIGINT) AS cents,
+        |       coalesce(try_to_timestamp(draw, 'yyyy-MM-dd'),
+        |                timestamp'1970-01-01 00:00:00') AS as_ts,
+        |       cast(floor(coalesce(try_divide(100, k % 7), -1) * 100) AS BIGINT) AS div_c
+        |FROM s ORDER BY k""".stripMargin,
+      """WITH s AS (SELECT c_custkey AS k,
+        |  CASE c_custkey % 4 WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+        |                     WHEN 1 THEN concat(CAST(c_custkey AS VARCHAR), 'x')
+        |                     WHEN 2 THEN '' ELSE '  42  ' END AS raw,
+        |  CASE c_custkey % 3 WHEN 0 THEN '2024-01-15' WHEN 1 THEN '2024-13-40'
+        |                     ELSE 'nope' END AS draw
+        |  FROM customer)
+        |SELECT k, try_cast(raw AS INTEGER) AS as_int,
+        |       CAST(floor(coalesce(try_cast(raw AS DOUBLE), -1) * 100) AS BIGINT) AS cents,
+        |       coalesce(try_strptime(draw, '%Y-%m-%d'),
+        |                TIMESTAMP '1970-01-01 00:00:00') AS as_ts,
+        |       CAST(floor(coalesce(100 / nullif(k % 7, 0), -1) * 100) AS BIGINT) AS div_c
+        |FROM s ORDER BY k""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -27,6 +27,10 @@ def knife_edge(v):
 
 def canon(v):
     if v is None: return "NULL"
+    # pandas NULL timestamps surface as NaT (not None) — strftime would
+    # throw. Queries avoid bare NULL timestamps via sentinels (x142), but
+    # the tool shouldn't crash on one either.
+    if v != v and not isinstance(v, float): return "NULL"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
         s = f"{v:.4f}"
