@@ -63,6 +63,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), s"native expression missing:\n$p")
   }
 
+  test("x137: salted agg is four-phase (two partial+final pairs), salt never sorts") {
+    // the skew shape: (key, salt) agg → key re-agg. Each groupBy is
+    // itself two-phase, so four HashAggregates; a hot key splits across
+    // `nSalts` reducers in the first exchange and collapses in the second.
+    val p = physical("x137_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).length == 4,
+      s"expected two two-phase aggs:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2,
+      s"expected exactly the two agg shuffles:\n$p")
+  }
+
+  test("x141: chunk extraction is map-only (no shuffle before the output sort)") {
+    // the doc→sequence step must stay a per-row explode: one scan, one
+    // generate, and ONLY the final ORDER BY's range exchange — any
+    // hashpartitioning exchange means a join/agg crept into a pipeline
+    // that 100 TB needs embarrassingly parallel.
+    val p = physical("x141_chunking")
+    assert(p.contains("Generate explode"), s"expected explode generator:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"map-only stage must not hash-shuffle:\n$p")
+  }
+
+  test("x140: iterative pagerank reads the persisted edge table, not re-joins") {
+    val df = SparkEntry.queries("x140_pagerank_native")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("InMemoryTableScan"),
+      s"edge table should come from cache:\n$p")
+    spark.catalog.clearCache()
+  }
+
   // ---- inventory-wide sweep (VERDICT r2 next-#7) -----------------------
   // Every declared query's physical plan must be free of the two
   // anti-patterns that silently kill 100x scale-ups: CartesianProduct
