@@ -2105,7 +2105,32 @@ object Queries {
         |       coalesce(try_strptime(draw, '%Y-%m-%d'),
         |                TIMESTAMP '1970-01-01 00:00:00') AS as_ts,
         |       CAST(floor(coalesce(100 / nullif(k % 7, 0), -1) * 100) AS BIGINT) AS div_c
-        |FROM s ORDER BY k""".stripMargin)
+        |FROM s ORDER BY k""".stripMargin),
+
+    // BPE first-merge census: character-bigram frequencies weighted by
+    // word counts — the statistic byte-pair-encoding vocabulary
+    // induction greedily maximizes at every merge step (Sennrich et al.;
+    // the full iterative merge is sequential-rewrite-shaped and lives
+    // outside declarative SQL, but the candidate table each step ranks
+    // IS this query). Two hash aggs (word census, pair census) + a
+    // top-20 with a total (cnt DESC, pair) tie-break; pairs extracted
+    // with substr so no char-array dialect quirks enter the hash.
+    q("x143_bpe_pair_census",
+      """WITH tok AS (SELECT lower(w) AS w
+        |             FROM (SELECT explode(split(text,' ')) AS w FROM documents)),
+        |wd AS (SELECT w, count(*) AS c FROM tok WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, c
+        |      FROM (SELECT w, c, explode(sequence(1, length(w)-1)) AS i FROM wd)),
+        |agg AS (SELECT pair, cast(sum(c) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |rk AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM agg)
+        |SELECT cast(rk AS BIGINT) AS rk, pair, cnt FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin,
+      """WITH tok AS (SELECT lower(unnest(string_split(text,' '))) AS w FROM documents),
+        |wd AS (SELECT w, count(*) AS c FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, c
+        |      FROM (SELECT w, c, unnest(generate_series(1, len(w)-1)) AS i FROM wd)),
+        |agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY 1),
+        |rk AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM agg)
+        |SELECT CAST(rk AS BIGINT) AS rk, pair, cnt FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
