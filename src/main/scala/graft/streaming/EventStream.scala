@@ -173,6 +173,43 @@ object EventStream {
       .toDF("user_id", "n")
   }
 
+  /** Streaming funnel — x138's semantics as keyed state: per user,
+    * t1 = first 'view' ts, t2 = first 'click' STRICTLY after t1, t3 =
+    * first 'purchase' strictly after t2. The batch form computes three
+    * global minima with chained joins; on a time-ordered replay the
+    * greedy state machine lands on exactly the same triple, because each
+    * stage's first qualifying event in arrival order IS its minimum —
+    * parity is spec-checked over a 3-micro-batch replay with stage
+    * transitions straddling batch boundaries (FunnelStreamSpec). State
+    * per user is three µs timestamps — O(1), unconditionally bounded, no
+    * eviction policy needed (the 100 TB-friendly property: state size
+    * scales with users, not events). Emits the user's current funnel row
+    * each micro-batch (update mode); timestamps use Long.MinValue as the
+    * not-reached sentinel. */
+  def funnel(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val U = Long.MinValue
+    events.select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_type"), col("event_id"))
+      .as[(Long, Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long, Int)](
+        GroupStateTimeout.NoTimeout) { (user, rows, state) =>
+        var (t1, t2, t3) = state.getOption.getOrElse((U, U, U))
+        // batch rows arrive unordered within the group; sort by (ts, id)
+        rows.toSeq.sortBy(r => (r._2, r._4)).foreach { case (_, ts, et, _) =>
+          if (et == "view" && t1 == U) t1 = ts
+          else if (et == "click" && t1 != U && ts > t1 && t2 == U) t2 = ts
+          else if (et == "purchase" && t2 != U && ts > t2 && t3 == U) t3 = ts
+        }
+        state.update((t1, t2, t3))
+        (user, t1, t2, t3,
+          if (t3 != U) 3 else if (t2 != U) 2 else if (t1 != U) 1 else 0)
+      }
+      .toDF("user_id", "t1us", "t2us", "t3us", "depth")
+  }
+
   // NOTE on bounded replays of sessionsViaFlatMap: open sessions stay in
   // state (correct for an unbounded stream). To flush them on a bounded
   // source, append one synthetic far-future event per user to the replay
