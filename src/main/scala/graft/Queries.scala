@@ -2130,7 +2130,36 @@ object Queries {
         |      FROM (SELECT w, c, unnest(generate_series(1, len(w)-1)) AS i FROM wd)),
         |agg AS (SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM p GROUP BY 1),
         |rk AS (SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM agg)
-        |SELECT CAST(rk AS BIGINT) AS rk, pair, cnt FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin)
+        |SELECT CAST(rk AS BIGINT) AS rk, pair, cnt FROM rk WHERE rk <= 20 ORDER BY rk""".stripMargin),
+
+    // Size-WEIGHTED per-group sampling (x133's uniform sibling):
+    // priority sampling (Duffield et al.) — keep the k docs per source
+    // with the smallest hash/weight priority, so selection probability
+    // grows with n_chars ("sample tokens, not documents" — the mixture-
+    // building rule when sources bill by bytes). The classic u/w priority
+    // is quantized to PURE INTEGERS: (hv·10⁶) div n_chars with a 32-bit
+    // md5-prefix hv keeps everything under 2^52 and bit-identical on
+    // both engines — no ln/pow, whose last-ulp differences could flip
+    // near-tied ranks cross-engine.
+    q("x144_weighted_sample",
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |             cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) AS hv
+        |           FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY (hv * 1000000) div n_chars, doc_id) AS rk
+        |      FROM h)
+        |SELECT source, doc_id, cast(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+      """WITH h AS (SELECT source, doc_id, n_chars,
+        |             CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |           FROM documents),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY (hv * 1000000) // n_chars, doc_id) AS rk
+        |      FROM h)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
