@@ -83,13 +83,18 @@ def run(sf_dir, out_dir):
         gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         bad = None
         edges = 0
-        for i, (r, g) in enumerate(zip(ref, got)):
-            edges += sum(1 for j in rperm if knife_edge(r[j]))
-            edges += sum(1 for j in gperm if knife_edge(g[j]))
-            rc = tuple(canon(r[j]) for j in rperm)
-            gc = tuple(canon(g[j]) for j in gperm)
-            if rc != gc:
-                bad = (i, rc, gc); break
+        try:
+            for i, (r, g) in enumerate(zip(ref, got)):
+                edges += sum(1 for j in rperm if knife_edge(r[j]))
+                edges += sum(1 for j in gperm if knife_edge(g[j]))
+                rc = tuple(canon(r[j]) for j in rperm)
+                gc = tuple(canon(g[j]) for j in gperm)
+                if rc != gc:
+                    bad = (i, rc, gc); break
+        except Exception as e:
+            # canonicalization crash (e.g. an unforeseen dtype) must fail
+            # THIS query, not abort the remaining inventory
+            print(f"FAIL {name}: canon error {e}"); n_fail += 1; continue
         if edges:
             print(f"WARN {name}: {edges} knife-edge rounding value(s) "
                   f"(|frac(x*1e4)-0.5| < 1e-6) — hash may legally diverge")
