@@ -2159,7 +2159,129 @@ object Queries {
         |          ORDER BY (hv * 1000000) // n_chars, doc_id) AS rk
         |      FROM h)
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin),
+
+    // Collocation mining by PMI rank: adjacent word bigrams vs unigram
+    // frequencies — the phrase-detection statistic (Church & Hanks)
+    // that turns "new york" into one token before BPE/tokenization.
+    // Since the corpus-size term N is constant across candidates, PMI
+    // ranking is the pure ratio c_xy/(c_x*c_y); it is computed in
+    // integer fixed point ((c_xy*1e12) div (c_x*c_y)) so no log() ulp
+    // can flip near-tied ranks cross-engine. min-count 5 is the
+    // classic sparsity guard. Shapes: two hash aggs + two broadcast-
+    // size joins onto the candidate table — all shuffle keys are
+    // words, never text; linear at 100 TB.
+    q("x145_pmi_collocations",
+      """WITH t AS (SELECT split(lower(text),' ') AS a FROM documents),
+        |bg AS (SELECT element_at(a, i) AS w1, element_at(a, i+1) AS w2
+        |       FROM (SELECT a, explode(sequence(1, size(a)-1)) AS i FROM t WHERE size(a) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg
+        |       WHERE w1 <> '' AND w2 <> '' GROUP BY 1,2 HAVING count(*) >= 5),
+        |u AS (SELECT w, count(*) AS cw
+        |      FROM (SELECT explode(split(lower(text),' ')) AS w FROM documents)
+        |      WHERE w <> '' GROUP BY 1)
+        |SELECT w1, w2, cast(cxy AS BIGINT) AS cxy,
+        |       cast((cxy * 1000000000000) div (u1.cw * u2.cw) AS BIGINT) AS pmi_score
+        |FROM cb JOIN u u1 ON cb.w1 = u1.w JOIN u u2 ON cb.w2 = u2.w
+        |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT string_split(lower(text),' ') AS a FROM documents),
+        |bg AS (SELECT a[i] AS w1, a[i+1] AS w2
+        |       FROM (SELECT a, unnest(generate_series(1, len(a)-1)) AS i FROM t WHERE len(a) >= 2)),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg
+        |       WHERE w1 <> '' AND w2 <> '' GROUP BY 1,2 HAVING count(*) >= 5),
+        |u AS (SELECT w, count(*) AS cw
+        |      FROM (SELECT unnest(string_split(lower(text),' ')) AS w FROM documents)
+        |      WHERE w <> '' GROUP BY 1)
+        |SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy,
+        |       CAST((cxy * 1000000000000) // (u1.cw * u2.cw) AS BIGINT) AS pmi_score
+        |FROM cb JOIN u u1 ON cb.w1 = u1.w JOIN u u2 ON cb.w2 = u2.w
+        |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin),
+
+    // IGNORE NULLS window battery: forward-fill (last_value IGNORE
+    // NULLS over a preceding frame), backward-fill (first_value over a
+    // following frame) and nth_value — the sensor/telemetry gap-repair
+    // idiom (x69 zero-fills MISSING rows; this repairs NULL FIELDS on
+    // present rows). A deterministic 1-in-3 mask makes every engine
+    // see the same NULL pattern; fills copy single row values (no
+    // accumulation), so round(,4) is knife-edge-safe. Dialect delta:
+    // Spark puts IGNORE NULLS after the call, DuckDB inside the args.
+    q("x146_ignore_nulls",
+      """WITH s AS (SELECT event_id, user_id, ts,
+        |             CASE WHEN event_id % 3 = 0 THEN value END AS v
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |       round(last_value(v) IGNORE NULLS OVER w1, 4) AS ffill,
+        |       round(first_value(v) IGNORE NULLS OVER w2, 4) AS bfill,
+        |       round(nth_value(v, 2) IGNORE NULLS OVER w1, 4) AS nth2
+        |FROM s
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+      """WITH s AS (SELECT event_id, user_id, ts,
+        |             CASE WHEN event_id % 3 = 0 THEN value END AS v
+        |           FROM events)
+        |SELECT event_id, user_id,
+        |       round(last_value(v IGNORE NULLS) OVER w1, 4) AS ffill,
+        |       round(first_value(v IGNORE NULLS) OVER w2, 4) AS bfill,
+        |       round(nth_value(v, 2 IGNORE NULLS) OVER w1, 4) AS nth2
+        |FROM s
+        |WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+        |              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin),
+
+    // Duplicated-SPAN coverage (the measurement half of Lee et al.
+    // exact-substring dedup): x116 counts dup windows; this merges the
+    // overlapping [i, i+8) hit intervals per doc (classic running-max
+    // island merge) into disjoint spans and reports what FRACTION of
+    // each doc's tokens sits inside cross-doc duplicated text — the
+    // number that decides remove-span vs drop-doc. All integer: span
+    // ends are positions, coverage is basis points via div. Window
+    // ORDER BY s is total (one window per start position per doc).
+    q("x147_dup_span_coverage",
+      """WITH t AS (SELECT doc_id, split(text,' ') AS w FROM documents WHERE size(split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, i, md5(concat_ws(' ', slice(w, i, 8))) AS h
+        |         FROM (SELECT doc_id, w, explode(sequence(1, size(w)-7)) AS i FROM t)),
+        |shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, i AS s, i + 8 AS e FROM wins WHERE h IN (SELECT h FROM shared)),
+        |m AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM dup),
+        |isl AS (SELECT doc_id, s, e,
+        |          sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM m),
+        |mg AS (SELECT doc_id, g, max(e) - min(s) AS cov FROM isl GROUP BY doc_id, g),
+        |per AS (SELECT doc_id, cast(sum(cov) AS BIGINT) AS covered FROM mg GROUP BY doc_id),
+        |tok AS (SELECT doc_id, cast(size(w) AS BIGINT) AS n_tok FROM t)
+        |SELECT p.doc_id, t.n_tok, p.covered,
+        |       cast((p.covered * 10000) div t.n_tok AS BIGINT) AS cov_bp
+        |FROM per p JOIN tok t ON p.doc_id = t.doc_id
+        |ORDER BY cov_bp DESC, p.doc_id LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i FROM t)),
+        |shared AS (SELECT h FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT doc_id, i AS s, i + 8 AS e FROM wins WHERE h IN (SELECT h FROM shared)),
+        |m AS (SELECT doc_id, s, e,
+        |        max(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        |      FROM dup),
+        |isl AS (SELECT doc_id, s, e,
+        |          sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+        |            OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+        |        FROM m),
+        |mg AS (SELECT doc_id, g, max(e) - min(s) AS cov FROM isl GROUP BY doc_id, g),
+        |per AS (SELECT doc_id, CAST(sum(cov) AS BIGINT) AS covered FROM mg GROUP BY doc_id),
+        |tok AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t)
+        |SELECT p.doc_id, t.n_tok, p.covered,
+        |       CAST((p.covered * 10000) // t.n_tok AS BIGINT) AS cov_bp
+        |FROM per p JOIN tok t ON p.doc_id = t.doc_id
+        |ORDER BY cov_bp DESC, p.doc_id LIMIT 20""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
