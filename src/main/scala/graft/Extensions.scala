@@ -217,7 +217,15 @@ object Extensions {
         .select(col("node").as("nationkey"), col("n_name").as("nation"),
           col("r").as("rank_nano"))
         .orderBy("nationkey")
-    }
+    },
+
+    // Iterative BPE trainer (llm.Bpe): same contract as the unrolled
+    // x148 SQL — one oracle text, two Spark plans — but the loop
+    // materializes the encoded dict per step (lineage-truncated), so
+    // step k+1 never re-executes steps 1..k. The x136/x140 policy,
+    // applied to tokenizer training.
+    "x149_bpe_native" -> ((s, dir) =>
+      graft.llm.Bpe.trainReport(Catalog.load(s, dir, "documents")))
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -236,6 +244,10 @@ object Extensions {
     // x140: the iterative operator must land exactly where the unrolled
     // declarative form lands — one oracle text, two Spark plans.
     "x140_pagerank_native" -> Queries.oracleSql("x136_pagerank"),
+
+    // x149: same policy for the BPE trainer — the iterative operator
+    // shares the unrolled x148 oracle verbatim.
+    "x149_bpe_native" -> Queries.oracleSql("x148_bpe_train3"),
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

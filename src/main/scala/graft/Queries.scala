@@ -2281,7 +2281,90 @@ object Queries {
         |SELECT p.doc_id, t.n_tok, p.covered,
         |       CAST((p.covered * 10000) // t.n_tok AS BIGINT) AS cov_bp
         |FROM per p JOIN tok t ON p.doc_id = t.doc_id
-        |ORDER BY cov_bp DESC, p.doc_id LIMIT 20""".stripMargin)
+        |ORDER BY cov_bp DESC, p.doc_id LIMIT 20""".stripMargin),
+
+    // BPE vocabulary induction, 3 merges unrolled (Sennrich et al.) —
+    // x143 ranks the FIRST merge's candidates; this executes the loop.
+    // Words become space-WRAPPED symbol strings (' t  h  e ' — each
+    // symbol carries its own spaces, so back-to-back pair occurrences
+    // are non-overlapping and one replace() merges both, matching
+    // greedy left-to-right BPE). Each step: adjacent-pair census over
+    // the word DICT weighted by count → argmax (cnt DESC, pair) →
+    // literal rewrite. The 1-row argmax is CROSS JOINed (not scalar-
+    // subqueried 4×) so the unrolled chain re-executes each level
+    // once, not 4^k×. Output = the 3 merges + the top-12 post-merge
+    // symbol census (proves the rewrite, not just the choice).
+    // Training cost lives on the dict, not the corpus — the one
+    // corpus-scale pass is the word census; the iterative scale form
+    // is llm/Bpe.scala (x149, same oracle — the x136/x140 policy).
+    q("x148_bpe_train3",
+      """WITH tok AS (SELECT lower(w) AS w
+        |             FROM (SELECT explode(split(text,' ')) AS w FROM documents)),
+        |wd AS (SELECT w, count(*) AS c FROM tok WHERE length(w) >= 2 GROUP BY 1),
+        |e0 AS (SELECT c, regexp_replace(w, '(.)', ' $1 ') AS cs FROM wd),
+        |pc1 AS (SELECT element_at(s,i) AS p1, element_at(s,i+1) AS p2, c
+        |        FROM (SELECT s, c, explode(sequence(1, size(s)-1)) AS i
+        |              FROM (SELECT split(trim(cs),'  ') AS s, c FROM e0) WHERE size(s) >= 2)),
+        |m1 AS (SELECT p1, p2, cast(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc1 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e1 AS (SELECT e0.c, replace(e0.cs, m1.srch, m1.repl) AS cs FROM e0 CROSS JOIN m1),
+        |pc2 AS (SELECT element_at(s,i) AS p1, element_at(s,i+1) AS p2, c
+        |        FROM (SELECT s, c, explode(sequence(1, size(s)-1)) AS i
+        |              FROM (SELECT split(trim(cs),'  ') AS s, c FROM e1) WHERE size(s) >= 2)),
+        |m2 AS (SELECT p1, p2, cast(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc2 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e2 AS (SELECT e1.c, replace(e1.cs, m2.srch, m2.repl) AS cs FROM e1 CROSS JOIN m2),
+        |pc3 AS (SELECT element_at(s,i) AS p1, element_at(s,i+1) AS p2, c
+        |        FROM (SELECT s, c, explode(sequence(1, size(s)-1)) AS i
+        |              FROM (SELECT split(trim(cs),'  ') AS s, c FROM e2) WHERE size(s) >= 2)),
+        |m3 AS (SELECT p1, p2, cast(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc3 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e3 AS (SELECT e2.c, replace(e2.cs, m3.srch, m3.repl) AS cs FROM e2 CROSS JOIN m3),
+        |sym AS (SELECT sy, cast(sum(c) AS BIGINT) AS cnt
+        |        FROM (SELECT explode(split(trim(cs),'  ')) AS sy, c FROM e3) GROUP BY 1),
+        |syt AS (SELECT sy, cnt, row_number() OVER (ORDER BY cnt DESC, sy) AS r FROM sym)
+        |SELECT * FROM (
+        |  SELECT cast(1 AS BIGINT) AS rk, 'merge' AS kind, p1 AS a, p2 AS b, cnt FROM m1
+        |  UNION ALL SELECT cast(2 AS BIGINT), 'merge', p1, p2, cnt FROM m2
+        |  UNION ALL SELECT cast(3 AS BIGINT), 'merge', p1, p2, cnt FROM m3
+        |  UNION ALL SELECT cast(10 + r AS BIGINT), 'sym', sy, '', cnt FROM syt WHERE r <= 12
+        |) ORDER BY rk""".stripMargin,
+      """WITH tok AS (SELECT lower(unnest(string_split(text,' '))) AS w FROM documents),
+        |wd AS (SELECT w, count(*) AS c FROM tok WHERE len(w) >= 2 GROUP BY 1),
+        |e0 AS (SELECT c, regexp_replace(w, '(.)', ' \1 ', 'g') AS cs FROM wd),
+        |pc1 AS (SELECT s[i] AS p1, s[i+1] AS p2, c
+        |        FROM (SELECT s, c, unnest(generate_series(1, len(s)-1)) AS i
+        |              FROM (SELECT string_split(trim(cs),'  ') AS s, c FROM e0) WHERE len(s) >= 2)),
+        |m1 AS (SELECT p1, p2, CAST(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc1 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e1 AS (SELECT e0.c, replace(e0.cs, m1.srch, m1.repl) AS cs FROM e0 CROSS JOIN m1),
+        |pc2 AS (SELECT s[i] AS p1, s[i+1] AS p2, c
+        |        FROM (SELECT s, c, unnest(generate_series(1, len(s)-1)) AS i
+        |              FROM (SELECT string_split(trim(cs),'  ') AS s, c FROM e1) WHERE len(s) >= 2)),
+        |m2 AS (SELECT p1, p2, CAST(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc2 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e2 AS (SELECT e1.c, replace(e1.cs, m2.srch, m2.repl) AS cs FROM e1 CROSS JOIN m2),
+        |pc3 AS (SELECT s[i] AS p1, s[i+1] AS p2, c
+        |        FROM (SELECT s, c, unnest(generate_series(1, len(s)-1)) AS i
+        |              FROM (SELECT string_split(trim(cs),'  ') AS s, c FROM e2) WHERE len(s) >= 2)),
+        |m3 AS (SELECT p1, p2, CAST(sum(c) AS BIGINT) AS cnt,
+        |              ' '||p1||'  '||p2||' ' AS srch, ' '||p1||p2||' ' AS repl
+        |       FROM pc3 GROUP BY 1,2 ORDER BY cnt DESC, p1, p2 LIMIT 1),
+        |e3 AS (SELECT e2.c, replace(e2.cs, m3.srch, m3.repl) AS cs FROM e2 CROSS JOIN m3),
+        |sym AS (SELECT sy, CAST(sum(c) AS BIGINT) AS cnt
+        |        FROM (SELECT unnest(string_split(trim(cs),'  ')) AS sy, c FROM e3) GROUP BY 1),
+        |syt AS (SELECT sy, cnt, row_number() OVER (ORDER BY cnt DESC, sy) AS r FROM sym)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rk, 'merge' AS kind, p1 AS a, p2 AS b, cnt FROM m1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'merge', p1, p2, cnt FROM m2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'merge', p1, p2, cnt FROM m3
+        |  UNION ALL SELECT CAST(10 + r AS BIGINT), 'sym', sy, '', cnt FROM syt WHERE r <= 12
+        |) ORDER BY rk""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
