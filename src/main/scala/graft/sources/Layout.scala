@@ -79,4 +79,30 @@ object Layout {
       .write.bucketBy(buckets, key).sortBy(key)
       .mode("overwrite").format("parquet").saveAsTable(table)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetBytes`. The small-file problem is the first operational
+    * failure mode of a long-lived 100 TB table (every micro-batch sink,
+    * every over-parallel writer leaves thousands of KB-files; each costs
+    * a listing entry, a footer read, and a scheduler task on every
+    * subsequent scan). File count is sized from the directory's ACTUAL
+    * on-disk bytes (post-compression), not row estimates, and the
+    * rewrite uses coalesce — a scan-side merge that moves no data
+    * between executors — rather than a repartition shuffle. Returns
+    * (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long): (Int, Int) = {
+    val in = new org.apache.hadoop.fs.Path(inPath)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(in)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val outFiles = fs.listStatus(out)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, outFiles)
+  }
 }

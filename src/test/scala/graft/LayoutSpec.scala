@@ -137,4 +137,48 @@ class LayoutSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want)
   }
+
+  test("compact: small-file directory rewritten to target-size files, content intact") {
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val shattered = "/tmp/graft-layout/orders_small"
+    val compacted = "/tmp/graft-layout/orders_compact"
+    // simulate an over-parallel writer: 40 tiny files
+    orders.repartition(40).write.mode("overwrite").parquet(shattered)
+    // target sized to land a handful of files (directory is ~100s of KB)
+    val (before, after) = Layout.compact(spark, shattered, compacted, 64 * 1024L)
+    assert(before == 40, s"expected 40 input files, got $before")
+    assert(after < before && after >= 1, s"before=$before after=$after")
+    // lossless: same multiset of rows
+    val a = spark.read.parquet(compacted)
+    assert(a.count() == orders.count())
+    assert(a.exceptAll(orders).isEmpty && orders.exceptAll(a).isEmpty)
+  }
+
+  test("skip index: range query reads only intersecting files, equals full scan") {
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val path = "/tmp/graft-layout/orders_ranged"
+    // range-clustered layout: 10 files with disjoint o_orderkey ranges
+    orders.repartitionByRange(10, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val idx = graft.sources.SkipIndex
+      .build(spark, path, Seq("o_orderkey")).cache()
+    assert(idx.count() == 10)
+    val (lo, hi) = (lit(100L), lit(300L))
+    val cand = graft.sources.SkipIndex.candidateFiles(idx, "o_orderkey", lo, hi)
+    assert(cand.nonEmpty && cand.size < 10,
+      s"zone map should prune most of 10 range-disjoint files, kept ${cand.size}")
+    val got = graft.sources.SkipIndex
+      .readRange(spark, idx, "o_orderkey", lo, hi)
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+    val want = spark.read.parquet(path)
+      .where(col("o_orderkey").between(lo, hi))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+    assert(got.collect().toSeq == want.collect().toSeq && want.count() > 0)
+    // a disjoint range prunes everything
+    val none = graft.sources.SkipIndex
+      .candidateFiles(idx, "o_orderkey", lit(-500L), lit(-1L))
+    assert(none.isEmpty)
+    idx.unpersist()
+  }
 }
