@@ -2364,7 +2364,89 @@ object Queries {
         |  UNION ALL SELECT CAST(2 AS BIGINT), 'merge', p1, p2, cnt FROM m2
         |  UNION ALL SELECT CAST(3 AS BIGINT), 'merge', p1, p2, cnt FROM m3
         |  UNION ALL SELECT CAST(10 + r AS BIGINT), 'sym', sy, '', cnt FROM syt WHERE r <= 12
-        |) ORDER BY rk""".stripMargin)
+        |) ORDER BY rk""".stripMargin),
+
+    // Curriculum interleave: per-source quality rank (n_chars as the
+    // deterministic quality proxy), then a global training order that
+    // round-robins sources — every source's best doc before any
+    // source's second-best. The data-ORDERING op of curriculum /
+    // mixture training. The outer global window is the q29 shape:
+    // contract form here, GlobalWindow.ranks is the scale tier.
+    // row_number is INT in Spark and BIGINT in DuckDB — cast both.
+    q("x150_curriculum_interleave",
+      """WITH r AS (SELECT doc_id, source,
+        |             cast(row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |           FROM documents)
+        |SELECT cast(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos,
+        |       doc_id, source, rk
+        |FROM r ORDER BY pos LIMIT 100""".stripMargin,
+      """WITH r AS (SELECT doc_id, source,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+        |           FROM documents)
+        |SELECT CAST(row_number() OVER (ORDER BY rk, source) AS BIGINT) AS pos,
+        |       doc_id, source, rk
+        |FROM r ORDER BY pos LIMIT 100""".stripMargin),
+
+    // Training-shard manifest: content-hash assignment of docs to 8
+    // shards (the x105 md5-prefix key) + the per-shard audit a dataset
+    // release ships — doc/char totals, source spread, id range. One
+    // hash-agg shuffle; the assignment column doubles as the
+    // partitionBy key of the writer at 100 TB.
+    q("x151_shard_manifest",
+      """WITH a AS (SELECT doc_id, source, n_chars,
+        |    cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS n_chars,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH a AS (SELECT doc_id, source, n_chars,
+        |    CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 8 AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |       count(DISTINCT source) AS n_sources,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // OOV rate under a truncated vocabulary: top-k words by corpus
+    // frequency (total (c DESC, w) tie-break) as the vocab, then each
+    // doc's out-of-vocabulary token fraction in basis points — the
+    // coverage statistic that decides vocab size vs UNK rate when
+    // fixing a tokenizer. k=15 because the synthetic corpus has 31
+    // distinct words — a half-covering vocab produces real OOV spread
+    // (1000 would be all-zero here; at a real corpus it's 10^4-10^5).
+    // The vocab rank is a global window over the WORD CENSUS
+    // (dict-sized, not corpus-sized); per-doc scoring is one hash agg
+    // with a broadcast-semi IN probe.
+    q("x152_oov_rate",
+      """WITH tok AS (SELECT doc_id, w
+        |             FROM (SELECT doc_id, explode(split(lower(text),' ')) AS w FROM documents)
+        |             WHERE w <> ''),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |v AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc)
+        |      WHERE r <= 15),
+        |per AS (SELECT doc_id, count(*) AS n_tok,
+        |          cast(sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS in_v
+        |        FROM tok GROUP BY 1)
+        |SELECT doc_id, cast(n_tok AS BIGINT) AS n_tok,
+        |       cast(n_tok - in_v AS BIGINT) AS oov,
+        |       cast(((n_tok - in_v) * 10000) div n_tok AS BIGINT) AS oov_bp
+        |FROM per ORDER BY oov_bp DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH tok AS (SELECT doc_id, w
+        |             FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents)
+        |             WHERE w <> ''),
+        |wc AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |v AS (SELECT w FROM (SELECT w, row_number() OVER (ORDER BY c DESC, w) AS r FROM wc)
+        |      WHERE r <= 15),
+        |per AS (SELECT doc_id, count(*) AS n_tok,
+        |          CAST(sum(CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END) AS BIGINT) AS in_v
+        |        FROM tok GROUP BY 1)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |       CAST(n_tok - in_v AS BIGINT) AS oov,
+        |       CAST(((n_tok - in_v) * 10000) // n_tok AS BIGINT) AS oov_bp
+        |FROM per ORDER BY oov_bp DESC, doc_id LIMIT 20""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
