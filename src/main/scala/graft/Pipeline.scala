@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   *             ─ exact dedup, keep lowest doc_id (x47)
   *             ─ MinHash+LSH near-dup prune, cluster-canonical keep
   *               (x52 scale path + x111 connected components)
+  *             ─ benchmark decontamination (x108 gram gate; held-out
+  *               source dropped, gram-sharing docs dropped)
   *             ─ corpus accounting (x58/x95 token + vocab counts)
   *             ─ stable train/val/test split (x106 content-hash assignment)
   *             ─ sequence packing into 512-token windows (x107 semantics
   *               via the GlobalWindow.runningSum scale tier, not the
   *               single-task window)
+  *             ─ tokenizer induction + post-BPE token accounting
+  *               (x148/x149 train + distinct-word encode)
   *             ─ mixture resampling to target source weights (x109)
   *   embeddings ─ IVF index build + sample ANN probe (x59)
   *
@@ -83,9 +87,24 @@ object Pipeline {
       llm.Dedup.keepClusterCanonical(exact, pairs, "doc_id")
     }
 
+    // 3b. benchmark decontamination (x108 semantics, stream-capable via
+    // streaming.ContaminationStream): src0 stands in for the held-out
+    // eval set — its docs leave the corpus entirely, and any OTHER doc
+    // sharing a word 5-gram with it is dropped too. The gram set is the
+    // broadcast small side; the gate is a semi-join feeding an
+    // anti-join — linear, no pair blowup.
+    val (decon, nD) = stage("decontaminate", nN) {
+      val bench = streaming.ContaminationStream.benchmarkGrams(
+        docs.where(col("source") === "src0"))
+      val candidates = neardup.where(col("source") =!= "src0")
+      val hits = streaming.ContaminationStream
+        .contaminationHits(candidates, bench).select("doc_id")
+      candidates.join(hits, Seq("doc_id"), "left_anti")
+    }
+
     // 4. corpus accounting per source (what reaches the tokenizer)
-    stage("corpus_accounting", nN) {
-      neardup.groupBy("source").agg(
+    stage("corpus_accounting", nD) {
+      decon.groupBy("source").agg(
         count(lit(1)).as("docs"),
         sum(size(split(col("text"), " "))).as("toks"),
         sum(col("n_chars")).as("chars"))
@@ -93,8 +112,8 @@ object Pipeline {
 
     // 5. stable train/val/test assignment by content hash (x106): a doc
     // never changes split as the corpus grows
-    val (splitDf, nS) = stage("split_assign", nN) {
-      neardup.withColumn("b",
+    val (splitDf, nS) = stage("split_assign", nD) {
+      decon.withColumn("b",
           conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
             .cast("long") % 100)
         .withColumn("split", when(col("b") < 80, "train")
@@ -113,6 +132,18 @@ object Pipeline {
         .withColumn("start_tok", col("cum") - col("n"))
         .withColumn("first_win", floor(col("start_tok") / 512).cast("long"))
         .select("doc_id", "n", "start_tok", "first_win")
+    }
+
+    // 6b. tokenizer induction on the train split (x148/x149): BPE
+    // merges trained on the word census (the dict, not the corpus),
+    // then per-doc post-BPE token counts via distinct-word encode +
+    // broadcast join-back — the accounting a packing budget consumes
+    // once a real tokenizer replaces whitespace counts
+    stage("bpe_tokenize", nS) {
+      val train = splitDf.where(col("split") === "train")
+      val (merges, enc) = llm.Bpe.train(train, 3)
+      enc.unpersist()
+      llm.Bpe.encodedTokenCounts(train, merges)
     }
 
     // 7. mixture resampling toward target source weights (x109):
