@@ -2446,7 +2446,68 @@ object Queries {
         |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |       CAST(n_tok - in_v AS BIGINT) AS oov,
         |       CAST(((n_tok - in_v) * 10000) // n_tok AS BIGINT) AS oov_bp
-        |FROM per ORDER BY oov_bp DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM per ORDER BY oov_bp DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Ratio-to-report + ABC/Pareto bands: per-customer revenue share
+    // and cumulative share of the ranked list, banded A (top 50% of
+    // revenue), B (to 80%), C (tail) — the concentration analysis
+    // behind "which sources fill the token budget" (x122's sibling on
+    // money). Revenue is floored to integer CENTS per row before any
+    // sum (the §5.4 fixed-point rule: identical IEEE double → floor on
+    // both engines, then order-independent integer sums). The ranked
+    // cumulative window runs over per-customer AGGREGATES (dim-sized);
+    // GlobalWindow.runningSum is the tier if the key set were corpus-
+    // sized.
+    q("x153_pareto_bands",
+      """WITH rev AS (SELECT o_custkey AS ck,
+        |         cast(sum(cast(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |       FROM orders GROUP BY 1),
+        |tot AS (SELECT cast(sum(cents) AS BIGINT) AS t FROM rev),
+        |r AS (SELECT ck, cents,
+        |        cast(row_number() OVER (ORDER BY cents DESC, ck) AS BIGINT) AS rk,
+        |        cast(sum(cents) OVER (ORDER BY cents DESC, ck
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM rev)
+        |SELECT rk, ck, cents,
+        |       cast((cents * 10000) div t AS BIGINT) AS share_bp,
+        |       cast((cum * 10000) div t AS BIGINT) AS cum_bp,
+        |       CASE WHEN (cum * 10000) div t <= 5000 THEN 'A'
+        |            WHEN (cum * 10000) div t <= 8000 THEN 'B' ELSE 'C' END AS band
+        |FROM r CROSS JOIN tot ORDER BY rk LIMIT 50""".stripMargin,
+      """WITH rev AS (SELECT o_custkey AS ck,
+        |         CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |       FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS BIGINT) AS t FROM rev),
+        |r AS (SELECT ck, cents,
+        |        CAST(row_number() OVER (ORDER BY cents DESC, ck) AS BIGINT) AS rk,
+        |        CAST(sum(cents) OVER (ORDER BY cents DESC, ck
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM rev)
+        |SELECT rk, ck, cents,
+        |       CAST((cents * 10000) // t AS BIGINT) AS share_bp,
+        |       CAST((cum * 10000) // t AS BIGINT) AS cum_bp,
+        |       CASE WHEN (cum * 10000) // t <= 5000 THEN 'A'
+        |            WHEN (cum * 10000) // t <= 8000 THEN 'B' ELSE 'C' END AS band
+        |FROM r CROSS JOIN tot ORDER BY rk LIMIT 50""".stripMargin),
+
+    // Character-function battery rounding out §2.7: translate (char
+    // map), ascii/chr (code point bridge, both directions), reverse,
+    // repeat, negative-index substr — identical text in both dialects.
+    q("x154_char_funcs",
+      """SELECT c_custkey,
+        |       translate(c_name, 'aeiou', '-----') AS tr,
+        |       ascii(substr(c_name, 1, 1)) AS first_code,
+        |       chr(65 + cast(c_custkey % 26 AS INT)) AS rot_chr,
+        |       reverse(lower(c_name)) AS rev,
+        |       repeat(substr(c_name, -2, 2), 3) AS rep3
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey,
+        |       translate(c_name, 'aeiou', '-----') AS tr,
+        |       ascii(substr(c_name, 1, 1)) AS first_code,
+        |       chr(65 + CAST(c_custkey % 26 AS INT)) AS rot_chr,
+        |       reverse(lower(c_name)) AS rev,
+        |       repeat(substr(c_name, -2, 2), 3) AS rep3
+        |FROM customer ORDER BY c_custkey""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
