@@ -141,6 +141,23 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS cbo_$t")
   }
 
+  test("x152: vocab IN-probe compiles to a broadcast existence join") {
+    // the top-k vocab is dict-sized; the per-token membership probe
+    // must be a broadcast LeftSemi, never a shuffled semi or a
+    // nested-loop — at 100 TB the token stream is the corpus itself
+    val p = physical("x152_oov_rate")
+    // Catalyst compiles IN-under-CASE to an ExistenceJoin (semi join
+    // with a membership flag) — still hash-built and broadcast
+    assert(p.contains("BroadcastHashJoin") && p.contains("ExistenceJoin"),
+      s"vocab probe should be a broadcast existence join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop probe:\n$p")
+  }
+
+  test("x153: ranked-limit output short-circuits (no full sort after the window)") {
+    val p = physical("x153_pareto_bands")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself

@@ -115,4 +115,43 @@ class SkewAndNearDupSpec extends SparkSpec {
       s"only $droppable of 1500 planted dups droppable under cap=$cap")
     cand.unpersist()
   }
+
+  test("AQE skew join splits the hot partition (skew=true in the final plan)") {
+    // Salting (x137) is the QUERY-side skew fix; this pins the
+    // RUNTIME-side one: with adaptive skew-join on, a shuffle join
+    // whose hot key dwarfs the median partition is split in place —
+    // the final plan's SortMergeJoin carries skew=true and the result
+    // is unchanged. At 100 TB this is the knob that saves the
+    // fact-fact join nobody pre-salted.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val left = spark.range(50000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(spark.range(2000).select((col("id") % 50 + 1).as("k"), col("id").as("v")))
+      val right = spark.range(51).select(col("id").as("k"), col("id").as("w"))
+      val j = left.join(right, "k")
+      // execute THIS plan (count() would run its own QueryExecution and
+      // leave j's adaptive plan un-finalized)
+      assert(j.collect().length == 52000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
