@@ -2507,7 +2507,44 @@ object Queries {
         |       chr(65 + CAST(c_custkey % 26 AS INT)) AS rot_chr,
         |       reverse(lower(c_name)) AS rev,
         |       repeat(substr(c_name, -2, 2), 3) AS rep3
-        |FROM customer ORDER BY c_custkey""".stripMargin)
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Regex SPLIT (the delta none of the other regex queries cover:
+    // x66 extracts/replaces, this splits). Both engines keep trailing
+    // empty fields (Java split(limit=-1) == regexp_split_to_array), so
+    // 'customer#000…' splits to ['customer#', ''] — asserting that
+    // edge IS the point. Joined with '|' for a hash-stable scalar.
+    q("x155_regex_split",
+      """SELECT c_custkey,
+        |       concat_ws('|', split(lower(c_name), '[0-9]+')) AS parts,
+        |       cast(size(split(lower(c_name), '[0-9]+')) AS BIGINT) AS n_parts,
+        |       concat_ws('|', split(c_mktsegment, '[aeiou]+')) AS seg_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey,
+        |       array_to_string(regexp_split_to_array(lower(c_name), '[0-9]+'), '|') AS parts,
+        |       CAST(len(regexp_split_to_array(lower(c_name), '[0-9]+')) AS BIGINT) AS n_parts,
+        |       array_to_string(regexp_split_to_array(c_mktsegment, '[aeiou]+'), '|') AS seg_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Rolling 3-day distinct buyers: count(DISTINCT) over a RANGE
+    // frame. Spark windows don't take DISTINCT aggregates — the
+    // equivalent is size(collect_set()) over the same frame; DuckDB
+    // takes count(DISTINCT …) OVER directly. Both run on the
+    // pre-deduplicated (day, user) pairs, so the window input is
+    // days × active-users (dim-sized), not the event stream.
+    q("x156_rolling_distinct",
+      """WITH du AS (SELECT DISTINCT cast(floor(unix_millis(ts)/86400000.0) AS BIGINT) AS d, user_id
+        |            FROM events WHERE event_type = 'purchase')
+        |SELECT DISTINCT d,
+        |  cast(size(collect_set(user_id) OVER (ORDER BY d
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)) AS BIGINT) AS u3
+        |FROM du ORDER BY d""".stripMargin,
+      """WITH du AS (SELECT DISTINCT CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS d, user_id
+        |            FROM events WHERE event_type = 'purchase')
+        |SELECT DISTINCT d,
+        |  CAST(count(DISTINCT user_id) OVER (ORDER BY d
+        |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS u3
+        |FROM du ORDER BY d""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
