@@ -2544,7 +2544,33 @@ object Queries {
         |SELECT DISTINCT d,
         |  CAST(count(DISTINCT user_id) OVER (ORDER BY d
         |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS u3
-        |FROM du ORDER BY d""".stripMargin)
+        |FROM du ORDER BY d""".stripMargin),
+
+    // Dataset card: the per-source release audit every corpus ships —
+    // doc/token totals, language spread, exact-dup rate (docs minus
+    // distinct md5 texts, in bp), char range. One hash-agg pass with
+    // two count(DISTINCT)s; the card a 100 TB release computes as its
+    // final pipeline stage (x151's shard manifest is the storage half,
+    // this is the content half).
+    q("x157_dataset_card",
+      """SELECT source,
+        |       count(*) AS docs,
+        |       cast(sum(size(split(text,' '))) AS BIGINT) AS toks,
+        |       count(DISTINCT lang) AS langs,
+        |       count(DISTINCT md5(text)) AS uniq,
+        |       cast(((count(*) - count(DISTINCT md5(text))) * 10000) div count(*) AS BIGINT) AS dup_bp,
+        |       cast(min(n_chars) AS BIGINT) AS min_chars,
+        |       cast(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT source,
+        |       count(*) AS docs,
+        |       CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks,
+        |       count(DISTINCT lang) AS langs,
+        |       count(DISTINCT md5(text)) AS uniq,
+        |       CAST(((count(*) - count(DISTINCT md5(text))) * 10000) // count(*) AS BIGINT) AS dup_bp,
+        |       CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |       CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
