@@ -2570,7 +2570,81 @@ object Queries {
         |       CAST(((count(*) - count(DISTINCT md5(text))) * 10000) // count(*) AS BIGINT) AS dup_bp,
         |       CAST(min(n_chars) AS BIGINT) AS min_chars,
         |       CAST(max(n_chars) AS BIGINT) AS max_chars
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // GROUP BY ALL — the infer-the-keys shorthand both engines added
+    // independently (Spark 3.4 / DuckDB): every non-aggregate select
+    // item becomes a key. Identical text in both dialects; the plan is
+    // the same two-phase agg as an explicit GROUP BY 1,2.
+    q("x158_group_by_all",
+      """SELECT l_returnflag, l_linestatus, count(*) AS c,
+        |       cast(sum(cast(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM lineitem GROUP BY ALL ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Equi-width histogram profile (the ANALYZE-histogram op): 16
+    // buckets over [min,max] of order totals, empty buckets zero-
+    // filled by a generated series left join. The bucket edge float
+    // division is identical IEEE on both engines; the max row is
+    // clamped into the last bucket (classic right-edge rule).
+    q("x159_histogram",
+      """WITH b AS (SELECT cast(min(o_totalprice) AS DOUBLE) AS lo, cast(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+        |h AS (SELECT least(cast(floor((o_totalprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) AS bucket,
+        |             count(*) AS c
+        |      FROM orders CROSS JOIN b GROUP BY 1),
+        |s AS (SELECT explode(sequence(0, 15)) AS bucket)
+        |SELECT s.bucket, coalesce(h.c, 0) AS c
+        |FROM s LEFT JOIN h ON s.bucket = h.bucket ORDER BY s.bucket""".stripMargin,
+      """WITH b AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo, CAST(max(o_totalprice) AS DOUBLE) AS hi FROM orders),
+        |h AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 16.0)) AS BIGINT), 15) AS bucket,
+        |             count(*) AS c
+        |      FROM orders CROSS JOIN b GROUP BY 1),
+        |s AS (SELECT unnest(generate_series(0, 15)) AS bucket)
+        |SELECT s.bucket, coalesce(h.c, 0) AS c
+        |FROM s LEFT JOIN h ON s.bucket = h.bucket ORDER BY s.bucket""".stripMargin),
+
+    // Column profiler (the stats-collection pass CBO consumes, §1):
+    // per column ndv / null count / min / max, typed columns unified
+    // through string casts (timestamp prints identically under the
+    // UTC session on both engines). One scan per column here for SQL
+    // clarity; the Scala form would fuse them into one pass of
+    // multi-column aggregates.
+    q("x160_column_profile",
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col, count(DISTINCT l_orderkey) AS ndv,
+        |         cast(count(*) - count(l_orderkey) AS BIGINT) AS nulls,
+        |         cast(min(l_orderkey) AS STRING) AS minv, cast(max(l_orderkey) AS STRING) AS maxv
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(DISTINCT l_linenumber),
+        |         cast(count(*) - count(l_linenumber) AS BIGINT),
+        |         cast(min(l_linenumber) AS STRING), cast(max(l_linenumber) AS STRING) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+        |         cast(count(*) - count(l_returnflag) AS BIGINT),
+        |         min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(DISTINCT l_shipdate),
+        |         cast(count(*) - count(l_shipdate) AS BIGINT),
+        |         cast(min(l_shipdate) AS STRING), cast(max(l_shipdate) AS STRING) FROM lineitem
+        |) ORDER BY col""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS col, count(DISTINCT l_orderkey) AS ndv,
+        |         CAST(count(*) - count(l_orderkey) AS BIGINT) AS nulls,
+        |         CAST(min(l_orderkey) AS VARCHAR) AS minv, CAST(max(l_orderkey) AS VARCHAR) AS maxv
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', count(DISTINCT l_linenumber),
+        |         CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |         CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_returnflag', count(DISTINCT l_returnflag),
+        |         CAST(count(*) - count(l_returnflag) AS BIGINT),
+        |         min(l_returnflag), max(l_returnflag) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate', count(DISTINCT l_shipdate),
+        |         CAST(count(*) - count(l_shipdate) AS BIGINT),
+        |         CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+        |) ORDER BY col""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
