@@ -225,7 +225,17 @@ object Extensions {
     // step k+1 never re-executes steps 1..k. The x136/x140 policy,
     // applied to tokenizer training.
     "x149_bpe_native" -> ((s, dir) =>
-      graft.llm.Bpe.trainReport(Catalog.load(s, dir, "documents")))
+      graft.llm.Bpe.trainReport(Catalog.load(s, dir, "documents"))),
+
+    // Fused one-pass column profiler: x160's per-column UNION scans the
+    // table once per column; this computes all four stats for all four
+    // columns in ONE aggregate over ONE scan (Expand replicates rows
+    // inside the stage for the multi-distinct, pruned to the profiled
+    // columns). Same oracle text as x160.
+    "x161_column_profile_native" -> ((s, dir) =>
+      graft.operators.ColumnProfile.profile(
+        Catalog.load(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")))
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -248,6 +258,10 @@ object Extensions {
     // x149: same policy for the BPE trainer — the iterative operator
     // shares the unrolled x148 oracle verbatim.
     "x149_bpe_native" -> Queries.oracleSql("x148_bpe_train3"),
+
+    // x161: the fused profiler must land exactly where x160's
+    // per-column scans land.
+    "x161_column_profile_native" -> Queries.oracleSql("x160_column_profile"),
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

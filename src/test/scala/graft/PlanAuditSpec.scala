@@ -158,6 +158,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("x161: fused profiler scans the table ONCE (x160's SQL scans per column)") {
+    val p160 = physical("x160_column_profile")
+    val p161 = physical("x161_column_profile_native")
+    assert("FileScan parquet".r.findAllIn(p160).length == 4,
+      s"oracle form is declared one-scan-per-column:\n$p160")
+    assert("FileScan parquet".r.findAllIn(p161).length == 1,
+      s"fused profile must scan once:\n$p161")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself
