@@ -235,7 +235,16 @@ object Extensions {
     "x161_column_profile_native" -> ((s, dir) =>
       graft.operators.ColumnProfile.profile(
         Catalog.load(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")))
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))),
+
+    // Persist-once triangle enumeration: x163's SQL references its
+    // edge CTE three times and Spark inlines CTEs (3 edge builds);
+    // this builds the frequent-co-purchase edges once, caches, and
+    // closes wedges against the cached relation. Same oracle as x163.
+    "x165_triangles_native" -> ((s, dir) =>
+      graft.operators.Graph.triangles(
+        graft.operators.Graph.coOccurrenceEdges(
+          Catalog.load(s, dir, "lineitem"), "l_orderkey", "l_partkey")))
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -262,6 +271,10 @@ object Extensions {
     // x161: the fused profiler must land exactly where x160's
     // per-column scans land.
     "x161_column_profile_native" -> Queries.oracleSql("x160_column_profile"),
+
+    // x165: the persist-once triangle pass must enumerate exactly the
+    // triangles x163's three-scan SQL enumerates.
+    "x165_triangles_native" -> Queries.oracleSql("x163_triangles"),
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

@@ -2644,7 +2644,91 @@ object Queries {
         |  SELECT 'l_shipdate', count(DISTINCT l_shipdate),
         |         CAST(count(*) - count(l_shipdate) AS BIGINT),
         |         CAST(min(l_shipdate) AS VARCHAR), CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
-        |) ORDER BY col""".stripMargin)
+        |) ORDER BY col""".stripMargin),
+
+    // Market-basket pair mining: co-purchase support + lift over the
+    // order×part incidence. THE skew-prone self-join of retail
+    // analytics — baskets are bounded (≤7 lines/order in this corpus),
+    // so pair blow-up is O(orders · maxBasket²), and a real deployment
+    // would cap basket size before pairing (the x119 SemDeDup cap
+    // pattern). Lift in integer basis points (support·N·10000 div
+    // c1·c2) so the ranking is exact, not float-ordered. min-support 2
+    // keeps the frequent-edge set ~constant (2.4k/3.6k/3.9k pairs at
+    // the three SFs — measured) while raw pairs grow 134×.
+    q("x162_market_basket",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, support,
+        |       cast((support * n * 10000) div (c1.c * c2.c) AS BIGINT) AS lift_bp
+        |FROM pairs JOIN cnt c1 ON c1.l_partkey = p1
+        |           JOIN cnt c2 ON c2.l_partkey = p2 CROSS JOIN tot
+        |ORDER BY support DESC, p1, p2 LIMIT 30""".stripMargin,
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, support,
+        |       CAST((support * n * 10000) // (c1.c * c2.c) AS BIGINT) AS lift_bp
+        |FROM pairs JOIN cnt c1 ON c1.l_partkey = p1
+        |           JOIN cnt c2 ON c2.l_partkey = p2 CROSS JOIN tot
+        |ORDER BY support DESC, p1, p2 LIMIT 30""".stripMargin),
+
+    // Triangle enumeration on the frequent-co-purchase graph (edges =
+    // x162's min-support-2 pairs, kept oriented p1<p2 so each triangle
+    // is emitted exactly once as a<b<c — the standard orientation
+    // trick that cuts the join fan-out 6×). Identical text in both
+    // dialects. NOTE: `pairs` is referenced three times and Spark
+    // inlines CTEs, so the edge build runs 3× here — the contract
+    // form; operators.Graph.triangles is the persist-once scale path
+    // (x165, same oracle — the x136/x140 policy).
+    q("x163_triangles",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |FROM pairs e1 JOIN pairs e2 ON e1.p2 = e2.p1
+        |     JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |ORDER BY a, b, c""".stripMargin),
+
+    // Date/interval arithmetic battery (the calendar half of §2.7 that
+    // x88/x99 don't cover: INTERVAL literals, last_day, quarter trunc,
+    // next-weekday, boundary-count month diff). Spark has next_day()
+    // built in; DuckDB derives it from isodow ((7-isodow)%7+1 — lands
+    // strictly after, +7 when already Monday, matching Spark). Month
+    // distance via year*12+month subtraction — identical boundary
+    // semantics in both engines, unlike months_between (fractional,
+    // day-of-month dependent) vs date_diff('month').
+    q("x164_interval_math",
+      """WITH o AS (SELECT o_orderkey, cast(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |       cast(d + INTERVAL '3' MONTH AS DATE) AS plus3mo,
+        |       cast(d - INTERVAL '90' DAY AS DATE) AS minus90d,
+        |       last_day(d) AS eom,
+        |       cast(date_trunc('quarter', d) AS DATE) AS qtr,
+        |       next_day(d, 'MO') AS next_mon,
+        |       cast(datediff(DATE'1998-12-31', d) AS BIGINT) AS days_to_eoy,
+        |       cast((1998*12 + 12) - (year(d)*12 + month(d)) AS BIGINT) AS mon_to_eoy
+        |FROM o ORDER BY o_orderkey""".stripMargin,
+      """WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT o_orderkey,
+        |       CAST(d + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+        |       CAST(d - INTERVAL 90 DAY AS DATE) AS minus90d,
+        |       last_day(d) AS eom,
+        |       CAST(date_trunc('quarter', d) AS DATE) AS qtr,
+        |       d + CAST(((7 - isodow(d)) % 7) + 1 AS INT) AS next_mon,
+        |       CAST(date_diff('day', d, DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
+        |       CAST((1998*12 + 12) - (year(d)*12 + month(d)) AS BIGINT) AS mon_to_eoy
+        |FROM o ORDER BY o_orderkey""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
