@@ -2728,7 +2728,40 @@ object Queries {
         |       d + CAST(((7 - isodow(d)) % 7) + 1 AS INT) AS next_mon,
         |       CAST(date_diff('day', d, DATE '1998-12-31') AS BIGINT) AS days_to_eoy,
         |       CAST((1998*12 + 12) - (year(d)*12 + month(d)) AS BIGINT) AS mon_to_eoy
-        |FROM o ORDER BY o_orderkey""".stripMargin)
+        |FROM o ORDER BY o_orderkey""".stripMargin),
+
+    // Unicode accent folding — the canonicalization pass upstream of
+    // every hash-based dedup (md5/minhash keys must not split on
+    // é vs e+U+0301). Spark has no built-in that RETURNS the folded
+    // string, so the engine side is the native codegen'd
+    // functions.FoldAccents (NFD → drop Mn marks → NFC, ASCII fast
+    // path); the oracle is DuckDB's utf8proc-backed strip_accents.
+    // Accented input is synthesized by translate() so the fold is
+    // exercised on every row; the constant column pins the
+    // already-decomposed case (combining marks in the literal) and the
+    // non-decomposable Ø (must survive); `roundtrip` proves
+    // fold(translate(x)) == x.
+    q("x166_fold_accents",
+      """WITH acc AS (SELECT c_custkey,
+        |                    lower(c_name) AS lo,
+        |                    translate(lower(c_name), 'aeioucs', 'áéíóüçš') AS accented
+        |             FROM customer)
+        |SELECT c_custkey, accented,
+        |       fold_accents(accented) AS folded,
+        |       cast(length(accented) AS BIGINT) AS n_chars,
+        |       (fold_accents(accented) = lo) AS roundtrip,
+        |       fold_accents('Crème Brûlée Ø') AS decomposed_fold
+        |FROM acc ORDER BY c_custkey""".stripMargin,
+      """WITH acc AS (SELECT c_custkey,
+        |                    lower(c_name) AS lo,
+        |                    translate(lower(c_name), 'aeioucs', 'áéíóüçš') AS accented
+        |             FROM customer)
+        |SELECT c_custkey, accented,
+        |       strip_accents(accented) AS folded,
+        |       CAST(length(accented) AS BIGINT) AS n_chars,
+        |       (strip_accents(accented) = lo) AS roundtrip,
+        |       strip_accents('Crème Brûlée Ø') AS decomposed_fold
+        |FROM acc ORDER BY c_custkey""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
