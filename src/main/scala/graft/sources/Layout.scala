@@ -105,4 +105,45 @@ object Layout {
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, outFiles)
   }
+
+  /** Bit-interleave two 16-bit ranks into a 32-bit Z-order (Morton)
+    * key — built entirely from codegen'd bitwise built-ins (32
+    * shift/mask terms), no UDF, no custom expression needed. */
+  def interleave16(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+
+  /** Write `df` Z-ordered on two numeric columns: each column is
+    * scaled to a 16-bit rank, the ranks bit-interleaved into a Morton
+    * key, and the data range-partitioned + sorted on that key. The
+    * point vs a linear sort: a linear layout on (c1) gives disjoint
+    * per-file ranges for c1 only — a filter on c2 touches every file.
+    * Z-order trades a little locality on each dimension for locality
+    * on BOTH: a point/range query on either column prunes to
+    * ~sqrt(files) through the same SkipIndex manifest. Ranks here are
+    * min/max-linear (one tiny agg, fine for ~uniform columns); skewed
+    * columns would use approx_percentile boundaries instead — the
+    * GlobalWindow boundary pattern.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    numFiles: Int): Unit = {
+    val b = df.agg(
+      min(col(c1)).cast("double"), max(col(c1)).cast("double"),
+      min(col(c2)).cast("double"), max(col(c2)).cast("double")).collect().head
+    val (lo1, hi1, lo2, hi2) =
+      (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
+    def rank(c: String, lo: Double, hi: Double) =
+      least(lit(65535L), floor(
+        (col(c).cast("double") - lit(lo)) / lit(math.max(hi - lo, 1e-300)) * 65536.0
+      ).cast("long"))
+    val keyed = df.withColumn("__z",
+      interleave16(rank(c1, lo1, hi1), rank(c2, lo2, hi2)))
+    keyed.repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

@@ -181,4 +181,53 @@ class LayoutSpec extends SparkSpec {
     assert(none.isEmpty)
     idx.unpersist()
   }
+
+  test("z-order layout: skip index prunes on BOTH columns; linear only on one") {
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val linear = "/tmp/graft-layout/orders_linear"
+    val zpath = "/tmp/graft-layout/orders_zorder"
+    val nFiles = 16
+    // linear: clustered on o_orderkey only
+    orders.repartitionByRange(nFiles, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(linear)
+    Layout.writeZOrdered(orders, zpath, "o_orderkey", "o_custkey", nFiles)
+
+    // losslessness first
+    val z = spark.read.parquet(zpath)
+    assert(z.count() == orders.count())
+    assert(z.exceptAll(orders).isEmpty && orders.exceptAll(z).isEmpty)
+
+    val idxLin = graft.sources.SkipIndex
+      .build(spark, linear, Seq("o_orderkey", "o_custkey")).cache()
+    val idxZ = graft.sources.SkipIndex
+      .build(spark, zpath, Seq("o_orderkey", "o_custkey")).cache()
+    val total = idxZ.count()
+    assert(total == nFiles.toLong && idxLin.count() == nFiles.toLong)
+
+    // narrow range on the SECONDARY column (~2% of the custkey domain):
+    // the linear layout interleaves custkeys across every file — no
+    // pruning; z-order keeps ~sqrt locality on both dims.
+    val (lo, hi) = (lit(40L), lit(42L))
+    val linCand = graft.sources.SkipIndex.candidateFiles(idxLin, "o_custkey", lo, hi)
+    val zCand = graft.sources.SkipIndex.candidateFiles(idxZ, "o_custkey", lo, hi)
+    assert(linCand.size == nFiles,
+      s"linear layout should NOT prune on the secondary column, kept ${linCand.size}")
+    assert(zCand.size <= nFiles / 2,
+      s"z-order should prune most files on the secondary column, kept ${zCand.size}/$nFiles")
+
+    // the primary column must still prune under z-order
+    val zPrim = graft.sources.SkipIndex
+      .candidateFiles(idxZ, "o_orderkey", lit(100L), lit(300L))
+    assert(zPrim.size < nFiles,
+      s"z-order should still prune on the primary column, kept ${zPrim.size}/$nFiles")
+
+    // and the pruned read is exact
+    val got = graft.sources.SkipIndex.readRange(spark, idxZ, "o_custkey", lo, hi)
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+    val want = orders.where(col("o_custkey").between(lo, hi))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+    assert(got.collect().toSeq == want.collect().toSeq && want.count() > 0)
+    idxLin.unpersist(); idxZ.unpersist()
+  }
 }

@@ -158,6 +158,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
   }
 
+  test("runtime bloom filter: selective dim filter injects a probe-side bloom") {
+    // At 100 TB the win is reading less of the FACT table: when a join's
+    // build side is selectively filtered, Spark's InjectRuntimeFilter can
+    // plant bloom_filter_agg(build keys) and might_contain() on the probe
+    // scan, cutting shuffled fact rows before the join. The default
+    // application-side threshold (10 GB) is sized for clusters, so the
+    // sf0.001 corpus never triggers it — lower it to zero to pin the
+    // MECHANISM here; production keeps the default.
+    Catalog.ensure(spark, sf0001)
+    val conf = spark.conf
+    val prevApp = conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prevEnabled = conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    val prevBcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // The rule only fires for probably-shuffled joins: a build side
+      // this small would broadcast (where the bloom is pointless), so
+      // model the 100 TB case — both sides too big to broadcast.
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = spark.sql(
+        """SELECT count(*) AS c
+          |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_orderpriority = '1-URGENT'""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected an injected runtime bloom filter on the probe side:\n$p")
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"expected the build-side bloom aggregate:\n$p")
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevEnabled)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
+  }
+
   test("x161: fused profiler scans the table ONCE (x160's SQL scans per column)") {
     val p160 = physical("x160_column_profile")
     val p161 = physical("x161_column_profile_native")
