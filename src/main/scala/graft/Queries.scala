@@ -2761,7 +2761,88 @@ object Queries {
         |       CAST(length(accented) AS BIGINT) AS n_chars,
         |       (strip_accents(accented) = lo) AS roundtrip,
         |       strip_accents('Crème Brûlée Ø') AS decomposed_fold
-        |FROM acc ORDER BY c_custkey""".stripMargin)
+        |FROM acc ORDER BY c_custkey""".stripMargin),
+    // Exponential smoothing (EWMA, alpha=1/2) over the daily purchase
+    // series — the time-decay metric every monitoring pipeline computes.
+    // The naive formulation (running product / pow in a window) is
+    // float-accumulation-order dependent; this is the EXACT 8-term
+    // truncated form in scaled integers: weights 128,64,…,1 are powers
+    // of two, so ewma_x128 is a BIGINT both engines agree on bit-for-
+    // bit. Truncation error vs the infinite EWMA is < 2^-8 of the
+    // running scale — below the x128 quantum.
+    q("x167_ewma",
+      """WITH daily AS (
+        |  SELECT cast(floor(unix_millis(ts)/86400000.0) AS BIGINT) AS d, count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT d, c,
+        |  cast(c*128
+        |     + coalesce(lag(c,1) OVER w, 0)*64 + coalesce(lag(c,2) OVER w, 0)*32
+        |     + coalesce(lag(c,3) OVER w, 0)*16 + coalesce(lag(c,4) OVER w, 0)*8
+        |     + coalesce(lag(c,5) OVER w, 0)*4  + coalesce(lag(c,6) OVER w, 0)*2
+        |     + coalesce(lag(c,7) OVER w, 0)    AS BIGINT) AS ewma_x128
+        |FROM daily WINDOW w AS (ORDER BY d) ORDER BY d""".stripMargin,
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS d, count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT d, c,
+        |  CAST(c*128
+        |     + coalesce(lag(c,1) OVER w, 0)*64 + coalesce(lag(c,2) OVER w, 0)*32
+        |     + coalesce(lag(c,3) OVER w, 0)*16 + coalesce(lag(c,4) OVER w, 0)*8
+        |     + coalesce(lag(c,5) OVER w, 0)*4  + coalesce(lag(c,6) OVER w, 0)*2
+        |     + coalesce(lag(c,7) OVER w, 0)    AS BIGINT) AS ewma_x128
+        |FROM daily WINDOW w AS (ORDER BY d) ORDER BY d""".stripMargin),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRIOR click — the carry-forward pattern (last_value
+    // IGNORE NULLS over UNBOUNDED..1 PRECEDING, so a click never
+    // attributes to itself and ties break on event_id). One window
+    // pass over the user-partitioned stream — no self-join, which is
+    // the scale point: the as-of-join formulation shuffles twice.
+    // Dialect delta: IGNORE NULLS is postfix in Spark, inside the
+    // call in DuckDB (the x146 delta).
+    q("x168_attribution",
+      """WITH ev AS (SELECT user_id, ts, event_type, event_id FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT user_id, ts, event_type, event_id,
+        |        last_value(CASE WHEN event_type = 'click' THEN event_id END) IGNORE NULLS
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attrib
+        |      FROM ev)
+        |SELECT event_id, user_id, attrib, (attrib IS NOT NULL) AS attributed
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      """WITH ev AS (SELECT user_id, ts, event_type, event_id FROM events
+        |            WHERE event_type IN ('click', 'purchase')),
+        |m AS (SELECT user_id, ts, event_type, event_id,
+        |        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS attrib
+        |      FROM ev)
+        |SELECT event_id, user_id, attrib, (attrib IS NOT NULL) AS attributed
+        |FROM m WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin),
+
+    // CDC upsert (MERGE semantics as a full-outer coalesce): delta
+    // rows override matching base rows (update), unmatched delta rows
+    // append (insert), unmatched base rows persist (keep). Base/delta
+    // are carved deterministically from orders so all three op classes
+    // occur. The coalesce-over-full-outer shape is the engine-neutral
+    // core of every MERGE INTO implementation; at scale the join
+    // shuffles on the primary key both sides — exactly the bucketed
+    // layout (§6) that makes nightly upserts exchange-free. Identical
+    // text in both dialects.
+    q("x169_upsert",
+      """WITH base AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |              FROM orders WHERE o_orderkey % 7 <> 0),
+        |delta AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+        |                 'R' AS o_orderstatus
+        |          FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(d.o_orderkey, b.o_orderkey) AS okey,
+        |       coalesce(d.o_totalprice, b.o_totalprice) AS price,
+        |       coalesce(d.o_orderstatus, b.o_orderstatus) AS status,
+        |       CASE WHEN d.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL THEN 'update'
+        |            WHEN d.o_orderkey IS NOT NULL THEN 'insert'
+        |            ELSE 'keep' END AS op
+        |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |ORDER BY okey""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
