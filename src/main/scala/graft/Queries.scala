@@ -2842,7 +2842,69 @@ object Queries {
         |            WHEN d.o_orderkey IS NOT NULL THEN 'insert'
         |            ELSE 'keep' END AS op
         |FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
-        |ORDER BY okey""".stripMargin)
+        |ORDER BY okey""".stripMargin),
+
+    // Nested array-of-struct analytics: lines rolled up into a typed
+    // array<struct> per order, then computed over with HOF lambdas
+    // (aggregate/filter + struct field access) — the shape document
+    // stores with nested line items take. The struct array is sorted
+    // on ALL fields (a total order on the value) since
+    // (l_orderkey, l_linenumber) is NOT unique in this corpus; the
+    // integer-cents fold keeps the sum order-independent anyway.
+    // Output is scalars only — struct hashing stays out of the gate.
+    q("x170_nested_structs",
+      """WITH nested AS (
+        |  SELECT l_orderkey,
+        |         sort_array(collect_list(named_struct(
+        |           'ln', l_linenumber, 'qty', l_quantity,
+        |           'price', l_extendedprice, 'disc', l_discount))) AS lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  cast(size(lines) AS BIGINT) AS n_lines,
+        |  cast(aggregate(lines, 0L,
+        |    (s, x) -> s + cast(floor(x.price * (1 - x.disc) * 100) AS BIGINT)) AS BIGINT) AS net_cents,
+        |  cast(size(filter(lines, x -> x.qty > 30)) AS BIGINT) AS big_lines,
+        |  cast(element_at(lines, 1).ln AS BIGINT) AS first_ln
+        |FROM nested ORDER BY l_orderkey""".stripMargin,
+      """WITH nested AS (
+        |  SELECT l_orderkey,
+        |         list(struct_pack(ln := l_linenumber, qty := l_quantity,
+        |                          price := l_extendedprice, disc := l_discount)
+        |              ORDER BY l_linenumber, l_quantity, l_extendedprice, l_discount) AS lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(list_sum(list_transform(lines,
+        |    x -> CAST(floor(x.price * (1 - x.disc) * 100) AS BIGINT))) AS BIGINT) AS net_cents,
+        |  CAST(len(list_filter(lines, x -> x.qty > 30)) AS BIGINT) AS big_lines,
+        |  CAST(lines[1].ln AS BIGINT) AS first_ln
+        |FROM nested ORDER BY l_orderkey""".stripMargin),
+
+    // Timezone conversion battery: UTC event times to America/New_York
+    // wall clock — the localization pass every user-facing rollup
+    // needs. Spark: from_utc_timestamp; DuckDB: timezone(tz,
+    // timezone('UTC', naive)) double-hop (naive → TIMESTAMPTZ → target
+    // wall). The two constants pin the 2024-03-10 US spring-forward:
+    // 06:59 UTC is 01:59 EST, 07:01 UTC is 03:01 EDT — the 02:xx hour
+    // does not exist, which is exactly what the oracle must agree on.
+    // (Both engines read the IANA tzdb; NY 2024 rules are identical.)
+    q("x171_timezone",
+      """SELECT event_id,
+        |  date_format(from_utc_timestamp(ts, 'America/New_York'), 'yyyy-MM-dd HH:mm:ss') AS ny_str,
+        |  cast(hour(from_utc_timestamp(ts, 'America/New_York')) AS BIGINT) AS ny_hour,
+        |  date_format(from_utc_timestamp(TIMESTAMP'2024-03-10 06:59:00', 'America/New_York'),
+        |              'yyyy-MM-dd HH:mm:ss') AS pre_dst,
+        |  date_format(from_utc_timestamp(TIMESTAMP'2024-03-10 07:01:00', 'America/New_York'),
+        |              'yyyy-MM-dd HH:mm:ss') AS post_dst
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id,
+        |  strftime(timezone('America/New_York', timezone('UTC', ts)), '%Y-%m-%d %H:%M:%S') AS ny_str,
+        |  CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS BIGINT) AS ny_hour,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-03-10 06:59:00')),
+        |           '%Y-%m-%d %H:%M:%S') AS pre_dst,
+        |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-03-10 07:01:00')),
+        |           '%Y-%m-%d %H:%M:%S') AS post_dst
+        |FROM events ORDER BY event_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
