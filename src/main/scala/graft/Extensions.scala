@@ -244,7 +244,24 @@ object Extensions {
     "x165_triangles_native" -> ((s, dir) =>
       graft.operators.Graph.triangles(
         graft.operators.Graph.coOccurrenceEdges(
-          Catalog.load(s, dir, "lineitem"), "l_orderkey", "l_partkey")))
+          Catalog.load(s, dir, "lineitem"), "l_orderkey", "l_partkey"))),
+
+    // Fused data-quality audit: x172's per-rule UNION scans fuse into
+    // one conditional aggregate per table + one anti-join per FK rule.
+    // Same oracle as x172.
+    "x173_dq_native" -> ((s, dir) => {
+      import graft.operators.DataQuality._
+      val li = Catalog.load(s, dir, "lineitem")
+      val ord = Catalog.load(s, dir, "orders")
+      audit(li, Seq(
+          InRange("lineitem.qty_in_1_45", "l_quantity", 1.0, 45.0),
+          NotNull("lineitem.orderkey_not_null", "l_orderkey"),
+          Violates("lineitem.positive_price",
+            org.apache.spark.sql.functions.col("l_extendedprice") <= 0),
+          ForeignKey("lineitem.fk_orders", "l_orderkey", ord, "o_orderkey")))
+        .union(audit(ord, Seq(Unique("orders.pk_unique", "o_orderkey"))))
+        .orderBy("rule")
+    })
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -275,6 +292,9 @@ object Extensions {
     // x165: the persist-once triangle pass must enumerate exactly the
     // triangles x163's three-scan SQL enumerates.
     "x165_triangles_native" -> Queries.oracleSql("x163_triangles"),
+
+    // x173: the fused audit must report exactly x172's rule rows.
+    "x173_dq_native" -> Queries.oracleSql("x172_dq_audit"),
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

@@ -2904,7 +2904,64 @@ object Queries {
         |           '%Y-%m-%d %H:%M:%S') AS pre_dst,
         |  strftime(timezone('America/New_York', timezone('UTC', TIMESTAMP '2024-03-10 07:01:00')),
         |           '%Y-%m-%d %H:%M:%S') AS post_dst
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Data-quality audit — the expectation gate a pipeline runs before
+    // promoting a corpus snapshot: null keys, domain ranges, PK
+    // uniqueness, FK closure. One UNION branch per rule here (dialect
+    // clarity, one scan per rule); operators.DataQuality (x173, same
+    // oracle) fuses all row-local rules into ONE conditional aggregate
+    // over ONE scan — the audit at 100 TB is priced by fact reads.
+    // qty_in_1_45 is deliberately tight so violations are nonzero;
+    // `checked` for the FK rule counts non-NULL keys (REFERENCES
+    // semantics: NULL never violates FK).
+    q("x172_dq_audit",
+      """SELECT * FROM (
+        |  SELECT 'lineitem.qty_in_1_45' AS rule,
+        |         cast(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS BIGINT) AS violations,
+        |         cast(count(*) AS BIGINT) AS checked FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_not_null',
+        |         cast(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+        |         cast(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.positive_price',
+        |         cast(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+        |         cast(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.pk_unique',
+        |         cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         cast(count(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_orders',
+        |         cast((SELECT count(*) FROM lineitem l
+        |               WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |         cast((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS BIGINT)
+        |) ORDER BY rule""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT 'lineitem.qty_in_1_45' AS rule,
+        |         CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 45) AS BIGINT) AS violations,
+        |         CAST(count(*) AS BIGINT) AS checked FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_not_null',
+        |         CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT),
+        |         CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem.positive_price',
+        |         CAST(count(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT),
+        |         CAST(count(*) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders.pk_unique',
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         CAST(count(*) AS BIGINT) FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem.fk_orders',
+        |         CAST((SELECT count(*) FROM lineitem l
+        |               WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+        |         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS BIGINT)
+        |) ORDER BY rule""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

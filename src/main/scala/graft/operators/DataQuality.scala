@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality audit — the expectation-check stage a
+  * training-data pipeline runs before promoting a corpus snapshot
+  * (null keys, domain ranges, PK uniqueness, FK closure). The contract
+  * form (x172) is one UNION ALL branch per rule for dialect clarity —
+  * one table scan PER RULE; this operator classifies rules by what
+  * they need:
+  *
+  *  - row-local rules (not-null, range, custom predicate) fuse into
+  *    ONE conditional aggregate over ONE scan — at 100 TB the audit is
+  *    priced by fact-table reads, so k rules cost one pass, not k;
+  *  - uniqueness is a count vs count-distinct on the same fused pass;
+  *  - referential rules are anti-join probes against the dimension —
+  *    irreducibly a join, broadcast when the dim is small.
+  *
+  * Same output shape as the SQL form: (rule, violations, checked),
+  * sorted by rule — x173 shares x172's oracle (the x161 policy).
+  */
+object DataQuality {
+
+  sealed trait Rule { def name: String }
+  /** violation := the column is NULL. */
+  case class NotNull(name: String, col: String) extends Rule
+  /** violation := value outside [lo, hi] (NULLs are NOT violations —
+    * declare a NotNull rule for that, like SQL CHECK semantics). */
+  case class InRange(name: String, col: String, lo: Double, hi: Double) extends Rule
+  /** violation := any arbitrary row predicate evaluating TRUE. */
+  case class Violates(name: String, pred: Column) extends Rule
+  /** violation := duplicate value of the key column (count - ndv). */
+  case class Unique(name: String, col: String) extends Rule
+  /** violation := row whose key has no match in `dim.col` (NULL keys
+    * don't violate FK, matching SQL REFERENCES semantics). */
+  case class ForeignKey(name: String, col: String, dim: DataFrame, dimCol: String)
+    extends Rule
+
+  def audit(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    def cnt(pred: Column): Column =
+      sum(when(pred, lit(1L)).otherwise(lit(0L)))
+
+    // One fused pass: every row-local + uniqueness rule becomes one
+    // aggregate column over the same scan.
+    val fused: Seq[(String, Column)] = rules.collect {
+      case NotNull(n, c) => n -> cnt(col(c).isNull)
+      case InRange(n, c, lo, hi) =>
+        n -> cnt(col(c).isNotNull && !col(c).between(lo, hi))
+      case Violates(n, p) => n -> cnt(coalesce(p, lit(false)))
+      case Unique(n, c) => n -> (count(lit(1)) - count_distinct(col(c)))
+    }
+    val fusedRows: Seq[(String, Long, Long)] =
+      if (fused.isEmpty) Nil
+      else {
+        val aggs = fused.map { case (n, c) => c.as(n) } :+ count(lit(1)).as("__n")
+        val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+        val total = row.getLong(fused.size)
+        fused.zipWithIndex.map { case ((n, _), i) => (n, row.getLong(i), total) }
+      }
+
+    // FK rules: one anti-join each (broadcast-able dims stay broadcast;
+    // Catalyst decides). Counted lazily into driver-sized rows.
+    val fkRows: Seq[(String, Long, Long)] = rules.collect {
+      case ForeignKey(n, c, dim, dc) =>
+        val keyed = df.where(col(c).isNotNull)
+        val miss = keyed.join(dim.select(col(dc)).distinct(),
+          col(c) === col(dc), "left_anti").count()
+        (n, miss, keyed.count())
+    }
+
+    (fusedRows ++ fkRows)
+      .toDF("rule", "violations", "checked")
+      .orderBy("rule")
+  }
+}
