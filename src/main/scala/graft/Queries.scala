@@ -2961,7 +2961,73 @@ object Queries {
         |               WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
         |                 (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
         |         CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL) AS BIGINT)
-        |) ORDER BY rule""".stripMargin)
+        |) ORDER BY rule""".stripMargin),
+
+    // Order-independent table checksum — the replica-consistency /
+    // migration-audit primitive: per-group SUM of a 32-bit md5 prefix
+    // over a canonical row string. Addition commutes, so the checksum
+    // is layout-, partitioning-, and order-invariant — two copies of a
+    // 100 TB table compare by exchanging 3 rows. Canonical string uses
+    // integer-stable fields only (floor(price*100), never raw float
+    // repr). Dialect delta: hex→int is conv(,16,10) in Spark, a
+    // '0x'-prefixed BIGINT cast in DuckDB — same md5, same value.
+    q("x174_table_checksum",
+      """WITH h AS (SELECT l_returnflag AS f,
+        |    cast(conv(substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |         l_returnflag, cast(floor(l_extendedprice*100) AS BIGINT))), 1, 8),
+        |         16, 10) AS BIGINT) AS h32
+        |  FROM lineitem)
+        |SELECT f, count(*) AS n, cast(sum(h32) AS BIGINT) AS checksum
+        |FROM h GROUP BY f ORDER BY f""".stripMargin,
+      """WITH h AS (SELECT l_returnflag AS f,
+        |    CAST(('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |         l_returnflag, CAST(floor(l_extendedprice*100) AS BIGINT))), 1, 8))
+        |         AS BIGINT) AS h32
+        |  FROM lineitem)
+        |SELECT f, count(*) AS n, CAST(sum(h32) AS BIGINT) AS checksum
+        |FROM h GROUP BY f ORDER BY f""".stripMargin),
+
+    // Weighted median (quantity-weighted price): smallest value whose
+    // cumulative weight crosses half the group total. Integer weights
+    // and cents keep it exact; ties are safe — whether ANY row of a
+    // tied cents-group qualifies depends only on the group's closing
+    // cumulative sum, not the arbitrary order within the tie.
+    q("x175_weighted_median",
+      """WITH w AS (SELECT l_returnflag AS f,
+        |                  cast(floor(l_extendedprice*100) AS BIGINT) AS cents,
+        |                  cast(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |c AS (SELECT f, cents, wt,
+        |        sum(wt) OVER (PARTITION BY f ORDER BY cents
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(wt) OVER (PARTITION BY f) AS tot
+        |      FROM w)
+        |SELECT f, cast(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM c WHERE cum * 2 >= tot GROUP BY f ORDER BY f""".stripMargin),
+
+    // Skew diagnosis report — the pre-shuffle doctor: per-key count
+    // distribution of the join/agg key, heavy-hitter max, disc
+    // percentiles (actual counts, not interpolated floats), and the
+    // max/p50 ratio in basis points. THE number that decides whether a
+    // key needs salting (x137) or AQE skew-split before a 100 TB
+    // shuffle. One hash-agg + one tiny distribution agg.
+    q("x176_skew_report",
+      """WITH k AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT cast(count(*) AS BIGINT) AS n_keys,
+        |       cast(max(c) AS BIGINT) AS max_c,
+        |       cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p50_c,
+        |       cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p90_c,
+        |       cast(percentile_disc(0.99) WITHIN GROUP (ORDER BY c) AS BIGINT) AS p99_c,
+        |       cast((max(c) * 10000) div cast(percentile_disc(0.5)
+        |            WITHIN GROUP (ORDER BY c) AS BIGINT) AS BIGINT) AS skew_bp
+        |FROM k""".stripMargin,
+      """WITH k AS (SELECT l_partkey AS key, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(c) AS BIGINT) AS max_c,
+        |       CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_c,
+        |       CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c,
+        |       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c,
+        |       CAST((max(c) * 10000) // quantile_disc(c, 0.5) AS BIGINT) AS skew_bp
+        |FROM k""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
