@@ -267,4 +267,69 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == want, "restored state must continue run-1 counts")
   }
+
+  test("streaming CDC apply: replayed change stream lands the fold of all changes") {
+    // x169's MERGE semantics driven from a change STREAM: three
+    // micro-batches with updates, an intra-batch latest-wins conflict,
+    // a tombstone, and a post-delete re-insert. The final table must
+    // equal the sequential fold of all changes — and version N-1 stays
+    // readable while N is being written (copy-on-write commit loop).
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val replay = "/tmp/graft-cdc-replay"
+    val ckpt = "/tmp/graft-cdc-ckpt"
+    val table = "/tmp/graft-cdc-table"
+    Seq(replay, ckpt, table).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
+    }
+    new java.io.File(replay).mkdirs()
+    import spark.implicits._
+    // (key, price, status, seq, deleted) — one parquet file per batch
+    val batches = Seq(
+      // b0: inserts; key 2 has an intra-batch conflict, seq 4 must win
+      Seq((1L, 10.0, "N", 1L, false), (2L, 20.0, "N", 2L, false),
+          (3L, 30.0, "N", 3L, false), (2L, 25.0, "U", 4L, false)),
+      // b1: update key 1, delete key 3
+      Seq((1L, 11.0, "U", 5L, false), (3L, 0.0, "X", 6L, true)),
+      // b2: re-insert key 3, update key 2
+      Seq((3L, 33.0, "R", 7L, false), (2L, 26.0, "U", 8L, false)))
+    def writeBatch(i: Int): Unit = {
+      val tmp = s"$replay-tmp$i"
+      batches(i).toDF("k", "price", "status", "seq", "deleted")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(replay, s"b$i.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = batches(0).toDF("k", "price", "status", "seq", "deleted").schema
+    def run(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1") // one change-batch per micro-batch
+        .parquet(replay)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.CdcStream.applyBatch(spark, table, b, "k"); ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(0); writeBatch(1); writeBatch(2)
+    run()
+    val got = graft.streaming.CdcStream.latest(spark, table).get
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, 11.0, "U"), (2L, 26.0, "U"), (3L, 33.0, "R")),
+      s"fold of all changes: $got")
+    // COW trail: three committed versions, all still readable;
+    // v1 (post-delete) must not contain key 3
+    val v1 = spark.read.parquet(s"$table/v1").orderBy("k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(v1 === Seq(1L, 2L), s"v1 must reflect the tombstone: $v1")
+  }
 }
