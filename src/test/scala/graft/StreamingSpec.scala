@@ -328,8 +328,49 @@ class StreamingSpec extends SparkSpec {
       s"fold of all changes: $got")
     // COW trail: three committed versions, all still readable;
     // v1 (post-delete) must not contain key 3
-    val v1 = spark.read.parquet(s"$table/v1").orderBy("k")
-      .collect().map(_.getLong(0)).toSeq
+    val v1 = graft.streaming.CdcStream.readVersion(spark, table, 1)
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
     assert(v1 === Seq(1L, 2L), s"v1 must reflect the tombstone: $v1")
+
+    // Bucket pruning: batch 2 changed keys {2, 3}; every bucket NOT
+    // holding a changed key must be carried into v2 as a reference to
+    // the SAME directory v1 mapped it to, its files untouched on disk
+    // (byte-identical, not rewritten) — the 100 TB contract: merge
+    // cost scales with the batch's buckets, not the table.
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    def bucketOf(k: Long): Int = Seq(k).toDF("k")
+      .select(pmod(xxhash64(col("k")), lit(16L)).cast("int"))
+      .collect().head.getInt(0)
+    val changedV2 = Set(bucketOf(2L), bucketOf(3L))
+    val m1 = graft.streaming.CdcStream.bucketDirs(spark, table, 1)
+    val m2 = graft.streaming.CdcStream.bucketDirs(spark, table, 2)
+    val untouched = m1.keySet -- changedV2
+    assert(untouched.nonEmpty, s"test needs an untouched bucket: $m1 / $changedV2")
+    untouched.foreach { b =>
+      assert(m2(b) == m1(b), s"untouched bucket $b must be carried by reference")
+    }
+    // changed buckets must point at NEW v2 directories
+    changedV2.filter(m2.contains).foreach { b =>
+      assert(m2(b) != m1.getOrElse(b, ""), s"changed bucket $b must be rewritten")
+      assert(m2(b).contains("/data/v2/"), s"changed bucket $b dir: ${m2(b)}")
+    }
+    // and the untouched files really were not rewritten: still under a
+    // pre-v2 data dir, with v2's data dir containing ONLY changed buckets
+    untouched.foreach { b =>
+      assert(!m2(b).contains("/data/v2/"), s"untouched bucket $b rewritten: ${m2(b)}")
+    }
+    val v2buckets = new java.io.File(s"$table/data/v2").listFiles()
+      .filter(_.getName.startsWith("b=")).map(_.getName.drop(2).toInt).toSet
+    assert(v2buckets.subsetOf(changedV2),
+      s"v2 wrote only changed buckets: $v2buckets vs $changedV2")
+
+    // Commit atomicity: a version directory without its manifest (what
+    // a crash mid-commit leaves before the atomic rename) is invisible
+    // — latest() must keep serving v2 (ADVICE r5 #1).
+    new java.io.File(s"$table/v99").mkdirs()
+    val afterJunk = graft.streaming.CdcStream.latest(spark, table).get
+      .orderBy("k").collect().map(_.getLong(0)).toSeq
+    assert(afterJunk === Seq(1L, 2L, 3L),
+      s"manifest-less version dir must be ignored: $afterJunk")
   }
 }
