@@ -61,6 +61,31 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("skipindex")) {
+      // the 100 TB pruning-path cost: a synthetic 1M-file manifest (the
+      // file-count class a 100 TB table owns at ~100 MB/file), pruned
+      // with the distributed filter + bounded driver collect of
+      // SkipIndex.readRange. Measures what SCALE.md §15 records.
+      def manifest(n: Long) = spark.range(n).select(
+        concat(lit("s3://t/part-"), col("id")).as("file"),
+        lit("s3://t").as("root"), lit(1000L).as("n_rows"),
+        (col("id") * 1000L).as("k_min"),
+        (col("id") * 1000L + lit(999L)).as("k_max"))
+      val man = manifest(1000000L)
+      t("prune filter count (1M rows)")(
+        graft.sources.SkipIndex.candidates(man, "k",
+          lit(0L), lit(999999L)).count())
+      t("bounded collect 1k paths/1M")(
+        graft.sources.SkipIndex.candidates(man, "k",
+          lit(0L), lit(999999L)).select("file").limit(65537).collect().length)
+      t("bounded collect 65k paths/1M")(
+        graft.sources.SkipIndex.candidates(man, "k",
+          lit(0L), lit(65535999L)).select("file").limit(65537).collect().length)
+      t("prune filter count (10M rows)")(
+        graft.sources.SkipIndex.candidates(manifest(10000000L), "k",
+          lit(0L), lit(999999L)).count())
+      spark.stop(); return
+    }
     if (args.contains("semdedup")) {
       // pair-count curve for SCALE.md §10: planted mega-cluster of
       // identical vectors, capped vs uncapped candidate pairs

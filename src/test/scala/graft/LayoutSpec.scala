@@ -182,6 +182,49 @@ class LayoutSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("skip index: bounded driver list, schema-safe empty branches") {
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val path = "/tmp/graft-layout/orders_ranged2"
+    orders.repartitionByRange(10, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val idx = graft.sources.SkipIndex
+      .build(spark, path, Seq("o_orderkey")).cache()
+    val (lo, hi) = (lit(100L), lit(300L))
+    val want = spark.read.parquet(path)
+      .where(col("o_orderkey").between(lo, hi))
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+      .collect().toSeq
+
+    // pruning stays distributed: candidates() is a filter on the
+    // manifest DataFrame, composable without any driver materialization
+    val nCand = graft.sources.SkipIndex
+      .candidates(idx, "o_orderkey", lo, hi).count()
+    assert(nCand > 0 && nCand < 10)
+
+    // cap exceeded => full-scan fallback with the predicate pushed —
+    // the driver never holds more than maxDriverFiles paths, and the
+    // result is still exact
+    val capped = graft.sources.SkipIndex
+      .readRange(spark, idx, "o_orderkey", lo, hi, maxDriverFiles = 1)
+      .select("o_orderkey", "o_custkey").orderBy("o_orderkey", "o_custkey")
+      .collect().toSeq
+    assert(capped == want && want.nonEmpty)
+
+    // empty candidate set => empty frame that still carries the table
+    // schema (derived from the recorded root, not an arbitrary file)
+    val none = graft.sources.SkipIndex
+      .readRange(spark, idx, "o_orderkey", lit(-500L), lit(-1L))
+    assert(none.count() == 0)
+    assert(none.columns.contains("o_orderkey") && none.columns.contains("o_custkey"))
+
+    // empty index (nothing indexed) => empty frame, no crash
+    val emptyIdx = idx.where(lit(false))
+    assert(graft.sources.SkipIndex
+      .readRange(spark, emptyIdx, "o_orderkey", lit(0L), lit(1L)).count() == 0)
+    idx.unpersist()
+  }
+
   test("z-order layout: skip index prunes on BOTH columns; linear only on one") {
     val orders = Catalog.load(spark, sf0001, "orders")
     val linear = "/tmp/graft-layout/orders_linear"
