@@ -2930,7 +2930,7 @@ object Queries {
         |         cast(count(*) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'orders.pk_unique',
-        |         cast(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         cast(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
         |         cast(count(*) AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'lineitem.fk_orders',
@@ -2953,7 +2953,7 @@ object Queries {
         |         CAST(count(*) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'orders.pk_unique',
-        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |         CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
         |         CAST(count(*) AS BIGINT) FROM orders
         |  UNION ALL
         |  SELECT 'lineitem.fk_orders',

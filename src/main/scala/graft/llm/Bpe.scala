@@ -110,8 +110,10 @@ object Bpe {
       .map(m => (m.step.toLong, "merge", m.p1, m.p2, m.cnt))
       .toDF("rk", "kind", "a", "b", "cnt")
     val out = mergeDf.unionByName(sym).orderBy("rk")
-    val materialized = out.cache()
-    materialized.count()
+    // localCheckpoint (not cache): materializes off enc so it can be
+    // released, truncates lineage, and leaves no catalog-cache entry
+    // for the caller to leak (ADVICE r5 #4)
+    val materialized = out.localCheckpoint(true)
     enc.unpersist()
     materialized
   }

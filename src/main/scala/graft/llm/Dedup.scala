@@ -180,17 +180,22 @@ object Dedup {
     val sets = shingleSets(docs, shingleN)
       .select(col("doc_id"), col("shs"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatePairsFromSig(sets, sigOf(col("shs")),
-      numHashes / rowsPerBand, rowsPerBand)
-    cands
-      .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
-      .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jac_bp",
-        floor(col("c") * lit(10000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
-      .where(col("jac_bp") >= minJacBp)
-      .select(col("a"), col("b"), col("jac_bp"))
-      .orderBy(desc("jac_bp"), col("a"), col("b"))
+    try {
+      val cands = candidatePairsFromSig(sets, sigOf(col("shs")),
+        numHashes / rowsPerBand, rowsPerBand)
+      cands
+        .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"), col("n").as("na")), "a")
+        .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"), col("n").as("nb")), "b")
+        .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("jac_bp",
+          floor(col("c") * lit(10000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
+        .where(col("jac_bp") >= minJacBp)
+        .select(col("a"), col("b"), col("jac_bp"))
+        .orderBy(desc("jac_bp"), col("a"), col("b"))
+        // materialize off the cached shingle sets, then release them
+        // (Graph.triangles discipline; ADVICE r5 #4)
+        .localCheckpoint(true)
+    } finally sets.unpersist()
   }
 
   /** Exact dedup keeping the lowest-`id` row per `key` — the hierarchical

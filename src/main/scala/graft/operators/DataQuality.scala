@@ -30,7 +30,10 @@ object DataQuality {
   case class InRange(name: String, col: String, lo: Double, hi: Double) extends Rule
   /** violation := any arbitrary row predicate evaluating TRUE. */
   case class Violates(name: String, pred: Column) extends Rule
-  /** violation := duplicate value of the key column (count - ndv). */
+  /** violation := duplicate NON-NULL value of the key column
+    * (count(col) - ndv(col): both sides exclude NULLs, so a NULL key
+    * is not a "duplicate" — declare a NotNull rule to police NULL keys;
+    * ADVICE r5 #2). */
   case class Unique(name: String, col: String) extends Rule
   /** violation := row whose key has no match in `dim.col` (NULL keys
     * don't violate FK, matching SQL REFERENCES semantics). */
@@ -51,7 +54,7 @@ object DataQuality {
       case InRange(n, c, lo, hi) =>
         n -> cnt(col(c).isNotNull && !col(c).between(lo, hi))
       case Violates(n, p) => n -> cnt(coalesce(p, lit(false)))
-      case Unique(n, c) => n -> (count(lit(1)) - count_distinct(col(c)))
+      case Unique(n, c) => n -> (count(col(c)) - count_distinct(col(c)))
     }
     val fusedRows: Seq[(String, Long, Long)] =
       if (fused.isEmpty) Nil

@@ -70,7 +70,11 @@ object GlobalWindow {
     * become ties); date/timestamp via epoch seconds; strings via their
     * first 7 UTF-8 bytes as a big-endian integer — Spark compares
     * strings byte-wise, so the zero-padded prefix is byte-order-
-    * compatible and fits exactly in a double-precise long. */
+    * compatible. NOTE the 56-bit prefix EXCEEDS the 53-bit double
+    * mantissa: the cast rounds. Rounding-to-nearest is monotone, which
+    * is all quantile bucketing needs (collisions become ties on the
+    * boundary, handled like any tie) — do not widen the prefix
+    * expecting exactness (ADVICE r5 #3). */
   private def surrogate(c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
     import org.apache.spark.sql.types._
     dt match {

@@ -55,18 +55,24 @@ object PageRank {
     // at web scale it's billions of rows — cache it alongside the edges
     val nds = nodes.select(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var p = nds.select(col("node"), lit(startNano).as("r"))
-    for (i <- 1 to iters) {
-      val contribs = ew.join(p, ew("src") === p("node"))
-        .select(col("dst"), expr("(r * w) div d").as("contrib"))
-        .groupBy("dst").agg(sum("contrib").as("m"))
-      p = nds.join(contribs, nds("node") === contribs("dst"), "left")
-        .select(col("node"),
-          (lit(teleportNano) +
-            expr("(85 * coalesce(m, 0)) div 100")).cast("long").as("r"))
-      if (checkpointEvery > 0 && i % checkpointEvery == 0)
-        p = p.localCheckpoint(true)
-    }
-    p
+    try {
+      var p = nds.select(col("node"), lit(startNano).as("r"))
+      for (i <- 1 to iters) {
+        val contribs = ew.join(p, ew("src") === p("node"))
+          .select(col("dst"), expr("(r * w) div d").as("contrib"))
+          .groupBy("dst").agg(sum("contrib").as("m"))
+        p = nds.join(contribs, nds("node") === contribs("dst"), "left")
+          .select(col("node"),
+            (lit(teleportNano) +
+              expr("(85 * coalesce(m, 0)) div 100")).cast("long").as("r"))
+        if (checkpointEvery > 0 && i % checkpointEvery == 0)
+          p = p.localCheckpoint(true)
+      }
+      // materialize off the cached relations, then release them — the
+      // operator owns its persists (Graph.triangles discipline; ADVICE
+      // r5 #4: leaving them cached is the cache-accumulation failure
+      // mode Bench/Scratch otherwise paper over with clearCache())
+      p.localCheckpoint(true)
+    } finally { ew.unpersist(); nds.unpersist() }
   }
 }

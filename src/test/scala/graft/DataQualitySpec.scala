@@ -31,8 +31,10 @@ class DataQualitySpec extends SparkSpec {
     assert(vr._2 === 2L && vr._3 === 5L)
     val fk = got.find(_._1 == "k_fk").get
     assert(fk._2 === 1L && fk._3 === 4L, s"fk checked must exclude NULL keys: $fk")
-    // count(*) - count_distinct(k): 5 - 3 = 2 (the dup 2L and the NULL)
-    assert(m("k_unique") === 2L)
+    // count(k) - count_distinct(k): 4 - 3 = 1 — ONLY the duplicated
+    // non-NULL key 2L; the NULL key is NotNull's business, not a
+    // "duplicate" (ADVICE r5 #2)
+    assert(m("k_unique") === 1L)
     // output is sorted by rule name
     assert(got.map(_._1) === got.map(_._1).sorted)
   }
