@@ -284,6 +284,58 @@ object Extensions {
         graft.operators.Graph.coOccurrenceEdges(
           Catalog.load(s, dir, "lineitem"), "l_orderkey", "l_partkey"))),
 
+    // End-to-end pipeline census (VERDICT r5 #7): the COMPOSITION of
+    // the training-data stages — quality filter (x50 scoring) → exact
+    // dedup (x47 key, min_by keep-first) → MinHash near-dup closed
+    // into clusters and deduped to canonicals (x52 pairs + x111
+    // components) → benchmark decontamination (x108 grams) → stable
+    // hash split (x106) — run through the ACTUAL Scala operators
+    // (Dedup.exactKeepFirst / minHashNearDupsPortable /
+    // keepClusterCanonical / ContaminationStream), emitting one row
+    // per stage with its survivor count. The DuckDB oracle recomputes
+    // the whole chain declaratively, so the hash gate now covers the
+    // stage hand-offs, not just each stage in isolation.
+    "x177_pipeline_census" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = Catalog.load(s, dir, "documents")
+      val quality = docs.withColumn("w", split(col("text"), " "))
+        .withColumn("n_toks", size(col("w")))
+        .withColumn("n_types", size(array_distinct(col("w"))))
+        .withColumn("n_stop", size(filter(col("w"), x => x.isin("a", "the"))))
+        .withColumn("quality_bp", floor(
+          (lit(0.4) * (col("n_types") / col("n_toks").cast("double"))
+            + lit(0.3) * (lit(1.0) - col("n_stop") / col("n_toks").cast("double"))
+            + lit(0.3) * least(col("n_toks") / lit(100.0), lit(1.0))) * 10000)
+          .cast("long"))
+        .where(col("quality_bp") >= 6500)
+        .select("doc_id", "text", "source")
+      val exact = Dedup.exactKeepFirst(quality,
+        md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")),
+        "doc_id")
+      val pairs = Dedup.minHashNearDupsPortable(exact)
+      val canon = Dedup.keepClusterCanonical(exact, pairs, "doc_id")
+      val bench = graft.streaming.ContaminationStream
+        .benchmarkGrams(docs.where(col("source") === "src0"))
+      val candidates = canon.where(col("source") =!= "src0")
+      val hits = graft.streaming.ContaminationStream
+        .contaminationHits(candidates, bench).select("doc_id")
+      val decon = candidates.join(hits, Seq("doc_id"), "left_anti")
+      val splits = decon.withColumn("b",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100)
+        .withColumn("stage", when(col("b") < 80, "6_train")
+          .when(col("b") < 90, "7_val").otherwise("8_test"))
+        .groupBy("stage").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      // stage counts are 1-row aggregates — driver-sized by definition
+      val counts = Seq(
+        ("1_raw", docs.count()), ("2_quality", quality.count()),
+        ("3_exact", exact.count()), ("4_neardup_canonical", canon.count()),
+        ("5_decontaminated", decon.count())) ++ splits
+      counts.toDF("stage", "n").orderBy("stage")
+    },
+
     // Fused data-quality audit: x172's per-rule UNION scans fuse into
     // one conditional aggregate per table + one anti-join per FK rule.
     // Same oracle as x172.
@@ -411,6 +463,88 @@ object Extensions {
         |  SELECT common.a, common.b, cast(floor(common.c*10000.0/least(na.n, nb.n)) AS BIGINT) AS contain_bp
         |  FROM common JOIN n na ON common.a = na.doc_id JOIN n nb ON common.b = nb.doc_id)
         |WHERE contain_bp >= 5000 ORDER BY contain_bp DESC, a, b""".stripMargin,
+    // x177: the DuckDB re-statement of the full pipeline composition.
+    // Each CTE block is a verbatim-semantics copy of an already-checked
+    // stage oracle (x50 scoring / x47 keep-first / x52 banded MinHash
+    // with the short-doc fallback / x111 recursive closure / x108
+    // 5-gram gate / x106 hash split), chained on each other's
+    // survivors instead of the raw table.
+    "x177_pipeline_census" ->
+      s"""WITH RECURSIVE
+         |raw AS (SELECT doc_id, source, text FROM documents),
+         |qs AS (SELECT doc_id, source, text, len(w) AS n_toks,
+         |         len(list_distinct(w)) AS n_types,
+         |         len(list_filter(w, x -> x IN ('a','the'))) AS n_stop
+         |       FROM (SELECT doc_id, source, text, string_split(text,' ') AS w FROM raw)),
+         |q AS (SELECT doc_id, source, text FROM qs
+         |      WHERE cast(floor((0.4*(n_types/cast(n_toks AS DOUBLE))
+         |             + 0.3*(1.0 - n_stop/cast(n_toks AS DOUBLE))
+         |             + 0.3*least(n_toks/100.0, 1.0))*10000.0) AS BIGINT) >= 6500),
+         |k AS (SELECT doc_id, source, text,
+         |        md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key
+         |      FROM q),
+         |f AS (SELECT key, min(doc_id) AS keeper FROM k GROUP BY 1),
+         |e AS (SELECT k.doc_id, k.source, k.text FROM k
+         |      JOIN f ON k.key = f.key AND k.doc_id = f.keeper),
+         |sh AS (SELECT doc_id, unnest(list_distinct(
+         |         [array_to_string(w[i:i+2],' ') FOR i IN range(1, greatest(len(w)-2,1)+1)])) AS sh
+         |       FROM (SELECT doc_id, string_split(text,' ') AS w FROM e)),
+         |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |hv AS (SELECT doc_id, sh, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+         |perm AS (SELECT * FROM (VALUES ${permValues(Dedup.portablePerms(64))}) AS perm(i,a,b)),
+         |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+         |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+         |bands AS (SELECT doc_id, i//4 AS band, string_agg(mh, ',' ORDER BY i) AS bkey
+         |          FROM sig GROUP BY 1,2),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |         FROM bands x JOIN bands y
+         |           ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+         |common AS (SELECT c.a, c.b, count(*) AS cc
+         |           FROM cand c JOIN sh sa ON sa.doc_id = c.a
+         |                       JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+         |           GROUP BY 1,2),
+         |pairs AS (SELECT a, b FROM (
+         |            SELECT common.a, common.b,
+         |                   cast(floor(cc*10000.0/(na.n + nb.n - cc)) AS BIGINT) AS jac_bp
+         |            FROM common JOIN n na ON common.a = na.doc_id
+         |                        JOIN n nb ON common.b = nb.doc_id)
+         |          WHERE jac_bp >= 5000),
+         |und AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b AS s, a AS d FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s AS id, s AS r FROM (SELECT DISTINCT s FROM und)
+         |  UNION
+         |  SELECT u.d AS id, reach.r FROM reach JOIN und u ON u.s = reach.id
+         |),
+         |lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+         |canon AS (SELECT e.doc_id, e.source, e.text FROM e
+         |          LEFT JOIN lab ON e.doc_id = lab.doc_id
+         |          WHERE lab.doc_id IS NULL OR lab.cluster_id = e.doc_id),
+         |benchg AS (SELECT DISTINCT unnest(
+         |             [array_to_string(w[i:i+4],' ') FOR i IN range(1, len(w)-3)]) AS g
+         |           FROM (SELECT string_split(text,' ') AS w FROM raw WHERE source='src0')
+         |           WHERE len(w) >= 5),
+         |contam AS (SELECT DISTINCT doc_id FROM (
+         |             SELECT doc_id, unnest(
+         |               [array_to_string(w[i:i+4],' ') FOR i IN range(1, len(w)-3)]) AS g
+         |             FROM (SELECT doc_id, string_split(text,' ') AS w
+         |                   FROM canon WHERE source <> 'src0')
+         |             WHERE len(w) >= 5)
+         |           WHERE g IN (SELECT g FROM benchg)),
+         |decon AS (SELECT * FROM canon WHERE source <> 'src0'
+         |          AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sp AS (SELECT CASE WHEN b < 80 THEN '6_train'
+         |                   WHEN b < 90 THEN '7_val' ELSE '8_test' END AS stage
+         |       FROM (SELECT cast(('0x'||substr(md5(cast(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
+         |             FROM decon))
+         |SELECT stage, n FROM (
+         |  SELECT '1_raw' AS stage, cast(count(*) AS BIGINT) AS n FROM raw
+         |  UNION ALL SELECT '2_quality', cast(count(*) AS BIGINT) FROM q
+         |  UNION ALL SELECT '3_exact', cast(count(*) AS BIGINT) FROM e
+         |  UNION ALL SELECT '4_neardup_canonical', cast(count(*) AS BIGINT) FROM canon
+         |  UNION ALL SELECT '5_decontaminated', cast(count(*) AS BIGINT) FROM decon
+         |  UNION ALL SELECT stage, cast(count(*) AS BIGINT) FROM sp GROUP BY stage
+         |) ORDER BY stage""".stripMargin,
+
     // x100 is q29's contract restated — the two-pass operator must hash-
     // match the same single-task-window SQL the oracle runs.
     "x100_global_ntile" ->
