@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.attribute.FileTime
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming benchmark main (VERDICT r5 #4): times the four streaming
+  * operators on a bounded AvailableNow replay of the SPARK_GRAFT_SF_DIR
+  * corpus — 4 single-file micro-batches per source, modification-time
+  * ordered, one file per trigger — and prints ONE JSON line
+  * {"metric":"stream_suite_total","value":N,"unit":"sec","ops":{...}}.
+  *
+  * Protocol mirrors Bench: warm session, one warm-up drain, then
+  * median of 3 timed drains per operator. Every drain starts from a
+  * fresh (temp) checkpoint, so a timing covers the FULL replay —
+  * source listing, state store build-up across micro-batches, and sink
+  * commit — not an incremental tail. The CDC drain additionally starts
+  * from a fresh table dir per rep (it measures the whole bucketed COW
+  * commit loop, 4 versions deep).
+  *
+  * Ops measured: near-dup filter (flatMapGroupsWithState bucket
+  * state), funnel (mapGroupsWithState per-user stage machine),
+  * contamination (stateless stream-static semi-join), CDC apply
+  * (bucket-pruned copy-on-write merge sink).
+  */
+object BenchStream {
+
+  private def replayDir(base: String): String = s"/tmp/graft-bench-stream/$base"
+
+  /** Write `df` as `n` single-file ordered micro-batches under `dir`. */
+  private def writeReplay(df: DataFrame, dir: String, n: Int,
+                          sliceCol: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists()) new scala.reflect.io.Directory(d).deleteRecursively()
+    d.mkdirs()
+    val t0 = System.currentTimeMillis()
+    (0 until n).foreach { i =>
+      val tmp = s"$dir-tmp$i"
+      df.where(pmod(col(sliceCol), lit(n.toLong)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = Paths.get(dir, s"b$i.parquet")
+      Files.copy(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(t0 + i * 10000L))
+      new scala.reflect.io.Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-stream")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // ---- replay corpora (written once; timings only read them) ------
+    val docs = Catalog.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val docsDir = replayDir("docs")
+    writeReplay(docs, docsDir, 4, "doc_id")
+    val docsSchema = docs.schema
+
+    val events = Catalog.load(spark, sfDir, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val eventsDir = replayDir("events")
+    writeReplay(events, eventsDir, 4, "event_id")
+    val eventsSchema = events.schema
+
+    // change stream derived from orders: ~1/8 of keys collide across
+    // batches (updates), ~1% tombstones, seq = the order key
+    val changes = Catalog.load(spark, sfDir, "orders").select(
+      (col("o_orderkey") % 20000L).as("k"),
+      col("o_totalprice").as("price"),
+      col("o_orderstatus").as("status"),
+      col("o_orderkey").as("seq"),
+      (col("o_orderkey") % 97L === 0L).as("deleted"))
+    val cdcDir = replayDir("cdc")
+    writeReplay(changes, cdcDir, 4, "seq")
+    val cdcSchema = changes.schema
+
+    def fileStream(dir: String, schema: org.apache.spark.sql.types.StructType) =
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(dir)
+
+    val benchGrams = graft.streaming.ContaminationStream
+      .benchmarkGrams(docs.where(col("source") === "src0"))
+      .localCheckpoint(true) // index-sized; exclude its build from timings
+
+    var rep = 0
+    def drain(df: DataFrame, mode: String): Unit = {
+      rep += 1
+      val q = df.writeStream.format("memory").queryName(s"bs_$rep")
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.catalog.dropTempView(s"bs_$rep")
+    }
+
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "neardup" -> { () =>
+        drain(graft.streaming.NearDupStream
+          .nearDupFlags(fileStream(docsDir, docsSchema), maxHamming = 6), "update")
+      },
+      "funnel" -> { () =>
+        drain(graft.streaming.EventStream
+          .funnel(fileStream(eventsDir, eventsSchema)), "update")
+      },
+      "contamination" -> { () =>
+        drain(graft.streaming.ContaminationStream
+          .contaminationHits(fileStream(docsDir, docsSchema), benchGrams), "update")
+      },
+      "cdc_apply" -> { () =>
+        val table = replayDir(s"cdc-table-$rep")
+        rep += 1
+        val t = new java.io.File(table)
+        if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+        val q = fileStream(cdcDir, cdcSchema).writeStream
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            graft.streaming.CdcStream.applyBatch(spark, table, b, "k"); ()
+          }.start()
+        q.awaitTermination()
+        new scala.reflect.io.Directory(new java.io.File(table)).deleteRecursively()
+      })
+
+    def once(f: () => Unit): Double = {
+      val t0 = System.nanoTime()
+      f()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val medians = ops.map { case (name, f) =>
+      once(f) // warm-up: JIT, codegen, footers
+      val ts = Seq(once(f), once(f), once(f)).sorted
+      name -> ts(1)
+    }
+    val js = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
+      .mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    println(s"""{"metric":"stream_suite_total","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
