@@ -61,6 +61,29 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("floor")) {
+      // decompose the q29/q37 bench-floor outliers (VERDICT r5 #6):
+      // scan cost vs window/sort cost vs collect cost, each timed twice
+      // (second number is the warm one)
+      Catalog.ensure(spark, dir)
+      val orders = Catalog.load(spark, dir, "orders")
+      val cust = Catalog.load(spark, dir, "customer")
+      def twice(label: String)(f: => Any): Unit = { t(label)(f); t(label + " (warm)")(f) }
+      twice("orders count")(orders.count())
+      twice("orders topk100 2cols")(
+        orders.select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+          .limit(100).collect().length)
+      twice("q37 full")(spark.sql(Queries.sparkSql("q37_date_funcs")).collect().length)
+      twice("customer count")(cust.count())
+      twice("customer collect 2cols")(
+        cust.select("c_custkey", "c_acctbal").collect().length)
+      twice("q29 window only (no final sort)")(
+        spark.sql("""SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quart,
+                    |round(percent_rank() OVER (ORDER BY c_acctbal, c_custkey),4) AS pr
+                    |FROM customer""".stripMargin).collect().length)
+      twice("q29 full")(spark.sql(Queries.sparkSql("q29_ntile")).collect().length)
+      spark.stop(); return
+    }
     if (args.contains("skipindex")) {
       // the 100 TB pruning-path cost: a synthetic 1M-file manifest (the
       // file-count class a 100 TB table owns at ~100 MB/file), pruned
