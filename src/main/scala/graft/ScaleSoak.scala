@@ -36,6 +36,74 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("heavy")) {
+      // 1×→10× scaling of the two slowest extension operators
+      // (VERDICT r5 #5): x111 connected components and x55 winnowing
+      // containment. The 10× corpus replicates every doc 10 times with
+      // shifted ids, so replica groups are EXACT dups — the worst-case
+      // duplication profile: every near-dup edge set densifies into
+      // 10-cliques and every fingerprint's doc-frequency rises 10×.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          spark.catalog.clearCache()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+
+      Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
+        // x111: x74 banded-MinHash pairs closed into components
+        val (tCc, nCc) = med3 {
+          val pairs = Catalog.sql(spark, dir, Queries.sparkSql("x74_minhash_sql"))
+          operators.ConnectedComponents.withSizes(pairs.select("a", "b")).count()
+        }
+        // rounds + O(log diameter) bound: diameter ≤ max cluster size
+        val pairs = Catalog.sql(spark, dir, Queries.sparkSql("x74_minhash_sql"))
+        val (labels, iters) = operators.ConnectedComponents
+          .runWithIters(pairs.select("a", "b"))
+        val maxC = labels.groupBy("label").count()
+          .agg(max("count")).collect()(0).getLong(0)
+        spark.catalog.clearCache()
+        val bound = math.ceil(math.log(maxC.toDouble) / math.log(2)).toInt + 2
+        println(f"[soak] x111 cc $label%-6s ${tCc * 1000}%8.1f ms  " +
+          f"$nCc%7d labeled  rounds=$iters (max cluster $maxC, bound log2+2=$bound, " +
+          s"within=${iters <= bound})")
+
+        // x55: winnowing fingerprint containment
+        if (!args.contains("skipwinnow")) {
+          val (tW, nW) = med3 {
+            llm.Fingerprint.containmentPortable(
+              Catalog.load(spark, dir, "documents"), minContainBp = 5000L).count()
+          }
+          println(f"[soak] x55 winnow $label%-6s ${tW * 1000}%8.1f ms  $nW%7d pairs")
+        }
+      }
+
+      // x55's cost is Σ_fp C(df,2): on the exact-replica 10× corpus every
+      // fingerprint's doc-frequency rises 10× and the pair join grows
+      // quadratically in the duplication factor (measured 4.8 s → 247 s).
+      // The pipeline's answer is ORDERING: exact dedup (x47 key) runs
+      // first and collapses replicas, after which winnowing pays its 1×
+      // cost — measure that composition at 10×.
+      val docs10 = Catalog.load(spark, out, "documents")
+      val (tD, nD) = med3 {
+        val deduped = llm.Dedup.exactKeepFirst(docs10,
+          md5(array_join(sort_array(array_distinct(split(col("text"), " "))), " ")),
+          "doc_id")
+        llm.Fingerprint.containmentPortable(deduped, minContainBp = 5000L).count()
+      }
+      println(f"[soak] x55 winnow 10x AFTER exact dedup ${tD * 1000}%8.1f ms  $nD%7d pairs")
+      spark.stop(); return
+    }
+
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     // li_big/ord_big live in the session (in-memory) catalog — a fresh JVM
     // loses them even when the events directory survived on disk, so gate

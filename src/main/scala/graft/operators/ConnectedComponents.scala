@@ -47,7 +47,13 @@ object ConnectedComponents {
     * @return (id, label) for every vertex incident to an edge, where
     *         label = the minimum vertex id in its component
     */
-  def run(edges: DataFrame, maxIters: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIters: Int = 50): DataFrame =
+    runWithIters(edges, maxIters)._1
+
+  /** [[run]] plus the number of label-propagation rounds executed until
+    * the Σlabel fixpoint — what ScaleSoak asserts stays O(log) in the
+    * largest component's diameter at the 10× point. */
+  def runWithIters(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
     val e = edges.toDF("s", "d")
     // Both orientations, so "neighbors of v" is one equi-join on s.
     val und = e.union(e.select(col("d"), col("s"))).localCheckpoint(true)
@@ -83,7 +89,7 @@ object ConnectedComponents {
       labels = next
       iter += 1
     }
-    labels
+    (labels, iter)
   }
 
   /** Cluster census over `run`: (id, label, csize). */

@@ -110,6 +110,58 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).width == sw && f(3L).height == sh)
   }
 
+  test("decoded image features through x117 anchor assignment: exact cluster counts") {
+    // VERDICT r5 #8: tie the REAL javax.imageio decode into a checked
+    // operator. Four luminance prototypes (bright quadrant k) are the
+    // anchors; each gets `n` perturbed members (same bright quadrant,
+    // intensity jittered per member — decodes to a distinct but
+    // anchor-dominant 4x4 grid embedding). Running the decoded features
+    // through the x117 assignment machinery (Ann.ivfAssign: argmax
+    // cosine over frozen anchors, the same greatest-of-structs kernel
+    // the oracle-checked x117 SQL computes) must recover the planted
+    // clustering EXACTLY — deterministic counts, no tolerance.
+    import spark.implicits._
+    import graft.llm.Ann
+    def encode(bright: Int, lo: Int, hi: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 32,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val quad = (if (y >= 16) 2 else 0) + (if (x >= 16) 1 else 0)
+        val v = if (quad == bright) hi else lo
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val n = 7
+    val anchors = (0 until 4).map(k =>
+      Multimodal.MediaRow(k.toLong, "image", encode(k, 16, 240), Map()))
+    val members = for (k <- 0 until 4; i <- 0 until n) yield
+      Multimodal.MediaRow(4L + k * n + i, "image",
+        encode(k, 20 + 3 * i, 200 + 5 * i), Map())
+    val feats = Multimodal.decodeFeatures((anchors ++ members).toDS())
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val centroids: Array[(Int, Array[Double])] = feats
+      .where(col("vec_id") < 4).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble).toArray))
+    val assigned = Ann.ivfAssign(
+      feats.where(col("vec_id") >= 4)
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            col("embedding"), x => x.cast("double")).as("e")),
+      centroids)
+    val counts = assigned.groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> n.toLong, 1 -> n.toLong, 2 -> n.toLong, 3 -> n.toLong),
+      s"planted clusters must be recovered exactly: $counts")
+    // and membership, not just counts: member ids 4+k*n..4+(k+1)*n-1
+    // belong to anchor k
+    val wrong = assigned.where(
+      (col("vec_id") - 4).cast("int").divide(n).cast("int") =!= col("list")).count()
+    assert(wrong == 0, s"$wrong members assigned across planted clusters")
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()
