@@ -336,6 +336,20 @@ object Extensions {
       counts.toDF("stage", "n").orderBy("stage")
     },
 
+    // Fixed-round 2-core peeling of the co-purchase graph (x163's edge
+    // set): iterative vertex removal with degree feedback — dropping a
+    // sub-threshold vertex can push neighbors below threshold next
+    // round. Spark side is the materialized-per-round operator
+    // (Graph.kCorePeel, the x140/x149 policy — per-round
+    // localCheckpoint, so round r+1 reads round r, never re-executes
+    // it); the DuckDB oracle unrolls the identical 3-round recurrence
+    // declaratively.
+    "x179_kcore_peel" -> ((s, dir) =>
+      graft.operators.Graph.kCorePeel(
+        graft.operators.Graph.coOccurrenceEdges(
+          Catalog.load(s, dir, "lineitem"), "l_orderkey", "l_partkey"),
+        k = 2, rounds = 3)),
+
     // Fused data-quality audit: x172's per-rule UNION scans fuse into
     // one conditional aggregate per table + one anti-join per FK rule.
     // Same oracle as x172.
@@ -544,6 +558,30 @@ object Extensions {
          |  UNION ALL SELECT '5_decontaminated', cast(count(*) AS BIGINT) FROM decon
          |  UNION ALL SELECT stage, cast(count(*) AS BIGINT) FROM sp GROUP BY stage
          |) ORDER BY stage""".stripMargin,
+
+    // x179: the unrolled declarative statement of the 3-round 2-core
+    // peel — edge base = x163's frequent co-purchase pairs; each round
+    // keeps endpoints whose degree in the previous round's edge set is
+    // ≥ 2. DuckDB materializes CTEs, so the unrolled form is linear
+    // there (the Spark twin must NOT be written this way: CTE inlining
+    // would re-evaluate the edge build ~3^rounds times — SCALE.md §12).
+    "x179_kcore_peel" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |       FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |u0 AS (SELECT p1 AS a, p2 AS b FROM e0 UNION ALL SELECT p2 AS a, p1 AS b FROM e0),
+        |k1 AS (SELECT a FROM u0 GROUP BY a HAVING count(*) >= 2),
+        |u1 AS (SELECT u0.a, u0.b FROM u0
+        |       JOIN k1 ka ON u0.a = ka.a JOIN k1 kb ON u0.b = kb.a),
+        |k2 AS (SELECT a FROM u1 GROUP BY a HAVING count(*) >= 2),
+        |u2 AS (SELECT u1.a, u1.b FROM u1
+        |       JOIN k2 ka ON u1.a = ka.a JOIN k2 kb ON u1.b = kb.a),
+        |k3 AS (SELECT a FROM u2 GROUP BY a HAVING count(*) >= 2),
+        |u3 AS (SELECT u2.a, u2.b FROM u2
+        |       JOIN k3 ka ON u2.a = ka.a JOIN k3 kb ON u2.b = kb.a)
+        |SELECT a AS part, cast(count(*) AS BIGINT) AS deg
+        |FROM u3 GROUP BY a ORDER BY part""".stripMargin,
 
     // x100 is q29's contract restated — the two-pass operator must hash-
     // match the same single-task-window SQL the oracle runs.

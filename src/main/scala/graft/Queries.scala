@@ -3027,7 +3027,54 @@ object Queries {
         |       CAST(quantile_disc(c, 0.9) AS BIGINT) AS p90_c,
         |       CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_c,
         |       CAST((max(c) * 10000) // quantile_disc(c, 0.5) AS BIGINT) AS skew_bp
-        |FROM k""".stripMargin)
+        |FROM k""".stripMargin),
+
+    // ==== Round-6 additions (x178+) ======================================
+
+    // Snapshot diff — the dataset-versioning primitive a curation
+    // pipeline audits with: two table versions (derived here from
+    // orders by deterministic filters/edits: v_old drops keys ≡0 mod 7,
+    // v_new drops keys ≡0 mod 11 and bumps price on keys ≡0 mod 5),
+    // full-outer joined on the key and classified added / removed /
+    // changed, with both price versions carried for the changed rows.
+    // Integer cents (floor(price*100)) keep the comparison exact. One
+    // co-partitioned full-outer join — at 100 TB this runs
+    // exchange-free when both snapshots share the §6 bucketed layout
+    // (the same condition LayoutSpec pins for fact-fact joins).
+    q("x178_snapshot_diff",
+      """WITH v_old AS (SELECT o_orderkey AS k, cast(floor(o_totalprice*100) AS BIGINT) AS pc
+        |              FROM orders WHERE o_orderkey % 7 <> 0),
+        |v_new AS (SELECT o_orderkey AS k,
+        |                 cast(floor(o_totalprice*100) AS BIGINT)
+        |                   + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS pc
+        |          FROM orders WHERE o_orderkey % 11 <> 0)
+        |SELECT coalesce(v_old.k, v_new.k) AS k,
+        |       CASE WHEN v_old.k IS NULL THEN 'added'
+        |            WHEN v_new.k IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change,
+        |       v_old.pc AS old_pc, v_new.pc AS new_pc
+        |FROM v_old FULL OUTER JOIN v_new ON v_old.k = v_new.k
+        |WHERE v_old.k IS NULL OR v_new.k IS NULL OR v_old.pc <> v_new.pc
+        |ORDER BY k""".stripMargin),
+
+    // SCD2 history build — the type-2 slowly-changing-dimension table a
+    // warehouse derives from a change log: one validity interval per
+    // change, closed by the NEXT change's sequence number (lead), open
+    // (is_current=1) for the latest. Complements x169/CdcStream (SCD1
+    // latest-wins): same change log, the history-preserving shape.
+    // Per-key windows partition by the key — scales horizontally, no
+    // global sort.
+    q("x180_scd2_history",
+      """WITH ch AS (SELECT cast(o_orderkey % 1000 AS BIGINT) AS k,
+        |                   cast(o_orderkey AS BIGINT) AS seq,
+        |                   cast(floor(o_totalprice*100) AS BIGINT) AS pc
+        |            FROM orders)
+        |SELECT k, seq AS from_seq,
+        |       lead(seq) OVER (PARTITION BY k ORDER BY seq) AS to_seq,
+        |       CASE WHEN lead(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL
+        |            THEN 1 ELSE 0 END AS is_current,
+        |       pc
+        |FROM ch ORDER BY k, from_seq""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -55,4 +55,40 @@ object Graph {
       t.localCheckpoint(eager = true)
     } finally e.unpersist()
   }
+
+  /** Fixed-round k-core peeling over an oriented edge set (p1 < p2):
+    * each round drops every vertex whose CURRENT degree is below `k`
+    * (and its incident edges), which can push surviving neighbors
+    * below k — the feedback that distinguishes peeling from a one-shot
+    * degree filter. Returns the surviving vertices with their degree
+    * after `rounds` rounds.
+    *
+    * Iterative-materialized (the x140/x149 policy): each round is one
+    * degree aggregation + two semi-join-shaped edge filters, with the
+    * round's edge set localCheckpoint'ed so round r+1 never re-executes
+    * rounds 1..r — unrolling this same recurrence in Spark SQL would
+    * re-evaluate the base edge build ~3^rounds times (CTE inlining, the
+    * x136 measurement). The DuckDB oracle (Extensions "x179") unrolls
+    * the identical recurrence declaratively, where CTEs materialize.
+    * At 100 TB: per round two shuffles of (int, int) edges hashed by
+    * endpoint; round count is the fixed peel depth, not data-driven. */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var und = edges
+      .select(col("p1").as("a"), col("p2").as("b"))
+      .union(edges.select(col("p2").as("a"), col("p1").as("b")))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val keep = und.groupBy("a").agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select("a")
+      und = und.join(keep, Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("a", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    und.groupBy("a").agg(count(lit(1)).as("deg"))
+      .select(col("a").as("part"), col("deg"))
+      .orderBy("part")
+  }
 }

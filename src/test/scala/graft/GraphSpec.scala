@@ -24,6 +24,25 @@ class GraphSpec extends SparkSpec {
       === Seq((1L, 2L, 3L)))
   }
 
+  test("k-core peeling has degree feedback: a chain unravels, a clique survives") {
+    // Triangle {1,2,3} + tail 3-4-5: every tail vertex starts at degree
+    // ≥1, vertex 4 at degree 2 — a ONE-SHOT degree-2 filter keeps 4,
+    // but peeling drops 5 (deg 1) in round 1, which drops 4 in round 2.
+    // The triangle (all degree 2) must survive any number of rounds.
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("p1", "p2")
+    val got = Graph.kCorePeel(g, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 2L), (3L, 2L)),
+      s"2-core of triangle+tail is the triangle: $got")
+    // one round is NOT enough: after round 1 vertex 4 is still present
+    val oneRound = Graph.kCorePeel(g, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(oneRound.contains(4L) && !oneRound.contains(5L),
+      s"round 1 drops only the leaf: $oneRound")
+    // k above the max degree empties the graph (no NPE, no residue)
+    assert(Graph.kCorePeel(g, k = 5, rounds = 2).isEmpty)
+  }
+
   test("co-occurrence edges: min-support filters, orientation p1<p2, dup lines collapse") {
     // Baskets: {A,B,C} twice (all three pairs support 2), {A,B} once
     // more (AB support 3), and a dup'd line (10,"A") that must not

@@ -85,11 +85,24 @@ class PlanAuditSpec extends SparkSpec {
       s"map-only stage must not hash-shuffle:\n$p")
   }
 
-  test("x140: iterative pagerank reads the persisted edge table, not re-joins") {
+  test("x140: iterative pagerank truncates lineage, never unrolls the fact join") {
+    // Since r6 PageRank.run owns its persists: it materializes via
+    // localCheckpoint and unpersists the edge/vertex caches before
+    // returning (ADVICE r5 #4), so the returned plan is a truncated
+    // ExistingRDD scan. The at-scale property to pin is the NEGATIVE
+    // one: the final plan must not have unrolled the iterations into
+    // repeated scans of the 4-table trade join (x136's unrolled SQL
+    // carries 58 FileScans; the operator's plan may scan only the
+    // nation dim it joins for display names).
     val df = SparkEntry.queries("x140_pagerank_native")(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("InMemoryTableScan"),
-      s"edge table should come from cache:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"result should be lineage-truncated (localCheckpoint):\n$p")
+    val fileScans = "FileScan parquet".r.findAllIn(p).length
+    assert(fileScans <= 1,
+      s"iterations must not unroll into fact re-scans ($fileScans FileScans):\n$p")
+    assert(!p.contains("lineitem"),
+      s"no lineitem scan may survive into the final plan:\n$p")
     spark.catalog.clearCache()
   }
 
