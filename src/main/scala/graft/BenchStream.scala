@@ -126,8 +126,9 @@ object BenchStream {
         if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
         val q = fileStream(cdcDir, cdcSchema).writeStream
           .trigger(Trigger.AvailableNow())
-          .foreachBatch { (b: DataFrame, _: Long) =>
-            graft.streaming.CdcStream.applyBatch(spark, table, b, "k"); ()
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            graft.streaming.CdcStream.applyBatch(spark, table, b, "k",
+              txnId = Some(id.toString)); ()
           }.start()
         q.awaitTermination()
         new scala.reflect.io.Directory(new java.io.File(table)).deleteRecursively()

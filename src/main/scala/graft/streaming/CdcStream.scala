@@ -19,8 +19,9 @@ import org.apache.hadoop.fs.Path
   * scaled down to plain parquet directories):
   * {{{
   * tableDir/
-  *   data/v<N>/b=<bucket>/part-*.parquet  # immutable files, written by commit N
-  *   v<N>/manifest.tsv                    # the commit: schema, nBuckets, bucket->dir map
+  *   data/v<N>-<uuid>/b=<bucket>/part-*.parquet # immutable files, written by commit N
+  *   v<N>/manifest.tsv                          # the commit: schema, nBuckets, bucket->dir map
+  *   v<N>/txn                                   # optional writer txn id (replay idempotence)
   * }}}
   * A version's manifest maps every live bucket to the data directory
   * holding its current rows — new directories for buckets commit N
@@ -31,22 +32,34 @@ import org.apache.hadoop.fs.Path
   * nBuckets CONFIG, not by file count or data size (contrast
   * SkipIndex, whose manifest grows with files).
   *
-  * Commit protocol (crash-safe, replay-idempotent — ADVICE r5 #1):
-  * data files are written under `data/v<N>` first; the manifest is
-  * then written into a hidden temp directory and RENAMED to `v<N>` —
-  * a same-filesystem atomic rename, so a version directory either
-  * does not exist or contains its complete manifest. [[versionDirs]]
-  * accepts only directories containing `manifest.tsv`, so a crash
-  * mid-write leaves orphan data files and an invisible temp dir, never
-  * a readable half-commit; the streaming engine replays the batch,
-  * `data/v<N>` is overwritten with identical content (merge is a pure
-  * function of (committed base, batch)), and the rename commits it.
-  * The rename also refuses an existing `v<N>` — two racing writers
-  * cannot both commit the same version.
+  * Commit protocol (crash-safe — ADVICE r5 #1, hardened per ADVICE r6):
+  * batch output goes to a UNIQUE data directory (`data/v<N>-<uuid>`) —
+  * never a name a previous commit could have used, so no writer can
+  * destroy files an existing manifest references (the r6 advisor's
+  * overwrite-before-guard hazard). The manifest + txn marker are then
+  * written into a hidden temp directory and RENAMED to `v<N>`: a
+  * same-filesystem atomic rename, so a version directory either does
+  * not exist or contains its complete manifest. [[versionDirs]] accepts
+  * only directories containing `manifest.tsv`, so a crash mid-write
+  * leaves an orphan data dir and an invisible temp dir, never a
+  * readable half-commit; [[vacuum]] reclaims the orphans. Concurrent-
+  * writer defense does NOT rely on rename-to-existing failing (HDFS
+  * renames INTO an existing destination): [[applyBatch]] checks for an
+  * existing `v<N>` before writing any data, and after the rename reads
+  * the manifest back and verifies it is byte-identical to what this
+  * writer wrote — a lost race surfaces as an exception with all
+  * committed data intact, on any Hadoop filesystem.
+  *
+  * Replay idempotence: a streaming `foreachBatch` caller passes the
+  * micro-batch id as `txnId`. If the latest commit already carries that
+  * txn (crash AFTER commit, BEFORE the engine checkpointed), the replay
+  * is a no-op returning the existing version — the batch is applied
+  * exactly once across crash-restarts.
   */
 object CdcStream {
 
   private val Manifest = "manifest.tsv"
+  private val Txn = "txn"
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -84,22 +97,47 @@ object CdcStream {
     Commit(schema, nBuckets, buckets)
   }
 
-  /** Atomic commit: manifest into a hidden temp dir, rename to v<n>.
-    * Rename-to-existing fails => at most one writer commits version n. */
+  /** The txn id recorded by commit `vDir`, if its writer supplied one. */
+  private def readTxn(spark: SparkSession, vDir: Path): Option[String] = {
+    val f = fs(spark, vDir)
+    val p = new Path(vDir, Txn)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def manifestBody(c: Commit): String =
+    (c.schema.json +: c.nBuckets.toString +:
+      c.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
+      .mkString("\n")
+
+  /** Atomic commit: manifest (+ txn marker) into a hidden temp dir,
+    * rename to v<n>, then VERIFY the landed manifest is the one this
+    * writer wrote — rename-to-existing is not trusted to fail (HDFS
+    * moves src INTO an existing destination), so a lost race is
+    * detected by content, with the winner's commit untouched. */
   private def commit(spark: SparkSession, tableDir: String, n: Long,
-                     c: Commit): Unit = {
+                     c: Commit, txnId: Option[String]): Unit = {
     val root = new Path(tableDir)
     val f = fs(spark, root)
     val tmp = new Path(root, s".tmp-v$n-${java.util.UUID.randomUUID()}")
     f.mkdirs(tmp)
+    val body = manifestBody(c)
     val out = f.create(new Path(tmp, Manifest), false)
-    try {
-      val body = (c.schema.json +: c.nBuckets.toString +:
-        c.buckets.toSeq.sortBy(_._1).map { case (b, p) => s"$b\t$p" })
-        .mkString("\n")
-      out.write(body.getBytes("UTF-8"))
-    } finally out.close()
-    if (!f.rename(tmp, new Path(root, s"v$n")))
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    txnId.foreach { t =>
+      val to = f.create(new Path(tmp, Txn), false)
+      try to.write(t.getBytes("UTF-8")) finally to.close()
+    }
+    val dest = new Path(root, s"v$n")
+    val renamed = f.rename(tmp, dest)
+    val landed =
+      try manifestBody(readManifest(spark, dest)) == body
+      catch { case _: Exception => false }
+    if (!renamed || !landed)
       throw new IllegalStateException(s"concurrent commit of v$n in $tableDir")
   }
 
@@ -119,6 +157,10 @@ object CdcStream {
     readCommit(spark, readManifest(spark, vd(n)))
   }
 
+  /** Committed version numbers, ascending (spec / operational). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] =
+    versionDirs(spark, tableDir).map(_._1)
+
   /** The bucket->dir map of committed version `n` (spec / debugging:
     * lets a test assert untouched buckets reference IDENTICAL files
     * across commits). */
@@ -135,17 +177,32 @@ object CdcStream {
     * `deleted` boolean (tombstone). Only buckets containing changed
     * keys are read and rewritten; every other bucket is carried into
     * the new version as a manifest reference to its existing files.
-    * Returns the new version number. */
+    * `txnId` (pass the foreachBatch micro-batch id) makes crash-replay
+    * of an already-committed batch a no-op. Returns the new (or, on an
+    * idempotent skip, existing) version number. */
   def applyBatch(spark: SparkSession, tableDir: String, batch: DataFrame,
                  keyCol: String, seqCol: String = "seq",
-                 deletedCol: String = "deleted", nBuckets: Int = 16): Long = {
+                 deletedCol: String = "deleted", nBuckets: Int = 16,
+                 txnId: Option[String] = None): Long = {
     val payloadCols = batch.columns.filterNot(c =>
       c == keyCol || c == seqCol || c == deletedCol).toSeq
 
     val vs = versionDirs(spark, tableDir)
+    // replay idempotence: the latest commit already applied this txn
+    val alreadyApplied = for {
+      t <- txnId; (n, p) <- vs.lastOption
+      if readTxn(spark, p).contains(t)
+    } yield n
+    if (alreadyApplied.isDefined) return alreadyApplied.get
     val prev = vs.lastOption.map { case (_, p) => readManifest(spark, p) }
     // bucket scheme is fixed at table creation; later batches follow it
     val nb = prev.map(_.nBuckets).getOrElse(nBuckets)
+    val next = vs.lastOption.map(_._1 + 1).getOrElse(0L)
+    // fail BEFORE writing any data if v<next> already exists (committed
+    // or mid-rename) — never rely on the rename refusing (ADVICE r6)
+    val root = new Path(tableDir)
+    if (fs(spark, root).exists(new Path(root, s"v$next")))
+      throw new IllegalStateException(s"version v$next already exists in $tableDir")
 
     // latest-wins within the batch, tie-broken deterministically:
     // equal seq resolves upsert-over-tombstone, then by payload hash
@@ -182,10 +239,11 @@ object CdcStream {
         .select(col(keyCol) +: payloadCols.map(c => col("__m").getField(c).as(c)): _*)
     }
 
-    val next = vs.lastOption.map(_._1 + 1).getOrElse(0L)
-    val dataDir = s"$tableDir/data/v$next"
+    // unique data dir per attempt: no writer (racer or replayer) can
+    // ever overwrite files an existing manifest references (ADVICE r6)
+    val dataDir = s"$tableDir/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
     merged.withColumn("b", bucketOf(col(keyCol), nb))
-      .write.partitionBy("b").mode("overwrite").parquet(dataDir)
+      .write.partitionBy("b").parquet(dataDir)
 
     // rewritten buckets = the b=<x> dirs the write actually produced
     // (a fully-tombstoned bucket produces none and leaves the table)
@@ -199,7 +257,61 @@ object CdcStream {
       .getOrElse(Map.empty)
     val schema = org.apache.spark.sql.types.StructType(
       merged.schema.fields)
-    commit(spark, tableDir, next, Commit(schema, nb, carried ++ written))
+    commit(spark, tableDir, next, Commit(schema, nb, carried ++ written), txnId)
     next
+  }
+
+  /** What [[vacuum]] reclaimed (spec / operational reporting). */
+  final case class VacuumStats(manifestsDropped: Int, bucketDirsDeleted: Int,
+                               dataDirsDeleted: Int, tmpDirsDeleted: Int)
+
+  /** Version retention (VERDICT r6 #1): keep the newest `keepLast`
+    * commits; drop older manifests and every data directory no
+    * surviving manifest references. Unbounded time travel becomes a
+    * bounded window, and disk stops growing per micro-batch.
+    *
+    * Crash-safe ordering: expired MANIFESTS are deleted first, so from
+    * any reader's view the table only ever shrinks its version set —
+    * data files are removed only once no committed manifest can reach
+    * them. The deletion unit is the `b=<bucket>` directory (carried
+    * references point INTO older commits' data dirs, so a data dir may
+    * be partially live); a data dir itself goes only when none of its
+    * buckets survive. Orphaned `.tmp-v*` manifest dirs (crashed
+    * commits) are reclaimed too. The latest commit is never touched
+    * (`keepLast >= 1` enforced). Single-writer discipline is the same
+    * one the streaming sink already requires: don't vacuum concurrently
+    * with an in-flight applyBatch, or its not-yet-committed unique data
+    * dir could be swept as an orphan (crash-replay then rewrites it —
+    * safety degrades to a wasted batch, never a corrupt table). */
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): VacuumStats = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val root = new Path(tableDir)
+    val f = fs(spark, root)
+    if (!f.exists(root)) return VacuumStats(0, 0, 0, 0)
+    val vs = versionDirs(spark, tableDir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val referenced: Set[String] =
+      keep.flatMap { case (_, p) => readManifest(spark, p).buckets.values }.toSet
+
+    // 1. prune expired manifests — after this no reader can reach them
+    drop.foreach { case (_, p) => f.delete(p, true) }
+    // 2. crashed-commit temp manifest dirs (never renamed => never live)
+    val tmps = f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v"))
+    tmps.foreach(s => f.delete(s.getPath, true))
+    // 3. data bucket dirs no surviving manifest references
+    var bucketsDeleted = 0
+    var dataDirsDeleted = 0
+    val dataRoot = new Path(root, "data")
+    if (f.exists(dataRoot)) {
+      f.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { vd =>
+        val bs = f.listStatus(vd.getPath).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+        val (live, dead) = bs.partition(s => referenced(s.getPath.toString))
+        dead.foreach { s => f.delete(s.getPath, true); bucketsDeleted += 1 }
+        if (live.isEmpty) { f.delete(vd.getPath, true); dataDirsDeleted += 1 }
+      }
+    }
+    VacuumStats(drop.size, bucketsDeleted, dataDirsDeleted, tmps.size)
   }
 }
