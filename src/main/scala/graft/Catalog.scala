@@ -11,11 +11,16 @@ import scala.collection.concurrent.TrieMap
   *  - Tables are registered as plain parquet-backed views: Catalyst sees the
   *    file relation directly, so predicate pushdown / column pruning reach
   *    the `FileSourceScanExec` (verify via `PushedFilters` in explain).
-  *  - `events.ts` is stored as nanosecond parquet timestamps, which Spark
-  *    4.x refuses to read natively (`PARQUET_TYPE_ILLEGAL`). Verified fix
-  *    (SURVEY.md §5.35): read with `spark.sql.legacy.parquet.nanosAsLong=true`
-  *    (column arrives as BIGINT nanos) and expose a view computing
-  *    `timestamp_micros(ts div 1000)` — floor ns→µs exactly like DuckDB.
+  *  - `events.ts` timestamp vintages (both corpus generations handled):
+  *    ns-precision parquet timestamps, which Spark 4.x refuses to read
+  *    natively (`PARQUET_TYPE_ILLEGAL`) — read with
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (BIGINT nanos) and
+  *    expose `timestamp_micros(ts div 1000)`, floor ns→µs exactly like
+  *    DuckDB (SURVEY.md §5.35); and µs timestamps written WITHOUT the
+  *    UTC-adjusted flag (the round-7 regeneration), which arrive as
+  *    TIMESTAMP_NTZ — cast to the session type (sessions are pinned UTC
+  *    everywhere, so the cast is value-preserving and DuckDB's naive
+  *    read sees the identical instants).
   *  - On a real cluster this catalog would point at date-partitioned
   *    parquet (events partitioned by day) + bucketed orders/customer on the
   *    join keys; the view indirection below is where that swap happens.
@@ -43,7 +48,7 @@ object Catalog {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       tables.foreach { t =>
         val df = spark.read.parquet(s"$dir/$t.parquet")
-        val view =
+        val nsFixed =
           if (t == "events" &&
               df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
             // ts arrives as BIGINT nanos under nanosAsLong; floor-truncate
@@ -52,6 +57,14 @@ object Catalog {
             // directly and skip the conversion.
             df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
           else df
+        // normalize timezone-naive timestamp columns (TIMESTAMP_NTZ) to
+        // the session type: UTC sessions make this a pure re-tag, and the
+        // timestamp function surface (unix_millis, from_utc_timestamp,
+        // watermarks) expects the session type
+        val view = nsFixed.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+          .foldLeft(nsFixed)((d, f) =>
+            d.withColumn(f.name, col(f.name).cast("timestamp")))
         view.createOrReplaceTempView(t)
       }
       registeredDir.put(spark, dir)

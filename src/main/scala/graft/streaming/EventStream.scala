@@ -21,27 +21,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Parquet physical schema of events (ts as raw nanos — the file stores
-    * TIMESTAMP(NANOS) which Spark only reads as long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Parquet physical schema of events for a given ts vintage — the
+    * corpus has shipped ts as TIMESTAMP(NANOS) (readable only as long
+    * under nanosAsLong) and as µs TIMESTAMP_NTZ (the round-7
+    * regeneration). A streaming source needs the schema up front, so
+    * peek at the footer with a batch read and declare accordingly. */
+  private def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** Streaming events with ts converted ns→µs timestamp (same view the
-    * batch Catalog exposes). */
+  /** Streaming events with ts normalized to the session timestamp type
+    * (same view the batch Catalog exposes), whatever the file vintage. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     // file source monitors a DIRECTORY; the corpus stores one file per
     // table in the sf dir, so filter the listing down to the events file
-    spark.readStream
-      .schema(rawSchema)
+    val raw = spark.readStream
+      .schema(rawSchema(physical))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (physical == LongType) // ns vintage: floor ns→µs like DuckDB
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else // µs NTZ (or already session-typed): re-tag under the UTC session
+      raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
   /** Deterministic synthetic event from an ordinal `value` column —
