@@ -26,9 +26,15 @@ object Extensions {
     * (vec_id, sim): round to 4dp FIRST, then order by (sim desc,
     * vec_id) — the same ordering the oracle computes, so boundary
     * ties at the k-th row resolve identically on both engines. The
-    * ANN call above supplies a candidate buffer larger than k so the
-    * rounded reorder can never pull in a row the unrounded internal
-    * top-k already discarded. */
+    * ANN call above supplies a candidate buffer (5×k) so a rounded
+    * reorder almost never needs a row the unrounded internal top-k
+    * discarded — "almost": if one 4dp tie group spanned the whole
+    * buffer boundary (ranks k..buffer+ all rounding equal), a
+    * smaller-vec_id row outside the buffer could enter the oracle's
+    * top-k and not ours (ADVICE r6). That needs ≥40 distinct float
+    * cosines within 5e-5 at the boundary — not observed on any pinned
+    * corpus, and CORRECTNESS would flag it loudly if a regeneration
+    * ever produced it; the buffer is the mitigation, not a proof. */
   private def topKRounded(cands: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.functions._
     cands.withColumn("sim", round(col("sim"), 4))
@@ -114,8 +120,16 @@ object Extensions {
     // §9.4). Declared at FULL probe (nProbe = nLists) with a 20×10
     // candidate buffer, where encode → LUT scoring → exact re-rank
     // must land exactly on brute force — hash-checked against q43's
-    // oracle. Production config (nProbe=4) keeps the LlmOpsSpec
-    // recall contracts (full-probe ≥0.9, planted-cluster ≥0.9).
+    // oracle. NOTE (ADVICE r6): unlike x54/x59/x104, full probe does
+    // NOT make this structurally exact — PQ-approximate LUT scores
+    // pick the k*refine=200-candidate buffer, so a true top-10
+    // neighbor could in principle fall outside it. The equality gate
+    // is therefore EMPIRICAL on the pinned corpus (200 of 2000
+    // candidates refined exactly; a corpus regeneration that trips it
+    // means the buffer lost a neighbor, not that the operator broke —
+    // widen refine if that ever happens). Production config (nProbe=4)
+    // keeps the LlmOpsSpec recall contracts (full-probe ≥0.9,
+    // planted-cluster ≥0.9).
     "x103_ann_ivfpq" -> { (s, dir) =>
       val q = Catalog.load(s, dir, "embeddings")
         .where("vec_id = 0").select("embedding")

@@ -52,9 +52,12 @@ object ScaleSoak {
 
       def med3(f: => Long): (Double, Long) = {
         val runs = (1 to 3).map { _ =>
+          // elapsed captured BEFORE the inter-rep cache clear — clearing
+          // is inter-measurement hygiene, not operator cost (ADVICE r6 #5)
           val t0 = System.nanoTime(); val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          ((System.nanoTime() - t0) / 1e9, n)
+          (dt, n)
         }
         (runs.map(_._1).sorted.apply(1), runs.head._2)
       }
@@ -101,6 +104,34 @@ object ScaleSoak {
         llm.Fingerprint.containmentPortable(deduped, minContainBp = 5000L).count()
       }
       println(f"[soak] x55 winnow 10x AFTER exact dedup ${tD * 1000}%8.1f ms  $nD%7d pairs")
+      spark.stop(); return
+    }
+
+    if (args.contains("profiler")) {
+      // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
+      // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
+      // replicas per scanned row into the first-stage agg, so its cost
+      // scales with rows × profiled columns; the sketch path shuffles
+      // fixed-size state only.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+      def med3(f: => Long): Double = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        runs.sorted.apply(1)
+      }
+      Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
+        val li = Catalog.load(spark, dir, "lineitem")
+        val tEx = med3(operators.ColumnProfile.profile(li, cols).count())
+        val tAp = med3(operators.ColumnProfile.profileApprox(li, cols).count())
+        println(f"[soak] x161 profiler $label%-6s exact ${tEx * 1000}%8.1f ms   approx ${tAp * 1000}%8.1f ms   speedup ${tEx / tAp}%5.2f")
+      }
       spark.stop(); return
     }
 

@@ -84,6 +84,21 @@ object Scratch {
       twice("q29 full")(spark.sql(Queries.sparkSql("q29_ntile")).collect().length)
       spark.stop(); return
     }
+    if (args.contains("q37")) {
+      // VERDICT r6 #5: fresh warm median-of-5 of q37 (67.6 ms in the r6
+      // bench vs 47.6 in r5 on an unchanged minimal plan). Bench-protocol
+      // conditions: one warm-up rep, then 5 timed reps, median reported.
+      Catalog.ensure(spark, dir)
+      val sql = Queries.sparkSql("q37_date_funcs")
+      spark.sql(sql).collect() // warm-up: codegen + footer cache
+      val reps = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(sql).collect()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"[scratch] q37 median-of-5 ${reps(2)}%8.1f ms  (all: ${reps.map(r => f"$r%.1f").mkString(", ")})")
+      spark.stop(); return
+    }
     if (args.contains("skipindex")) {
       // the 100 TB pruning-path cost: a synthetic 1M-file manifest (the
       // file-count class a 100 TB table owns at ~100 MB/file), pruned

@@ -79,14 +79,27 @@ object Fingerprint {
     *     parallelism) — at 100 TB, add exactly x80's agg-based df ≥ 2
     *     prefilter before this join so only repeated fingerprints are
     *     shuffled; here the plain reused-exchange self-join wins. */
-  def containment(docs: DataFrame, minContainBp: Long = 5000L): DataFrame =
-    containmentFrom(fingerprints(docs), minContainBp)
+  def containment(docs: DataFrame, minContainBp: Long = 5000L,
+                  maxDf: Int = Int.MaxValue): DataFrame =
+    containmentFrom(fingerprints(docs), minContainBp, maxDf)
 
   /** [[containment]] under the portable md5 hash family — same
     * inverted-index pair-count machinery, hash-checked against the x80
-    * SQL twin's DuckDB form (Extensions.oracleSql "x55"). */
-  def containmentPortable(docs: DataFrame, minContainBp: Long = 5000L): DataFrame =
-    containmentFrom(fingerprintsPortable(docs), minContainBp)
+    * SQL twin's DuckDB form (Extensions.oracleSql "x55", cap off). */
+  def containmentPortable(docs: DataFrame, minContainBp: Long = 5000L,
+                          maxDf: Int = Int.MaxValue): DataFrame =
+    containmentFrom(fingerprintsPortable(docs), minContainBp, maxDf)
+
+  /** The fingerprints a df-capped [[containment]] skips: every fp whose
+    * doc-frequency exceeds `maxDf`, with its df — the "log what was
+    * dropped" half of the cap contract (same reporting shape as the
+    * x119/semDeDup cap). Sized by distinct over-cap fps, not docs. */
+  def droppedFingerprints(docs: DataFrame, maxDf: Int): DataFrame =
+    fingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .orderBy(desc("df"), col("fp"))
 
   /** Winnowing fingerprints under the portable family: md5-prefix 32-bit
     * k-gram hashes (identical on both engines), minima over FULL windows
@@ -111,12 +124,30 @@ object Fingerprint {
     docs.repartition(par).withColumn("fps", expr(fps))
   }
 
-  private def containmentFrom(withFps: DataFrame, minContainBp: Long): DataFrame = {
+  /** `maxDf` is the quadratic-blow-up guard (SCALE.md §17: a 10×-replica
+    * corpus makes the inverted-index self-join pay Σ C(df,2) — 52× wall
+    * clock). Fingerprints shared by more than `maxDf` docs are excluded
+    * from the self-join (one extra hash-agg + fp-key join, co-partitioned
+    * with the self-join it feeds), so out-of-order use — containment
+    * BEFORE exact dedup — degrades boundedly: join cost ≤ Σ_{df≤cap}
+    * C(df,2) ≤ |fps|·cap²/2. Containment for pairs whose overlap was
+    * carried by dropped fps is then an UNDERestimate (denominators keep
+    * full set sizes) — the x119 bounded-degradation semantic; audit what
+    * was dropped with [[droppedFingerprints]]. Default = no cap, which is
+    * the x55 oracle contract. */
+  private def containmentFrom(withFps: DataFrame, minContainBp: Long,
+                              maxDf: Int = Int.MaxValue): DataFrame = {
     val fps = withFps.select(col("doc_id"),
       size(col("fps")).as("n"), col("fps"))
       .where(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val invAll = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val inv =
+      if (maxDf == Int.MaxValue) invAll
+      else invAll.join(
+        invAll.groupBy("fp").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf).select("fp"),
+        "fp")
     val common = inv.as("x").join(inv.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

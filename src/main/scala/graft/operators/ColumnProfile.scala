@@ -21,10 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object ColumnProfile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileWith(df, cols, c => countDistinct(col(c)))
+
+  /** The 100 TB form of [[profile]] (VERDICT r6 #6): `countDistinct`
+    * over k columns compiles to Expand — k+1 replicas of every scanned
+    * row feed the first-stage aggregate, so the fused profiler's shuffle
+    * input is (k+1)× the table. `approx_count_distinct` replaces each
+    * exact distinct with an HLL++ sketch: fixed-size mergeable state,
+    * NO Expand (one row in, one accumulator update), map-side partials
+    * of a few KB per column. ndv becomes an estimate with relative
+    * standard deviation `rsd`; nulls/min/max stay exact. The exact
+    * [[profile]] remains the oracle-checked contract (x160/x161);
+    * InvariantsSpec bounds this estimator against it, and SCALE.md §18
+    * prices the two at 1× and 10×. */
+  def profileApprox(df: DataFrame, cols: Seq[String], rsd: Double = 0.02): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[String],
+                          ndv: String => Column): DataFrame = {
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
-        countDistinct(col(c)).as(s"${c}__ndv"),
+        ndv(c).as(s"${c}__ndv"),
         sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"${c}__nulls"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))

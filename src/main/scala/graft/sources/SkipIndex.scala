@@ -74,18 +74,27 @@ object SkipIndex {
     *
     * Driver memory is bounded: at most `maxDriverFiles` paths are ever
     * collected. Above that the read degrades to the full directory
-    * scan with the predicate pushed down (see scaladoc). An EMPTY index
-    * (no files indexed) yields an empty frame; an empty candidate set
-    * yields an empty frame with the table's schema — derived from the
-    * recorded root directory, not from a data file pulled out of the
-    * manifest. */
+    * scan with the predicate pushed down (see scaladoc). An empty
+    * candidate set yields an empty frame with the table's schema —
+    * derived from the recorded root directory, not from a data file
+    * pulled out of the manifest. An EMPTY index (no files indexed)
+    * carries no root to derive a schema from, so the caller may pass
+    * `tableRoot`; with it the nothing-indexed result is an empty frame
+    * with the table's real schema (downstream `select` keeps working —
+    * ADVICE r6 #4), without it this one case degrades to the
+    * zero-column `emptyDataFrame`. */
   def readRange(spark: SparkSession, index: DataFrame, c: String,
                 lo: Column, hi: Column,
-                maxDriverFiles: Int = 65536): DataFrame = {
+                maxDriverFiles: Int = 65536,
+                tableRoot: Option[String] = None): DataFrame = {
     val rootOpt = index.select("root").limit(1)
       .collect().headOption.map(_.getString(0))
-    rootOpt match {
-      case None => spark.emptyDataFrame // nothing indexed => empty table
+    rootOpt.orElse(tableRoot) match {
+      case None => spark.emptyDataFrame // nothing indexed, no root given
+      case Some(root) if rootOpt.isEmpty =>
+        // nothing indexed but the table root is known: schema-preserving
+        // empty result, same LocalRelation fold as the no-candidate case
+        spark.read.parquet(root).where(lit(false))
       case Some(root) =>
         val files = candidates(index, c, lo, hi)
           .select("file").limit(maxDriverFiles + 1)

@@ -82,6 +82,30 @@ class InvariantsSpec extends SparkSpec {
     assert(Tables.part(spark, sf0001).count() == 200)
   }
 
+  test("profileApprox: HLL ndv inside error bound; nulls/min/max stay exact") {
+    // The x161 scale path (VERDICT r6 #6): sketch ndv replaces the
+    // Expand multi-distinct. Contract: ndv within 5×rsd of the exact
+    // profiler (HLL++ at rsd=0.02 is a 2% standard deviation — 5σ is
+    // the never-flakes margin; small cardinalities are exact by HLL's
+    // sparse mode), and the non-sketch stats are bit-identical.
+    val li = Catalog.load(spark, sf0001, "lineitem")
+    val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
+    val exact = graft.operators.ColumnProfile.profile(li, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.operators.ColumnProfile.profileApprox(li, cols, rsd = 0.02)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.keySet == cols.toSet)
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      val (ndvE, ndvA) = (e.getLong(1), a.getLong(1))
+      assert(math.abs(ndvA - ndvE) <= math.max(1L, (0.10 * ndvE).toLong),
+        s"$c: approx ndv $ndvA vs exact $ndvE exceeds 5×rsd bound")
+      assert(a.getLong(2) == e.getLong(2), s"$c: null count must be exact")
+      assert(a.getString(3) == e.getString(3) && a.getString(4) == e.getString(4),
+        s"$c: min/max must be exact")
+    }
+  }
+
   test("percentile_approx stays inside the GK rank-error bound vs exact") {
     // the sketch-tier quantile (mergeable, fixed-size state — the 100 TB
     // replacement for exact percentile sorts, and what GlobalWindow's

@@ -277,6 +277,36 @@ class LlmOpsSpec extends SparkSpec {
     assert(hits.count() == 1, "full substring containment must score >= 0.9")
   }
 
+  test("fingerprint df-cap: bounded pairs on 10x-replica corpus, identity when deduped") {
+    // The SCALE.md §17 blow-up in miniature: replicate 20 docs 10x with
+    // distinct ids — every fingerprint's df jumps to >= 10 and the
+    // inverted-index self-join pays Sum C(df,2). maxDf = 9 must excise
+    // exactly that tier: same-origin replica groups alone contribute
+    // C(10,2) * 20 = 900 full-containment pairs uncapped, and zero
+    // survive the cap (no fp in this corpus has df <= 9).
+    val base = docs.orderBy("doc_id").limit(20).select("doc_id", "text")
+    val replicated = (0 until 10).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val uncapped = Fingerprint.containment(replicated, minContainBp = 1L).count()
+    val capped = Fingerprint.containment(replicated, minContainBp = 1L, maxDf = 9).count()
+    assert(uncapped >= 900L, s"replica corpus must blow up uncapped (got $uncapped)")
+    assert(capped == 0L, s"cap must bound the replica blow-up to zero pairs (got $capped)")
+    val dropped = Fingerprint.droppedFingerprints(replicated, maxDf = 9)
+    assert(dropped.count() > 0 && dropped.agg(min("df")).head().getLong(0) >= 10L,
+      "dropped-fp report must list exactly the over-cap tier")
+    // On the deduped corpus the cap is a no-op by construction when set at
+    // the observed max df — the guard path (extra agg + join) must then be
+    // output-identical to the contract (cap-off) form.
+    val maxObservedDf = Fingerprint.droppedFingerprints(base, maxDf = 0)
+      .agg(max("df")).head().getLong(0).toInt
+    val off = Fingerprint.containment(base, minContainBp = 1L)
+      .collect().map(_.toSeq).toSeq
+    val on = Fingerprint.containment(base, minContainBp = 1L, maxDf = maxObservedDf)
+      .collect().map(_.toSeq).toSeq
+    assert(off == on, "cap at observed max df must be output-identical on deduped input")
+  }
+
   test("pq-ivf (ivfadc): recall@10 >= 0.9 vs exact, >10x smaller codes") {
     // sf0.1: 2000 64-dim vectors — the largest corpus in the testdata.
     // The embeddings are random, so the exact top-10 of a query scatter

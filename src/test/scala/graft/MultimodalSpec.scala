@@ -162,6 +162,31 @@ class MultimodalSpec extends SparkSpec {
     assert(wrong == 0, s"$wrong members assigned across planted clusters")
   }
 
+  test("decode -> embed -> IVF index -> query: full probe equals brute force") {
+    // VERDICT r6 #8: the whole multimodal retrieval chain as ONE
+    // deterministic test — blobs decoded (real javax.imageio for
+    // decodable image bytes, stub otherwise), features used to TRAIN an
+    // IVF index (Lloyd iterations at dim=16), then queried through the
+    // x59 probe path. At FULL probe (nProbe = nLists) the index must
+    // reproduce exact brute force bit-for-bit — the same structural
+    // argument the oracle-checked x59 entry makes on the 64-d corpus,
+    // now starting from bytes instead of a parquet embedding column.
+    import graft.llm.Ann
+    val vecs = Multimodal.decodeFeatures(media)
+      .select(col("media_id").as("vec_id"), col("embedding"))
+    val q = vecs.where(col("vec_id") === 0)
+      .head().getSeq[Float](1).map(_.toDouble).toSeq
+    val corpus = vecs.where(col("vec_id") =!= 0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = canon(Ann.bruteForceTopK(corpus, q, 10))
+    val ivf = canon(Ann.ivfTopK(corpus, q, k = 10,
+      nLists = 8, nProbe = 8, dim = 16))
+    assert(exact.length == 10)
+    assert(ivf == exact,
+      s"full-probe IVF over decoded features must equal brute force:\n$ivf\n$exact")
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()

@@ -214,6 +214,20 @@ class PlanAuditSpec extends SparkSpec {
       s"oracle form is declared one-scan-per-column:\n$p160")
     assert("FileScan parquet".r.findAllIn(p161).length == 1,
       s"fused profile must scan once:\n$p161")
+    // the scale split (VERDICT r6 #6): the exact fused profiler pays
+    // Expand (k+1 row replicas feed the multi-distinct); the HLL form
+    // must profile the same columns in one scan with NO Expand — the
+    // shuffle carries fixed-size sketches, not replicated rows
+    assert(p161.contains("Expand"),
+      s"exact multi-distinct is the Expand form by construction:\n$p161")
+    val pApprox = graft.operators.ColumnProfile.profileApprox(
+        Catalog.load(spark, sf0001, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate"))
+      .queryExecution.executedPlan.toString
+    assert(!pApprox.contains("Expand"),
+      s"sketch profiler must not replicate rows:\n$pApprox")
+    assert("FileScan parquet".r.findAllIn(pApprox).length == 1,
+      s"sketch profiler must scan once:\n$pApprox")
   }
 
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
