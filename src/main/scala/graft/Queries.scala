@@ -3074,7 +3074,153 @@ object Queries {
         |       CASE WHEN lead(seq) OVER (PARTITION BY k ORDER BY seq) IS NULL
         |            THEN 1 ELSE 0 END AS is_current,
         |       pc
-        |FROM ch ORDER BY k, from_seq""".stripMargin)
+        |FROM ch ORDER BY k, from_seq""".stripMargin),
+
+    // ==== Round-7 additions (x181+) ======================================
+
+    // Benford first-digit audit — the fraud/corruption forensic a data
+    // platform runs over money columns: observed leading-digit
+    // distribution vs Benford's log10(1+1/d) expectation, both in basis
+    // points. Digit extracted via string cast (no data-dependent log —
+    // log10 only touches the nine constants 1..9, where floor(10000·x)
+    // sits ≥0.08 from every integer boundary, so the fixed-point value
+    // is engine-stable). One scan, 9-row output.
+    q("x181_benford_audit",
+      """WITH d AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS STRING),1,1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice >= 1)
+        |SELECT digit, count(*) AS n,
+        |       cast(floor(count(*) * 10000.0 / sum(count(*)) OVER ()) AS BIGINT) AS obs_bp,
+        |       cast(floor(10000.0 * log10(1.0 + 1.0/digit)) AS BIGINT) AS benford_bp
+        |FROM d GROUP BY digit ORDER BY digit""".stripMargin,
+      """WITH d AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR),1,1) AS BIGINT) AS digit
+        |           FROM orders WHERE o_totalprice >= 1)
+        |SELECT digit, count(*) AS n,
+        |       cast(floor(count(*) * 10000.0 / sum(count(*)) OVER ()) AS BIGINT) AS obs_bp,
+        |       cast(floor(10000.0 * log10(1.0 + 1.0/digit)) AS BIGINT) AS benford_bp
+        |FROM d GROUP BY digit ORDER BY digit""".stripMargin),
+
+    // Time-weighted average (TWAP) per user — each event's value holds
+    // until the user's NEXT event (lead), weighted by that duration in
+    // integer milliseconds × integer cents, closed with integer division:
+    // exact arithmetic end-to-end where a float time-weighted mean could
+    // only ulp-match. The complement of x167's EWMA (event-weighted,
+    // decay) — this is the market/metering semantics (duration-weighted).
+    // Per-user windows partition by user_id: scales horizontally.
+    q("x182_time_weighted_avg",
+      """WITH e AS (SELECT user_id, unix_millis(ts) AS tms,
+        |                  cast(floor(value*100) AS BIGINT) AS vc,
+        |                  lead(unix_millis(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ntms
+        |           FROM events)
+        |SELECT user_id,
+        |       cast(sum(vc*(ntms-tms)) AS BIGINT) AS vt_num,
+        |       cast(sum(ntms-tms) AS BIGINT) AS dur_ms,
+        |       cast(sum(vc*(ntms-tms)) div sum(ntms-tms) AS BIGINT) AS twap_c
+        |FROM e WHERE ntms IS NOT NULL GROUP BY user_id
+        |HAVING sum(ntms-tms) > 0 ORDER BY user_id""".stripMargin,
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS tms,
+        |                  cast(floor(value*100) AS BIGINT) AS vc,
+        |                  lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ntms
+        |           FROM events)
+        |SELECT user_id,
+        |       cast(sum(vc*(ntms-tms)) AS BIGINT) AS vt_num,
+        |       cast(sum(ntms-tms) AS BIGINT) AS dur_ms,
+        |       cast(cast(sum(vc*(ntms-tms)) AS BIGINT) // cast(sum(ntms-tms) AS BIGINT) AS BIGINT) AS twap_c
+        |FROM e WHERE ntms IS NOT NULL GROUP BY user_id
+        |HAVING sum(ntms-tms) > 0 ORDER BY user_id""".stripMargin),
+
+    // Key-sequence gap detection — the completeness audit run after any
+    // ingest: ranges of key values missing from an arrived partition
+    // (here the F-status orders — the full o_orderkey domain is dense
+    // 0..N-1 in this corpus, so the filtered subset is what a partial
+    // ingest looks like), reported as (last key present, next key
+    // present, missing count). Neighbor comparison needs a total order,
+    // so the declared form pays the one global lead window (q29's
+    // class); at 100 TB this runs through the x100 two-pass tier —
+    // range-partition by key, per-partition lead, exchange only the
+    // 1-row partition boundaries.
+    q("x183_sequence_gaps",
+      """WITH k AS (SELECT o_orderkey AS k,
+        |                  lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nk
+        |           FROM orders WHERE o_orderstatus = 'F')
+        |SELECT k AS gap_after, nk AS next_present,
+        |       cast(nk - k - 1 AS BIGINT) AS missing
+        |FROM k WHERE nk - k > 1 ORDER BY gap_after""".stripMargin),
+
+    // Largest-remainder apportionment — allocate an integer budget
+    // (10000 shard slots) across nations proportional to customer count
+    // such that the parts sum EXACTLY to the budget: floor quotas by
+    // integer division, then +1 to the largest remainders. Float
+    // proportional allocation cannot guarantee the sum; the all-integer
+    // method is exact, hash-checkable, and the shape every shard/quota
+    // assigner needs. Dim-sized windows only.
+    q("x184_apportionment",
+      """WITH c AS (SELECT n_name AS name, cast(count(*) AS BIGINT) AS cnt
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |           GROUP BY n_name),
+        |t AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM c),
+        |q AS (SELECT name, cnt,
+        |             cast((cnt * 10000) div (SELECT total FROM t) AS BIGINT) AS fl,
+        |             cast((cnt * 10000) % (SELECT total FROM t) AS BIGINT) AS rem
+        |      FROM c),
+        |s AS (SELECT cast(10000 - sum(fl) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT name, cnt, fl, rem,
+        |             row_number() OVER (ORDER BY rem DESC, name) AS rk FROM q)
+        |SELECT name, cnt,
+        |       cast(fl + CASE WHEN rk <= (SELECT leftover FROM s) THEN 1 ELSE 0 END AS BIGINT) AS slots
+        |FROM r ORDER BY name""".stripMargin,
+      """WITH c AS (SELECT n_name AS name, cast(count(*) AS BIGINT) AS cnt
+        |           FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |           GROUP BY n_name),
+        |t AS (SELECT cast(sum(cnt) AS BIGINT) AS total FROM c),
+        |q AS (SELECT name, cnt,
+        |             cast((cnt * 10000) // (SELECT total FROM t) AS BIGINT) AS fl,
+        |             cast((cnt * 10000) % (SELECT total FROM t) AS BIGINT) AS rem
+        |      FROM c),
+        |s AS (SELECT cast(10000 - sum(fl) AS BIGINT) AS leftover FROM q),
+        |r AS (SELECT name, cnt, fl, rem,
+        |             row_number() OVER (ORDER BY rem DESC, name) AS rk FROM q)
+        |SELECT name, cnt,
+        |       cast(fl + CASE WHEN rk <= (SELECT leftover FROM s) THEN 1 ELSE 0 END AS BIGINT) AS slots
+        |FROM r ORDER BY name""".stripMargin),
+
+    // Point-in-time (validity-interval) join — the bitemporal complement
+    // of as-of (q23/x57) and SCD2 (x180): each fact row joins the ONE
+    // dimension version whose [from_seq, to_seq) interval contains the
+    // fact's sequence number. Equi-join on the key carries the shuffle;
+    // the interval predicate is a post-join filter — per-key intervals,
+    // no global sort, scales like any keyed join. (x180 builds the same
+    // intervals; here they're consumed.)
+    q("x185_pit_join",
+      """WITH ch AS (SELECT cast(o_orderkey % 1000 AS BIGINT) AS k,
+        |                   cast(o_orderkey AS BIGINT) AS seq,
+        |                   cast(floor(o_totalprice*100) AS BIGINT) AS pc
+        |            FROM orders),
+        |dim AS (SELECT k, seq AS from_seq,
+        |               lead(seq) OVER (PARTITION BY k ORDER BY seq) AS to_seq, pc
+        |        FROM ch),
+        |f AS (SELECT cast(l_orderkey AS BIGINT) AS fseq,
+        |             cast(l_orderkey % 1000 AS BIGINT) AS k,
+        |             cast(l_linenumber AS BIGINT) AS ln
+        |      FROM lineitem)
+        |SELECT f.k, f.fseq, f.ln, d.from_seq, d.pc
+        |FROM f JOIN dim d ON f.k = d.k AND d.from_seq <= f.fseq
+        |                 AND (d.to_seq IS NULL OR f.fseq < d.to_seq)
+        |ORDER BY f.k, f.fseq, f.ln, d.from_seq""".stripMargin),
+
+    // k-anonymity audit — the privacy gate a training-data release runs:
+    // group sizes over the quasi-identifier tuple, per-group suppression
+    // flag (n < k), plus the dataset's k-anonymity (min group size) and
+    // total rows needing suppression. Grouped output is dim-sized, so
+    // the global window costs nothing; the heavy work is one hash agg.
+    q("x186_k_anonymity",
+      """WITH g AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |                  cast(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT nk, seg, n,
+        |       CASE WHEN n < 5 THEN 1 ELSE 0 END AS suppress,
+        |       cast(min(n) OVER () AS BIGINT) AS k_anonymity,
+        |       cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER () AS BIGINT) AS rows_at_risk
+        |FROM g ORDER BY nk, seg""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
