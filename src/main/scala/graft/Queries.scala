@@ -3207,6 +3207,332 @@ object Queries {
         |                 AND (d.to_seq IS NULL OR f.fseq < d.to_seq)
         |ORDER BY f.k, f.fseq, f.ln, d.from_seq""".stripMargin),
 
+    // Markov transition census — the path-analysis primitive behind
+    // "what do users do next": per-user event sequences (total-ordered
+    // by ts, event_id) reduced to (from_type, to_type) transition counts
+    // with per-origin shares in basis points. Per-user lead windows
+    // partition by user_id — scales horizontally; the transition matrix
+    // is |types|² = dim-sized.
+    q("x187_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type AS ft,
+        |                  lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS tt
+        |           FROM events),
+        |c AS (SELECT ft, tt, cast(count(*) AS BIGINT) AS n FROM s
+        |      WHERE tt IS NOT NULL GROUP BY ft, tt)
+        |SELECT ft, tt, n,
+        |       cast(floor(n * 10000.0 / sum(n) OVER (PARTITION BY ft)) AS BIGINT) AS share_bp
+        |FROM c ORDER BY ft, tt""".stripMargin),
+
+    // Robust outlier detection via MAD (median absolute deviation) —
+    // the scale/offset-free anomaly gate: per-group discrete median
+    // (smallest value whose cumulative count crosses half — the x175
+    // lower-median machinery, exact integers end-to-end), MAD as the
+    // same median over |x - med|, then count points beyond 3×MAD.
+    // Windows partition by group; no global sort, no floats.
+    q("x188_mad_outliers",
+      """WITH v AS (SELECT event_type AS g, cast(floor(value*100) AS BIGINT) AS c FROM events),
+        |m1 AS (SELECT g, c, count(*) AS cnt FROM v GROUP BY g, c),
+        |cu1 AS (SELECT g, c, sum(cnt) OVER (PARTITION BY g ORDER BY c) AS cum,
+        |               sum(cnt) OVER (PARTITION BY g) AS tot FROM m1),
+        |med AS (SELECT g, min(c) AS med_c FROM cu1 WHERE cum*2 >= tot GROUP BY g),
+        |d AS (SELECT v.g, v.c, abs(v.c - med.med_c) AS ad, med.med_c
+        |      FROM v JOIN med ON v.g = med.g),
+        |m2 AS (SELECT g, ad, count(*) AS cnt FROM d GROUP BY g, ad),
+        |cu2 AS (SELECT g, ad, sum(cnt) OVER (PARTITION BY g ORDER BY ad) AS cum,
+        |               sum(cnt) OVER (PARTITION BY g) AS tot FROM m2),
+        |mad AS (SELECT g, min(ad) AS mad_c FROM cu2 WHERE cum*2 >= tot GROUP BY g)
+        |SELECT d.g, cast(max(d.med_c) AS BIGINT) AS med_c,
+        |       cast(max(mad.mad_c) AS BIGINT) AS mad_c,
+        |       cast(sum(CASE WHEN d.ad > 3*mad.mad_c THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM d JOIN mad ON d.g = mad.g
+        |GROUP BY d.g ORDER BY d.g""".stripMargin),
+
+    // Concentration (inequality) report — "what share of total revenue
+    // does each customer decile hold": global ntile(10) over per-customer
+    // revenue (q29's global-window class — the x100 two-pass tier at
+    // scale), per-decile sums, shares in basis points. All-integer cents
+    // keep it exact; the top decile's share is the number a dataset
+    // curator watches for token-concentration (a few docs owning the
+    // corpus).
+    q("x189_concentration",
+      """WITH r AS (SELECT o_custkey, cast(sum(cast(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |           FROM orders GROUP BY o_custkey),
+        |d AS (SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile FROM r)
+        |SELECT decile, cast(count(*) AS BIGINT) AS customers,
+        |       cast(sum(rev) AS BIGINT) AS rev_c,
+        |       cast(floor(sum(rev) * 10000.0 / sum(sum(rev)) OVER ()) AS BIGINT) AS share_bp
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin),
+
+    // Distribution drift report — the between-snapshot shift audit run
+    // before retraining: document length distributions of two sources
+    // over fixed-width buckets, per-side shares in basis points and the
+    // per-bucket delta. All counts/shares integer — no KL/PSI log terms,
+    // so the report is exact and hash-checkable; the drift DECISION
+    // (thresholding) consumes the same numbers either way.
+    q("x190_dist_drift",
+      """WITH b AS (SELECT source, cast(n_chars AS BIGINT) div 200 AS bucket FROM documents
+        |           WHERE source IN ('src0','src1')),
+        |c AS (SELECT bucket,
+        |             cast(sum(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |             cast(sum(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, a_n, b_n,
+        |       cast(floor(a_n * 10000.0 / sum(a_n) OVER ()) AS BIGINT) AS a_bp,
+        |       cast(floor(b_n * 10000.0 / sum(b_n) OVER ()) AS BIGINT) AS b_bp,
+        |       cast(floor(a_n * 10000.0 / sum(a_n) OVER ()) - floor(b_n * 10000.0 / sum(b_n) OVER ()) AS BIGINT) AS delta_bp
+        |FROM c ORDER BY bucket""".stripMargin,
+      """WITH b AS (SELECT source, cast(n_chars AS BIGINT) // 200 AS bucket FROM documents
+        |           WHERE source IN ('src0','src1')),
+        |c AS (SELECT bucket,
+        |             cast(sum(CASE WHEN source='src0' THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+        |             cast(sum(CASE WHEN source='src1' THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+        |      FROM b GROUP BY bucket)
+        |SELECT bucket, a_n, b_n,
+        |       cast(floor(a_n * 10000.0 / sum(a_n) OVER ()) AS BIGINT) AS a_bp,
+        |       cast(floor(b_n * 10000.0 / sum(b_n) OVER ()) AS BIGINT) AS b_bp,
+        |       cast(floor(a_n * 10000.0 / sum(a_n) OVER ()) - floor(b_n * 10000.0 / sum(b_n) OVER ()) AS BIGINT) AS delta_bp
+        |FROM c ORDER BY bucket""".stripMargin),
+
+    // Join-cardinality audit — the pre-join health check a planner (or a
+    // human) wants before a 100 TB join: fan-out histogram of the
+    // orders→lineitem FK (children per parent bucketed 0/1/2-3/4-7/8+)
+    // plus both orphan directions. Two hash aggs and one outer join of
+    // dim-sized results; complements x172 (FK closure as a gate) and
+    // x176 (key skew) with the multiplicity profile.
+    q("x191_join_cardinality",
+      """WITH po AS (SELECT o_orderkey AS k FROM orders),
+        |ch AS (SELECT l_orderkey AS k, cast(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_orderkey),
+        |fan AS (SELECT coalesce(ch.n, 0) AS n FROM po LEFT JOIN ch ON po.k = ch.k),
+        |b AS (SELECT CASE WHEN n = 0 THEN '0' WHEN n = 1 THEN '1'
+        |                  WHEN n <= 3 THEN '2-3' WHEN n <= 7 THEN '4-7'
+        |                  ELSE '8+' END AS fanout,
+        |             n FROM fan)
+        |SELECT fanout, cast(count(*) AS BIGINT) AS parents,
+        |       cast(sum(n) AS BIGINT) AS children
+        |FROM b GROUP BY fanout
+        |UNION ALL
+        |SELECT 'orphan_children' AS fanout,
+        |       cast(count(DISTINCT l.l_orderkey) AS BIGINT) AS parents,
+        |       cast(count(*) AS BIGINT) AS children
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey IS NULL
+        |ORDER BY fanout""".stripMargin),
+
+    // Reciprocal-rank fusion — the hybrid-search combiner (lexical rank
+    // ⊕ prior rank): rrf(d) = Σ 1/(60+rank_i(d)), here in integer
+    // micro-units (floor(1e6/(60+r))) so the fused score is exact. The
+    // two input rankings are a term-frequency rank ('data' occurrences
+    // via length/replace — no regex) and a length-prior rank. Global
+    // row_number rankings (q29's class; x100 tier at scale), dim-sized
+    // fusion output.
+    q("x192_rrf_fusion",
+      """WITH t AS (SELECT doc_id,
+        |                  cast((length(text) - length(replace(text,'data',''))) div 4 AS BIGINT) AS tf,
+        |                  n_chars
+        |           FROM documents),
+        |r AS (SELECT doc_id, tf, n_chars,
+        |             row_number() OVER (ORDER BY tf DESC, doc_id) AS r1,
+        |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r2
+        |      FROM t)
+        |SELECT doc_id, r1, r2,
+        |       cast(floor(1000000.0/(60+r1)) + floor(1000000.0/(60+r2)) AS BIGINT) AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |                  cast((length(text) - length(replace(text,'data',''))) // 4 AS BIGINT) AS tf,
+        |                  n_chars
+        |           FROM documents),
+        |r AS (SELECT doc_id, tf, n_chars,
+        |             row_number() OVER (ORDER BY tf DESC, doc_id) AS r1,
+        |             row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r2
+        |      FROM t)
+        |SELECT doc_id, r1, r2,
+        |       cast(floor(1000000.0/(60+r1)) + floor(1000000.0/(60+r2)) AS BIGINT) AS rrf
+        |FROM r ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Per-group min-max normalization to integer permille — the feature
+    // scaling primitive: (x - min) * 1000 / (max - min) by integer
+    // division, degenerate (constant) groups map to 0. One grouped
+    // min/max (broadcast-sized) joined back; exact integers.
+    q("x193_minmax_norm",
+      """WITH v AS (SELECT event_type AS g, event_id, cast(floor(value*100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT g, min(c) AS lo, max(c) AS hi FROM v GROUP BY g)
+        |SELECT v.g, v.event_id,
+        |       cast(CASE WHEN m.hi = m.lo THEN 0
+        |                 ELSE ((v.c - m.lo) * 1000) div (m.hi - m.lo) END AS BIGINT) AS norm_pm
+        |FROM v JOIN m ON v.g = m.g ORDER BY v.g, v.event_id""".stripMargin,
+      """WITH v AS (SELECT event_type AS g, event_id, cast(floor(value*100) AS BIGINT) AS c FROM events),
+        |m AS (SELECT g, min(c) AS lo, max(c) AS hi FROM v GROUP BY g)
+        |SELECT v.g, v.event_id,
+        |       cast(CASE WHEN m.hi = m.lo THEN 0
+        |                 ELSE ((v.c - m.lo) * 1000) // (m.hi - m.lo) END AS BIGINT) AS norm_pm
+        |FROM v JOIN m ON v.g = m.g ORDER BY v.g, v.event_id""".stripMargin),
+
+    // Funnel time-to-convert — x138/x81 count conversions; this reports
+    // HOW LONG conversion takes: per converting user the first-view →
+    // first-purchase latency in integer ms, rolled up to converter
+    // count, discrete median (the x175/x188 cumulative-count machinery —
+    // exact, no interpolation), and min/max. One grouped min per user,
+    // dim-sized median pass.
+    q("x194_funnel_latency",
+      """WITH f AS (SELECT user_id,
+        |                  min(CASE WHEN event_type='view' THEN ts END) AS v_ts,
+        |                  min(CASE WHEN event_type='purchase' THEN ts END) AS p_ts
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT unix_millis(p_ts) - unix_millis(v_ts) AS ms FROM f
+        |      WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= v_ts),
+        |m AS (SELECT ms, count(*) AS cnt FROM d GROUP BY ms),
+        |c AS (SELECT ms, sum(cnt) OVER (ORDER BY ms) AS cum, sum(cnt) OVER () AS tot FROM m)
+        |SELECT (SELECT cast(count(*) AS BIGINT) FROM d) AS converters,
+        |       (SELECT cast(min(ms) AS BIGINT) FROM c WHERE cum*2 >= tot) AS median_ms,
+        |       (SELECT cast(min(ms) AS BIGINT) FROM d) AS min_ms,
+        |       (SELECT cast(max(ms) AS BIGINT) FROM d) AS max_ms""".stripMargin,
+      """WITH f AS (SELECT user_id,
+        |                  min(CASE WHEN event_type='view' THEN ts END) AS v_ts,
+        |                  min(CASE WHEN event_type='purchase' THEN ts END) AS p_ts
+        |           FROM events GROUP BY user_id),
+        |d AS (SELECT epoch_ms(p_ts) - epoch_ms(v_ts) AS ms FROM f
+        |      WHERE v_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= v_ts),
+        |m AS (SELECT ms, count(*) AS cnt FROM d GROUP BY ms),
+        |c AS (SELECT ms, sum(cnt) OVER (ORDER BY ms) AS cum, sum(cnt) OVER () AS tot FROM m)
+        |SELECT (SELECT cast(count(*) AS BIGINT) FROM d) AS converters,
+        |       (SELECT cast(min(ms) AS BIGINT) FROM c WHERE cum*2 >= tot) AS median_ms,
+        |       (SELECT cast(min(ms) AS BIGINT) FROM d) AS min_ms,
+        |       (SELECT cast(max(ms) AS BIGINT) FROM d) AS max_ms""".stripMargin),
+
+    // Hierarchical contribution (percent-of-parent rollup) — nation
+    // share within region and region share of total, both in basis
+    // points: the two-level ratio_to_report every revenue/token
+    // breakdown report needs. Dim-sized windows over the grouped
+    // output; the heavy work is one hash agg over the joined facts.
+    q("x195_share_of_parent",
+      """WITH cn AS (SELECT r_name, n_name, cast(count(*) AS BIGINT) AS n
+        |            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |                          JOIN region ON n_regionkey = r_regionkey
+        |            GROUP BY r_name, n_name)
+        |SELECT r_name, n_name, n,
+        |       cast(floor(n * 10000.0 / sum(n) OVER (PARTITION BY r_name)) AS BIGINT) AS nation_in_region_bp,
+        |       cast(floor(sum(n) OVER (PARTITION BY r_name) * 10000.0 / sum(n) OVER ()) AS BIGINT) AS region_of_total_bp
+        |FROM cn ORDER BY r_name, n_name""".stripMargin),
+
+    // Daily bounce rate — q31's 30-minute-gap sessionization rolled to
+    // the canonical engagement metric: per day (of session start),
+    // session count, single-event sessions, bounce share in bp.
+    // Per-user windows scale; the daily rollup is dim-sized.
+    q("x196_bounce_rate",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                            OR unix_millis(ts) - unix_millis(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |                       THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g),
+        |per AS (SELECT user_id, sid, min(cast(ts AS DATE)) AS d, count(*) AS n
+        |        FROM s GROUP BY user_id, sid)
+        |SELECT d, cast(count(*) AS BIGINT) AS sessions,
+        |       cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        |       cast(floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS bounce_bp
+        |FROM per GROUP BY d ORDER BY d""".stripMargin,
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |                       THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g),
+        |per AS (SELECT user_id, sid, min(cast(ts AS DATE)) AS d, count(*) AS n
+        |        FROM s GROUP BY user_id, sid)
+        |SELECT d, cast(count(*) AS BIGINT) AS sessions,
+        |       cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+        |       cast(floor(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 10000.0 / count(*)) AS BIGINT) AS bounce_bp
+        |FROM per GROUP BY d ORDER BY d""".stripMargin),
+
+    // Order-line reconciliation — the ledger audit every ETL handoff
+    // runs: per-order line-item cent sums vs the order header total,
+    // classified exact / within-1% / mismatch, plus headers without
+    // lines and lines without headers, with the absolute cent drift
+    // per class. One grouped sum + one full-outer key join.
+    q("x197_reconciliation",
+      """WITH l AS (SELECT l_orderkey AS k,
+        |                  cast(sum(cast(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS line_c
+        |           FROM lineitem GROUP BY l_orderkey),
+        |o AS (SELECT o_orderkey AS k, cast(floor(o_totalprice*100) AS BIGINT) AS ord_c FROM orders)
+        |SELECT CASE WHEN l.k IS NULL THEN 'no_lines'
+        |            WHEN o.k IS NULL THEN 'no_order'
+        |            WHEN l.line_c = o.ord_c THEN 'exact'
+        |            WHEN abs(l.line_c - o.ord_c) * 100 <= o.ord_c THEN 'within_1pct'
+        |            ELSE 'mismatch' END AS status,
+        |       cast(count(*) AS BIGINT) AS n,
+        |       cast(sum(abs(coalesce(l.line_c,0) - coalesce(o.ord_c,0))) AS BIGINT) AS abs_drift_c
+        |FROM l FULL OUTER JOIN o ON l.k = o.k
+        |GROUP BY CASE WHEN l.k IS NULL THEN 'no_lines'
+        |              WHEN o.k IS NULL THEN 'no_order'
+        |              WHEN l.line_c = o.ord_c THEN 'exact'
+        |              WHEN abs(l.line_c - o.ord_c) * 100 <= o.ord_c THEN 'within_1pct'
+        |              ELSE 'mismatch' END
+        |ORDER BY status""".stripMargin),
+
+    // Peak concurrency (sweep line) — how many user sessions are open
+    // at once: q31's session intervals become (+1 at start, −1 at end)
+    // points; the RANGE-framed cumulative sum (both engines' default for
+    // ORDER BY windows) evaluates all ties at a timestamp together, so
+    // endpoint ties are deterministic. Output: peak concurrent sessions
+    // + totals. The one global sweep window is q29's class; at scale,
+    // sweep per day/shard and merge boundaries (x100 pattern).
+    q("x198_peak_concurrency",
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                            OR unix_millis(ts) - unix_millis(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |                       THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g),
+        |iv AS (SELECT user_id, sid, min(unix_millis(ts)) AS st, max(unix_millis(ts)) AS en
+        |       FROM s GROUP BY user_id, sid),
+        |pts AS (SELECT st AS t, 1 AS delta FROM iv
+        |        UNION ALL SELECT en AS t, -1 AS delta FROM iv),
+        |c AS (SELECT t, sum(delta) OVER (ORDER BY t) AS conc FROM pts)
+        |SELECT cast(max(conc) AS BIGINT) AS peak_sessions,
+        |       (SELECT cast(count(*) AS BIGINT) FROM iv) AS total_sessions
+        |FROM c""".stripMargin,
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |                  CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+        |                       THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |s AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid FROM g),
+        |iv AS (SELECT user_id, sid, min(epoch_ms(ts)) AS st, max(epoch_ms(ts)) AS en
+        |       FROM s GROUP BY user_id, sid),
+        |pts AS (SELECT st AS t, 1 AS delta FROM iv
+        |        UNION ALL SELECT en AS t, -1 AS delta FROM iv),
+        |c AS (SELECT t, sum(delta) OVER (ORDER BY t) AS conc FROM pts)
+        |SELECT cast(max(conc) AS BIGINT) AS peak_sessions,
+        |       (SELECT cast(count(*) AS BIGINT) FROM iv) AS total_sessions
+        |FROM c""".stripMargin),
+
+    // Rapid repeat-order pairs — the same-actor velocity check a fraud
+    // screen runs: pairs of orders by the same customer within 3 days,
+    // with the day gap and cent price delta. Equi-join blocked on the
+    // customer key (the shuffle key); the time band is a post-join
+    // filter — per-key pair cost bounded by per-customer order counts
+    // (x176's skew report is the guard rail).
+    q("x199_rapid_repeat",
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+        |       a.o_custkey AS cust,
+        |       cast(abs(datediff(b.o_orderdate, a.o_orderdate)) AS BIGINT) AS gap_days,
+        |       cast(abs(cast(floor(a.o_totalprice*100) AS BIGINT)
+        |                - cast(floor(b.o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_delta_c
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE abs(datediff(b.o_orderdate, a.o_orderdate)) <= 3
+        |ORDER BY a_key, b_key""".stripMargin,
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+        |       a.o_custkey AS cust,
+        |       cast(abs(datediff('day', a.o_orderdate, b.o_orderdate)) AS BIGINT) AS gap_days,
+        |       cast(abs(cast(floor(a.o_totalprice*100) AS BIGINT)
+        |                - cast(floor(b.o_totalprice*100) AS BIGINT)) AS BIGINT) AS price_delta_c
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 3
+        |ORDER BY a_key, b_key""".stripMargin),
+
     // k-anonymity audit — the privacy gate a training-data release runs:
     // group sizes over the quasi-identifier tuple, per-group suppression
     // flag (n < k), plus the dataset's k-anonymity (min group size) and

@@ -52,6 +52,32 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // round-7 additions (counts oracle-verified vs DuckDB at sf0.001 when
+  // the queries were authored — full hash checks at all three SFs)
+  val expectedRowsR7: Map[String, Long] = Map(
+    "x181_benford_audit" -> 9, "x182_time_weighted_avg" -> 15,
+    "x183_sequence_gaps" -> 325, "x184_apportionment" -> 25,
+    "x185_pit_join" -> 6000, "x186_k_anonymity" -> 93,
+    "x187_markov_transitions" -> 25, "x188_mad_outliers" -> 5,
+    "x189_concentration" -> 10, "x190_dist_drift" -> 3,
+    "x191_join_cardinality" -> 6, "x192_rrf_fusion" -> 20,
+    "x193_minmax_norm" -> 1000, "x194_funnel_latency" -> 1,
+    "x195_share_of_parent" -> 25, "x196_bounce_rate" -> 30,
+    "x197_reconciliation" -> 3, "x198_peak_concurrency" -> 1,
+    "x199_rapid_repeat" -> 22)
+
+  expectedRowsR7.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("x184 apportionment: slots sum exactly to the 10000 budget") {
+    val total = SparkEntry.queries("x184_apportionment")(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum("slots")).head().getLong(0)
+    assert(total == 10000L, s"largest-remainder allocation must be exact (got $total)")
+  }
+
   test("x117 anchor clusters: every non-anchor vector is assigned exactly once") {
     val total = SparkEntry.queries("x117_anchor_clusters")(spark, sf0001)
       .agg(org.apache.spark.sql.functions.sum("n_assigned")).collect().head.getLong(0)
