@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** The library's `spark.sql.extensions` entry point — the deployment
+  * path for a cluster that wants graft's Catalyst surface WITHOUT
+  * calling [[Catalog.ensure]] first:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * Injects, at session build time (no per-session mutation races, no
+  * dependence on `spark.experimental`):
+  *  - [[plans.DeferProjectionPastTopK]] — the optimizer rule keeping
+  *    expensive scalar projections above ORDER BY+LIMIT so they run on
+  *    k rows, not N;
+  *  - [[plans.AsOfStrategy]] — the planner strategy compiling the
+  *    native as-of join logical node to its co-partitioned streaming
+  *    merge SparkPlan;
+  *  - the codegen'd expression functions (`cosine_sim`, `simhash64`,
+  *    `winnow_fps`, `fold_accents`) as persistent-registry builtins.
+  *
+  * [[Catalog.ensure]] keeps its `spark.experimental` + temp-function
+  * registration path so the test/driver surface works on a plain
+  * session; both paths install the same objects, so running under both
+  * is idempotent in effect (the registry entries are replaced, the
+  * experimental lists deduplicate).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => plans.DeferProjectionPastTopK)
+    ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (exprs: Seq[Expression]) => functions.CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
+      (exprs: Seq[Expression]) => functions.SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      info("winnow_fps",
+        "winnow_fps(text, k, w) - winnowing fingerprint set (k-gram window minima)"),
+      (exprs: Seq[Expression]) => functions.WinnowFps.fromExprs(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("fold_accents"),
+      info("fold_accents", "fold_accents(s) - strip diacritics (NFD, combining marks removed)"),
+      (exprs: Seq[Expression]) => functions.FoldAccents(exprs.head)))
+  }
+}

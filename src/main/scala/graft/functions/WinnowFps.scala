@@ -121,18 +121,19 @@ object WinnowFps {
       org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(window))
 
-  /** Register as a SQL function on the session (idempotent). k and
-    * window must be integer literals. */
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]. k and window must be integer literals. */
+  def fromExprs(exprs: Seq[Expression]): WinnowFps = {
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"winnow_fps $what must be an integer literal, got $other")
+    }
+    WinnowFps(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+  }
+
+  /** Register as a SQL function on the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps",
-      exprs => {
-        def intLit(e: Expression, what: String): Int = e match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"winnow_fps $what must be an integer literal, got $other")
-        }
-        WinnowFps(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "window"))
-      },
-      "scala_udf")
+      "winnow_fps", fromExprs, "scala_udf")
 }

@@ -52,6 +52,49 @@ object SkipIndex {
       .withColumn("root", lit(path))
   }
 
+  /** Incremental manifest maintenance for an append-only table: stat
+    * only files NOT yet in the index and union them in — the ingest-time
+    * operation that keeps a 100 TB table's manifest current without
+    * re-scanning a petabyte per batch ([[build]] is the bootstrap; this
+    * is the steady state). The listing diff runs on the driver like any
+    * reader's file listing, but the index side is bounded: at most
+    * `maxDriverFiles` indexed paths are collected for the diff (the
+    * [[readRange]] bound) — beyond that the cost model has already
+    * flipped and the correct move is a fresh [[build]], which this falls
+    * back to. New files are statted by an explicit-path scan (reads ONLY
+    * the new files), so the update cost is priced by the batch, not the
+    * table. Stale index rows for files that vanished (compaction,
+    * vacuum) are dropped via the same listing. */
+  def update(spark: SparkSession, index: DataFrame, path: String,
+             cols: Seq[String], maxDriverFiles: Int = 65536): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSet
+    val indexed = index.select("file").limit(maxDriverFiles + 1)
+      .collect().map(_.getString(0)).toSet
+    if (indexed.size > maxDriverFiles) return build(spark, path, cols)
+    // input_file_name() reports the same URI form the listing produces
+    // (both go through the Hadoop Path normalizer); the diff is exact.
+    val fresh = (listed -- indexed).toSeq.sorted
+    // semi-join, not a giant isin literal: the live-file set is plan
+    // data, not plan text (a 1M-file listing would bloat an IN list)
+    val listedDf = spark.createDataset(listed.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("file")
+    val kept = index.join(broadcast(listedDf), Seq("file"), "left_semi")
+    if (fresh.isEmpty) kept
+    else {
+      val aggs: Seq[Column] = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      val add = spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("root", lit(path))
+      kept.unionByName(add)
+    }
+  }
+
   /** The pruning predicate, kept distributed: manifest rows whose
     * [min,max] interval intersects [lo, hi]. NULL-stat files (all-NULL
     * column chunks) are kept, never skipped — a zone map may only

@@ -214,6 +214,42 @@ class LayoutSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("skip index: incremental update == rebuild after append/remove, idempotent") {
+    import java.nio.file.{Files, Paths}
+    val orders = Catalog.load(spark, sf0001, "orders")
+    val path = "/tmp/graft-layout/orders_incr"
+    orders.where(col("o_orderkey") < 1000)
+      .repartitionByRange(5, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(path)
+    val idx0 = graft.sources.SkipIndex.build(spark, path, Seq("o_orderkey"))
+      .localCheckpoint(true) // pin rows: the directory mutates below
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("file").collect().map(_.toSeq).toSeq
+    // no change => update is the identity
+    assert(canon(graft.sources.SkipIndex.update(spark, idx0, path, Seq("o_orderkey")))
+      == canon(idx0))
+    // append a batch as ONE new file, drop one indexed file (compaction)
+    val victim = idx0.select("file").orderBy("file").head().getString(0)
+    Files.delete(Paths.get(new java.net.URI(victim)))
+    orders.where(col("o_orderkey") >= 1000)
+      .coalesce(1).write.mode("append").parquet(path)
+    val updated = graft.sources.SkipIndex.update(spark, idx0, path, Seq("o_orderkey"))
+    val rebuilt = graft.sources.SkipIndex.build(spark, path, Seq("o_orderkey"))
+    assert(canon(updated) == canon(rebuilt),
+      "incremental update must equal a full rebuild after append+remove")
+    assert(updated.where(col("file") === victim).isEmpty,
+      "stale row for the removed file must be dropped")
+    // and the updated index still serves correct pruned reads
+    val got = graft.sources.SkipIndex
+      .readRange(spark, updated.localCheckpoint(true), "o_orderkey", lit(1200L), lit(1400L))
+      .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val want = spark.read.parquet(path)
+      .where(col("o_orderkey").between(1200L, 1400L))
+      .select("o_orderkey").orderBy("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(got == want && want.nonEmpty)
+  }
+
   test("skip index: bounded driver list, schema-safe empty branches") {
     val orders = Catalog.load(spark, sf0001, "orders")
     val path = "/tmp/graft-layout/orders_ranged2"

@@ -27,6 +27,56 @@ class RulesSpec extends SparkSpec {
     assert(!fired, s"rule fired unexpectedly:\n${plan.treeString}")
   }
 
+  test("GraftExtensions wires rule, strategy and functions at session build") {
+    // The spark.sql.extensions deployment path: a session built with
+    // graft.GraftExtensions must expose the whole Catalyst surface with
+    // NO Catalog.ensure / register calls — what a cluster user gets
+    // from --conf spark.sql.extensions=graft.GraftExtensions.
+    // getOrCreate returns the suite session (and skips extensions) while
+    // a default session is registered — clear it so the builder creates
+    // a genuinely new SparkSession (reusing the JVM's SparkContext).
+    // spark.sql.extensions is a STATIC conf (only honored by the first
+    // session in a JVM), so the in-JVM test injects through
+    // .withExtensions — the same GraftExtensions instance the config
+    // path class-loads on a real cluster. Restored below; fresh is NOT
+    // stopped (it shares the JVM-wide context).
+    val old = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val fresh = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]") // ignored when the suite's SparkContext is live
+      .appName("graft-ext-test")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // strategy injected at build time (not via spark.experimental)
+      assert(fresh.sessionState.planner.extraPlanningStrategies
+        .contains(plans.AsOfStrategy),
+        "AsOfStrategy must be in extraPlanningStrategies")
+      // persistent-registry functions resolve in bare SQL
+      assert(fresh.sql("SELECT fold_accents('café') AS s").head().getString(0) == "cafe")
+      assert(fresh.sql(
+        """SELECT cosine_sim(cast(array(1.0,0.0) AS ARRAY<FLOAT>),
+          |                  cast(array(1.0,0.0) AS ARRAY<FLOAT>)) AS c""".stripMargin)
+        .head().getDouble(0) == 1.0)
+      assert(fresh.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0) != 0L)
+      assert(fresh.sql("SELECT size(winnow_fps('abcdefghijklmnop', 8, 4)) AS n")
+        .head().getInt(0) > 0)
+      // optimizer rule installed in this session's SparkOptimizer (its
+      // firing behavior is pinned by the q38/q32 tests above — Range
+      // inputs never produce the Project-under-Sort shape it rewrites,
+      // so presence is the right assertion for the wiring test)
+      assert(fresh.sessionState.optimizer.extendedOperatorOptimizationRules
+        .contains(plans.DeferProjectionPastTopK),
+        "DeferProjectionPastTopK must be in the session's optimizer rules")
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      old.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+
   test("rewritten q38 equals the un-rewritten result") {
     import org.apache.spark.sql.functions.expr
     // Same query through the DataFrame API without the rule's SQL path:
