@@ -54,5 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fold_accents"),
       info("fold_accents", "fold_accents(s) - strip diacritics (NFD, combining marks removed)"),
       (exprs: Seq[Expression]) => functions.FoldAccents(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
+      (exprs: Seq[Expression]) => functions.DamerauLevenshtein(exprs(0), exprs(1))))
   }
 }

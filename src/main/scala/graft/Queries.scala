@@ -3533,6 +3533,25 @@ object Queries {
         |WHERE abs(datediff('day', a.o_orderdate, b.o_orderdate)) <= 3
         |ORDER BY a_key, b_key""".stripMargin),
 
+    // Transposition-aware fuzzy matching — x126's banded candidate join
+    // under unrestricted Damerau-Levenshtein (swapped adjacent letters,
+    // the most common human typo, cost 1 instead of 2). The Spark side
+    // runs graft's native codegen'd expression (functions/
+    // DamerauLevenshtein.scala — Lowrance-Wagner DP); DuckDB ships the
+    // same unrestricted variant built in (probed: CA→ABC = 2), so the
+    // identical SQL text runs on both engines and the hash gate checks
+    // the custom expression's every output value. Includes the
+    // discriminating rows: pairs where dl < levenshtein.
+    q("x200_fuzzy_join_dl",
+      """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |       cast(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
+        |       cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        | AND b.p_partkey - a.p_partkey <= 40
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY dl, pa, pb""".stripMargin),
+
     // k-anonymity audit — the privacy gate a training-data release runs:
     // group sizes over the quasi-identifier tuple, per-group suppression
     // flag (n < k), plus the dataset's k-anonymity (min group size) and
