@@ -3552,6 +3552,129 @@ object Queries {
         |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
         |ORDER BY dl, pa, pb""".stripMargin),
 
+    // Linear interpolation over series gaps — x69 fills missing hours
+    // with 0; this reconstructs them from the neighbors: spine join,
+    // previous/next present points via IGNORE-NULLS framed windows (the
+    // x146 machinery), then v0 + (v1-v0)·(t-t0)/(t1-t0) in integer
+    // cents (both engines' integer division truncates toward zero —
+    // probed, including negatives). Edge gaps extend the nearest value.
+    // Spine is dim-sized; the windows are over the spine, not events.
+    q("x201_linear_interp",
+      """WITH h AS (SELECT cast(floor(unix_millis(ts)/3600000.0) AS BIGINT) AS hn,
+        |                  cast(sum(cast(floor(value*100) AS BIGINT)) div count(*) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sp AS (SELECT b.hn, h.vc
+        |       FROM (SELECT explode(sequence((SELECT min(hn) FROM h),(SELECT max(hn) FROM h))) AS hn) b
+        |       LEFT JOIN h ON b.hn = h.hn),
+        |f AS (SELECT hn, vc,
+        |             last_value(CASE WHEN vc IS NOT NULL THEN hn END) IGNORE NULLS OVER w1 AS h0,
+        |             last_value(vc) IGNORE NULLS OVER w1 AS v0,
+        |             first_value(CASE WHEN vc IS NOT NULL THEN hn END) IGNORE NULLS OVER w2 AS h1,
+        |             first_value(vc) IGNORE NULLS OVER w2 AS v1
+        |      FROM sp
+        |      WINDOW w1 AS (ORDER BY hn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (ORDER BY hn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hn,
+        |       cast(CASE WHEN vc IS NOT NULL THEN vc
+        |                 WHEN h0 IS NULL THEN v1
+        |                 WHEN h1 IS NULL THEN v0
+        |                 ELSE v0 + ((v1 - v0) * (hn - h0)) div (h1 - h0) END AS BIGINT) AS vc_interp,
+        |       CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS interpolated
+        |FROM f ORDER BY hn""".stripMargin,
+      """WITH h AS (SELECT cast(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS hn,
+        |                  cast(sum(cast(floor(value*100) AS BIGINT)) // count(*) AS BIGINT) AS vc
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |sp AS (SELECT b.hn, h.vc
+        |       FROM (SELECT unnest(generate_series((SELECT min(hn) FROM h),(SELECT max(hn) FROM h))) AS hn) b
+        |       LEFT JOIN h ON b.hn = h.hn),
+        |f AS (SELECT hn, vc,
+        |             last_value(CASE WHEN vc IS NOT NULL THEN hn END IGNORE NULLS) OVER w1 AS h0,
+        |             last_value(vc IGNORE NULLS) OVER w1 AS v0,
+        |             first_value(CASE WHEN vc IS NOT NULL THEN hn END IGNORE NULLS) OVER w2 AS h1,
+        |             first_value(vc IGNORE NULLS) OVER w2 AS v1
+        |      FROM sp
+        |      WINDOW w1 AS (ORDER BY hn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |             w2 AS (ORDER BY hn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT hn,
+        |       cast(CASE WHEN vc IS NOT NULL THEN vc
+        |                 WHEN h0 IS NULL THEN v1
+        |                 WHEN h1 IS NULL THEN v0
+        |                 ELSE v0 + ((v1 - v0) * (hn - h0)) // (h1 - h0) END AS BIGINT) AS vc_interp,
+        |       CASE WHEN vc IS NULL THEN 1 ELSE 0 END AS interpolated
+        |FROM f ORDER BY hn""".stripMargin),
+
+    // AUC (Mann-Whitney rank form) — the model-eval primitive a
+    // training-data engine grades classifiers/filters with. Binary task
+    // derived from the embeddings table (positive = label < 5, score =
+    // first embedding component); midranks handle score ties exactly
+    // via DOUBLED ranks (mr2 = 2·rank + ties − 1), so AUC =
+    // (Σmr2⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻) is all-integer until one final
+    // integer division to basis points. One global rank window
+    // (corpus-sized = dim-sized here; x100 tier at scale).
+    q("x202_auc",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding,1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |r AS (SELECT y, 2*rank() OVER (ORDER BY score) + count(*) OVER (PARTITION BY score) - 1 AS mr2 FROM s),
+        |a AS (SELECT cast(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS s2,
+        |             cast(sum(y) AS BIGINT) AS np, cast(sum(1 - y) AS BIGINT) AS nn FROM r)
+        |SELECT np AS positives, nn AS negatives,
+        |       cast((10000 * (s2 - np * (np + 1))) div (2 * np * nn) AS BIGINT) AS auc_bp
+        |FROM a""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |r AS (SELECT y, 2*rank() OVER (ORDER BY score) + count(*) OVER (PARTITION BY score) - 1 AS mr2 FROM s),
+        |a AS (SELECT cast(sum(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS s2,
+        |             cast(sum(y) AS BIGINT) AS np, cast(sum(1 - y) AS BIGINT) AS nn FROM r)
+        |SELECT np AS positives, nn AS negatives,
+        |       cast((10000 * (s2 - np * (np + 1))) // (2 * np * nn) AS BIGINT) AS auc_bp
+        |FROM a""".stripMargin),
+
+    // Calibration table — AUC's companion: score deciles vs actual
+    // positive rate (reliability diagram data). Integer counts and
+    // rates; ntile tie-broken by the unique vec_id.
+    q("x203_calibration",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding,1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s)
+        |SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS positives,
+        |       cast(floor(sum(y) * 10000.0 / count(*)) AS BIGINT) AS pos_rate_bp
+        |FROM d GROUP BY bin ORDER BY bin""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s)
+        |SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS positives,
+        |       cast(floor(sum(y) * 10000.0 / count(*)) AS BIGINT) AS pos_rate_bp
+        |FROM d GROUP BY bin ORDER BY bin""".stripMargin),
+
+    // Confusion matrix + P/R/F1 at a fixed threshold (score ≥ 0) — the
+    // third ML-eval primitive. F1 = 2TP/(2TP+FP+FN) stays in integers
+    // to the final bp division. One conditional aggregate, one row.
+    q("x204_confusion",
+      """WITH s AS (SELECT CASE WHEN cast(element_at(embedding,1) AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS pred,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |c AS (SELECT cast(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |             cast(sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |             cast(sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |             cast(sum(CASE WHEN pred=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM s)
+        |SELECT tp, fp, fn, tn,
+        |       cast((10000*tp) div (tp+fp) AS BIGINT) AS precision_bp,
+        |       cast((10000*tp) div (tp+fn) AS BIGINT) AS recall_bp,
+        |       cast((20000*tp) div (2*tp+fp+fn) AS BIGINT) AS f1_bp
+        |FROM c""".stripMargin,
+      """WITH s AS (SELECT CASE WHEN cast(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS pred,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |c AS (SELECT cast(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |             cast(sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |             cast(sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |             cast(sum(CASE WHEN pred=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM s)
+        |SELECT tp, fp, fn, tn,
+        |       cast((10000*tp) // (tp+fp) AS BIGINT) AS precision_bp,
+        |       cast((10000*tp) // (tp+fn) AS BIGINT) AS recall_bp,
+        |       cast((20000*tp) // (2*tp+fp+fn) AS BIGINT) AS f1_bp
+        |FROM c""".stripMargin),
+
     // k-anonymity audit — the privacy gate a training-data release runs:
     // group sizes over the quasi-identifier tuple, per-group suppression
     // flag (n < k), plus the dataset's k-anonymity (min group size) and

@@ -64,7 +64,9 @@ class QueriesSpec extends SparkSpec {
     "x193_minmax_norm" -> 1000, "x194_funnel_latency" -> 1,
     "x195_share_of_parent" -> 25, "x196_bounce_rate" -> 30,
     "x197_reconciliation" -> 3, "x198_peak_concurrency" -> 1,
-    "x199_rapid_repeat" -> 22, "x200_fuzzy_join_dl" -> 267)
+    "x199_rapid_repeat" -> 22, "x200_fuzzy_join_dl" -> 267,
+    "x201_linear_interp" -> 720, "x202_auc" -> 1,
+    "x203_calibration" -> 10, "x204_confusion" -> 1)
 
   expectedRowsR7.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
