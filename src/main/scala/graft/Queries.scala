@@ -3207,6 +3207,21 @@ object Queries {
         |                 AND (d.to_seq IS NULL OR f.fseq < d.to_seq)
         |ORDER BY f.k, f.fseq, f.ln, d.from_seq""".stripMargin),
 
+    // k-anonymity audit — the privacy gate a training-data release runs:
+    // group sizes over the quasi-identifier tuple, per-group suppression
+    // flag (n < k), plus the dataset's k-anonymity (min group size) and
+    // total rows needing suppression. Grouped output is dim-sized, so
+    // the global window costs nothing; the heavy work is one hash agg.
+    q("x186_k_anonymity",
+      """WITH g AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |                  cast(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT nk, seg, n,
+        |       CASE WHEN n < 5 THEN 1 ELSE 0 END AS suppress,
+        |       cast(min(n) OVER () AS BIGINT) AS k_anonymity,
+        |       cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER () AS BIGINT) AS rows_at_risk
+        |FROM g ORDER BY nk, seg""".stripMargin),
+
     // Markov transition census — the path-analysis primitive behind
     // "what do users do next": per-user event sequences (total-ordered
     // by ts, event_id) reduced to (from_type, to_type) transition counts
@@ -3673,22 +3688,7 @@ object Queries {
         |       cast((10000*tp) // (tp+fp) AS BIGINT) AS precision_bp,
         |       cast((10000*tp) // (tp+fn) AS BIGINT) AS recall_bp,
         |       cast((20000*tp) // (2*tp+fp+fn) AS BIGINT) AS f1_bp
-        |FROM c""".stripMargin),
-
-    // k-anonymity audit — the privacy gate a training-data release runs:
-    // group sizes over the quasi-identifier tuple, per-group suppression
-    // flag (n < k), plus the dataset's k-anonymity (min group size) and
-    // total rows needing suppression. Grouped output is dim-sized, so
-    // the global window costs nothing; the heavy work is one hash agg.
-    q("x186_k_anonymity",
-      """WITH g AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
-        |                  cast(count(*) AS BIGINT) AS n
-        |           FROM customer GROUP BY c_nationkey, c_mktsegment)
-        |SELECT nk, seg, n,
-        |       CASE WHEN n < 5 THEN 1 ELSE 0 END AS suppress,
-        |       cast(min(n) OVER () AS BIGINT) AS k_anonymity,
-        |       cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) OVER () AS BIGINT) AS rows_at_risk
-        |FROM g ORDER BY nk, seg""".stripMargin)
+        |FROM c""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

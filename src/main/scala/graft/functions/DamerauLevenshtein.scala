@@ -21,8 +21,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen span of the candidate-join filter it runs inside.
   *
   * Algorithm: Lowrance-Wagner DP with the last-occurrence row (`da`),
-  * O(|a|·|b|) time, over Java chars (the corpus is BMP text; supplement
-  * with code-point folding upstream if needed). */
+  * O(|a|·|b|) time, over Unicode CODE POINTS (not UTF-16 code units —
+  * ADVICE r7 #3): a surrogate pair is one character, so a transposed
+  * astral-plane pair costs 1, and on ASCII (the x200 oracle columns)
+  * code points, UTF-16 units and bytes all coincide, keeping the
+  * DuckDB hash gate unit-independent. */
 case class DamerauLevenshtein(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -53,8 +56,9 @@ object DamerauLevenshtein {
   /** Static so generated Java calls it directly (object → static
     * forwarder, same pattern as [[UnicodeFold]]). */
   def compute(ua: UTF8String, ub: UTF8String): Int = {
-    val a = ua.toString
-    val b = ub.toString
+    // Fold UTF-16 to code points once; the DP runs over int arrays.
+    val a = ua.toString.codePoints().toArray
+    val b = ub.toString.codePoints().toArray
     val n = a.length
     val m = b.length
     if (n == 0) return m
@@ -67,16 +71,16 @@ object DamerauLevenshtein {
     while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    // last row index (1-based) where each char occurred in `a`
-    val da = new java.util.HashMap[Char, Int]()
+    // last row index (1-based) where each code point occurred in `a`
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val k = da.getOrDefault(b.charAt(j - 1), 0)
+        val k: Int = da.getOrDefault(b(j - 1), 0)
         val l = db
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         val sub = d(i)(j) + cost
         val ins = d(i + 1)(j) + 1
         val del = d(i)(j + 1) + 1
@@ -84,7 +88,7 @@ object DamerauLevenshtein {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(a(i - 1), i)
       i += 1
     }
     d(n + 1)(m + 1)

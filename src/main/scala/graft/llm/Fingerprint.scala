@@ -93,13 +93,20 @@ object Fingerprint {
   /** The fingerprints a df-capped [[containment]] skips: every fp whose
     * doc-frequency exceeds `maxDf`, with its df — the "log what was
     * dropped" half of the cap contract (same reporting shape as the
-    * x119/semDeDup cap). Sized by distinct over-cap fps, not docs. */
-  def droppedFingerprints(docs: DataFrame, maxDf: Int): DataFrame =
-    fingerprints(docs)
+    * x119/semDeDup cap). Sized by distinct over-cap fps, not docs.
+    * `portable = true` derives the report from the md5-affine family so
+    * it audits [[containmentPortable]] runs — the two hash families
+    * produce disjoint fingerprint universes, so the audit MUST use the
+    * same family as the capped run it explains. */
+  def droppedFingerprints(docs: DataFrame, maxDf: Int,
+                          portable: Boolean = false): DataFrame = {
+    val withFps = if (portable) fingerprintsPortable(docs) else fingerprints(docs)
+    withFps
       .select(col("doc_id"), explode(col("fps")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .orderBy(desc("df"), col("fp"))
+  }
 
   /** Winnowing fingerprints under the portable family: md5-prefix 32-bit
     * k-gram hashes (identical on both engines), minima over FULL windows

@@ -67,20 +67,26 @@ object SkipIndex {
     * vacuum) are dropped via the same listing. */
   def update(spark: SparkSession, index: DataFrame, path: String,
              cols: Seq[String], maxDriverFiles: Int = 65536): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toUri.toString).toSet
+    val listed = listDataFiles(spark, path)
     val indexed = index.select("file").limit(maxDriverFiles + 1)
-      .collect().map(_.getString(0)).toSet
+      .collect().map(_.getString(0))
     if (indexed.size > maxDriverFiles) return build(spark, path, cols)
-    // input_file_name() reports the same URI form the listing produces
-    // (both go through the Hadoop Path normalizer); the diff is exact.
-    val fresh = (listed -- indexed).toSeq.sorted
+    // Both sides of the diff go through the SAME canonicalizer
+    // ([[canonUri]]) before comparison. input_file_name() and the Hadoop
+    // listing USUALLY agree byte-for-byte, but scheme/authority or
+    // percent-encoding can diverge across filesystems/versions; an
+    // uncanonicalized diff would then silently degenerate to statting
+    // every file on every call (ADVICE r7 #2).
+    val listedByCanon = listed.map(f => canonUri(f) -> f).toMap
+    val indexedCanon = indexed.map(canonUri).toSet
+    val fresh = (listedByCanon.keySet -- indexedCanon).toSeq.sorted
+      .map(listedByCanon)
     // semi-join, not a giant isin literal: the live-file set is plan
-    // data, not plan text (a 1M-file listing would bloat an IN list)
-    val listedDf = spark.createDataset(listed.toSeq)(
+    // data, not plan text (a 1M-file listing would bloat an IN list).
+    // The semi-join key is the index's OWN raw strings that canonically
+    // match a listed file, so raw-form drift cannot empty `kept`.
+    val keptFiles = indexed.filter(f => listedByCanon.contains(canonUri(f)))
+    val listedDf = spark.createDataset(keptFiles.toSeq)(
       org.apache.spark.sql.Encoders.STRING).toDF("file")
     val kept = index.join(broadcast(listedDf), Seq("file"), "left_semi")
     if (fresh.isEmpty) kept
@@ -93,6 +99,38 @@ object SkipIndex {
         .withColumn("root", lit(path))
       kept.unionByName(add)
     }
+  }
+
+  /** Canonical URI form used on BOTH sides of [[update]]'s diff: any
+    * path string round-trips through Hadoop's Path normalizer exactly
+    * once, so listing-vs-input_file_name representation drift cannot
+    * make the diff degenerate. */
+  private[sources] def canonUri(s: String): String =
+    new org.apache.hadoop.fs.Path(s).toUri.toString
+
+  /** The directory listing [[update]] diffs against, exposed so tests
+    * can assert the incremental contract structurally: after a
+    * no-change [[update]], `listDataFiles` canonicalized minus the
+    * index's canonicalized files must be EMPTY (zero files re-statted)
+    * — catching a degeneration to full-rebuild cost that output
+    * equality alone cannot see (ADVICE r7 #2). */
+  def listDataFiles(spark: SparkSession, path: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.toString).toSeq
+  }
+
+  /** The fresh-file diff [[update]] will stat — driver-side diagnostic
+    * mirroring update's internal computation (same canonicalizer, same
+    * listing). A no-change test asserts this is empty. */
+  def freshFiles(spark: SparkSession, index: DataFrame, path: String,
+                 maxDriverFiles: Int = 65536): Seq[String] = {
+    val listedByCanon = listDataFiles(spark, path).map(f => canonUri(f) -> f).toMap
+    val indexedCanon = index.select("file").limit(maxDriverFiles + 1)
+      .collect().map(r => canonUri(r.getString(0))).toSet
+    (listedByCanon.keySet -- indexedCanon).toSeq.sorted.map(listedByCanon)
   }
 
   /** The pruning predicate, kept distributed: manifest rows whose

@@ -32,6 +32,22 @@ class DamerauLevenshteinSpec extends SparkSpec {
     }
   }
 
+  test("code-point semantics: astral-plane chars are single units (ADVICE r7 #3)") {
+    // U+1D54A (𝕊) and U+1D546 (𝕆) are surrogate PAIRS in UTF-16. The DP
+    // folds to code points, so each counts as one character: a UTF-16
+    // code-unit implementation would report 2 for the single-char cases
+    // and mis-handle the transposition (pair-halves swapping).
+    val S = new String(Character.toChars(0x1D54A))
+    val O = new String(Character.toChars(0x1D546))
+    assert(dl(S, "") == 1, "one astral char deletes as ONE edit, not two")
+    assert(dl(S, O) == 1, "astral substitution is one edit")
+    assert(dl(S + O, O + S) == 1, "astral transposition is one swap")
+    assert(dl("a" + S, S + "a") == 1, "mixed BMP/astral transposition")
+    // on ASCII (the x200 oracle columns) code points == code units ==
+    // bytes, so the fold cannot move the hash gate
+    assert(dl("CA", "ABC") == 2 && dl("ab", "ba") == 1)
+  }
+
   test("SQL surface: registered function, codegen'd, null-safe") {
     import spark.implicits._
     Catalog.ensure(spark, sf0001) // registers the function

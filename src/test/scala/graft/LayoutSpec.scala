@@ -226,7 +226,13 @@ class LayoutSpec extends SparkSpec {
       .localCheckpoint(true) // pin rows: the directory mutates below
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("file").collect().map(_.toSeq).toSeq
-    // no change => update is the identity
+    // no change => update is the identity, AND re-stats ZERO files: the
+    // diff is asserted empty through the same canonicalizer update uses,
+    // so a listing-vs-input_file_name URI-form divergence (which would
+    // silently degrade update to full-rebuild COST while keeping output
+    // equality) fails here instead of hiding (ADVICE r7 #2)
+    assert(graft.sources.SkipIndex.freshFiles(spark, idx0, path).isEmpty,
+      "no-change update must not re-stat any file")
     assert(canon(graft.sources.SkipIndex.update(spark, idx0, path, Seq("o_orderkey")))
       == canon(idx0))
     // append a batch as ONE new file, drop one indexed file (compaction)

@@ -295,6 +295,19 @@ class LlmOpsSpec extends SparkSpec {
     val dropped = Fingerprint.droppedFingerprints(replicated, maxDf = 9)
     assert(dropped.count() > 0 && dropped.agg(min("df")).head().getLong(0) >= 10L,
       "dropped-fp report must list exactly the over-cap tier")
+    // auditing a capped containmentPortable run must draw from the
+    // PORTABLE (md5-affine) fingerprint universe, not the native xxhash64
+    // one — the families are disjoint, so a native-family report would
+    // explain drops that never happened on the portable path (ADVICE r7 #1)
+    val droppedP = Fingerprint.droppedFingerprints(replicated, maxDf = 9, portable = true)
+    assert(droppedP.count() > 0 && droppedP.agg(min("df")).head().getLong(0) >= 10L,
+      "portable dropped-fp report must list the over-cap tier too")
+    val portableUniverse = Fingerprint.fingerprintsPortable(replicated)
+      .select(explode(col("fps")).as("fp")).distinct()
+    assert(droppedP.join(portableUniverse, "fp").count() == droppedP.count(),
+      "portable report must be drawn from the portable fingerprint universe")
+    assert(dropped.join(portableUniverse, "fp").count() == 0,
+      "the two hash families are disjoint universes")
     // On the deduped corpus the cap is a no-op by construction when set at
     // the observed max df — the guard path (extra agg + join) must then be
     // output-identical to the contract (cap-off) form.
