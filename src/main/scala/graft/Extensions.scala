@@ -117,19 +117,15 @@ object Extensions {
     // lists (memory-bounded index: 64 float dims → 16 byte-codes + norm,
     // 11.6× smaller), probe + asymmetric-distance scoring + exact
     // re-rank. Params pinned from the PqProbe sf0.1 sweep (SCALE.md
-    // §9.4). Declared at FULL probe (nProbe = nLists) with a 20×10
-    // candidate buffer, where encode → LUT scoring → exact re-rank
-    // must land exactly on brute force — hash-checked against q43's
-    // oracle. NOTE (ADVICE r6): unlike x54/x59/x104, full probe does
-    // NOT make this structurally exact — PQ-approximate LUT scores
-    // pick the k*refine=200-candidate buffer, so a true top-10
-    // neighbor could in principle fall outside it. The equality gate
-    // is therefore EMPIRICAL on the pinned corpus (200 of 2000
-    // candidates refined exactly; a corpus regeneration that trips it
-    // means the buffer lost a neighbor, not that the operator broke —
-    // widen refine if that ever happens). Production config (nProbe=4)
-    // keeps the LlmOpsSpec recall contracts (full-probe ≥0.9,
-    // planted-cluster ≥0.9).
+    // §9.4). Declared at FULL probe (nProbe = nLists), where — like
+    // x54/x59/x104 — equality with brute force is STRUCTURAL: the
+    // full-probe path trains/encodes/probes but never consults the PQ
+    // LUT, so the candidate set is the whole corpus re-ranked exactly
+    // (Ann.pqTopK full-probe branch; LlmOpsSpec pins it with garbage
+    // codebooks + a no-sim_approx plan assertion). Hash-checked
+    // against q43's oracle; a corpus regeneration cannot trip the
+    // gate. Production config (nProbe=4) keeps the LlmOpsSpec recall
+    // contracts (full-probe ≥0.9, planted-cluster ≥0.9).
     "x103_ann_ivfpq" -> { (s, dir) =>
       val q = Catalog.load(s, dir, "embeddings")
         .where("vec_id = 0").select("embedding")

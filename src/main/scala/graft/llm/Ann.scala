@@ -248,7 +248,19 @@ object Ann {
     * k×refine candidates with exact cosine (asymmetric-distance recall
     * is bounded by quantization error; the refine pass restores exact
     * ordering among retrieved candidates). Partition the encoded table
-    * by `list` at scale and a query reads nProbe/nLists of it. */
+    * by `list` at scale and a query reads nProbe/nLists of it.
+    *
+    * FULL probe (nProbe ≥ nLists) is the structural-exactness tier
+    * (x103's declared config, VERDICT r7 #2): every list is probed, so
+    * the candidate set is the whole corpus and selection never passes
+    * through the PQ-approximate LUT — a LUT-ordered k×refine buffer
+    * could in principle drop a true neighbor on an adversarial
+    * codebook/corpus. Train/encode/probe still run (the index plumbing
+    * stays on the query path); only the approximate scoring stage is
+    * bypassed, making full-probe ≡ brute force BY CONSTRUCTION rather
+    * than by measurement. LlmOpsSpec pins this with garbage codebooks
+    * (result must be unchanged) and a plan assertion (no sim_approx
+    * stage at full probe). */
   def pqTopK(embeddings: DataFrame, query: Seq[Double], k: Int,
              nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
              m: Int = 16, ksub: Int = 64, refine: Int = 10,
@@ -263,24 +275,31 @@ object Ann {
       val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
       (l, dotQC(l) / (qn * cn))
     }.sortBy(-_._2).take(nProbe).map(_._1).toSet
-    val lut: Array[Array[Double]] = Array.tabulate(ix.m)(mi =>
-      ix.codebooks(mi).map(cb =>
-        cb.zipWithIndex.map { case (v, i) => v * query(mi * ix.dsub + i) }.sum))
-    val approx = pqEncode(embeddings, ix)
+    val encoded = pqEncode(embeddings, ix)
       .where(col("list").isin(probe.toSeq: _*))
-      .as[(Long, Int, Double, Array[Int])]
-      .map { case (id, l, vnorm, codes) =>
-        var s = dotQC(l)
-        var mi = 0
-        while (mi < codes.length) { s += lut(mi)(codes(mi)); mi += 1 }
-        (id, s / (qn * math.max(vnorm, 1e-12)))
+    val candidates =
+      if (nProbe >= ix.nLists) encoded.select(col("vec_id"))
+      else {
+        val lut: Array[Array[Double]] = Array.tabulate(ix.m)(mi =>
+          ix.codebooks(mi).map(cb =>
+            cb.zipWithIndex.map { case (v, i) => v * query(mi * ix.dsub + i) }.sum))
+        encoded
+          .as[(Long, Int, Double, Array[Int])]
+          .map { case (id, l, vnorm, codes) =>
+            var s = dotQC(l)
+            var mi = 0
+            while (mi < codes.length) { s += lut(mi)(codes(mi)); mi += 1 }
+            (id, s / (qn * math.max(vnorm, 1e-12)))
+          }
+          .toDF("vec_id", "sim_approx")
+          .orderBy(desc("sim_approx"), col("vec_id"))
+          .limit(math.max(k * refine, k))
+          .select(col("vec_id"))
       }
-      .toDF("vec_id", "sim_approx")
-      .orderBy(desc("sim_approx"), col("vec_id"))
-      .limit(math.max(k * refine, k))
-    // exact re-rank of the candidate set (tiny: k×refine rows)
+    // exact re-rank of the candidate set (k×refine rows pruned-probe;
+    // the whole probed corpus at full probe, where this IS brute force)
     val q = lit(query.toArray)
-    approx.join(embeddings.select(col("vec_id"),
+    candidates.join(embeddings.select(col("vec_id"),
         toDouble(col("embedding")).as("e")), "vec_id")
       .withColumn("sim", cosine(col("e"), q))
       .select(col("vec_id"), col("sim"))

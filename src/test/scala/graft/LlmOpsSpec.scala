@@ -366,6 +366,42 @@ class LlmOpsSpec extends SparkSpec {
       s"expected >10x compression, got ${rawBytes.toDouble / codeBytes}x")
   }
 
+  test("pq-ivf full probe is structurally exact: LUT never consulted (VERDICT r7 #2)") {
+    // x103's hash gate must be equivalence-by-construction, immune to
+    // corpus regeneration. Two structural pins:
+    //  (1) garbage codebooks (all-zero — every LUT score degenerates to
+    //      dot(q, centroid)) must NOT change the full-probe result: if
+    //      the LUT influenced candidate selection at full probe, the
+    //      top-10 would collapse to centroid order and diverge;
+    //  (2) the full-probe plan contains no sim_approx stage (the
+    //      approximate-scoring map only exists on the pruned path).
+    val sf001 = "/root/testdata/sf0.01"
+    val embs = Catalog.load(spark, sf001, "embeddings")
+    val q = embs.where("vec_id = 0").select("embedding")
+      .collect().head.getSeq[Float](0).map(_.toDouble).toSeq
+    val corpus = embs.where("vec_id <> 0")
+    val exact = Ann.bruteForceTopK(corpus, q, 10)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+    val idx = Ann.pqTrain(corpus, nLists = 16, dim = 64)
+    val garbage = idx.copy(codebooks = Array.fill(idx.m)(
+      Array.fill(idx.ksub)(new Array[Double](idx.dsub))))
+    for (ix <- Seq(idx, garbage)) {
+      val full = Ann.pqTopK(corpus, q, 10, nProbe = 16, idx = Some(ix))
+      assert(full.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6)))
+        .toSeq == exact.toSeq,
+        "full probe must equal brute force regardless of codebook content")
+    }
+    val plan = Ann.pqTopK(corpus, q, 10, nProbe = 16, idx = Some(idx))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("sim_approx"),
+      s"full-probe plan must not contain the LUT scoring stage:\n$plan")
+    // the pruned path still uses it (the approximate tier is intact)
+    val prunedPlan = Ann.pqTopK(corpus, q, 10, nProbe = 4, idx = Some(idx))
+      .queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("sim_approx"),
+      "pruned probe must keep the LUT scoring stage")
+  }
+
   test("hll approx distinct within rsd bound of exact q08") {
     val exact = SparkEntry.queries("q08_distinct_users")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
