@@ -3,8 +3,11 @@ package graft
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
-/** The decode is a stub; what these tests pin down is the Spark plumbing:
-  * schema, batch independence, partitioning invariance, determinism. */
+/** Image (javax.imageio) and audio (WAV/PCM byte parse) decode are REAL;
+  * video/compressed-audio fall back to the deterministic stub. These
+  * tests pin both the real decoders' content contracts and the Spark
+  * plumbing: schema, batch independence, partitioning invariance,
+  * determinism. */
 class MultimodalSpec extends SparkSpec {
 
   lazy val media = Multimodal.demoMedia(spark, sf0001)
@@ -108,6 +111,69 @@ class MultimodalSpec extends SparkSpec {
     // undecodable bytes fall back to the deterministic stub
     val (sw, sh, _) = Multimodal.decodeStub(notAnImage)
     assert(f(3L).width == sw && f(3L).height == sh)
+  }
+
+  test("real WAV/PCM decode: true rate and frames, energy features reach ANN") {
+    import spark.implicits._
+    // hand-rolled RIFF writer — independent of the decoder under test
+    def wav(rate: Int, bits: Int, channels: Int,
+            samples: Array[Double]): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val nFrames = samples.length / channels
+      val dataLen = nFrames * channels * bytesPerSample
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def le16(v: Int) = { o.write(v & 255); o.write((v >> 8) & 255) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(16); le16(1); le16(channels); le32(rate)
+      le32(rate * channels * bytesPerSample); le16(channels * bytesPerSample); le16(bits)
+      o.writeBytes("data"); le32(dataLen)
+      samples.foreach { s =>
+        if (bits == 16) le16(math.round(s * 32767).toInt & 0xffff)
+        else o.write((math.round(s * 127) + 128).toInt & 255)
+      }
+      bos.toByteArray
+    }
+    // 1 s mono 16-bit @8kHz: 440 Hz tone in the first half, silence after
+    val rate = 8000
+    val toneThenSilence = Array.tabulate(rate)(i =>
+      if (i < rate / 2) 0.8 * math.sin(2 * math.Pi * 440 * i / rate) else 0.0)
+    val stereo8 = Array.tabulate(600 * 2)(i =>
+      0.5 * math.sin(2 * math.Pi * 220 * (i / 2) / rate))
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "audio", wav(rate, 16, 1, toneThenSilence), Map()),
+      Multimodal.MediaRow(2L, "audio", wav(rate, 8, 2, stereo8), Map()),
+      Multimodal.MediaRow(3L, "audio", "not audio at all".getBytes("UTF-8"), Map()))
+    val f = Multimodal.decodeFeatures(rows.toDS())
+      .collect().map(r => r.media_id -> r).toMap
+    // true rate and frame count from the real parser (audio's two
+    // natural dimensions in the generic width/height slots)
+    assert(f(1L).width == rate && f(1L).height == rate)
+    assert(f(2L).width == rate && f(2L).height == 600)
+    // content-derived features: tone segments carry all the energy,
+    // silence segments none
+    val e = f(1L).embedding
+    assert((0 until 8).forall(i => e(i) > 0.2), e.toSeq.toString)
+    assert((8 until 16).forall(i => e(i) < 1e-3), e.toSeq.toString)
+    assert(math.abs(e.map(v => v.toDouble * v).sum - 1.0) < 1e-4, "unit norm")
+    // near-identical audio lands at cosine ~1 (multimodal -> ANN)
+    val softer = toneThenSilence.map(_ * 0.9)
+    val e2 = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(4L, "audio", wav(rate, 16, 1, softer), Map())).toDS())
+      .head().embedding
+    val cos = e.zip(e2).map { case (a, b) => a.toDouble * b }.sum
+    assert(cos > 0.999, s"near-identical audio cosine $cos")
+    // undecodable bytes fall back to the deterministic stub
+    val (sw, sh, _) = Multimodal.decodeStub(rows(2).bytes)
+    assert(f(3L).width == sw && f(3L).height == sh)
+    // a truncated container (header promises more data than present)
+    // must not crash: frames clamp to the bytes actually there
+    val whole = wav(rate, 16, 1, toneThenSilence)
+    val cut = java.util.Arrays.copyOfRange(whole, 0, whole.length / 2)
+    val fc = Multimodal.decodeFeatures(
+      Seq(Multimodal.MediaRow(5L, "audio", cut, Map())).toDS()).head()
+    assert(fc.width == rate && fc.height > 0 && fc.height < rate)
   }
 
   test("decoded image features through x117 anchor assignment: exact cluster counts") {
