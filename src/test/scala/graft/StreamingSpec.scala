@@ -445,6 +445,65 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("CDC vacuum under a concurrent reader: expired version fails cleanly, never stale") {
+    // VERDICT r7 #4: define and pin what a reader holding version v sees
+    // while vacuum (keepLast excludes v) runs. Contract: FAIL, never
+    // stale/partial data. Three legs:
+    //  (1) a DataFrame handle on v0 obtained BEFORE vacuum throws at
+    //      execution (missing input file), because its pinned file
+    //      listing now points at deleted bucket dirs;
+    //  (2) readVersion(v0) AFTER vacuum fails eagerly with a message
+    //      naming the surviving versions;
+    //  (3) a pre-vacuum handle on a KEPT version collects byte-identical
+    //      results after the vacuum — retention never touches survivors.
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-vacuum-reader"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    def batch(seq: Long, ks: Seq[Long]) = ks.map(k =>
+      (k, k * 1.0 + seq, s"s$seq", seq, false))
+      .toDF("k", "price", "status", "seq", "deleted")
+    (0L until 3L).foreach { i =>
+      CdcStream.applyBatch(spark, table, batch(i, Seq(i, i + 7, i + 13)), "k")
+    }
+    // leg (1)'s premise requires the default missing-file strictness:
+    // ignoreMissingFiles=true would make Spark skip vanished files and
+    // return PARTIAL data — the exact failure mode the contract forbids
+    assert(spark.conf.get("spark.sql.files.ignoreMissingFiles") == "false",
+      "contract leg (1) requires the strict default")
+    val expiredHandle = CdcStream.readVersion(spark, table, 0L)
+    val keptHandle = CdcStream.readVersion(spark, table, 2L)
+    val keptPre = keptHandle.orderBy("k").collect().map(_.toSeq).toSeq
+    val expiredPre = expiredHandle.count() // readable before the vacuum
+
+    val stats = CdcStream.vacuum(spark, table, keepLast = 1)
+    assert(stats.manifestsDropped == 2 && stats.bucketDirsDeleted > 0,
+      s"premise: vacuum must actually delete v0-era bucket dirs ($stats)")
+
+    // (1) pre-vacuum handle on the expired version: clean failure at
+    // execution, with the missing file named in the error chain
+    val err = intercept[Exception] { expiredHandle.count() }
+    def chain(e: Throwable): Seq[Throwable] =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+    assert(chain(err).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        c.getMessage != null && c.getMessage.contains("does not exist")),
+      s"expected a missing-input failure, got: $err")
+    assert(expiredPre > 0, "sanity: the version was readable pre-vacuum")
+
+    // (2) post-vacuum readVersion: eager, named failure
+    val gone = intercept[NoSuchElementException] {
+      CdcStream.readVersion(spark, table, 0L)
+    }
+    assert(gone.getMessage.contains("v0") && gone.getMessage.contains("v2") &&
+      gone.getMessage.contains("vacuum"), gone.getMessage)
+
+    // (3) the kept version's pre-vacuum handle is untouched
+    assert(keptHandle.orderBy("k").collect().map(_.toSeq).toSeq == keptPre,
+      "survivor handle must read byte-identical rows after vacuum")
+  }
+
   test("CDC txn replay is a no-op; pre-write version check fails fast") {
     import graft.streaming.CdcStream
     import spark.implicits._
