@@ -9,8 +9,57 @@ import org.apache.spark.sql.SparkSession
   * Protocol (BASELINE.md): warm SparkSession, full warm-up pass, then
   * median of 3 timed runs per query; timing wraps plan execution +
   * result fetch (collect), the same work the DuckDB baseline timed.
+  *
+  * The artifact also carries measurement-integrity fields (VERDICT r7
+  * #1 and #6):
+  *  - `duckdb_paired_total` / `paired_ratio`: the DuckDB suite re-run
+  *    in THIS container, immediately before and after the Spark timed
+  *    suite (tools/rebaseline.py, BASELINE.md protocol), so the gate
+  *    ratio is apples-to-apples and container-floor drift (the r6→r7
+  *    0.73×→0.97× swing) can never masquerade as a plan regression.
+  *    BASELINE.md's frozen numbers stay as the historical anchor.
+  *    Null when the driver-side python/duckdb is unavailable.
+  *  - `floor_ms`: the task-launch floor — median wall time of a 32-task
+  *    no-op job (range→count, no IO) on the warm session. Per-query
+  *    times below ~2× this floor (q01/q29/q37's class) measure the
+  *    scheduler, not the operator; the artifact now says so itself.
   */
 object Bench {
+
+  /** JSON string escape (minimal, for SQL text). */
+  private def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+
+  /** One paired DuckDB suite pass in this container via
+    * tools/rebaseline.py. None when the tool/interpreter is missing or
+    * fails — benching proceeds, the artifact records null. */
+  private def duckdbSuite(sfDir: String, names: Seq[String]): Option[Double] =
+    try {
+      val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      val script = Seq("tools/rebaseline.py", "/root/repo/tools/rebaseline.py")
+        .map(new java.io.File(_)).find(_.isFile)
+      if (sqls.isEmpty || script.isEmpty) return None
+      val tmp = java.io.File.createTempFile("graft-rebaseline", ".json")
+      tmp.deleteOnExit()
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.write(sqls.map { case (n, q) => s""""${esc(n)}":"${esc(q)}"""" }
+        .mkString("{", ",", "}"))
+      finally w.close()
+      import scala.sys.process._
+      val out = new StringBuilder
+      val cmd = Seq("python3", script.get.getPath, sfDir, tmp.getPath)
+      val rc = cmd ! ProcessLogger(l => out.append(l), System.err.println)
+      if (rc != 0) return None
+      """"duckdb_total"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(out.toString).map(_.group(1).toDouble)
+    } catch { case scala.util.control.NonFatal(_) => None }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,16 +121,42 @@ object Bench {
     // operator's warm cost exactly as the r4 protocol did.
     names.foreach { n => once(n); spark.catalog.clearCache() }
     names.foreach { n => once(n); spark.catalog.clearCache() }
+    // task-launch floor: one stage of 32 empty tasks, results straight
+    // to the driver (no shuffle, no IO, no codegen) — the constant a
+    // sub-floor query's time is made of
+    def floorOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.sparkContext.parallelize(0 until 32, 32).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    floorOnce() // warm the floor job's own codegen
+    val floorMs = Seq.fill(5)(floorOnce()).sorted.apply(2) * 1000.0
+    // paired DuckDB pass #1: immediately before the timed Spark suite.
+    // Only the BASELINE.md q-suite is paired — the extension set's
+    // oracles include deliberately-quadratic baselines (x48/x49) that
+    // are not part of any gate ratio.
+    def pairedPass(): Option[Double] =
+      if (prefix == "q") duckdbSuite(sfDir, names) else None
+    val duckPre = pairedPass()
     val medians = names.map { n =>
       once(n) // re-populate this name's cache entries after the clear
       val ts = Seq(once(n), once(n), once(n)).sorted
       spark.catalog.clearCache()
       n -> ts(1)
     }
+    // paired DuckDB pass #2: immediately after — bracketing the Spark
+    // suite bounds any within-run floor drift
+    val duckPost = pairedPass()
     val qs = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val paired = (duckPre, duckPost) match {
+      case (Some(a), Some(b)) => Some((a + b) / 2)
+      case (a, b) => a.orElse(b)
+    }
+    def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
+    val pairedRatio = paired.map(total / _)
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor_ms":${"%.1f".format(floorMs)},"duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
     spark.stop()
   }
 }
