@@ -3552,12 +3552,34 @@ object Queries {
     // under unrestricted Damerau-Levenshtein (swapped adjacent letters,
     // the most common human typo, cost 1 instead of 2). The Spark side
     // runs graft's native codegen'd expression (functions/
-    // DamerauLevenshtein.scala — Lowrance-Wagner DP); DuckDB ships the
-    // same unrestricted variant built in (probed: CA→ABC = 2), so the
-    // identical SQL text runs on both engines and the hash gate checks
-    // the custom expression's every output value. Includes the
-    // discriminating rows: pairs where dl < levenshtein.
+    // DamerauLevenshtein.scala — Lowrance-Wagner DP); DuckDB computes
+    // the same unrestricted variant built in (probed: CA→ABC = 2), so
+    // the hash gate checks the custom expression's every output value.
+    // Includes the discriminating rows: pairs where dl < levenshtein.
+    //
+    // The two dialects differ STRUCTURALLY (SCALE.md §19): a bare
+    // "b.p_partkey - a.p_partkey <= 40" band is a post-join filter, so
+    // the executed equi-join is on p_brand alone and the candidate set
+    // is O(n²/brands) — the r8 10× soak measured it at 3992× wall
+    // (85 ms → 339 s). The Spark dialect therefore BLOCK-BUCKETS the
+    // key space at the band width (blk = key div 41; a pair within
+    // distance 40 lands in the same or adjacent block, each pair
+    // matching exactly ONE of the probe side's two keys), making
+    // candidates O(n · band) — the same banding the MinHash/interval
+    // tiers use. DuckDB keeps the plain form: oracle-scale corpora are
+    // small, and the hash gate proves the two shapes equal.
     q("x200_fuzzy_join_dl",
+      """WITH blk AS (SELECT p_partkey, p_brand, p_name, p_partkey div 41 AS bk FROM part),
+        |probe AS (SELECT p_partkey, p_brand, p_name, explode(array(bk, bk - 1)) AS jk FROM blk)
+        |SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+        |       cast(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
+        |       cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+        |FROM blk a JOIN probe b
+        |  ON a.p_brand = b.p_brand AND a.bk = b.jk
+        | AND a.p_partkey < b.p_partkey
+        | AND b.p_partkey - a.p_partkey <= 40
+        |WHERE damerau_levenshtein(a.p_name, b.p_name) <= 12
+        |ORDER BY dl, pa, pb""".stripMargin,
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
         |       cast(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl,
         |       cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev

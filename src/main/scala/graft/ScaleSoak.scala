@@ -107,6 +107,59 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r7tier")) {
+      // 1×→10× scaling of the round-7 tier's heavy entries (VERDICT r7
+      // #5): x183 (global lead window over filtered orders), x189
+      // (global ntile over per-customer revenue), x198 (sessionize →
+      // sweep-line peak concurrency: per-user windows + ONE global
+      // running sum over session endpoints), x200 (banded fuzzy self-
+      // join with the native Damerau-Levenshtein filter). Results in
+      // SCALE.md §19.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      def runQ(dir: String, name: String): (Double, Long) =
+        med3 { Catalog.sql(spark, dir, Queries.sparkSql(name)).collect().length.toLong }
+      Seq("x183_sequence_gaps", "x189_concentration", "x198_peak_concurrency")
+        .foreach { n =>
+          val (t1, n1) = runQ(sf, n)
+          val (t10, n10) = runQ(out, n)
+          println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+            f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+        }
+      // x200 joins `part`, a DIM the 10× corpus keeps unchanged (key
+      // references must stay valid) — so its 10× input is built here:
+      // 10 disjoint key blocks (stride >> the 40-key band), each
+      // reproducing the original band structure → in-band pairs grow
+      // exactly linearly. Materialized to parquet so reps time
+      // scan→join→DL, not the replication.
+      val (t1x, n1x) = runQ(sf, "x200_fuzzy_join_dl")
+      val p10 = "/tmp/graft_part10.parquet"
+      Catalog.load(spark, sf, "part")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("p_partkey", col("p_partkey") + col("rep") * lit(10 * 1000 * 1000L))
+        .drop("rep").repartition(16)
+        .write.mode("overwrite").parquet(p10)
+      spark.read.parquet(p10).createOrReplaceTempView("part")
+      val (t10x, n10x) = med3 {
+        spark.sql(Queries.sparkSql("x200_fuzzy_join_dl")).collect().length.toLong
+      }
+      spark.read.parquet(s"$sf/part.parquet").createOrReplaceTempView("part")
+      println(f"[soak] x200_fuzzy_join_dl      sf0.1 ${t1x * 1000}%8.1f ms ($n1x%7d rows)   " +
+        f"10x ${t10x * 1000}%8.1f ms ($n10x%7d rows)   ratio ${t10x / t1x}%5.2f")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
