@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 100× rehearsal (VERDICT r7 #7) — the closest a local[32] sandbox gets
+  * to the 100 TB north star: build a 100× corpus for the two cheapest
+  * tables (documents → 500 k docs, events → 10 M rows), then run the
+  * two most state-heavy paths end-to-end against it with the DRIVER
+  * HEAP PINNED LOW:
+  *
+  *  - the x177 pipeline census (quality → exact dedup → MinHash
+  *    near-dup clusters → decontaminate → split), whose 100×-replica
+  *    duplication profile is exactly the worst case §17 measured —
+  *    survivable only because exact dedup runs before the pair join;
+  *  - the streaming CDC apply path (bucket-pruned copy-on-write merges
+  *    over an 8-batch replay of 10 M change rows) plus vacuum.
+  *
+  * Run with a pinned heap to make the bounded-driver claim falsifiable:
+  * {{{
+  * sbt package && /opt/spark/bin/spark-submit --class graft.Rehearsal \
+  *   --master "local[32]" --driver-memory 3g \
+  *   target/scala-2.13/hadooploganalysisspark_2.13-0.1.0.jar
+  * }}}
+  * In local mode that 3 GiB heap holds the driver AND all 32 executor
+  * threads' execution memory: if any declared path collected
+  * corpus-sized state (10 M rows ≈ several GiB on-heap), the run would
+  * OOM instead of spilling. Completion + the post-GC heap report per
+  * phase IS the evidence (SCALE.md §20 records the numbers).
+  */
+object Rehearsal {
+  private val out = "/tmp/graft_sf100"
+  private val sf = "/root/testdata/sf0.1"
+
+  private def heapMB(): (Long, Long) = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    ((rt.totalMemory - rt.freeMemory) / (1 << 20), rt.maxMemory / (1 << 20))
+  }
+
+  private def phase[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    val (used, max) = heapMB()
+    println(f"[rehearsal] $name%-18s ${dt}%8.1f s   post-gc heap ${used}%5d / $max MB")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .appName("graft-rehearsal")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+        || args.contains("rebuild")) phase("build 100x") {
+      // documents/events replicated 100× with disjoint ids, multi-file
+      // (64 parts — single-row-group inputs would serialize every scan);
+      // the other eight tables are copied as-is so Catalog.ensure
+      // resolves the full schema set against this directory.
+      def rep100(df: DataFrame): DataFrame = df.repartition(16)
+        .withColumn("rep", explode(sequence(lit(0), lit(99))))
+      val stride = 100 * 1000 * 1000L
+      rep100(Catalog.load(spark, sf, "documents"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(stride))
+        .drop("rep").repartition(64)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      rep100(Catalog.load(spark, sf, "events"))
+        .withColumn("event_id", col("event_id") * 100 + col("rep"))
+        .withColumn("user_id", col("user_id") + col("rep") * lit(10000L))
+        .drop("rep").repartition(64)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings").foreach { t =>
+        Catalog.load(spark, sf, t)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+    }
+    // fresh catalog against the 100× directory
+    println(s"[rehearsal] corpus: documents=" +
+      spark.read.parquet(s"$out/documents.parquet").count() +
+      s" events=" + spark.read.parquet(s"$out/events.parquet").count())
+
+    // ---- x177 pipeline census over 500k docs (100 replicas each) ----
+    val census = phase("x177 census") {
+      SparkEntry.queries("x177_pipeline_census")(spark, out)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    println(s"[rehearsal] x177 stages: " +
+      census.map { case (s, n) => s"$s=$n" }.mkString(", "))
+
+    // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
+    // Change stream derived from the 100× events: ~1/10 of keys collide
+    // across batches (updates), ~1% tombstones, seq = event id. 64
+    // buckets: each micro-batch rewrites only buckets containing its
+    // keys; the table never rewrites whole.
+    import org.apache.spark.sql.streaming.Trigger
+    val table = s"$out/cdc-table"
+    val replay = s"$out/cdc-replay"
+    Seq(table, replay).foreach { d =>
+      val f = new java.io.File(d)
+      if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
+    }
+    val changes = spark.read.parquet(s"$out/events.parquet").select(
+      (col("event_id") % 1000000L).as("k"),
+      col("value").as("price"),
+      col("event_type").as("status"),
+      col("event_id").as("seq"),
+      (col("event_id") % 97L === 0L).as("deleted"))
+    changes.repartitionByRange(8, col("seq"))
+      .write.parquet(replay)
+    val schema = changes.schema
+    phase("cdc apply x8") {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(replay)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.CdcStream.applyBatch(spark, table, b, "k",
+            nBuckets = 64, txnId = Some(id.toString)); ()
+        }.start()
+      q.awaitTermination()
+    }
+    val versions = graft.streaming.CdcStream.versions(spark, table)
+    val live = graft.streaming.CdcStream.latest(spark, table).get.count()
+    val stats = phase("cdc vacuum") {
+      graft.streaming.CdcStream.vacuum(spark, table, keepLast = 2)
+    }
+    println(s"[rehearsal] cdc: versions=${versions.size} live_keys=$live vacuum=$stats")
+    spark.stop()
+  }
+}
