@@ -3710,7 +3710,476 @@ object Queries {
         |       cast((10000*tp) // (tp+fp) AS BIGINT) AS precision_bp,
         |       cast((10000*tp) // (tp+fn) AS BIGINT) AS recall_bp,
         |       cast((20000*tp) // (2*tp+fp+fn) AS BIGINT) AS f1_bp
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // ==== round-8 tier: statistical tests / time series / business ========
+    // ==== analytics / ML-eval extension / corpus laws (x205-x229) =========
+
+    // Spearman rank correlation per group: rank both measures inside the
+    // window partition (min-rank on ties — deterministic in both engines),
+    // then Pearson corr of the integer ranks. One shuffle for the two
+    // same-partition windows, one for the agg.
+    q("x205_spearman",
+      """WITH r AS (SELECT l_returnflag,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rq,
+        |  rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rp
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(corr(rq, rp), 4) AS spearman_rho,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Chi-square test of independence (event_type x day-of-week).
+    // Engines label weekdays differently (Spark 1..7, DuckDB 0..6) but the
+    // statistic is invariant to the cell labels, so each side uses its
+    // native dayofweek; only the scalar chi2 and the cell count are output.
+    // Contingency cells are a tiny grouped frame — everything after the
+    // first agg is broadcast-sized.
+    q("x206_chi_square",
+      """WITH c AS (SELECT event_type AS et, dayofweek(ts) AS d, count(*) AS o
+        |           FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(o) AS n FROM c),
+        |r AS (SELECT et, sum(o) AS rt FROM c GROUP BY 1),
+        |k AS (SELECT d, sum(o) AS ct FROM c GROUP BY 1)
+        |SELECT round(sum(pow(c.o - r.rt*k.ct*1.0/t.n, 2) / (r.rt*k.ct*1.0/t.n)), 4) AS chi2,
+        |       cast(count(*) AS BIGINT) AS cells
+        |FROM c, t, r, k WHERE c.et = r.et AND c.d = k.d""".stripMargin),
+
+    // Two-sample Kolmogorov-Smirnov statistic via windowed ECDFs: one
+    // global sort of the pooled sample, cumulative group counts, max gap.
+    // Default RANGE frame includes value-ties identically in both engines.
+    q("x207_ks_test",
+      """WITH a AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga,
+        |                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS gb
+        |           FROM events WHERE event_type IN ('click','error')),
+        |n AS (SELECT sum(ga) AS na, sum(gb) AS nb FROM a),
+        |c AS (SELECT sum(ga) OVER (ORDER BY value) AS ca,
+        |             sum(gb) OVER (ORDER BY value) AS cb FROM a)
+        |SELECT round(max(abs(cast(ca AS DOUBLE)/na - cast(cb AS DOUBLE)/nb)), 4) AS ks_stat,
+        |       cast(min(na) AS BIGINT) AS n_click, cast(min(nb) AS BIGINT) AS n_error
+        |FROM c, n""".stripMargin),
+
+    // Mann-Whitney U (rank-sum) — exact integer statistic, no float
+    // hazard: rank the pooled sample, sum ranks of one group.
+    q("x208_mann_whitney",
+      """WITH a AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga
+        |           FROM events WHERE event_type IN ('click','error')),
+        |r AS (SELECT ga, rank() OVER (ORDER BY value) AS rk FROM a)
+        |SELECT cast(sum(CASE WHEN ga = 1 THEN rk ELSE 0 END) AS BIGINT) AS rank_sum_click,
+        |       cast(sum(CASE WHEN ga = 1 THEN rk ELSE 0 END)
+        |            - (sum(ga) * (sum(ga) + 1)) div 2 AS BIGINT) AS u_stat,
+        |       cast(sum(ga) AS BIGINT) AS n_click,
+        |       cast(sum(1 - ga) AS BIGINT) AS n_error
+        |FROM r""".stripMargin,
+      """WITH a AS (SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ga
+        |           FROM events WHERE event_type IN ('click','error')),
+        |r AS (SELECT ga, rank() OVER (ORDER BY value) AS rk FROM a)
+        |SELECT cast(sum(CASE WHEN ga = 1 THEN rk ELSE 0 END) AS BIGINT) AS rank_sum_click,
+        |       cast(sum(CASE WHEN ga = 1 THEN rk ELSE 0 END)
+        |            - (sum(ga) * (sum(ga) + 1)) // 2 AS BIGINT) AS u_stat,
+        |       cast(sum(ga) AS BIGINT) AS n_click,
+        |       cast(sum(1 - ga) AS BIGINT) AS n_error
+        |FROM r""".stripMargin),
+
+    // Gini coefficient from the sorted-rank identity
+    // G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — one global sort (unique
+    // o_orderkey tie-break), one agg.
+    q("x209_gini",
+      """WITH r AS (SELECT o_totalprice AS x,
+        |                  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i
+        |           FROM orders),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(i * x) AS six FROM r)
+        |SELECT round(2.0 * six / (n * sx) - (n + 1.0) / n, 4) AS gini,
+        |       cast(n AS BIGINT) AS n FROM s""".stripMargin),
+
+    // Welch's unequal-variance t statistic between two customer segments —
+    // partial-aggregable moments only (avg/var/count), map-side combine.
+    q("x210_welch_t",
+      """WITH g AS (SELECT c_mktsegment AS s, avg(c_acctbal) AS m,
+        |                  var_samp(c_acctbal) AS v, count(*) AS n
+        |           FROM customer WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+        |           GROUP BY 1)
+        |SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+        |       cast(a.n AS BIGINT) AS n_building, cast(b.n AS BIGINT) AS n_machinery
+        |FROM g a, g b WHERE a.s = 'BUILDING' AND b.s = 'MACHINERY'""".stripMargin),
+
+    // Cramer's V effect size (mktsegment x nationkey): chi-square over the
+    // contingency cells normalized by n*min(r-1, c-1).
+    q("x211_cramers_v",
+      """WITH c AS (SELECT c_mktsegment AS seg, c_nationkey AS nk, count(*) AS o
+        |           FROM customer GROUP BY 1, 2),
+        |t AS (SELECT sum(o) AS n, count(DISTINCT seg) AS nr, count(DISTINCT nk) AS nc FROM c),
+        |r AS (SELECT seg, sum(o) AS rt FROM c GROUP BY 1),
+        |k AS (SELECT nk, sum(o) AS ct FROM c GROUP BY 1),
+        |x AS (SELECT sum(pow(c.o - r.rt*k.ct*1.0/t.n, 2) / (r.rt*k.ct*1.0/t.n)) AS chi2,
+        |             min(t.n) AS n, min(t.nr) AS nr, min(t.nc) AS nc
+        |      FROM c, t, r, k WHERE c.seg = r.seg AND c.nk = k.nk)
+        |SELECT round(sqrt(chi2 / (n * least(nr - 1, nc - 1))), 4) AS cramers_v,
+        |       cast(n AS BIGINT) AS n FROM x""".stripMargin),
+
+    // Jensen-Shannon divergence between two sources' token distributions
+    // (drift metric bounded in [0, ln 2] — x190's unbounded-KL sibling).
+    q("x212_js_divergence",
+      """WITH tok AS (SELECT source, explode(split(text, ' ')) AS w
+        |             FROM documents WHERE source IN ('src0','src1')),
+        |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM c GROUP BY 1),
+        |d AS (SELECT c.w,
+        |        sum(CASE WHEN c.source='src0' THEN c.c*1.0/tot.t ELSE 0 END) AS p,
+        |        sum(CASE WHEN c.source='src1' THEN c.c*1.0/tot.t ELSE 0 END) AS q
+        |      FROM c JOIN tot ON c.source = tot.source GROUP BY 1)
+        |SELECT round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(2.0*p/(p+q)) ELSE 0 END)
+        |           + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(2.0*q/(p+q)) ELSE 0 END), 4) AS js_div,
+        |       cast(count(*) AS BIGINT) AS vocab
+        |FROM d""".stripMargin,
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |             FROM documents WHERE source IN ('src0','src1')),
+        |c AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(c) AS t FROM c GROUP BY 1),
+        |d AS (SELECT c.w,
+        |        sum(CASE WHEN c.source='src0' THEN c.c*1.0/tot.t ELSE 0 END) AS p,
+        |        sum(CASE WHEN c.source='src1' THEN c.c*1.0/tot.t ELSE 0 END) AS q
+        |      FROM c JOIN tot ON c.source = tot.source GROUP BY 1)
+        |SELECT round(sum(CASE WHEN p > 0 THEN 0.5 * p * ln(2.0*p/(p+q)) ELSE 0 END)
+        |           + sum(CASE WHEN q > 0 THEN 0.5 * q * ln(2.0*q/(p+q)) ELSE 0 END), 4) AS js_div,
+        |       cast(count(*) AS BIGINT) AS vocab
+        |FROM d""".stripMargin),
+
+    // Autocorrelation of the daily event-count series at lags 1-3 —
+    // corr skips NULL lag pairs identically in both engines.
+    q("x213_autocorr",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+        |l AS (SELECT c, lag(c, 1) OVER (ORDER BY day) AS c1,
+        |             lag(c, 2) OVER (ORDER BY day) AS c2,
+        |             lag(c, 3) OVER (ORDER BY day) AS c3 FROM d)
+        |SELECT round(corr(c, c1), 4) AS acf1, round(corr(c, c2), 4) AS acf2,
+        |       round(corr(c, c3), 4) AS acf3, cast(count(*) AS BIGINT) AS days
+        |FROM l""".stripMargin),
+
+    // CUSUM drift series: running sum of (daily mean - grand mean of the
+    // daily means). The day frame is tiny after the first agg; the running
+    // sum is a single-partition window over 30 rows.
+    q("x214_cusum",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, avg(value) AS m, count(*) AS c FROM events GROUP BY 1),
+        |g AS (SELECT avg(m) AS gm FROM d)
+        |SELECT day, round(m, 4) AS day_mean,
+        |       round(sum(m - gm) OVER (ORDER BY day), 4) AS cusum
+        |FROM d, g ORDER BY day""".stripMargin),
+
+    // Bollinger bands: 7-day trailing mean +/- 2 sigma over daily totals,
+    // with a breakout flag. Band comparisons happen on raw doubles — both
+    // engines see ~1e5-magnitude gaps, far from any rounding boundary.
+    q("x215_bollinger",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, sum(value) AS v FROM events GROUP BY 1),
+        |b AS (SELECT day, v,
+        |        avg(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma,
+        |        stddev_samp(v) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS sd,
+        |        row_number() OVER (ORDER BY day) AS rn
+        |      FROM d)
+        |SELECT day, round(v, 4) AS v, round(ma, 4) AS ma,
+        |       round(ma + 2*sd, 4) AS upper_band, round(ma - 2*sd, 4) AS lower_band,
+        |       CASE WHEN v > ma + 2*sd THEN 1 WHEN v < ma - 2*sd THEN -1 ELSE 0 END AS breakout
+        |FROM b WHERE rn >= 7 ORDER BY day""".stripMargin),
+
+    // Per-type z-score anomaly top-20: broadcast the 5-row moment frame,
+    // round |z| BEFORE ordering so the k-th boundary resolves identically
+    // (the q43/topKRounded discipline).
+    q("x216_zscore_anomaly",
+      """WITH s AS (SELECT event_type AS et, avg(value) AS m, stddev_samp(value) AS sd
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round((e.value - s.m) / s.sd, 4) AS z
+        |FROM events e JOIN s ON e.event_type = s.et
+        |ORDER BY round(abs((e.value - s.m) / s.sd), 4) DESC, e.event_id LIMIT 20""".stripMargin),
+
+    // Day-of-week seasonal index (avg daily count per weekday / grand avg).
+    // Weekday labels aligned to ISO-adjacent 1=Sunday..7: Spark dayofweek
+    // is already 1-based, DuckDB's 0-based dayofweek gets +1.
+    q("x217_seasonal_index",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c, dayofweek(day) AS dw FROM d)
+        |SELECT dw AS day_of_week, round(avg(c) / (SELECT avg(c) FROM d), 4) AS seasonal_index,
+        |       cast(count(*) AS BIGINT) AS n_days
+        |FROM w GROUP BY dw ORDER BY dw""".stripMargin,
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c, dayofweek(day) + 1 AS dw FROM d)
+        |SELECT dw AS day_of_week, round(avg(c) / (SELECT avg(c) FROM d), 4) AS seasonal_index,
+        |       cast(count(*) AS BIGINT) AS n_days
+        |FROM w GROUP BY dw ORDER BY dw""".stripMargin),
+
+    // RFM segmentation: per-customer recency/frequency/monetary, quintiled
+    // by three global ntiles (unique custkey tie-break), segment counts out.
+    // The ntile input is one row per customer — the single-partition window
+    // is over the aggregated frame, not the raw orders.
+    q("x218_rfm",
+      """WITH m AS (SELECT o_custkey AS c,
+        |             datediff(DATE '2001-08-01', cast(max(o_orderdate) AS DATE)) AS rec,
+        |             count(*) AS freq, sum(o_totalprice) AS mon
+        |           FROM orders GROUP BY 1),
+        |q AS (SELECT c, ntile(5) OVER (ORDER BY rec, c) AS r_q,
+        |             ntile(5) OVER (ORDER BY freq DESC, c) AS f_q,
+        |             ntile(5) OVER (ORDER BY mon DESC, c) AS m_q FROM m)
+        |SELECT r_q, f_q, m_q, cast(count(*) AS BIGINT) AS customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      """WITH m AS (SELECT o_custkey AS c,
+        |             date_diff('day', cast(max(o_orderdate) AS DATE), DATE '2001-08-01') AS rec,
+        |             count(*) AS freq, sum(o_totalprice) AS mon
+        |           FROM orders GROUP BY 1),
+        |q AS (SELECT c, ntile(5) OVER (ORDER BY rec, c) AS r_q,
+        |             ntile(5) OVER (ORDER BY freq DESC, c) AS f_q,
+        |             ntile(5) OVER (ORDER BY mon DESC, c) AS m_q FROM m)
+        |SELECT r_q, f_q, m_q, cast(count(*) AS BIGINT) AS customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // 7-day rolling MEDIAN via a bounded date-range self-join (exact 7x
+    // expansion of a 30-row frame; median-as-window is not portable across
+    // the two dialects, the range join is).
+    q("x219_rolling_median",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, sum(value) AS v FROM events GROUP BY 1)
+        |SELECT a.day, round(median(b.v), 4) AS med7, cast(count(*) AS BIGINT) AS win_days
+        |FROM d a JOIN d b ON b.day BETWEEN a.day - 6 AND a.day
+        |GROUP BY a.day HAVING count(*) = 7 ORDER BY a.day""".stripMargin),
+
+    // 5% trimmed and winsorized means per order status: percent_rank is an
+    // exact rational of integer ranks, so the trim boundaries are
+    // engine-stable; winsorizing clamps to the observed p05/p95 values.
+    q("x220_trimmed_mean",
+      """WITH b AS (SELECT o_orderstatus AS st, o_totalprice AS x,
+        |             percent_rank() OVER (PARTITION BY o_orderstatus
+        |                                  ORDER BY o_totalprice, o_orderkey) AS pr
+        |           FROM orders),
+        |lim AS (SELECT st, max(CASE WHEN pr <= 0.05 THEN x END) AS lo,
+        |               min(CASE WHEN pr >= 0.95 THEN x END) AS hi
+        |        FROM b GROUP BY 1)
+        |SELECT b.st AS status, round(avg(x), 4) AS mean,
+        |       round(avg(CASE WHEN pr >= 0.05 AND pr <= 0.95 THEN x END), 4) AS trimmed_mean,
+        |       round(avg(least(greatest(x, lim.lo), lim.hi)), 4) AS winsorized_mean,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM b JOIN lim ON b.st = lim.st GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Haversine path length per user over synthetic exact-rational
+    // coordinates derived from the integer event_id (identical doubles in
+    // both engines); great-circle legs between consecutive events, top-20
+    // total paths. Trig ulp drift is absorbed by the 2dp rounding of a km
+    // sum ~5e4.
+    q("x221_haversine",
+      """WITH p AS (SELECT user_id, ts, event_id,
+        |             (event_id % 18000) / 100.0 - 90.0 AS lat,
+        |             ((event_id * 7) % 36000) / 100.0 - 180.0 AS lon
+        |           FROM events),
+        |s AS (SELECT user_id, lat, lon,
+        |        lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plat,
+        |        lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS plon
+        |      FROM p),
+        |d AS (SELECT user_id,
+        |        12742.0 * asin(sqrt(
+        |          pow(sin(radians(lat - plat) / 2), 2) +
+        |          cos(radians(plat)) * cos(radians(lat)) *
+        |          pow(sin(radians(lon - plon) / 2), 2))) AS km
+        |      FROM s WHERE plat IS NOT NULL)
+        |SELECT user_id, round(sum(km), 2) AS path_km, cast(count(*) AS BIGINT) AS legs
+        |FROM d GROUP BY 1 ORDER BY path_km DESC, user_id LIMIT 20""".stripMargin),
+
+    // Kaplan-Meier survival of time-to-first-error per user (censored at
+    // the last observed event). The product-limit estimator runs as
+    // exp(cumsum(ln ...)) over the per-duration death table; the
+    // deaths==at_risk tail (ln 0) is handled by an explicit zero flag
+    // because Spark's ln(0) is NULL while DuckDB's is -inf.
+    q("x222_survival_km",
+      """WITH u AS (SELECT user_id, cast(min(ts) AS DATE) AS fd, cast(max(ts) AS DATE) AS ld,
+        |             cast(min(CASE WHEN event_type = 'error' THEN ts END) AS DATE) AS ed
+        |           FROM events GROUP BY 1),
+        |l AS (SELECT CASE WHEN ed IS NOT NULL THEN datediff(ed, fd)
+        |                  ELSE datediff(ld, fd) END AS dur,
+        |             CASE WHEN ed IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+        |d AS (SELECT dur, sum(ev) AS deaths, count(*) AS obs FROM l GROUP BY 1),
+        |a AS (SELECT dur, deaths,
+        |             sum(obs) OVER (ORDER BY dur DESC) AS at_risk FROM d),
+        |s AS (SELECT dur, deaths, at_risk,
+        |        min(CASE WHEN deaths >= at_risk THEN 0 ELSE 1 END) OVER (ORDER BY dur) AS alive,
+        |        exp(sum(ln(CASE WHEN deaths >= at_risk THEN 1.0
+        |                        ELSE (at_risk - deaths) * 1.0 / at_risk END))
+        |            OVER (ORDER BY dur)) AS s0
+        |      FROM a WHERE deaths > 0)
+        |SELECT dur AS duration_days, cast(deaths AS BIGINT) AS deaths,
+        |       cast(at_risk AS BIGINT) AS at_risk, round(s0 * alive, 4) AS survival
+        |FROM s ORDER BY duration_days""".stripMargin,
+      """WITH u AS (SELECT user_id, cast(min(ts) AS DATE) AS fd, cast(max(ts) AS DATE) AS ld,
+        |             cast(min(CASE WHEN event_type = 'error' THEN ts END) AS DATE) AS ed
+        |           FROM events GROUP BY 1),
+        |l AS (SELECT CASE WHEN ed IS NOT NULL THEN date_diff('day', fd, ed)
+        |                  ELSE date_diff('day', fd, ld) END AS dur,
+        |             CASE WHEN ed IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u),
+        |d AS (SELECT dur, sum(ev) AS deaths, count(*) AS obs FROM l GROUP BY 1),
+        |a AS (SELECT dur, deaths,
+        |             sum(obs) OVER (ORDER BY dur DESC) AS at_risk FROM d),
+        |s AS (SELECT dur, deaths, at_risk,
+        |        min(CASE WHEN deaths >= at_risk THEN 0 ELSE 1 END) OVER (ORDER BY dur) AS alive,
+        |        exp(sum(ln(CASE WHEN deaths >= at_risk THEN 1.0
+        |                        ELSE (at_risk - deaths) * 1.0 / at_risk END))
+        |            OVER (ORDER BY dur)) AS s0
+        |      FROM a WHERE deaths > 0)
+        |SELECT dur AS duration_days, cast(deaths AS BIGINT) AS deaths,
+        |       cast(at_risk AS BIGINT) AS at_risk, round(s0 * alive, 4) AS survival
+        |FROM s ORDER BY duration_days""".stripMargin),
+
+    // Logistic log-loss of the embedding[0]-as-score classifier — sigmoid
+    // stays strictly inside (0,1) for finite scores, so ln never sees 0.
+    q("x223_log_loss",
+      """WITH s AS (SELECT 1.0 / (1.0 + exp(-cast(element_at(embedding, 1) AS DOUBLE))) AS p,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings)
+        |SELECT round(-avg(y * ln(p) + (1 - y) * ln(1.0 - p)), 4) AS log_loss,
+        |       cast(count(*) AS BIGINT) AS n FROM s""".stripMargin,
+      """WITH s AS (SELECT 1.0 / (1.0 + exp(-cast(embedding[1] AS DOUBLE))) AS p,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings)
+        |SELECT round(-avg(y * ln(p) + (1 - y) * ln(1.0 - p)), 4) AS log_loss,
+        |       cast(count(*) AS BIGINT) AS n FROM s""".stripMargin),
+
+    // Cumulative gains / lift table by score decile — all-integer outputs
+    // (basis points via integer division), ntile tie-broken by vec_id.
+    q("x224_gains_table",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding, 1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile FROM s),
+        |g AS (SELECT decile, count(*) AS n, sum(y) AS pos FROM d GROUP BY 1),
+        |c AS (SELECT decile, n, pos,
+        |        sum(pos) OVER (ORDER BY decile) AS cum_pos,
+        |        sum(n) OVER (ORDER BY decile) AS cum_n FROM g),
+        |t AS (SELECT sum(y) AS tot_pos, count(*) AS tot_n FROM s)
+        |SELECT decile, cast(n AS BIGINT) AS n, cast(pos AS BIGINT) AS positives,
+        |       cast((10000 * cum_pos) div tot_pos AS BIGINT) AS cum_capture_bp,
+        |       cast((10000 * cum_pos * tot_n) div (cum_n * tot_pos) AS BIGINT) AS lift_bp
+        |FROM c, t ORDER BY decile""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, vec_id) AS decile FROM s),
+        |g AS (SELECT decile, count(*) AS n, sum(y) AS pos FROM d GROUP BY 1),
+        |c AS (SELECT decile, n, pos,
+        |        sum(pos) OVER (ORDER BY decile) AS cum_pos,
+        |        sum(n) OVER (ORDER BY decile) AS cum_n FROM g),
+        |t AS (SELECT sum(y) AS tot_pos, count(*) AS tot_n FROM s)
+        |SELECT decile, cast(n AS BIGINT) AS n, cast(pos AS BIGINT) AS positives,
+        |       cast((10000 * cum_pos) // tot_pos AS BIGINT) AS cum_capture_bp,
+        |       cast((10000 * cum_pos * tot_n) // (cum_n * tot_pos) AS BIGINT) AS lift_bp
+        |FROM c, t ORDER BY decile""".stripMargin),
+
+    // Cohen's kappa + Matthews correlation from the x204-twin confusion
+    // counts — exact integer numerators, one 4dp-rounded division each.
+    q("x225_kappa_mcc",
+      """WITH s AS (SELECT CASE WHEN cast(element_at(embedding, 1) AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS pred,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |c AS (SELECT cast(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |             cast(sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |             cast(sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |             cast(sum(CASE WHEN pred=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM s),
+        |k AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+        |             (tp + tn) * 1.0 / (tp + fp + fn + tn) AS po,
+        |             ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn))
+        |               / pow(tp + fp + fn + tn, 2) AS pe
+        |      FROM c)
+        |SELECT round((po - pe) / (1.0 - pe), 4) AS cohens_kappa,
+        |       round((tp * tn - fp * fn) /
+        |             sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)), 4) AS mcc,
+        |       cast(n AS BIGINT) AS n
+        |FROM k""".stripMargin,
+      """WITH s AS (SELECT CASE WHEN cast(embedding[1] AS DOUBLE) >= 0 THEN 1 ELSE 0 END AS pred,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |c AS (SELECT cast(sum(CASE WHEN pred=1 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |             cast(sum(CASE WHEN pred=1 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |             cast(sum(CASE WHEN pred=0 AND y=1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |             cast(sum(CASE WHEN pred=0 AND y=0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |      FROM s),
+        |k AS (SELECT tp, fp, fn, tn, tp + fp + fn + tn AS n,
+        |             (tp + tn) * 1.0 / (tp + fp + fn + tn) AS po,
+        |             ((tp + fp) * 1.0 * (tp + fn) + (fn + tn) * 1.0 * (fp + tn))
+        |               / pow(tp + fp + fn + tn, 2) AS pe
+        |      FROM c)
+        |SELECT round((po - pe) / (1.0 - pe), 4) AS cohens_kappa,
+        |       round((tp * tn - fp * fn) /
+        |             sqrt((tp + fp) * 1.0 * (tp + fn) * (tn + fp) * (tn + fn)), 4) AS mcc,
+        |       cast(n AS BIGINT) AS n
+        |FROM k""".stripMargin),
+
+    // NDCG@10 per label group: relevance from the deterministic vec_id
+    // residue, ranked by score with a unique tie-break; the ideal ordering
+    // ranks relevant items first by the same tie-break.
+    q("x226_ndcg",
+      """WITH s AS (SELECT label, vec_id, cast(element_at(embedding, 1) AS DOUBLE) AS score,
+        |                  CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS rel FROM embeddings),
+        |r AS (SELECT label, rel,
+        |        row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS pos FROM s),
+        |i AS (SELECT label, rel,
+        |        row_number() OVER (PARTITION BY label ORDER BY rel DESC, vec_id) AS ipos FROM s),
+        |d AS (SELECT label, sum(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END) AS dcg
+        |      FROM r GROUP BY 1),
+        |j AS (SELECT label, sum(CASE WHEN ipos <= 10 THEN rel / log2(ipos + 1.0) ELSE 0 END) AS idcg
+        |      FROM i GROUP BY 1)
+        |SELECT d.label, round(d.dcg, 4) AS dcg10,
+        |       round(d.dcg / nullif(j.idcg, 0), 4) AS ndcg10
+        |FROM d JOIN j ON d.label = j.label ORDER BY d.label""".stripMargin,
+      """WITH s AS (SELECT label, vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN vec_id % 3 = 0 THEN 1 ELSE 0 END AS rel FROM embeddings),
+        |r AS (SELECT label, rel,
+        |        row_number() OVER (PARTITION BY label ORDER BY score DESC, vec_id) AS pos FROM s),
+        |i AS (SELECT label, rel,
+        |        row_number() OVER (PARTITION BY label ORDER BY rel DESC, vec_id) AS ipos FROM s),
+        |d AS (SELECT label, sum(CASE WHEN pos <= 10 THEN rel / log2(pos + 1.0) ELSE 0 END) AS dcg
+        |      FROM r GROUP BY 1),
+        |j AS (SELECT label, sum(CASE WHEN ipos <= 10 THEN rel / log2(ipos + 1.0) ELSE 0 END) AS idcg
+        |      FROM i GROUP BY 1)
+        |SELECT d.label, round(d.dcg, 4) AS dcg10,
+        |       round(d.dcg / nullif(j.idcg, 0), 4) AS ndcg10
+        |FROM d JOIN j ON d.label = j.label ORDER BY d.label""".stripMargin),
+
+    // Zipf rank-frequency slope: OLS in log-log space via regr_slope over
+    // the word-frequency table (wordcount -> rank -> regression).
+    q("x227_zipf_slope",
+      """WITH f AS (SELECT w, count(*) AS cnt
+        |           FROM (SELECT explode(split(text, ' ')) AS w FROM documents)
+        |           GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM f)
+        |SELECT round(regr_slope(ln(cnt * 1.0), ln(rk * 1.0)), 4) AS zipf_slope,
+        |       round(regr_r2(ln(cnt * 1.0), ln(rk * 1.0)), 4) AS r2,
+        |       cast(count(*) AS BIGINT) AS vocab
+        |FROM r""".stripMargin,
+      """WITH f AS (SELECT w, count(*) AS cnt
+        |           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |           GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rk FROM f)
+        |SELECT round(regr_slope(ln(cnt * 1.0), ln(rk * 1.0)), 4) AS zipf_slope,
+        |       round(regr_r2(ln(cnt * 1.0), ln(rk * 1.0)), 4) AS r2,
+        |       cast(count(*) AS BIGINT) AS vocab
+        |FROM r""".stripMargin),
+
+    // Customer-acquisition growth curve: first-order month per customer,
+    // monthly new + cumulative counts (51 months of TPC-H order dates).
+    q("x228_growth_curve",
+      """WITH f AS (SELECT o_custkey, min(cast(o_orderdate AS DATE)) AS fd FROM orders GROUP BY 1),
+        |m AS (SELECT cast(date_trunc('month', fd) AS DATE) AS month, count(*) AS new_customers FROM f GROUP BY 1)
+        |SELECT month, cast(new_customers AS BIGINT) AS new_customers,
+        |       cast(sum(new_customers) OVER (ORDER BY month) AS BIGINT) AS cum_customers
+        |FROM m ORDER BY month""".stripMargin),
+
+    // BFS shortest hops over the x136 nation-trade graph, sparsified to
+    // edges with >= 120 order-lines so the frontier has real depth at the
+    // contract SF. Both engines run the same WITH RECURSIVE frontier
+    // expansion, depth-bounded, then min(level) per node. The recursive
+    // member is DISTINCT — without it each level multiplies by the mean
+    // out-degree (exponential rows; Spark's recursion row limit trips on
+    // the dense sf0.1 graph); with it every level is bounded by |V|, the
+    // same per-iteration shuffle-dedup a distributed BFS runs at scale.
+    q("x229_bfs_hops",
+      """WITH RECURSIVE e AS (
+        |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 120),
+        |t(node, lvl) AS (
+        |  SELECT cast(0 AS INT) AS node, 0 AS lvl
+        |  UNION ALL
+        |  SELECT DISTINCT e.dst AS node, t.lvl + 1 AS lvl
+        |  FROM t JOIN e ON e.src = t.node WHERE t.lvl < 5)
+        |SELECT node, cast(min(lvl) AS BIGINT) AS hops FROM t GROUP BY node ORDER BY node""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
