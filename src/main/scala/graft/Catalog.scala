@@ -43,6 +43,7 @@ object Catalog {
     functions.WinnowFps.register(spark)
     functions.FoldAccents.register(spark)
     functions.DamerauLevenshtein.register(spark)
+    functions.JaroWinkler.register(spark)
     if (!registeredDir.get(spark).contains(dir)) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.

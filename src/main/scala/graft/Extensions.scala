@@ -375,7 +375,30 @@ object Extensions {
           ForeignKey("lineitem.fk_orders", "l_orderkey", ord, "o_orderkey")))
         .union(audit(ord, Seq(Unique("orders.pk_unique", "o_orderkey"))))
         .orderBy("rule")
-    })
+    }),
+
+    // Bloom-filter file skipping (sources/BloomSkip.scala) on the layout
+    // where min/max zone maps prune NOTHING: orders hash-bucketed by
+    // o_custkey (every file's [min,max] spans the key domain). The
+    // declared entry rewrites the table into that layout, builds the
+    // per-file Bloom manifest with one distributed scan, then answers a
+    // point lookup through the index — reading only the files whose
+    // filter can contain the key (no false negatives by construction;
+    // LayoutSpec pins the skip ratio and the never-skips-a-match
+    // invariant). The result must be byte-identical to the plain
+    // full-scan predicate, which is exactly the DuckDB oracle below.
+    "x242_bloom_skip" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val tmp = s"/tmp/graft_bloom/${dir.replaceAll("[^A-Za-z0-9.]", "_")}/orders"
+      Catalog.load(s, dir, "orders")
+        .repartition(16, col("o_custkey"))
+        .write.mode("overwrite").parquet(tmp)
+      val idx = graft.sources.BloomSkip.build(s, tmp, "o_custkey")
+      graft.sources.BloomSkip.readEq(s, idx, "o_custkey", 101L)
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
+    }
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -418,6 +441,13 @@ object Extensions {
 
     // x173: the fused audit must report exactly x172's rule rows.
     "x173_dq_native" -> Queries.oracleSql("x172_dq_audit"),
+
+    // x242: the Bloom-skipped point lookup must return exactly what the
+    // plain predicate returns on the original table — skipping is an
+    // access-path optimization, never a semantics change.
+    "x242_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 101 ORDER BY o_orderkey""".stripMargin,
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

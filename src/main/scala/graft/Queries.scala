@@ -4179,7 +4179,274 @@ object Queries {
         |  UNION ALL
         |  SELECT DISTINCT e.dst AS node, t.lvl + 1 AS lvl
         |  FROM t JOIN e ON e.src = t.node WHERE t.lvl < 5)
-        |SELECT node, cast(min(lvl) AS BIGINT) AS hops FROM t GROUP BY node ORDER BY node""".stripMargin)
+        |SELECT node, cast(min(lvl) AS BIGINT) AS hops FROM t GROUP BY node ORDER BY node""".stripMargin),
+
+    // ==== spatial / text-index / governance tier (x230-x240) ===============
+
+    // DBSCAN-style density classification via a GRID-BUCKETED radius
+    // self-join — the executable form of the x200 rule ("a range band in
+    // a join predicate is not a join key — bucket the band explicitly")
+    // in two dimensions. Points live on an integer plane (coords derived
+    // from event_id, so both engines see identical geometry, no float
+    // distance); a point is `core` when >= 3 neighbors sit within
+    // distance 25. Spark dialect: cell = coord div 25, probe side
+    // replicated to its 3x3 cell neighborhood, equi-join on (cx, cy) —
+    // a qualifying pair differs by <= 25 per axis, hence <= 1 cell, so
+    // every pair lands in exactly one (probe-cell = build-cell) match.
+    // Candidates are O(n · density), never O(n²). The DuckDB oracle runs
+    // the plain quadratic join — same rows, different shape, the
+    // declarative-for-the-oracle / bucketed-for-execution split of x200.
+    q("x230_grid_radius_join",
+      """WITH p AS (SELECT event_id AS id, event_id % 1000 AS x, (event_id*7) % 1000 AS y
+        |           FROM events WHERE event_id % 5 = 0),
+        |b AS (SELECT id, x, y, x div 25 AS cx, y div 25 AS cy FROM p),
+        |pr AS (SELECT b.id, b.x, b.y, b.cx + d1.dx AS cx, b.cy + d2.dy AS cy
+        |       FROM b
+        |       CROSS JOIN (SELECT explode(array(-1,0,1)) AS dx) d1
+        |       CROSS JOIN (SELECT explode(array(-1,0,1)) AS dy) d2),
+        |n AS (SELECT a.id, count(*) AS nbrs
+        |      FROM pr a JOIN b c ON a.cx = c.cx AND a.cy = c.cy AND a.id <> c.id
+        |      WHERE (a.x-c.x)*(a.x-c.x) + (a.y-c.y)*(a.y-c.y) <= 625
+        |      GROUP BY a.id)
+        |SELECT b.id AS event_id, cast(coalesce(n.nbrs, 0) AS BIGINT) AS nbrs,
+        |       CASE WHEN coalesce(n.nbrs, 0) >= 3 THEN 1 ELSE 0 END AS core
+        |FROM b LEFT JOIN n ON b.id = n.id
+        |ORDER BY nbrs DESC, event_id LIMIT 100""".stripMargin,
+      """WITH p AS (SELECT event_id AS id, event_id % 1000 AS x, (event_id*7) % 1000 AS y
+        |           FROM events WHERE event_id % 5 = 0)
+        |SELECT a.id AS event_id, cast(count(b.id) AS BIGINT) AS nbrs,
+        |       CASE WHEN count(b.id) >= 3 THEN 1 ELSE 0 END AS core
+        |FROM p a LEFT JOIN p b ON a.id <> b.id
+        |  AND (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 625
+        |GROUP BY a.id ORDER BY nbrs DESC, event_id LIMIT 100""".stripMargin),
+
+    // Inverted-index construction — term -> (df, first-10 posting list).
+    // The retrieval-side primitive behind x113/x114 (TF-IDF / BM25): the
+    // posting lists here are the actual index a search engine would
+    // serve. Postings shuffle as (term, doc_id) pairs — text never
+    // shuffles — and the per-term list is truncated to 10 entries in the
+    // agg, so no driver-side or unbounded state. array_sort(collect_list)
+    // (vs DuckDB's ordered list()) keeps the list deterministic.
+    q("x231_inverted_index",
+      """WITH w AS (SELECT doc_id, explode(split(lower(text), '[^a-z]+')) AS term FROM documents),
+        |t AS (SELECT term, doc_id FROM w WHERE term <> '' AND length(term) >= 3 GROUP BY term, doc_id),
+        |p AS (SELECT term, cast(count(*) AS BIGINT) AS df,
+        |             array_join(slice(array_sort(collect_list(doc_id)), 1, 10), ',') AS postings
+        |      FROM t GROUP BY term)
+        |SELECT term, df, postings FROM p ORDER BY df DESC, term LIMIT 100""".stripMargin,
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term FROM documents),
+        |t AS (SELECT term, doc_id FROM w WHERE term <> '' AND length(term) >= 3 GROUP BY term, doc_id),
+        |p AS (SELECT term, cast(count(*) AS BIGINT) AS df,
+        |             array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
+        |      FROM t GROUP BY term)
+        |SELECT term, df, postings FROM p ORDER BY df DESC, term LIMIT 100""".stripMargin),
+
+    // Bigram language-model surprise scoring — train P(w2|w1) on the
+    // corpus itself, then rank docs by mean transition probability (ppm,
+    // integer fixed point so no log/float ulp): the lowest-scoring docs
+    // are the statistically unusual ones, the corpus-level complement of
+    // x135's per-doc perplexity proxy. Model table cb/cu is vocab²-sized
+    // (broadcastable); the per-doc score is two hash joins on word keys
+    // plus one agg — linear in corpus tokens.
+    q("x232_bigram_lm",
+      """WITH t AS (SELECT doc_id, split(lower(text),' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, element_at(a,i) AS w1, element_at(a,i+1) AS w2
+        |       FROM (SELECT doc_id, a, explode(sequence(1, size(a)-1)) AS i FROM t WHERE size(a) >= 2)
+        |       WHERE element_at(a,i) <> '' AND element_at(a,i+1) <> ''),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1,2),
+        |cu AS (SELECT w1, sum(cxy) AS cx FROM cb GROUP BY 1),
+        |sc AS (SELECT bg.doc_id,
+        |              cast(sum((cb.cxy * 1000000) div cu.cx) div count(*) AS BIGINT) AS avg_ppm,
+        |              cast(count(*) AS BIGINT) AS n_bigrams
+        |       FROM bg JOIN cb ON bg.w1=cb.w1 AND bg.w2=cb.w2 JOIN cu ON bg.w1=cu.w1
+        |       GROUP BY bg.doc_id)
+        |SELECT doc_id, avg_ppm, n_bigrams FROM sc ORDER BY avg_ppm ASC, doc_id LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS a FROM documents),
+        |bg AS (SELECT doc_id, a[i] AS w1, a[i+1] AS w2
+        |       FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM t WHERE len(a) >= 2)
+        |       WHERE a[i] <> '' AND a[i+1] <> ''),
+        |cb AS (SELECT w1, w2, count(*) AS cxy FROM bg GROUP BY 1,2),
+        |cu AS (SELECT w1, sum(cxy) AS cx FROM cb GROUP BY 1),
+        |sc AS (SELECT bg.doc_id,
+        |              cast(sum((cb.cxy * 1000000) // cu.cx) // count(*) AS BIGINT) AS avg_ppm,
+        |              cast(count(*) AS BIGINT) AS n_bigrams
+        |       FROM bg JOIN cb ON bg.w1=cb.w1 AND bg.w2=cb.w2 JOIN cu ON bg.w1=cu.w1
+        |       GROUP BY bg.doc_id)
+        |SELECT doc_id, avg_ppm, n_bigrams FROM sc ORDER BY avg_ppm ASC, doc_id LIMIT 20""".stripMargin),
+
+    // Flesch-style readability in integer milli-points: 206.835 −
+    // 1.015·(words/sentences) − 84.6·(syllables/words), all three counts
+    // from regexes (syllable ~ vowel-cluster heuristic), fixed-point so
+    // both engines rank identically. Per-row expression work only — no
+    // shuffle beyond the final top-k. Dialect delta: Spark regexp_count
+    // vs DuckDB len(regexp_extract_all).
+    q("x233_readability",
+      """WITH m AS (SELECT doc_id,
+        |             greatest(1, regexp_count(lower(text), '[a-z]+')) AS words,
+        |             greatest(1, regexp_count(text, '[.!?]+')) AS sentences,
+        |             regexp_count(lower(text), '[aeiouy]+') AS syllables
+        |           FROM documents)
+        |SELECT doc_id, cast(words AS BIGINT) AS words, cast(sentences AS BIGINT) AS sentences,
+        |       cast(syllables AS BIGINT) AS syllables,
+        |       cast(206835 - (1015 * words) div sentences - (84600 * syllables) div words AS BIGINT) AS flesch_milli
+        |FROM m ORDER BY flesch_milli ASC, doc_id LIMIT 25""".stripMargin,
+      """WITH m AS (SELECT doc_id,
+        |             greatest(1, len(regexp_extract_all(lower(text), '[a-z]+'))) AS words,
+        |             greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS sentences,
+        |             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syllables
+        |           FROM documents)
+        |SELECT doc_id, cast(words AS BIGINT) AS words, cast(sentences AS BIGINT) AS sentences,
+        |       cast(syllables AS BIGINT) AS syllables,
+        |       cast(206835 - (1015 * words) // sentences - (84600 * syllables) // words AS BIGINT) AS flesch_milli
+        |FROM m ORDER BY flesch_milli ASC, doc_id LIMIT 25""".stripMargin),
+
+    // l-diversity audit — the companion to x186's k-anonymity: within
+    // each quasi-identifier group (nation × coarse balance band) count
+    // DISTINCT sensitive values (mktsegment); a group with l < 3 is
+    // attribute-disclosure-risky even when k is large. floor() before
+    // the BIGINT cast because DuckDB's double->int cast rounds while
+    // Spark's truncates; +1000 keeps the band index nonnegative so
+    // div/// agree (both floor only on nonnegative operands).
+    q("x234_l_diversity",
+      """WITH q AS (SELECT c_nationkey AS nk,
+        |             (cast(floor(c_acctbal) AS BIGINT) + 1000) div 2000 AS band,
+        |             c_mktsegment AS seg FROM customer),
+        |g AS (SELECT nk, band, cast(count(*) AS BIGINT) AS n,
+        |             cast(count(DISTINCT seg) AS BIGINT) AS l FROM q GROUP BY nk, band)
+        |SELECT nk, cast(band AS BIGINT) AS band, n, l,
+        |       CASE WHEN l < 3 THEN 1 ELSE 0 END AS risky,
+        |       cast(min(l) OVER () AS BIGINT) AS l_diversity
+        |FROM g ORDER BY nk, band""".stripMargin,
+      """WITH q AS (SELECT c_nationkey AS nk,
+        |             (cast(floor(c_acctbal) AS BIGINT) + 1000) // 2000 AS band,
+        |             c_mktsegment AS seg FROM customer),
+        |g AS (SELECT nk, band, cast(count(*) AS BIGINT) AS n,
+        |             cast(count(DISTINCT seg) AS BIGINT) AS l FROM q GROUP BY nk, band)
+        |SELECT nk, cast(band AS BIGINT) AS band, n, l,
+        |       CASE WHEN l < 3 THEN 1 ELSE 0 END AS risky,
+        |       cast(min(l) OVER () AS BIGINT) AS l_diversity
+        |FROM g ORDER BY nk, band""".stripMargin),
+
+    // Sequence mining: most frequent event-type TRIGRAMS per user
+    // timeline (x187's Markov transitions extended one step). Two lead()
+    // windows per user partition — scales horizontally; the trigram
+    // census is |types|³-bounded.
+    q("x235_event_trigrams",
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |              lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+        |              lead(event_type,2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+        |           FROM events)
+        |SELECT concat(e1,'>',e2,'>',e3) AS trigram, cast(count(*) AS BIGINT) AS n
+        |FROM s WHERE e3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, trigram LIMIT 20""".stripMargin),
+
+    // SAX-style symbolic discretization: each user's values quantized to
+    // per-user quartile symbols (ntile(4) with a unique tie-break — both
+    // engines assign identically), then 3-symbol motifs counted over the
+    // TIME-ordered sequence. The time-series motif-mining primitive
+    // (Lin et al. SAX) with the alphabet via rank, not float breakpoints.
+    q("x236_sax_motifs",
+      """WITH r AS (SELECT user_id, event_id, ts,
+        |              ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS qb
+        |           FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, qb AS q1,
+        |             lead(qb) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q2,
+        |             lead(qb,2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q3
+        |      FROM r)
+        |SELECT concat(cast(q1 AS STRING), cast(q2 AS STRING), cast(q3 AS STRING)) AS motif,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM s WHERE q3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, motif LIMIT 16""".stripMargin,
+      """WITH r AS (SELECT user_id, event_id, ts,
+        |              ntile(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS qb
+        |           FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT user_id, qb AS q1,
+        |             lead(qb) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q2,
+        |             lead(qb,2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS q3
+        |      FROM r)
+        |SELECT concat(cast(q1 AS VARCHAR), cast(q2 AS VARCHAR), cast(q3 AS VARCHAR)) AS motif,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM s WHERE q3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, motif LIMIT 16""".stripMargin),
+
+    // Diversity indices per nation over the mktsegment mix: Shannon
+    // entropy (nats) + Simpson index. Single-value ln() per cell —
+    // no accumulation before the round(4), same hazard class as the
+    // passing x222 exp/ln survival curve. Counts shuffle; text doesn't.
+    q("x237_entropy_diversity",
+      """WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1,2),
+        |t AS (SELECT nk, sum(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.nk, round(-sum((n*1.0/tot) * ln(n*1.0/tot)), 4) AS shannon,
+        |       round(1.0 - sum(n*n)*1.0/(tot*tot), 4) AS simpson,
+        |       cast(count(*) AS BIGINT) AS n_segments
+        |FROM c JOIN t ON c.nk = t.nk GROUP BY c.nk, t.tot ORDER BY c.nk""".stripMargin),
+
+    // Lorenz curve by balance decile (the curve under x209's Gini):
+    // global ntile(10) with unique tie-break, cumulative share of total.
+    // Contract-scale single-partition window; the at-scale form is the
+    // x100 two-pass global-window tier.
+    q("x238_lorenz",
+      """WITH d AS (SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile, c_acctbal FROM customer),
+        |g AS (SELECT decile, sum(c_acctbal) AS bal, count(*) AS n FROM d GROUP BY 1)
+        |SELECT decile, cast(n AS BIGINT) AS n, round(bal, 2) AS decile_bal,
+        |       round(sum(bal) OVER (ORDER BY decile) / sum(bal) OVER () * 100, 2) AS cum_share_pct
+        |FROM g ORDER BY decile""".stripMargin),
+
+    // Survivorship (golden-record) merge — the MDM rule set applied per
+    // duplicate group (nation × segment as the match block): survivor =
+    // highest balance (earliest key breaks ties), plus merged-attribute
+    // outputs (earliest key, mean balance, group size). One window + one
+    // agg, both keyed on the block — no pair join.
+    q("x239_survivorship",
+      """WITH r AS (SELECT c_custkey, c_nationkey AS nk, c_mktsegment AS seg, c_acctbal,
+        |              row_number() OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rk
+        |           FROM customer)
+        |SELECT nk, seg, cast(max(CASE WHEN rk=1 THEN c_custkey END) AS BIGINT) AS survivor_key,
+        |       round(max(CASE WHEN rk=1 THEN c_acctbal END), 2) AS survivor_bal,
+        |       cast(count(*) AS BIGINT) AS merged,
+        |       cast(min(c_custkey) AS BIGINT) AS earliest_key,
+        |       round(avg(c_acctbal), 4) AS avg_bal
+        |FROM r GROUP BY nk, seg ORDER BY nk, seg""".stripMargin),
+
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent non-purchase event within 7 days — forward-fill of the last
+    // touch via last_value IGNORE NULLS over a 1-PRECEDING frame (the
+    // x146 idiom), then a channel rollup. Dialect delta: IGNORE NULLS
+    // placement (after the call vs inside the args).
+    q("x240_attribution",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END) IGNORE NULLS
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
+        |      last_value(CASE WHEN event_type <> 'purchase' THEN ts END) IGNORE NULLS
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |   FROM events)
+        |SELECT channel, cast(count(*) AS BIGINT) AS conversions
+        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |  AND touch_ts >= ts - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY conversions DESC, channel""".stripMargin,
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
+        |      last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
+        |   FROM events)
+        |SELECT channel, cast(count(*) AS BIGINT) AS conversions
+        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
+        |  AND touch_ts >= ts - INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY conversions DESC, channel""".stripMargin),
+
+    // Jaro-Winkler fuzzy ranking vs an anchor — the record-linkage score
+    // (Winkler 1990) as a native codegen'd Expression
+    // (functions/JaroWinkler.scala; Spark has no jaro family built in),
+    // scored in basis points so the cross-engine gate is integer. Both
+    // engines run the same algorithm (match window, 0.7 boost threshold,
+    // 4-char prefix cap, weight 0.1 — the DuckDB/RapidFuzz variant).
+    // Linear scan + TakeOrderedAndProject; the banded-join form for
+    // pairwise fuzzy matching is x200's block-bucket pattern.
+    q("x241_jaro_winkler",
+      """SELECT p_partkey,
+        |       cast(round(jaro_winkler(p_name, 'goldenrod lavender spring chiffon') * 10000) AS BIGINT) AS jw_bp
+        |FROM part ORDER BY jw_bp DESC, p_partkey LIMIT 25""".stripMargin,
+      """SELECT p_partkey,
+        |       cast(round(jaro_winkler_similarity(p_name, 'goldenrod lavender spring chiffon') * 10000) AS BIGINT) AS jw_bp
+        |FROM part ORDER BY jw_bp DESC, p_partkey LIMIT 25""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

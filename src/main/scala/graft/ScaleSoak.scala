@@ -160,6 +160,41 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r8tier")) {
+      // 1×→10× scaling of the round-8 tier (SCALE.md §21): x230 grid
+      // radius join (pair-producing — output grows ~100× by construction
+      // because the synthetic plane is FIXED, so 10× rows = 10× density
+      // = 10× neighbors per point; runtime should track OUTPUT pairs,
+      // which is the right complexity class for a radius join), x231/
+      // x232 (token-keyed shuffles, linear), x241 (native-expression
+      // scan + top-k, linear), x242 (bloom manifest build + point
+      // lookup, linear in rows for the build and in CANDIDATE FILES for
+      // the probe).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      def runN(dir: String, name: String): (Double, Long) =
+        med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
+      Seq("x230_grid_radius_join", "x231_inverted_index", "x232_bigram_lm",
+          "x241_jaro_winkler", "x242_bloom_skip").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
