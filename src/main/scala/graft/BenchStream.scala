@@ -24,8 +24,9 @@ import org.apache.spark.sql.streaming.Trigger
   * state), funnel (mapGroupsWithState per-user stage machine),
   * stream-stream interval join (watermark-expired two-sided state —
   * VERDICT r6 #3: a state-expiry regression here must move a number),
-  * contamination (stateless stream-static semi-join), CDC apply
-  * (bucket-pruned copy-on-write merge sink).
+  * contamination (stateless stream-static semi-join), trending
+  * (watermarked window x type counts — the agg half of windowed
+  * top-k), CDC apply (bucket-pruned copy-on-write merge sink).
   */
 object BenchStream {
 
@@ -124,6 +125,10 @@ object BenchStream {
       "contamination" -> { () =>
         drain(graft.streaming.ContaminationStream
           .contaminationHits(fileStream(docsDir, docsSchema), benchGrams), "update")
+      },
+      "trending" -> { () =>
+        drain(graft.streaming.EventStream
+          .trendingCounts6h(fileStream(eventsDir, eventsSchema)), "update")
       },
       "cdc_apply" -> { () =>
         val table = replayDir(s"cdc-table-$rep")

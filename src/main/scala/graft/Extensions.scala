@@ -398,7 +398,25 @@ object Extensions {
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
-    }
+    },
+
+    // Iterative greedy set-cover (operators/SetCover.scala): must land
+    // on exactly the picks x243's 3-round unrolled SQL lands on — the
+    // x148/x149 one-oracle-two-plans pattern. Per round: term-keyed
+    // anti-join + agg + 1-row argmax; the covered set never leaves the
+    // cluster.
+    "x244_setcover_native" -> ((s, dir) =>
+      graft.operators.SetCover.greedySelect(
+        graft.operators.SetCover.bigramMembership(
+          Catalog.load(s, dir, "documents")), k = 3)),
+
+    // Clamped running balance (operators/Sequential.scala): the
+    // non-associative per-key fold no window frame expresses — Spark
+    // runs groupByKey+mapGroups across users, the DuckDB oracle is
+    // forced into a recursive CTE for the same reason.
+    "x245_clamped_running_sum" -> ((s, dir) =>
+      graft.operators.Sequential.clampedRunningSum(
+        Catalog.load(s, dir, "events")))
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -448,6 +466,36 @@ object Extensions {
     "x242_bloom_skip" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
         |FROM orders WHERE o_custkey = 101 ORDER BY o_orderkey""".stripMargin,
+
+    // x244: the iterative greedy selector shares x243's unrolled oracle
+    // verbatim (one oracle, two plans).
+    "x244_setcover_native" -> Queries.oracleSql("x243_setcover3"),
+
+    // x245: the clamped fold is order-dependent, so DuckDB walks each
+    // user's sequence with a recursive CTE — per-user recursion over
+    // row_number steps, joined back to the per-user max step for the
+    // final state. Deposits/spends and the clamp rule mirror
+    // Sequential.clampedRunningSum exactly.
+    "x245_clamped_running_sum" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |         CASE WHEN event_type IN ('purchase','signup') THEN cast(round(value*100) AS BIGINT)
+        |              ELSE -cast(round(value*100) AS BIGINT) END AS delta
+        |  FROM events),
+        |n AS (SELECT user_id, max(rn) AS mx FROM e GROUP BY 1),
+        |r(user_id, rn, bal, clamps) AS (
+        |  SELECT user_id, 1 AS rn, greatest(delta, 0) AS bal,
+        |         CASE WHEN delta < 0 THEN 1 ELSE 0 END AS clamps
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn,
+        |         greatest(r.bal + e.delta, 0),
+        |         r.clamps + CASE WHEN r.bal + e.delta < 0 THEN 1 ELSE 0 END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT r.user_id AS user_id, cast(r.bal AS BIGINT) AS final_cents,
+        |       cast(r.clamps AS BIGINT) AS clamps, cast(n.mx AS BIGINT) AS n_events
+        |FROM r JOIN n ON r.user_id = n.user_id AND r.rn = n.mx
+        |ORDER BY r.user_id""".stripMargin,
 
     // x52: the DuckDB reproduction of minHashNearDupsPortable — distinct
     // 3-shingles (with the operator's short-doc partial-shingle

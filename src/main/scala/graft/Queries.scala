@@ -4446,7 +4446,130 @@ object Queries {
         |FROM part ORDER BY jw_bp DESC, p_partkey LIMIT 25""".stripMargin,
       """SELECT p_partkey,
         |       cast(round(jaro_winkler_similarity(p_name, 'goldenrod lavender spring chiffon') * 10000) AS BIGINT) AS jw_bp
-        |FROM part ORDER BY jw_bp DESC, p_partkey LIMIT 25""".stripMargin)
+        |FROM part ORDER BY jw_bp DESC, p_partkey LIMIT 25""".stripMargin),
+
+    // Greedy maximum-coverage corpus selection, 3 picks unrolled (the
+    // x148-BPE discipline: the iterative operator x244 shares this
+    // oracle verbatim). Universe = distinct word bigrams per doc (916
+    // elements at sf0.01 — rich enough that no single doc covers it);
+    // each pick maximizes NEW-bigram count, ties to the smaller doc_id.
+    // This is the data-curation primitive behind "select the k docs
+    // that teach the model the most new constructions". Per-round cost:
+    // one anti-join (term-keyed) + one agg + a 1-row argmax.
+    q("x243_setcover3",
+      """WITH t AS (SELECT doc_id, split(lower(text),' ') AS a FROM documents),
+        |w AS (SELECT DISTINCT doc_id, term FROM (
+        |        SELECT doc_id, concat(element_at(a,i), ' ', element_at(a,i+1)) AS term
+        |        FROM (SELECT doc_id, a, explode(sequence(1, size(a)-1)) AS i FROM t WHERE size(a) >= 2)
+        |        WHERE element_at(a,i) <> '' AND element_at(a,i+1) <> '')),
+        |n1 AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+        |p1 AS (SELECT doc_id, c FROM n1 ORDER BY c DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT w.term FROM w JOIN p1 ON w.doc_id = p1.doc_id),
+        |n2 AS (SELECT w.doc_id, count(*) AS c FROM w
+        |       WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.term = w.term)
+        |         AND w.doc_id NOT IN (SELECT doc_id FROM p1)
+        |       GROUP BY w.doc_id),
+        |p2 AS (SELECT doc_id, c FROM n2 ORDER BY c DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT term FROM c1 UNION SELECT w.term FROM w JOIN p2 ON w.doc_id = p2.doc_id),
+        |n3 AS (SELECT w.doc_id, count(*) AS c FROM w
+        |       WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.term = w.term)
+        |         AND w.doc_id NOT IN (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2)
+        |       GROUP BY w.doc_id),
+        |p3 AS (SELECT doc_id, c FROM n3 ORDER BY c DESC, doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT cast(1 AS BIGINT) AS pick, doc_id, cast(c AS BIGINT) AS new_terms FROM p1
+        |  UNION ALL SELECT cast(2 AS BIGINT), doc_id, cast(c AS BIGINT) FROM p2
+        |  UNION ALL SELECT cast(3 AS BIGINT), doc_id, cast(c AS BIGINT) FROM p3)
+        |ORDER BY pick""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS a FROM documents),
+        |w AS (SELECT DISTINCT doc_id, term FROM (
+        |        SELECT doc_id, a[i] || ' ' || a[i+1] AS term
+        |        FROM (SELECT doc_id, a, unnest(generate_series(1, len(a)-1)) AS i FROM t WHERE len(a) >= 2)
+        |        WHERE a[i] <> '' AND a[i+1] <> '')),
+        |n1 AS (SELECT doc_id, count(*) AS c FROM w GROUP BY 1),
+        |p1 AS (SELECT doc_id, c FROM n1 ORDER BY c DESC, doc_id LIMIT 1),
+        |c1 AS (SELECT DISTINCT w.term FROM w JOIN p1 ON w.doc_id = p1.doc_id),
+        |n2 AS (SELECT w.doc_id, count(*) AS c FROM w
+        |       WHERE NOT EXISTS (SELECT 1 FROM c1 WHERE c1.term = w.term)
+        |         AND w.doc_id NOT IN (SELECT doc_id FROM p1)
+        |       GROUP BY w.doc_id),
+        |p2 AS (SELECT doc_id, c FROM n2 ORDER BY c DESC, doc_id LIMIT 1),
+        |c2 AS (SELECT term FROM c1 UNION SELECT w.term FROM w JOIN p2 ON w.doc_id = p2.doc_id),
+        |n3 AS (SELECT w.doc_id, count(*) AS c FROM w
+        |       WHERE NOT EXISTS (SELECT 1 FROM c2 WHERE c2.term = w.term)
+        |         AND w.doc_id NOT IN (SELECT doc_id FROM p1 UNION ALL SELECT doc_id FROM p2)
+        |       GROUP BY w.doc_id),
+        |p3 AS (SELECT doc_id, c FROM n3 ORDER BY c DESC, doc_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT cast(1 AS BIGINT) AS pick, doc_id, cast(c AS BIGINT) AS new_terms FROM p1
+        |  UNION ALL SELECT cast(2 AS BIGINT), doc_id, cast(c AS BIGINT) FROM p2
+        |  UNION ALL SELECT cast(3 AS BIGINT), doc_id, cast(c AS BIGINT) FROM p3)
+        |ORDER BY pick""".stripMargin),
+
+    // Robust (MAD-based) outlier census per event type: median absolute
+    // deviation with the 1.4826 normal-consistency constant — the
+    // anomaly rule that survives the heavy tails x216's z-score rule is
+    // blind to. Interpolated medians follow the x63 precedent (Spark
+    // percentile ≡ DuckDB quantile_cont). Two median passes + one
+    // conditional count, all keyed on event_type.
+    q("x246_mad_outliers",
+      """WITH m AS (SELECT event_type, percentile(value, 0.5) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
+        |      FROM events e JOIN m ON e.event_type = m.event_type),
+        |s AS (SELECT event_type, percentile(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, round(min(m.med), 4) AS median_v, round(min(s.mad), 4) AS mad_v,
+        |       cast(sum(CASE WHEN d.ad > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM d JOIN s ON d.event_type = s.event_type JOIN m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
+        |      FROM events e JOIN m ON e.event_type = m.event_type),
+        |s AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type, round(min(m.med), 4) AS median_v, round(min(s.mad), 4) AS mad_v,
+        |       cast(sum(CASE WHEN d.ad > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM d JOIN s ON d.event_type = s.event_type JOIN m ON d.event_type = m.event_type
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+
+    // Rolling 7-day distinct active users per day (WAU): the sliding
+    // COUNT DISTINCT a plain window frame cannot express (DISTINCT
+    // isn't frame-decomposable) — the classic rewrite joins the tiny
+    // day dimension (broadcast) against per-day distinct user rows and
+    // re-aggregates. Scale: |days| × |daily actives| intermediate,
+    // shuffled on day — never a per-user state explosion.
+    q("x247_sliding_distinct",
+      """WITH days AS (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |ue AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
+        |SELECT days.d AS day, cast(count(DISTINCT ue.user_id) AS BIGINT) AS wau_7d
+        |FROM days JOIN ue ON ue.d BETWEEN date_sub(days.d, 6) AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH days AS (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS d FROM events),
+        |ue AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
+        |SELECT days.d AS day, cast(count(DISTINCT ue.user_id) AS BIGINT) AS wau_7d
+        |FROM days JOIN ue ON ue.d BETWEEN days.d - 6 AND days.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Hapax-legomena lexical richness per source — the vocabulary-
+    // freshness signal (complement of x227's Zipf slope): share of a
+    // source's vocabulary occurring exactly once, in basis points.
+    q("x248_hapax_richness",
+      """WITH w AS (SELECT source, t AS term FROM (
+        |        SELECT source, explode(split(lower(text), ' ')) AS t FROM documents)
+        |      WHERE t <> ''),
+        |tc AS (SELECT source, term, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT source, cast(count(*) AS BIGINT) AS vocab,
+        |       cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       cast((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) div count(*) AS BIGINT) AS hapax_bp
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin,
+      """WITH w AS (SELECT source, t AS term FROM (
+        |        SELECT source, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |      WHERE t <> ''),
+        |tc AS (SELECT source, term, count(*) AS c FROM w GROUP BY 1, 2)
+        |SELECT source, cast(count(*) AS BIGINT) AS vocab,
+        |       cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |       cast((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS hapax_bp
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

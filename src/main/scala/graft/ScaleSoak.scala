@@ -186,7 +186,8 @@ object ScaleSoak {
       def runN(dir: String, name: String): (Double, Long) =
         med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
       Seq("x230_grid_radius_join", "x231_inverted_index", "x232_bigram_lm",
-          "x241_jaro_winkler", "x242_bloom_skip").foreach { n =>
+          "x241_jaro_winkler", "x242_bloom_skip", "x243_setcover3",
+          "x244_setcover_native", "x245_clamped_running_sum").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +

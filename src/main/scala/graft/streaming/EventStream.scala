@@ -89,6 +89,33 @@ object EventStream {
       .agg(count(lit(1)).as("c"), sum(col("value")).as("s"))
       .select(col("window.start").as("w_start"), col("c"), col("s"))
 
+  /** First half of windowed trending top-k: final counts per (6h
+    * window, event_type), emitted in APPEND mode once the watermark
+    * closes the window — each (window, type) row arrives exactly once
+    * with its final count. Rank is not an incremental aggregate, so the
+    * ranking half ([[rankTopK]]) runs over the closed-window rows at
+    * sink time (foreachBatch / the drained table) — the documented
+    * streaming-top-k shape: state stays a bounded windowed agg, ranking
+    * touches only dimension-sized final counts. */
+  def trendingCounts6h(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("c"))
+
+  /** Ranking half of trending top-k — apply to closed-window count rows
+    * (append-mode output, where every window is complete on arrival):
+    * per-window rank by count desc, type tie-break, keep the top k. */
+  def rankTopK(closedCounts: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    closedCounts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("w_start").orderBy(col("c").desc, col("event_type"))))
+      .where(col("rk") <= k)
+      .select(col("w_start"), col("rk"), col("event_type"), col("c"))
+  }
+
   /** Sliding 6h/3h window counts. */
   def sliding6h3h(events: DataFrame): DataFrame =
     events

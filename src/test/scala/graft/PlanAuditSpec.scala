@@ -230,6 +230,42 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch profiler must scan once:\n$pApprox")
   }
 
+  test("x230: radius join is cell-keyed, never a point-level nested loop") {
+    val p = physical("x230_grid_radius_join")
+    assert(!p.contains("CartesianProduct"), s"point-level cartesian:\n$p")
+    // the candidate join must be an equi-join on the (cx, cy) cell keys —
+    // the 3x3 neighborhood explode sides are 3-row LocalRelations and may
+    // broadcast however Catalyst likes; the POINT join may not
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+        || p.contains("BroadcastHashJoin"),
+      s"no equi-join on cell keys:\n$p")
+  }
+
+  test("x241: native expression + top-k short-circuit, no UDF") {
+    val p = physical("x241_jaro_winkler")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+    assert(p.contains("jaro_winkler"), s"native expression missing:\n$p")
+    assert(!p.contains("UDF("), s"UDF crept into the scoring path:\n$p")
+  }
+
+  test("x247: sliding-distinct range join broadcasts the day dimension") {
+    val p = physical("x247_sliding_distinct")
+    // non-equi date-range join: correct shape is a broadcast nested loop
+    // with the TINY calendar side broadcast — never a shuffled cartesian
+    assert(p.contains("BroadcastNestedLoopJoin"), s"day dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+  }
+
+  test("x245: clamped fold shuffles once into MapGroups") {
+    val p = physical("x245_clamped_running_sum")
+    assert(p.contains("MapGroups"), s"expected the mapGroups fold:\n$p")
+    // groupByKey shuffles on its EXTRACTED key (value#N, the user_id
+    // lambda output); the final orderBy adds one rangepartitioning
+    // exchange — exactly one hash shuffle total feeds the fold
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one key shuffle:\n$p")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself

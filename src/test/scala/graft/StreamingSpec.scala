@@ -22,6 +22,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("trending top-3 stream == batch windowed rank") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark,
+      EventStream.trendingCounts6h(stream), "trend", complete = true)
+    val got = EventStream.rankTopK(spark.table("trend"), 3)
+      .select((unix_millis(col("w_start")) / 21600000L).cast("long").as("w"),
+        col("rk"), col("event_type"), col("c"))
+      .orderBy("w", "rk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    // batch recomputation of the same contract: tumbling 6h x type
+    // counts, per-window top-3 by (count desc, type)
+    val want = Catalog.load(spark, sf0001, "events")
+      .groupBy((unix_millis(col("ts")) / 21600000L).cast("long").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")
+          .orderBy(col("c").desc, col("event_type"))))
+      .where(col("rk") <= 3)
+      .orderBy("w", "rk")
+      .select("w", "rk", "event_type", "c")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
   test("session windows stream == batch q31 sessionization") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark, EventStream.sessions30m(stream),
