@@ -4569,7 +4569,114 @@ object Queries {
         |SELECT source, cast(count(*) AS BIGINT) AS vocab,
         |       cast(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
         |       cast((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS hapax_bp
-        |FROM tc GROUP BY source ORDER BY source""".stripMargin)
+        |FROM tc GROUP BY source ORDER BY source""".stripMargin),
+
+    // Benford first-digit audit of order totals — the classic fabricated-
+    // data screen: observed first-digit shares (integer bp) against the
+    // log10(1+1/d) expectation (the synthetic corpus's uniform prices
+    // fail Benford loudly, which is exactly what the audit should say).
+    // floor() before the string cast because DuckDB's double->int cast
+    // rounds while Spark's truncates.
+    q("x249_benford",
+      """WITH f AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS d
+        |           FROM orders WHERE o_totalprice >= 1),
+        |t AS (SELECT count(*) AS n FROM f)
+        |SELECT d, cast(count(*) AS BIGINT) AS obs,
+        |       cast((count(*) * 10000) div max(t.n) AS BIGINT) AS obs_bp,
+        |       cast(round(ln(1.0 + 1.0/d) / ln(10.0) * 10000) AS BIGINT) AS benford_bp
+        |FROM f CROSS JOIN t GROUP BY d ORDER BY d""".stripMargin,
+      """WITH f AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
+        |           FROM orders WHERE o_totalprice >= 1),
+        |t AS (SELECT count(*) AS n FROM f)
+        |SELECT d, cast(count(*) AS BIGINT) AS obs,
+        |       cast((count(*) * 10000) // max(t.n) AS BIGINT) AS obs_bp,
+        |       cast(round(ln(1.0 + 1.0/d) / ln(10.0) * 10000) AS BIGINT) AS benford_bp
+        |FROM f CROSS JOIN t GROUP BY d ORDER BY d""".stripMargin),
+
+    // Character-level Shannon entropy per doc — the gibberish/encoding-
+    // noise screen of the quality tier (x50/x135's family at the char
+    // level): low entropy = repeated-char junk, high = random bytes.
+    // Per-doc char censuses are exact; the ln-sum rounds at 4dp (x237's
+    // passing hazard class).
+    q("x250_char_entropy",
+      """WITH ch AS (SELECT doc_id, explode(split(lower(text), '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
+        |e AS (SELECT cc.doc_id, round(-sum((n*1.0/t) * ln(n*1.0/t)), 4) AS ent,
+        |             cast(count(*) AS BIGINT) AS alphabet
+        |      FROM cc JOIN tot ON cc.doc_id = tot.doc_id GROUP BY cc.doc_id)
+        |SELECT doc_id, ent, alphabet FROM e ORDER BY ent ASC, doc_id LIMIT 25""".stripMargin,
+      """WITH ch AS (SELECT doc_id, unnest(string_split_regex(lower(text), '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(n) AS t FROM cc GROUP BY 1),
+        |e AS (SELECT cc.doc_id, round(-sum((n*1.0/t) * ln(n*1.0/t)), 4) AS ent,
+        |             cast(count(*) AS BIGINT) AS alphabet
+        |      FROM cc JOIN tot ON cc.doc_id = tot.doc_id GROUP BY cc.doc_id)
+        |SELECT doc_id, ent, alphabet FROM e ORDER BY ent ASC, doc_id LIMIT 25""".stripMargin),
+
+    // Naive-forecast WAPE per event type (forecast-eval complement of
+    // x213's autocorrelation): the lag-1 persistence forecast scored by
+    // weighted absolute percentage error — all in integer cents, so the
+    // cross-engine gate is exact (WAPE ~100% on white-noise values,
+    // which is the correct verdict on this corpus).
+    q("x251_naive_forecast_wape",
+      """WITH s AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS cents,
+        |              lag(cast(round(value*100) AS BIGINT)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |e AS (SELECT event_type, abs(cents - prev) AS ae, cents FROM s WHERE prev IS NOT NULL)
+        |SELECT event_type,
+        |       cast((sum(ae) * 10000) div sum(cents) AS BIGINT) AS wape_bp,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH s AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS cents,
+        |              lag(cast(round(value*100) AS BIGINT)) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+        |           FROM events),
+        |e AS (SELECT event_type, abs(cents - prev) AS ae, cents FROM s WHERE prev IS NOT NULL)
+        |SELECT event_type,
+        |       cast((sum(ae) * 10000) // sum(cents) AS BIGINT) AS wape_bp,
+        |       cast(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Pareto/ABC classification of parts by revenue: A = parts inside
+    // the top 80% of cumulative revenue, B to 95%, C the tail — the
+    // inventory-management rollup over x238's Lorenz machinery. Revenue
+    // quantized to integer cents BEFORE the cumulative sum, so class
+    // boundaries are exact integer comparisons (cum*100 <= tot*80),
+    // never a float knife edge. Global cumulative window at contract
+    // scale; the x100/x102 two-pass tier is the at-scale form.
+    q("x252_pareto_abc",
+      """WITH r AS (SELECT l_partkey, sum(cast(round(l_extendedprice*100) AS BIGINT)) AS cents
+        |           FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, cents,
+        |             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+        |             sum(cents) OVER () AS tot
+        |      FROM r),
+        |cls AS (SELECT l_partkey, cents,
+        |               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |                    WHEN cum * 100 <= tot * 95 THEN 'B'
+        |                    ELSE 'C' END AS abc
+        |        FROM w)
+        |SELECT abc, cast(count(*) AS BIGINT) AS parts,
+        |       cast(sum(cents) AS BIGINT) AS cents,
+        |       cast((sum(cents) * 10000) div max(t.tot) AS BIGINT) AS share_bp
+        |FROM cls CROSS JOIN (SELECT max(tot) AS tot FROM w) t
+        |GROUP BY abc ORDER BY abc""".stripMargin,
+      """WITH r AS (SELECT l_partkey, sum(cast(round(l_extendedprice*100) AS BIGINT)) AS cents
+        |           FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, cents,
+        |             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+        |             sum(cents) OVER () AS tot
+        |      FROM r),
+        |cls AS (SELECT l_partkey, cents,
+        |               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |                    WHEN cum * 100 <= tot * 95 THEN 'B'
+        |                    ELSE 'C' END AS abc
+        |        FROM w)
+        |SELECT abc, cast(count(*) AS BIGINT) AS parts,
+        |       cast(sum(cents) AS BIGINT) AS cents,
+        |       cast((sum(cents) * 10000) // max(t.tot) AS BIGINT) AS share_bp
+        |FROM cls CROSS JOIN (SELECT max(tot) AS tot FROM w) t
+        |GROUP BY abc ORDER BY abc""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
