@@ -416,7 +416,27 @@ object Extensions {
     // forced into a recursive CTE for the same reason.
     "x245_clamped_running_sum" -> ((s, dir) =>
       graft.operators.Sequential.clampedRunningSum(
-        Catalog.load(s, dir, "events")))
+        Catalog.load(s, dir, "events"))),
+
+    // Grouped top-k via the mergeable TopK Aggregator (Udfs.TopK):
+    // bounded k-pair state per group, map-side partial merge — the
+    // shuffle carries |groups|·k pairs where the oracle's window form
+    // shuffles every row. posexplode of the rank-ordered output
+    // reproduces the window rows exactly (shared hash gate).
+    "x253_topk_agg" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val topk = udaf(new graft.functions.Udfs.TopK(3))
+      Catalog.load(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(round(value * 100) AS BIGINT)").as("cents"),
+          col("event_id"))
+        .groupBy("event_type")
+        .agg(topk(col("cents"), col("event_id")).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
+          col("col.score").as("cents"), col("col.id").as("event_id"))
+        .orderBy("event_type", "rk")
+    }
   )
 
   /** Oracles for the extension operators that ARE deterministically
@@ -470,6 +490,15 @@ object Extensions {
     // x244: the iterative greedy selector shares x243's unrolled oracle
     // verbatim (one oracle, two plans).
     "x244_setcover_native" -> Queries.oracleSql("x243_setcover3"),
+
+    // x253: the bounded-state aggregate must reproduce the window-rank
+    // rows exactly — same integer-cent scores, same (score desc, id)
+    // tie-break.
+    "x253_topk_agg" ->
+      """SELECT event_type, cast(rk AS BIGINT) AS rk, cents, event_id FROM (
+        |  SELECT event_type, cast(round(value*100) AS BIGINT) AS cents, event_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cast(round(value*100) AS BIGINT) DESC, event_id) AS rk
+        |  FROM events) t WHERE rk <= 3 ORDER BY event_type, rk""".stripMargin,
 
     // x245: the clamped fold is order-dependent, so DuckDB walks each
     // user's sequence with a recursive CTE — per-user recursion over

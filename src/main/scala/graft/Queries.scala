@@ -4506,31 +4506,27 @@ object Queries {
         |  UNION ALL SELECT cast(3 AS BIGINT), doc_id, cast(c AS BIGINT) FROM p3)
         |ORDER BY pick""".stripMargin),
 
-    // Robust (MAD-based) outlier census per event type: median absolute
-    // deviation with the 1.4826 normal-consistency constant — the
-    // anomaly rule that survives the heavy tails x216's z-score rule is
-    // blind to. Interpolated medians follow the x63 precedent (Spark
-    // percentile ≡ DuckDB quantile_cont). Two median passes + one
-    // conditional count, all keyed on event_type.
-    q("x246_mad_outliers",
-      """WITH m AS (SELECT event_type, percentile(value, 0.5) AS med FROM events GROUP BY 1),
-        |d AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
-        |      FROM events e JOIN m ON e.event_type = m.event_type),
-        |s AS (SELECT event_type, percentile(ad, 0.5) AS mad FROM d GROUP BY 1)
-        |SELECT d.event_type, round(min(m.med), 4) AS median_v, round(min(s.mad), 4) AS mad_v,
-        |       cast(sum(CASE WHEN d.ad > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
-        |       cast(count(*) AS BIGINT) AS n
-        |FROM d JOIN s ON d.event_type = s.event_type JOIN m ON d.event_type = m.event_type
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
-      """WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1),
-        |d AS (SELECT e.event_type, e.value, abs(e.value - m.med) AS ad
-        |      FROM events e JOIN m ON e.event_type = m.event_type),
-        |s AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM d GROUP BY 1)
-        |SELECT d.event_type, round(min(m.med), 4) AS median_v, round(min(s.mad), 4) AS mad_v,
-        |       cast(sum(CASE WHEN d.ad > 3 * 1.4826 * s.mad THEN 1 ELSE 0 END) AS BIGINT) AS outliers,
-        |       cast(count(*) AS BIGINT) AS n
-        |FROM d JOIN s ON d.event_type = s.event_type JOIN m ON d.event_type = m.event_type
-        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin),
+    // Theil T inequality index of customer revenue, DECOMPOSED within/
+    // between nations — the property x209's Gini and x238's Lorenz curve
+    // lack: Theil splits additively into a within-group and a
+    // between-group component (income-share-weighted), answering "is
+    // revenue inequality driven by spread inside nations or gaps across
+    // them". Positive integer-cent revenues keep ln() in domain; the
+    // ln-sum rounds at 4dp (x237's passing hazard class).
+    q("x246_theil_decomp",
+      """WITH r AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+        |              sum(cast(round(o_totalprice*100) AS BIGINT)) AS cents
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
+        |m AS (SELECT nk, avg(cents*1.0) AS mug, count(*) AS ng FROM r GROUP BY 1),
+        |o AS (SELECT avg(cents*1.0) AS mu, count(*) AS n FROM r),
+        |tg AS (SELECT r.nk, avg((r.cents/m.mug) * ln(r.cents/m.mug)) AS theil_g
+        |       FROM r JOIN m ON r.nk = m.nk GROUP BY r.nk)
+        |SELECT m.nk, cast(m.ng AS BIGINT) AS n_cust,
+        |       round(m.mug / o.mu, 4) AS mean_ratio,
+        |       round(tg.theil_g, 4) AS theil_within,
+        |       round((m.ng * m.mug) / (o.n * o.mu) * tg.theil_g, 4) AS within_contrib,
+        |       round((m.ng * m.mug) / (o.n * o.mu) * ln(m.mug / o.mu), 4) AS between_contrib
+        |FROM m JOIN tg ON m.nk = tg.nk CROSS JOIN o ORDER BY m.nk""".stripMargin),
 
     // Rolling 7-day distinct active users per day (WAU): the sliding
     // COUNT DISTINCT a plain window frame cannot express (DISTINCT
@@ -4571,27 +4567,35 @@ object Queries {
         |       cast((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS hapax_bp
         |FROM tc GROUP BY source ORDER BY source""".stripMargin),
 
-    // Benford first-digit audit of order totals — the classic fabricated-
-    // data screen: observed first-digit shares (integer bp) against the
-    // log10(1+1/d) expectation (the synthetic corpus's uniform prices
-    // fail Benford loudly, which is exactly what the audit should say).
-    // floor() before the string cast because DuckDB's double->int cast
-    // rounds while Spark's truncates.
-    q("x249_benford",
-      """WITH f AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT) AS d
-        |           FROM orders WHERE o_totalprice >= 1),
-        |t AS (SELECT count(*) AS n FROM f)
-        |SELECT d, cast(count(*) AS BIGINT) AS obs,
-        |       cast((count(*) * 10000) div max(t.n) AS BIGINT) AS obs_bp,
-        |       cast(round(ln(1.0 + 1.0/d) / ln(10.0) * 10000) AS BIGINT) AS benford_bp
-        |FROM f CROSS JOIN t GROUP BY d ORDER BY d""".stripMargin,
-      """WITH f AS (SELECT cast(substr(cast(cast(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS d
-        |           FROM orders WHERE o_totalprice >= 1),
-        |t AS (SELECT count(*) AS n FROM f)
-        |SELECT d, cast(count(*) AS BIGINT) AS obs,
-        |       cast((count(*) * 10000) // max(t.n) AS BIGINT) AS obs_bp,
-        |       cast(round(ln(1.0 + 1.0/d) / ln(10.0) * 10000) AS BIGINT) AS benford_bp
-        |FROM f CROSS JOIN t GROUP BY d ORDER BY d""".stripMargin),
+    // Monthly revenue growth decomposed into volume and price effects
+    // (Laspeyres-style): Δrev = Δqty·unit_prev + residual, with the
+    // unit price in integer MICRO-cents so the only division happens on
+    // a positive operand (Spark div truncates toward zero while DuckDB
+    // // floors — negative deltas stay in pure multiplication, which is
+    // sign-safe) and the two effects sum to Δrev·1e6 exactly.
+    q("x249_price_volume_decomp",
+      """WITH m AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                  sum(cast(round(l_extendedprice*100) AS BIGINT)) AS rev,
+        |                  sum(cast(round(l_quantity) AS BIGINT)) AS qty
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        |w AS (SELECT month, rev, qty,
+        |             lag(rev) OVER (ORDER BY month) AS prev, lag(qty) OVER (ORDER BY month) AS pqty
+        |      FROM m)
+        |SELECT month, cast(rev AS BIGINT) AS rev, cast(qty AS BIGINT) AS qty,
+        |       cast((qty - pqty) * ((prev * 1000000) div pqty) AS BIGINT) AS volume_eff_ucents,
+        |       cast((rev - prev) * 1000000 - (qty - pqty) * ((prev * 1000000) div pqty) AS BIGINT) AS price_eff_ucents
+        |FROM w WHERE prev IS NOT NULL ORDER BY month""".stripMargin,
+      """WITH m AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                  sum(cast(round(l_extendedprice*100) AS BIGINT)) AS rev,
+        |                  sum(cast(round(l_quantity) AS BIGINT)) AS qty
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1),
+        |w AS (SELECT month, rev, qty,
+        |             lag(rev) OVER (ORDER BY month) AS prev, lag(qty) OVER (ORDER BY month) AS pqty
+        |      FROM m)
+        |SELECT month, cast(rev AS BIGINT) AS rev, cast(qty AS BIGINT) AS qty,
+        |       cast((qty - pqty) * ((prev * 1000000) // pqty) AS BIGINT) AS volume_eff_ucents,
+        |       cast((rev - prev) * 1000000 - (qty - pqty) * ((prev * 1000000) // pqty) AS BIGINT) AS price_eff_ucents
+        |FROM w WHERE prev IS NOT NULL ORDER BY month""".stripMargin),
 
     // Character-level Shannon entropy per doc — the gibberish/encoding-
     // noise screen of the quality tier (x50/x135's family at the char

@@ -187,12 +187,82 @@ object ScaleSoak {
         med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
       Seq("x230_grid_radius_join", "x231_inverted_index", "x232_bigram_lm",
           "x241_jaro_winkler", "x242_bloom_skip", "x243_setcover3",
-          "x244_setcover_native", "x245_clamped_running_sum").foreach { n =>
+          "x244_setcover_native", "x245_clamped_running_sum",
+          "x253_topk_agg").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
           f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
       }
+      // x253's scale claim head-to-head on a MANY-group key (top-3 per
+      // user: 15k groups at 10x): the window plan shuffles + sorts every
+      // row; the mergeable aggregate's shuffle carries k pairs per
+      // group. (The declared x253 entry groups by event_type — 5 groups
+      // — where the codegen'd window sort wins on CPU; the aggregate's
+      // case is group cardinality, which this measures.)
+      val winSql =
+        """SELECT user_id, rk, cents, event_id FROM (
+          |  SELECT user_id, cast(round(value*100) AS BIGINT) AS cents, event_id,
+          |         row_number() OVER (PARTITION BY user_id ORDER BY cast(round(value*100) AS BIGINT) DESC, event_id) AS rk
+          |  FROM events) t WHERE rk <= 3""".stripMargin
+      // wall time AND shuffle bytes: local[32] has no network, so the
+      // aggregate's shuffle saving cannot show in wall time here — the
+      // bytes are the cluster-relevant number.
+      val shuffled = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) shuffled.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def withShuffleBytes(f: => Long): (Double, Long) = {
+        Thread.sleep(500); shuffled.set(0)
+        val t0 = System.nanoTime(); f
+        val t = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000) // let async listener events drain
+        (t, shuffled.get())
+      }
+      val (tw, bw) = withShuffleBytes {
+        Catalog.sql(spark, out, winSql).collect().length.toLong
+      }
+      val topk3 = org.apache.spark.sql.functions.udaf(new graft.functions.Udfs.TopK(3))
+      val (ta, ba) = withShuffleBytes {
+        Catalog.load(spark, out, "events")
+          .select(col("user_id"),
+            expr("cast(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
+          .groupBy("user_id").agg(topk3(col("cents"), col("event_id")).as("tk"))
+          .select(col("user_id"), explode(col("tk")))
+          .collect().length.toLong
+      }
+      println(f"[soak] x253 window-vs-agg, top-3/user at 10x: " +
+        f"window ${tw * 1000}%8.1f ms / ${bw / 1024}%d KiB shuffled   " +
+        f"agg ${ta * 1000}%8.1f ms / ${ba / 1024}%d KiB shuffled")
+      // dense-group case: top-3 per (event_type, day) — ~150 groups,
+      // thousands of rows per group per map partition, where map-side
+      // combine actually combines.
+      val winSql2 =
+        """SELECT g, rk, cents, event_id FROM (
+          |  SELECT concat(event_type, cast(cast(ts AS DATE) AS STRING)) AS g,
+          |         cast(round(value*100) AS BIGINT) AS cents, event_id,
+          |         row_number() OVER (PARTITION BY event_type, cast(ts AS DATE)
+          |                            ORDER BY cast(round(value*100) AS BIGINT) DESC, event_id) AS rk
+          |  FROM events) t WHERE rk <= 3""".stripMargin
+      val (tw2, bw2) = withShuffleBytes {
+        Catalog.sql(spark, out, winSql2).collect().length.toLong
+      }
+      val (ta2, ba2) = withShuffleBytes {
+        Catalog.load(spark, out, "events")
+          .select(concat(col("event_type"), col("ts").cast("date").cast("string")).as("g"),
+            expr("cast(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
+          .groupBy("g").agg(topk3(col("cents"), col("event_id")).as("tk"))
+          .select(col("g"), explode(col("tk")))
+          .collect().length.toLong
+      }
+      spark.sparkContext.removeSparkListener(listener)
+      println(f"[soak] x253 window-vs-agg, top-3/type-day at 10x: " +
+        f"window ${tw2 * 1000}%8.1f ms / ${bw2 / 1024}%d KiB shuffled   " +
+        f"agg ${ta2 * 1000}%8.1f ms / ${ba2 / 1024}%d KiB shuffled")
       spark.stop(); return
     }
 

@@ -92,6 +92,72 @@ object Udfs {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
+  /** Grouped top-k as a MERGEABLE aggregate: per-group state is a
+    * bounded buffer of at most `4k` (score, id) pairs (compacted to the
+    * top k by (score desc, id asc) on overflow), partials combine
+    * map-side, and the shuffle carries k pairs per group.
+    *
+    * Measured honestly (SCALE.md §22): Spark 4's own WindowGroupLimit
+    * already prunes a rank-FILTERED window map-side (a partial
+    * group-limit before the exchange — 1M rows → 7 200 shuffled records
+    * in the dense-group probe), so for a standalone "top k per key" the
+    * built-in window with a visible `rk <= k` filter is the recommended
+    * plan and this aggregate does not beat it. What the aggregate
+    * uniquely provides is COMPOSABILITY: top-k alongside other
+    * aggregates (count, sum, sketches) in ONE aggregation pass — a
+    * window cannot share a pass with an agg — and a mergeable state
+    * usable in rollup trees (per-shard top-k union-merged upward, the
+    * same pattern as [[MinHashSketch]]).
+    *
+    * Output is the final top-k as (score, id) pairs in rank order —
+    * posexplode gives back (rank-1, pair), reproducing exactly the
+    * window form's rows, which is the x253 oracle. */
+  class TopK(k: Int) extends Aggregator[TopK.In, Array[Long], Seq[TopK.In]] {
+    import TopK.In
+    require(k >= 1)
+    private val cap = 4 * k
+    // buffer layout: [n, s0, id0, s1, id1, ...] at FIXED capacity —
+    // reduce mutates in place (the buffer object lives across a
+    // partition's rows; serialization happens only at the shuffle), so
+    // the hot path allocates nothing. Overflow compacts to the top k
+    // in place: amortized O(1) appends, O(cap log cap) every ~3k rows.
+    private def compact(buf: Array[Long], keep: Int): Unit = {
+      val n = buf(0).toInt
+      val pairs = Array.tabulate(n)(i => (buf(1 + 2 * i), buf(2 + 2 * i)))
+      val top = pairs.sortBy { case (s, id) => (-s, id) }.take(keep)
+      var i = 0
+      while (i < top.length) {
+        buf(1 + 2 * i) = top(i)._1; buf(2 + 2 * i) = top(i)._2; i += 1
+      }
+      buf(0) = top.length.toLong
+    }
+    private def append(buf: Array[Long], s: Long, id: Long): Unit = {
+      if (buf(0).toInt == cap) compact(buf, k)
+      val n = buf(0).toInt
+      buf(1 + 2 * n) = s; buf(2 + 2 * n) = id; buf(0) = n + 1L
+    }
+    def zero: Array[Long] = new Array[Long](1 + 2 * cap)
+    def reduce(buf: Array[Long], in: In): Array[Long] = {
+      append(buf, in.score, in.id); buf
+    }
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      val m = y(0).toInt
+      var i = 0
+      while (i < m) { append(x, y(1 + 2 * i), y(2 + 2 * i)); i += 1 }
+      x
+    }
+    def finish(b: Array[Long]): Seq[In] = {
+      compact(b, k)
+      val n = b(0).toInt
+      (0 until n).map(i => In(b(1 + 2 * i), b(2 + 2 * i)))
+    }
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[In]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[In]]()
+  }
+  object TopK { case class In(score: Long, id: Long) }
+
   /** Register the scalar-UDF examples on a session (idempotent). */
   def register(spark: SparkSession): Unit = {
     import org.apache.spark.sql.functions.udf

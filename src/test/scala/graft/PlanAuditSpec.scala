@@ -266,6 +266,14 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one key shuffle:\n$p")
   }
 
+  test("x253: top-k aggregate merges map-side (partial ObjectHashAggregate)") {
+    val p = physical("x253_topk_agg")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final top-k agg:\n$p")
+    // the whole point: the pre-shuffle side must NOT be a window sort
+    assert(!p.contains("Window"), s"window crept back in:\n$p")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself

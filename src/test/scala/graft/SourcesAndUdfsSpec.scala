@@ -19,6 +19,43 @@ class SourcesAndUdfsSpec extends SparkSpec {
     assert(sig(tok.repartition(32)) == sig(tok.coalesce(1)))
   }
 
+  test("TopK aggregator: partitioning-invariant and equal to the window rank") {
+    val ev = Catalog.load(spark, sf0001, "events")
+      .select(col("event_type"),
+        expr("cast(round(value * 100) AS BIGINT)").as("cents"), col("event_id"))
+    val topk = udaf(new Udfs.TopK(3))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("event_type").agg(topk(col("cents"), col("event_id")).as("tk"))
+        .select(col("event_type"), posexplode(col("tk")))
+        .select(col("event_type"), col("pos"), col("col.score"), col("col.id"))
+        .orderBy("event_type", "pos")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val parts = run(ev.repartition(32))
+    // merge() is a monoid: partitioning must not change the answer
+    assert(parts == run(ev.coalesce(1)))
+    // and the answer IS the window-rank top-3 (the x253 oracle's shape)
+    val want = ev.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("cents").desc, col("event_id"))))
+      .where(col("rk") <= 3)
+      .select(col("event_type"), (col("rk") - 1).cast("int").as("pos"),
+        col("cents"), col("event_id"))
+      .orderBy("event_type", "pos")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(parts == want)
+  }
+
+  test("TopK buffer never exceeds its bound (groups larger than 4k)") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => ("g", i % 97, i)).toDF("g", "score", "id")
+    val topk = udaf(new Udfs.TopK(2))
+    val out = big.groupBy("g").agg(topk(col("score"), col("id")).as("tk"))
+      .select(posexplode(col("tk")))
+      .collect().map(r => (r.getInt(0), r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toSeq
+    // top score is 96, smallest id with that score is 96; then 193
+    assert(out == Seq((0, 96L, 96L), (1, 96L, 193L)), s"got $out")
+  }
+
   test("CSV and JSONL round-trip events losslessly") {
     import graft.sources.Delimited
     val events = Catalog.load(spark, sf0001, "events")
