@@ -4378,10 +4378,13 @@ object Queries {
         |       cast(count(*) AS BIGINT) AS n_segments
         |FROM c JOIN t ON c.nk = t.nk GROUP BY c.nk, t.tot ORDER BY c.nk""".stripMargin),
 
-    // Lorenz curve by balance decile (the curve under x209's Gini):
-    // global ntile(10) with unique tie-break, cumulative share of total.
-    // Contract-scale single-partition window; the at-scale form is the
-    // x100 two-pass global-window tier.
+    // Lorenz curve by balance decile (the curve under x209's Gini;
+    // distinct from x189's per-decile revenue shares and x153's
+    // per-customer Pareto bands — this is the CUMULATIVE curve over the
+    // balance measure): global ntile(10) with unique tie-break,
+    // cumulative share of total. Contract-scale single-partition
+    // window; the at-scale form is the x100 two-pass global-window
+    // tier.
     q("x238_lorenz",
       """WITH d AS (SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile, c_acctbal FROM customer),
         |g AS (SELECT decile, sum(c_acctbal) AS bal, count(*) AS n FROM d GROUP BY 1)
@@ -4405,32 +4408,36 @@ object Queries {
         |       round(avg(c_acctbal), 4) AS avg_bal
         |FROM r GROUP BY nk, seg ORDER BY nk, seg""".stripMargin),
 
-    // Last-touch attribution: each purchase credited to the user's most
-    // recent non-purchase event within 7 days — forward-fill of the last
-    // touch via last_value IGNORE NULLS over a 1-PRECEDING frame (the
-    // x146 idiom), then a channel rollup. Dialect delta: IGNORE NULLS
-    // placement (after the call vs inside the args).
-    q("x240_attribution",
-      """WITH e AS (SELECT user_id, ts, event_id, event_type,
-        |      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END) IGNORE NULLS
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
-        |      last_value(CASE WHEN event_type <> 'purchase' THEN ts END) IGNORE NULLS
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
-        |   FROM events)
-        |SELECT channel, cast(count(*) AS BIGINT) AS conversions
-        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
-        |  AND touch_ts >= ts - INTERVAL 7 DAY
-        |GROUP BY 1 ORDER BY conversions DESC, channel""".stripMargin,
-      """WITH e AS (SELECT user_id, ts, event_id, event_type,
-        |      last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel,
-        |      last_value(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
-        |        OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts
-        |   FROM events)
-        |SELECT channel, cast(count(*) AS BIGINT) AS conversions
-        |FROM e WHERE event_type = 'purchase' AND channel IS NOT NULL
-        |  AND touch_ts >= ts - INTERVAL 7 DAY
-        |GROUP BY 1 ORDER BY conversions DESC, channel""".stripMargin),
+    // Label propagation communities over the nation trade graph, 3
+    // synchronous rounds unrolled (x136-PageRank discipline): each node
+    // adopts the most frequent neighbor label, smallest label breaking
+    // ties — communities, which ConnectedComponents (x111's pure
+    // connectivity) cannot see on a connected graph. The edge filter is
+    // RELATIVE (weight >= 1.25x the mean pair weight), so the graph
+    // sparsifies identically at every SF; at sf0.01 it yields 2
+    // communities over 25 nations. Per round: one label-keyed join +
+    // count + per-node argmax — each iteration is |E| shuffled rows,
+    // the distributed-LPA shape.
+    q("x240_label_prop3",
+      """WITH p AS (
+        |  SELECT c.c_nationkey AS a, s.s_nationkey AS b, count(*) AS w
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT avg(w) AS aw FROM p),
+        |e0 AS (SELECT a, b FROM p CROSS JOIN t WHERE w >= 1.25 * aw),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |n AS (SELECT DISTINCT a AS node FROM e),
+        |l0 AS (SELECT node, node AS lbl FROM n),
+        |s1 AS (SELECT e.a AS node, l0.lbl, count(*) AS cnt FROM e JOIN l0 ON l0.node = e.b GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk FROM s1) q WHERE rk = 1),
+        |s2 AS (SELECT e.a AS node, l1.lbl, count(*) AS cnt FROM e JOIN l1 ON l1.node = e.b GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk FROM s2) q WHERE rk = 1),
+        |s3 AS (SELECT e.a AS node, l2.lbl, count(*) AS cnt FROM e JOIN l2 ON l2.node = e.b GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk FROM s3) q WHERE rk = 1)
+        |SELECT cast(node AS BIGINT) AS node, cast(lbl AS BIGINT) AS community FROM l3 ORDER BY node""".stripMargin),
 
     // Jaro-Winkler fuzzy ranking vs an anchor — the record-linkage score
     // (Winkler 1990) as a native codegen'd Expression
@@ -4528,23 +4535,29 @@ object Queries {
         |       round((m.ng * m.mug) / (o.n * o.mu) * ln(m.mug / o.mu), 4) AS between_contrib
         |FROM m JOIN tg ON m.nk = tg.nk CROSS JOIN o ORDER BY m.nk""".stripMargin),
 
-    // Rolling 7-day distinct active users per day (WAU): the sliding
-    // COUNT DISTINCT a plain window frame cannot express (DISTINCT
-    // isn't frame-decomposable) — the classic rewrite joins the tiny
-    // day dimension (broadcast) against per-day distinct user rows and
-    // re-aggregates. Scale: |days| × |daily actives| intermediate,
-    // shuffled on day — never a per-user state explosion.
-    q("x247_sliding_distinct",
-      """WITH days AS (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS d FROM events),
-        |ue AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
-        |SELECT days.d AS day, cast(count(DISTINCT ue.user_id) AS BIGINT) AS wau_7d
-        |FROM days JOIN ue ON ue.d BETWEEN date_sub(days.d, 6) AND days.d
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-      """WITH days AS (SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS d FROM events),
-        |ue AS (SELECT DISTINCT user_id, cast(date_trunc('day', ts) AS DATE) AS d FROM events)
-        |SELECT days.d AS day, cast(count(DISTINCT ue.user_id) AS BIGINT) AS wau_7d
-        |FROM days JOIN ue ON ue.d BETWEEN days.d - 6 AND days.d
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // Single change-point detection on the daily event-count series:
+    // the split maximizing the between-segment variance term
+    // S1²/n1 + S2²/n2 (total sum of squares is constant, so this IS
+    // the 1-split binary-segmentation objective), with a 5-day minimum
+    // segment guard against degenerate edge splits. Inputs are exact
+    // integer day counts; both engines evaluate the identical double
+    // expression, tie-broken by day. One pass of cumulative windows
+    // over a |days|-sized series — dimension-sized work after the
+    // per-day count shuffle.
+    q("x247_changepoint",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c,
+        |        sum(c) OVER (ORDER BY day) AS s1,
+        |        count(*) OVER (ORDER BY day) AS n1,
+        |        sum(c) OVER () AS st, count(*) OVER () AS nt
+        |      FROM d),
+        |sc AS (SELECT day, n1, s1, st - s1 AS s2, nt - n1 AS n2,
+        |         (s1*1.0*s1)/n1 + ((st-s1)*1.0*(st-s1))/(nt-n1) AS score
+        |       FROM w WHERE n1 >= 5 AND nt - n1 >= 5)
+        |SELECT day AS split_after, cast(n1 AS BIGINT) AS n_left, cast(n2 AS BIGINT) AS n_right,
+        |       cast(s1 AS BIGINT) AS sum_left, cast(s2 AS BIGINT) AS sum_right,
+        |       round(score, 4) AS score
+        |FROM sc ORDER BY score DESC, split_after LIMIT 1""".stripMargin),
 
     // Hapax-legomena lexical richness per source — the vocabulary-
     // freshness signal (complement of x227's Zipf slope): share of a
@@ -4599,7 +4612,9 @@ object Queries {
 
     // Character-level Shannon entropy per doc — the gibberish/encoding-
     // noise screen of the quality tier (x50/x135's family at the char
-    // level): low entropy = repeated-char junk, high = random bytes.
+    // level; x73 computes the WORD-unigram entropy, a vocabulary
+    // signal — char entropy catches what word entropy can't: repeated-
+    // char junk and random-byte noise inside plausible "words").
     // Per-doc char censuses are exact; the ln-sum rounds at 4dp (x237's
     // passing hazard class).
     q("x250_char_entropy",
@@ -4641,46 +4656,27 @@ object Queries {
         |       cast(count(*) AS BIGINT) AS n
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // Pareto/ABC classification of parts by revenue: A = parts inside
-    // the top 80% of cumulative revenue, B to 95%, C the tail — the
-    // inventory-management rollup over x238's Lorenz machinery. Revenue
-    // quantized to integer cents BEFORE the cumulative sum, so class
-    // boundaries are exact integer comparisons (cum*100 <= tot*80),
-    // never a float knife edge. Global cumulative window at contract
-    // scale; the x100/x102 two-pass tier is the at-scale form.
-    q("x252_pareto_abc",
-      """WITH r AS (SELECT l_partkey, sum(cast(round(l_extendedprice*100) AS BIGINT)) AS cents
-        |           FROM lineitem GROUP BY 1),
-        |w AS (SELECT l_partkey, cents,
-        |             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
-        |             sum(cents) OVER () AS tot
-        |      FROM r),
-        |cls AS (SELECT l_partkey, cents,
-        |               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
-        |                    WHEN cum * 100 <= tot * 95 THEN 'B'
-        |                    ELSE 'C' END AS abc
-        |        FROM w)
-        |SELECT abc, cast(count(*) AS BIGINT) AS parts,
-        |       cast(sum(cents) AS BIGINT) AS cents,
-        |       cast((sum(cents) * 10000) div max(t.tot) AS BIGINT) AS share_bp
-        |FROM cls CROSS JOIN (SELECT max(tot) AS tot FROM w) t
-        |GROUP BY abc ORDER BY abc""".stripMargin,
-      """WITH r AS (SELECT l_partkey, sum(cast(round(l_extendedprice*100) AS BIGINT)) AS cents
-        |           FROM lineitem GROUP BY 1),
-        |w AS (SELECT l_partkey, cents,
-        |             sum(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
-        |             sum(cents) OVER () AS tot
-        |      FROM r),
-        |cls AS (SELECT l_partkey, cents,
-        |               CASE WHEN cum * 100 <= tot * 80 THEN 'A'
-        |                    WHEN cum * 100 <= tot * 95 THEN 'B'
-        |                    ELSE 'C' END AS abc
-        |        FROM w)
-        |SELECT abc, cast(count(*) AS BIGINT) AS parts,
-        |       cast(sum(cents) AS BIGINT) AS cents,
-        |       cast((sum(cents) * 10000) // max(t.tot) AS BIGINT) AS share_bp
-        |FROM cls CROSS JOIN (SELECT max(tot) AS tot FROM w) t
-        |GROUP BY abc ORDER BY abc""".stripMargin)
+    // Rank (quantile) normalization of event values per type — the
+    // robust feature transform next to x193's min-max form: each value
+    // maps to its percent-rank in basis points, exact integers
+    // ((rank-1)*10000 div (n-1)), immune to outliers by construction.
+    // Spot-checked rows keep the gate small; the transform itself is a
+    // per-type window — scales across types/partitions.
+    q("x252_rank_normalize",
+      """WITH r AS (SELECT event_id, event_type, value,
+        |             rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_id, event_type,
+        |       cast(((rk - 1) * 10000) div (n - 1) AS BIGINT) AS pct_rank_bp
+        |FROM r WHERE event_id % 211 = 0 ORDER BY event_id""".stripMargin,
+      """WITH r AS (SELECT event_id, event_type, value,
+        |             rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |             count(*) OVER (PARTITION BY event_type) AS n
+        |           FROM events)
+        |SELECT event_id, event_type,
+        |       cast(((rk - 1) * 10000) // (n - 1) AS BIGINT) AS pct_rank_bp
+        |FROM r WHERE event_id % 211 = 0 ORDER BY event_id""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

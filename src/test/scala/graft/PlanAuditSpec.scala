@@ -248,12 +248,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("UDF("), s"UDF crept into the scoring path:\n$p")
   }
 
-  test("x247: sliding-distinct range join broadcasts the day dimension") {
-    val p = physical("x247_sliding_distinct")
-    // non-equi date-range join: correct shape is a broadcast nested loop
-    // with the TINY calendar side broadcast — never a shuffled cartesian
-    assert(p.contains("BroadcastNestedLoopJoin"), s"day dim not broadcast:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian range join:\n$p")
+  test("x240: each label-propagation round is a hash join on the label key") {
+    val p = physical("x240_label_prop3")
+    // three rounds of label joins + per-node argmax: equi-joins on node
+    // keys (the tiny threshold scalar may broadcast-nested-loop), never
+    // a cartesian over the edge set
+    assert(!p.contains("CartesianProduct"), s"cartesian in LPA round:\n$p")
+    assert("HashJoin".r.findAllIn(p).length >= 3, s"label joins not hash joins:\n$p")
   }
 
   test("x245: clamped fold shuffles once into MapGroups") {
