@@ -436,6 +436,49 @@ object Extensions {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rk"),
           col("col.score").as("cents"), col("col.id").as("event_id"))
         .orderBy("event_type", "rk")
+    },
+
+    // Bucket-pruned 2-d skyline (operators/Skyline.scala): the exact
+    // linear two-pass plan for the frontier x257's NOT EXISTS form
+    // computes quadratically — one oracle, two plans. Range-bucketed by
+    // price with pinned boundaries; only per-bucket maxima cross the
+    // cluster.
+    "x258_skyline_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val p = Catalog.load(s, dir, "part").select(
+        col("p_partkey"),
+        expr("cast(round(p_retailprice*100) AS BIGINT)").as("price_c"),
+        col("p_size").cast("long").as("size"))
+      graft.operators.Skyline.skyline2d(p, "price_c", "size")
+        .select("p_partkey", "price_c", "size")
+        .orderBy("price_c", "p_partkey")
+    },
+
+    // Mergeable quantile sketch (functions/QuantileSketch.scala) at
+    // FULL capacity (k ≥ every group's row count at contract and soak
+    // SFs) — the ladder never compacts, so the sketch IS the exact
+    // multiset and the rank math is pure integer: structural equality
+    // with the explicit-rank DuckDB oracle (the x54/x103 full-probe
+    // pattern). Production capacities (k=256) are error-bound-spec'd in
+    // InvariantsSpec. The shuffle carries one ladder per group, not the
+    // group's rows — the mergeable-summary shape of a fleet rollup.
+    "x261_quantile_sketch" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val sk = udaf(new graft.functions.QuantileSketch(
+        262144, Seq((25, 100), (50, 100), (75, 100), (95, 100))))
+      Catalog.load(s, dir, "lineitem")
+        .where("l_partkey % 40 = 0")
+        .select(col("l_returnflag").as("g"),
+          expr("cast(round(l_extendedprice*100) AS BIGINT)").as("cents"))
+        .groupBy("g")
+        .agg(sk(col("cents")).as("qv"), count(lit(1)).as("n"))
+        .select(col("g"),
+          element_at(col("qv"), 1).as("p25"),
+          element_at(col("qv"), 2).as("p50"),
+          element_at(col("qv"), 3).as("p75"),
+          element_at(col("qv"), 4).as("p95"),
+          col("n"))
+        .orderBy("g")
     }
   )
 
@@ -490,6 +533,28 @@ object Extensions {
     // x244: the iterative greedy selector shares x243's unrolled oracle
     // verbatim (one oracle, two plans).
     "x244_setcover_native" -> Queries.oracleSql("x243_setcover3"),
+
+    // x258: the bucket-pruned two-pass skyline must return exactly the
+    // frontier x257's NOT EXISTS form declares (one oracle, two plans).
+    "x258_skyline_native" -> Queries.oracleSql("x257_skyline"),
+
+    // x261: the full-capacity sketch must land on the explicit-rank
+    // quantiles — rank targets in pure integer math (ceil(p·n) =
+    // (p_num·n + p_den−1) // p_den), so no float boundary exists on
+    // either side. max(CASE...) collapses the rank probe rows.
+    "x261_quantile_sketch" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |                  cast(round(l_extendedprice*100) AS BIGINT) AS cents
+        |           FROM lineitem WHERE l_partkey % 40 = 0),
+        |r AS (SELECT g, cents, row_number() OVER (PARTITION BY g ORDER BY cents) AS rn,
+        |             count(*) OVER (PARTITION BY g) AS n FROM b)
+        |SELECT g,
+        |       max(CASE WHEN rn = (25*n + 99)//100 THEN cents END) AS p25,
+        |       max(CASE WHEN rn = (50*n + 99)//100 THEN cents END) AS p50,
+        |       max(CASE WHEN rn = (75*n + 99)//100 THEN cents END) AS p75,
+        |       max(CASE WHEN rn = (95*n + 99)//100 THEN cents END) AS p95,
+        |       max(n) AS n
+        |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     // x253: the bounded-state aggregate must reproduce the window-rank
     // rows exactly — same integer-cent scores, same (score desc, id)

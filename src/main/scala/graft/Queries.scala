@@ -4676,7 +4676,169 @@ object Queries {
         |           FROM events)
         |SELECT event_id, event_type,
         |       cast(((rk - 1) * 10000) // (n - 1) AS BIGINT) AS pct_rank_bp
-        |FROM r WHERE event_id % 211 = 0 ORDER BY event_id""".stripMargin)
+        |FROM r WHERE event_id % 211 = 0 ORDER BY event_id""".stripMargin),
+
+    // FIFO lot allocation via cumulative-interval overlap — the classic
+    // "match demand to supply in arrival order" query (inventory lots,
+    // order-book fills, cost-basis accounting) that needs no recursion:
+    // per part, receipt lots (l_linenumber = 1) and consumption lines
+    // (l_linenumber > 1) each get a cumulative-quantity interval
+    // [cum-qty, cum), and FIFO matching is exactly interval overlap of
+    // the two cumulative axes. All-integer quantities; the join is
+    // part-keyed (the range predicate is a within-part post-filter), so
+    // the shuffle carries l_partkey — per-part pair count is O(lots +
+    // demands) in the matched band; a mega-part would band the
+    // cumulative axis itself (same (key, bucket) trick as x230).
+    q("x254_fifo_allocation",
+      """WITH sup AS (SELECT l_partkey AS pk, cast(l_shipdate AS DATE) AS d,
+        |                    sum(cast(round(l_quantity) AS BIGINT)) AS qty
+        |             FROM lineitem WHERE l_linenumber = 1 AND l_partkey % 7 = 0
+        |             GROUP BY 1, 2),
+        |dem AS (SELECT l_partkey AS pk, cast(l_shipdate AS DATE) AS d,
+        |               sum(cast(round(l_quantity) AS BIGINT)) AS qty
+        |        FROM lineitem WHERE l_linenumber > 1 AND l_partkey % 7 = 0
+        |        GROUP BY 1, 2),
+        |s AS (SELECT pk, d, qty, sum(qty) OVER (PARTITION BY pk ORDER BY d) AS hi FROM sup),
+        |m AS (SELECT pk, d, qty, sum(qty) OVER (PARTITION BY pk ORDER BY d) AS hi FROM dem)
+        |SELECT s.pk, s.d AS supply_date, m.d AS demand_date,
+        |       cast(least(s.hi, m.hi) - greatest(s.hi - s.qty, m.hi - m.qty) AS BIGINT) AS matched_qty
+        |FROM s JOIN m ON s.pk = m.pk
+        |  AND s.hi - s.qty < m.hi AND m.hi - m.qty < s.hi
+        |ORDER BY s.pk, supply_date, demand_date""".stripMargin),
+
+    // Business-day arithmetic without a calendar table: g(d) = business
+    // days in [anchor Monday 1970-01-05, d) from pure weekday math
+    // (weeks*5 + min(remainder, 5)), so bizdays(a, b) = g(b) - g(a) is
+    // an exact integer for any span — the SLA/lead-time measure next to
+    // x88's calendar parts and x164's interval math. Expression-level
+    // per row: embarrassingly parallel at any scale. Dialect note:
+    // Spark weekday() is 0=Mon; DuckDB isodow() is 1=Mon — both sides
+    // reduce to days-since-a-known-Monday so neither function is needed.
+    q("x255_business_days",
+      """WITH j AS (SELECT o_orderkey AS okey, cast(o_orderdate AS DATE) AS od,
+        |                  cast(l_shipdate AS DATE) AS sd
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |           WHERE o_orderkey % 97 = 0),
+        |n AS (SELECT okey, od, sd,
+        |             datediff(od, DATE '1970-01-05') AS no,
+        |             datediff(sd, DATE '1970-01-05') AS ns
+        |      FROM j)
+        |SELECT okey, od, sd,
+        |       cast(((ns div 7)*5 + least(ns % 7, 5))
+        |          - ((no div 7)*5 + least(no % 7, 5)) AS BIGINT) AS bizdays
+        |FROM n ORDER BY okey, od, sd, bizdays""".stripMargin,
+      """WITH j AS (SELECT o_orderkey AS okey, cast(o_orderdate AS DATE) AS od,
+        |                  cast(l_shipdate AS DATE) AS sd
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |           WHERE o_orderkey % 97 = 0),
+        |n AS (SELECT okey, od, sd,
+        |             datediff('day', DATE '1970-01-05', od) AS no,
+        |             datediff('day', DATE '1970-01-05', sd) AS ns
+        |      FROM j)
+        |SELECT okey, od, sd,
+        |       cast(((ns // 7)*5 + least(ns % 7, 5))
+        |          - ((no // 7)*5 + least(no % 7, 5)) AS BIGINT) AS bizdays
+        |FROM n ORDER BY okey, od, sd, bizdays""".stripMargin),
+
+    // CUPED variance reduction (the A/B-test estimator): per-user pre-
+    // period covariate (event cents before the corpus midpoint) adjusts
+    // the post-period metric by theta = cov(post, pre)/var(pre), pooled
+    // across arms (arm = user_id parity — a deterministic stand-in for
+    // assignment). Two hash aggregations + a broadcast 1-row theta;
+    // per-user state only — scales as a pair of shuffles on user_id.
+    // Means round at 4dp (the x210 float-summation hazard class).
+    q("x256_cuped",
+      """WITH u AS (SELECT user_id,
+        |             sum(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00'
+        |                      THEN cast(round(value*100) AS BIGINT) ELSE 0 END) AS pre,
+        |             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |                      THEN cast(round(value*100) AS BIGINT) ELSE 0 END) AS post
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT covar_pop(post, pre) / var_pop(pre) AS theta, avg(pre) AS pre_mean FROM u)
+        |SELECT user_id % 2 AS arm, cast(count(*) AS BIGINT) AS n,
+        |       round(avg(post), 4) AS post_mean_cents,
+        |       round(avg(post - t.theta * (pre - t.pre_mean)), 4) AS cuped_mean_cents
+        |FROM u CROSS JOIN t GROUP BY user_id % 2 ORDER BY arm""".stripMargin),
+
+    // 2-d skyline (Pareto frontier): the parts no other part beats on
+    // BOTH (cheaper-or-equal price, larger-or-equal size, strict on at
+    // least one) — the multi-objective shortlist query. The declared
+    // form is the textbook NOT EXISTS dominance test (dim-sized here);
+    // x258 is the same answer from the bucket-pruned two-pass native
+    // plan that survives fact-sized inputs.
+    q("x257_skyline",
+      """WITH p AS (SELECT p_partkey, cast(round(p_retailprice*100) AS BIGINT) AS price_c,
+        |                  cast(p_size AS BIGINT) AS size FROM part)
+        |SELECT p_partkey, price_c, size FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.size >= a.size
+        |    AND (b.price_c < a.price_c OR b.size > a.size))
+        |ORDER BY price_c, p_partkey""".stripMargin),
+
+    // Centroid silhouette — cluster-quality score over the embedding
+    // corpus using the labeled clusters: a = distance to own centroid,
+    // b = nearest other centroid, sil = (b-a)/max(a,b). The linear
+    // (centroid-based) form of the quadratic silhouette: distances go
+    // point→centroid only, so the whole thing is two hash aggregations
+    // and a 640-row broadcast join (10 centroids × 64 dims) — no pair
+    // join at any scale. Euclidean over float-widened doubles; sqrt
+    // outputs round at 4dp.
+    q("x259_centroid_silhouette",
+      """WITH e AS (SELECT vec_id, label, posexplode(embedding) AS (pos, v) FROM embeddings),
+        |e2 AS (SELECT vec_id, label, pos, cast(v AS DOUBLE) AS v FROM e),
+        |c AS (SELECT label AS clab, pos, avg(v) AS cv FROM e2 GROUP BY 1, 2),
+        |d AS (SELECT e2.vec_id, e2.label, c.clab,
+        |             sqrt(sum((e2.v - c.cv)*(e2.v - c.cv))) AS dist
+        |      FROM e2 JOIN c ON e2.pos = c.pos GROUP BY 1, 2, 3),
+        |s AS (SELECT vec_id, label,
+        |             min(CASE WHEN clab = label THEN dist END) AS a,
+        |             min(CASE WHEN clab <> label THEN dist END) AS b
+        |      FROM d GROUP BY 1, 2)
+        |SELECT vec_id, cast(label AS BIGINT) AS label, round(a, 4) AS a,
+        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) AS sil
+        |FROM s ORDER BY vec_id""".stripMargin,
+      """WITH e2 AS (SELECT e.vec_id, e.label, t.i - 1 AS pos,
+        |                   cast(e.embedding[t.i] AS DOUBLE) AS v
+        |            FROM embeddings e
+        |            CROSS JOIN (SELECT unnest(range(1, 65)) AS i) t),
+        |c AS (SELECT label AS clab, pos, avg(v) AS cv FROM e2 GROUP BY 1, 2),
+        |d AS (SELECT e2.vec_id, e2.label, c.clab,
+        |             sqrt(sum((e2.v - c.cv)*(e2.v - c.cv))) AS dist
+        |      FROM e2 JOIN c ON e2.pos = c.pos GROUP BY 1, 2, 3),
+        |s AS (SELECT vec_id, label,
+        |             min(CASE WHEN clab = label THEN dist END) AS a,
+        |             min(CASE WHEN clab <> label THEN dist END) AS b
+        |      FROM d GROUP BY 1, 2)
+        |SELECT vec_id, cast(label AS BIGINT) AS label, round(a, 4) AS a,
+        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) AS sil
+        |FROM s ORDER BY vec_id""".stripMargin),
+
+    // ABC-XYZ inventory matrix: x153's revenue ABC bands crossed with
+    // demand-variability XYZ bands (coefficient of variation of weekly
+    // shipped quantity, floored to bp) — the planning segmentation grid.
+    // The ABC window runs over part-sized aggregates (x153's precedent);
+    // the CV side is two part-keyed hash aggs. Output is the 9-cell
+    // cross-tab.
+    q("x260_abc_xyz",
+      """WITH w AS (SELECT l_partkey AS pk, date_trunc('week', l_shipdate) AS wk,
+        |                  sum(cast(round(l_quantity) AS BIGINT)) AS qty
+        |           FROM lineitem GROUP BY 1, 2),
+        |v AS (SELECT pk, cast(floor(stddev_samp(qty) * 10000.0 / avg(qty)) AS BIGINT) AS cv_bp
+        |      FROM w GROUP BY 1 HAVING count(*) > 1),
+        |r AS (SELECT l_partkey AS pk, sum(cast(round(l_extendedprice*100) AS BIGINT)) AS rev
+        |      FROM lineitem GROUP BY 1),
+        |a AS (SELECT pk, sum(rev) OVER (ORDER BY rev DESC, pk) AS cum,
+        |             sum(rev) OVER () AS tot FROM r),
+        |abc AS (SELECT pk, CASE WHEN cum * 10 <= tot * 5 THEN 'A'
+        |                        WHEN cum * 10 <= tot * 8 THEN 'B'
+        |                        ELSE 'C' END AS abc FROM a),
+        |xyz AS (SELECT pk, CASE WHEN cv_bp < 2500 THEN 'X'
+        |                        WHEN cv_bp < 5000 THEN 'Y'
+        |                        ELSE 'Z' END AS xyz FROM v)
+        |SELECT abc.abc, xyz.xyz, cast(count(*) AS BIGINT) AS parts
+        |FROM abc JOIN xyz ON abc.pk = xyz.pk
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

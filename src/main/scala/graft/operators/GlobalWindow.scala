@@ -50,7 +50,7 @@ object GlobalWindow {
     * matching Spark's ASC NULLS FIRST window-order default (the sketch
     * ignores NULLs, so boundaries are never NULL — ADVICE r3 #4).
     */
-  private def bucketed(df: DataFrame, order: Seq[String], n: Int)
+  private[operators] def bucketed(df: DataFrame, order: Seq[String], n: Int)
       : (DataFrame, Int) = {
     val s = surrogate(col(order.head), df.schema(order.head).dataType)
     val probs = (1 until n).map(_.toDouble / n).toArray

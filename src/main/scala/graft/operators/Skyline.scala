@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable 2-d skyline (Pareto frontier): minimize `xCol`, maximize
+  * `yCol`, dominance strict on at least one axis.
+  *
+  * The declarative NOT EXISTS form (x257) rewrites to a quadratic
+  * pair-test — fine on a dim table, a scale-killer on a fact table. The
+  * 2-d structure admits an exact linear plan instead: a point survives
+  * iff no point with strictly smaller x has y ≥ mine and no point with
+  * equal x has y > mine. Both tests are prefix maxima along the x axis,
+  * so the whole skyline is the [[GlobalWindow]] two-pass shape:
+  *
+  *   1. range-bucket by x against pinned literal boundaries
+  *      ([[GlobalWindow.bucketed]] — the bucket id is a pure function of
+  *      x, so equal x never straddles a boundary and bucket id order
+  *      implies STRICT x order across buckets);
+  *   2. per-bucket max(y) (one tiny row per bucket) prefix-maxed over
+  *      strictly-lower buckets and broadcast back as the cross-bucket
+  *      prefix; within each bucket a RANGE-frame window supplies the
+  *      strictly-cheaper-x-in-bucket max and a peer window the equal-x
+  *      max.
+  *
+  * No single-task stage touches row-sized data: the only global window
+  * runs over the ≤`buckets` per-bucket maxima. Duplicate (x, y) points
+  * all survive (neither strictly dominates), matching the declared
+  * NOT EXISTS semantics exactly — x258 shares x257's oracle.
+  */
+object Skyline {
+
+  /** Returns the skyline rows of `df` (all columns preserved).
+    * `xCol`/`yCol` must be numeric; NULLs must be pre-filtered. */
+  def skyline2d(df: DataFrame, xCol: String, yCol: String,
+                buckets: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (buckets > 0) buckets
+            else spark.sessionState.conf.numShufflePartitions
+    val (ranged, _) = GlobalWindow.bucketed(df, Seq(xCol), n)
+
+    // pass 2a: per-bucket max(y) — n tiny rows; prefix max over strictly
+    // lower bucket ids = max(y) among points with strictly smaller x
+    // that live in an earlier bucket. The window is global but runs on
+    // bucket-count rows.
+    val offW = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("__pid"))
+      .agg(max(col(yCol)).as("__bmax"))
+      .withColumn("__prev_max", max(col("__bmax")).over(offW))
+      .select(col("__pid"), col("__prev_max"))
+
+    // pass 2b: within-bucket prefix max over strictly smaller x (RANGE
+    // frame excludes x-peers) + equal-x peer max.
+    val cheaperW = Window.partitionBy(col("__pid")).orderBy(col(xCol))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val peerW = Window.partitionBy(col("__pid"), col(xCol))
+    val scored = ranged.join(broadcast(offsets), "__pid")
+      .withColumn("__cheaper_max",
+        greatest(coalesce(max(col(yCol)).over(cheaperW), lit(Long.MinValue)),
+                 coalesce(col("__prev_max"), lit(Long.MinValue))))
+      .withColumn("__peer_max", max(col(yCol)).over(peerW))
+
+    scored
+      .where(col("__cheaper_max") < col(yCol) &&
+             col("__peer_max") <= col(yCol))
+      .drop("__pid", "__prev_max", "__cheaper_max", "__peer_max")
+  }
+}

@@ -126,4 +126,84 @@ class InvariantsSpec extends SparkSpec {
         s"${r.getString(0)}: approx p50 $approx outside exact [$lo, $hi]")
     }
   }
+
+  // ---- QuantileSketch (functions/QuantileSketch.scala) ------------------
+
+  private val qsProbs = Seq((25, 100), (50, 100), (75, 100), (95, 100))
+
+  /** rank distance of value v from target rank t in sorted multiset. */
+  private def rankErr(sorted: Array[Long], v: Long, t: Long): Long = {
+    val lo = sorted.indexWhere(_ >= v) match { case -1 => sorted.length; case i => i + 1 }
+    val hi = sorted.lastIndexWhere(_ <= v) + 1
+    if (t < lo) lo - t else if (t > hi) t - hi else 0L
+  }
+
+  test("quantile sketch: exact at full capacity for every merge order; " +
+       "production capacity within the L*N/k rank bound") {
+    val r = new Random(7)
+    val n = 10000
+    val values = Array.fill(n)(r.nextInt(2000).toLong) // heavy ties on purpose
+    val sorted = values.sorted
+    val targets = qsProbs.map { case (num, den) =>
+      (num.toLong * n + den - 1) / den
+    }
+    val exact = targets.map(t => sorted((t - 1).toInt))
+
+    // full capacity (k >= n): the ladder never compacts -> exact,
+    // independent of how the input is chunked and merged (the structural
+    // gate x261 relies on).
+    val full = new graft.functions.QuantileSketch(16384, qsProbs)
+    val chunks = values.grouped(1337).toSeq
+    val partials = chunks.map(c => c.foldLeft(full.zero)(full.reduce))
+    val mergedLtr = partials.reduceLeft(full.merge)
+    assert(full.finish(mergedLtr) == exact)
+    val partials2 = chunks.map(c => c.foldLeft(full.zero)(full.reduce))
+    val mergedRtl = partials2.reduceRight(full.merge)
+    assert(full.finish(mergedRtl) == exact)
+
+    // production capacity: estimates are order-dependent but every order
+    // must stay within the analytic rank bound (each level-i compaction
+    // perturbs a rank by <= 2^i and happens <= N/(k*2^i) times -> total
+    // <= L*N/k over L active levels).
+    val k = 256
+    val prod = new graft.functions.QuantileSketch(k, qsProbs)
+    val state = chunks.map(c => c.foldLeft(prod.zero)(prod.reduce))
+      .reduceLeft(prod.merge)
+    val levels = state.count(_(0) > 0) max state.length
+    val bound = levels.toLong * n / k + 1
+    val est = prod.finish(state)
+    est.zip(targets).foreach { case (v, t) =>
+      val err = rankErr(sorted, v, t)
+      assert(err <= bound, s"rank err $err > bound $bound at target $t")
+    }
+    // bounded state: the whole ladder is <= k values per level
+    val stored = state.map(_(0)).sum
+    assert(stored <= k.toLong * state.length,
+      s"state holds $stored values across ${state.length} levels")
+  }
+
+  // ---- Skyline (operators/Skyline.scala) --------------------------------
+
+  test("skyline2d equals brute-force dominance on random points with ties") {
+    import spark.implicits._
+    val r = new Random(11)
+    val pts = Seq.tabulate(500)(i =>
+      (i.toLong, r.nextInt(50).toLong, r.nextInt(50).toLong))
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.map(_._1).toSet
+    val df = pts.toDF("id", "x", "y")
+    val got = operators.Skyline.skyline2d(df, "x", "y", buckets = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    // duplicates of a frontier point must ALL survive (dominance is
+    // strict on at least one axis)
+    val withDup = pts :+ (9001L, pts(expected.head.toInt)._2, pts(expected.head.toInt)._3)
+    val got2 = operators.Skyline.skyline2d(
+      withDup.toDF("id", "x", "y"), "x", "y", buckets = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got2.contains(9001L) && got2.contains(expected.head))
+  }
 }
