@@ -266,6 +266,63 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("x254tier")) {
+      // 1×→10× scaling of the x254-x261 tier (SCALE.md §23). Partkeys
+      // AND shipdates are unchanged in the 10× corpus, so x254's
+      // replicas collapse into the SAME (part, date) lots with 10×
+      // quantities — the pre-aggregation is exactly what makes that
+      // safe (10× scan, unchanged join size); x261's sketch ladder
+      // stays in the exact regime (max group ≤ ~50k ≪ k=262144) while
+      // the shuffle carries ladders, not rows. x256 is two user-keyed
+      // aggs (users grow 10×). x260's window side runs over part-sized
+      // aggregates (unchanged dim) while its input aggs grow 10×.
+      // Ratios BELOW 1.0 are expected for scan-dominated entries: the
+      // sf0.1 source tables are single-file/single-row-group (one scan
+      // task) while the 10× corpus is 16-file parallel.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (dt, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      def runN(dir: String, name: String): (Double, Long) =
+        med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
+      Seq("x254_fifo_allocation", "x256_cuped", "x260_abc_xyz",
+          "x261_quantile_sketch").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      // Skyline: the declared NOT EXISTS form is quadratic (fine on the
+      // 2k-row dim it is declared on, fenced off fact-sized inputs);
+      // the native two-pass operator is the scale path. Run it on a
+      // fact-sized point set — events (cents, user_id) — at 1× (100k
+      // points) and 10× (1M points): expect ~linear.
+      def skylinePts(dir: String) = Catalog.load(spark, dir, "events")
+        .select(col("event_id"),
+          expr("cast(round(value*100) AS BIGINT)").as("x"),
+          col("user_id").cast("long").as("y"))
+      val (ts1, ns1) = med3 {
+        operators.Skyline.skyline2d(skylinePts(sf), "x", "y").count()
+      }
+      val (ts10, ns10) = med3 {
+        operators.Skyline.skyline2d(skylinePts(out), "x", "y").count()
+      }
+      println(f"[soak] x258 skyline2d (fact)   sf0.1 ${ts1 * 1000}%8.1f ms ($ns1%7d rows)   " +
+        f"10x ${ts10 * 1000}%8.1f ms ($ns10%7d rows)   ratio ${ts10 / ts1}%5.2f")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
