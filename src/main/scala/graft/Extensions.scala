@@ -479,6 +479,24 @@ object Extensions {
           element_at(col("qv"), 4).as("p95"),
           col("n"))
         .orderBy("g")
+    },
+
+    // Misra-Gries heavy hitters (functions/HeavyHitters.scala) at a
+    // capacity ≥ the distinct-user count at every contract/soak SF —
+    // the decrement path provably never fires, counters are exact in
+    // any merge order, and the top-10 must equal the plain GROUP BY
+    // oracle (x261's structural-gate pattern). Production capacities
+    // are ε-bound-spec'd in InvariantsSpec. The shuffle carries ≤ k
+    // (item, count) pairs, not rows — frequent-items as a fleet rollup.
+    "x266_heavy_hitters" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val hh = udaf(new graft.functions.HeavyHitters(262144))
+      Catalog.load(s, dir, "events")
+        .agg(hh(col("user_id")).as("tk"))
+        .select(posexplode(slice(col("tk"), 1, 10)))
+        .select((col("pos") + 1).cast("long").as("rk"),
+          col("col._1").as("user_id"), col("col._2").as("cnt"))
+        .orderBy("rk")
     }
   )
 
@@ -555,6 +573,16 @@ object Extensions {
         |       max(CASE WHEN rn = (95*n + 99)//100 THEN cents END) AS p95,
         |       max(n) AS n
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
+
+    // x266: the full-capacity MG summary must reproduce the exact
+    // top-10 frequent users — count-desc, user-asc tie-break on both
+    // sides.
+    "x266_heavy_hitters" ->
+      """SELECT cast(rk AS BIGINT) AS rk, user_id, cnt FROM (
+        |  SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
+        |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
+        |  FROM events GROUP BY user_id) t
+        |WHERE rk <= 10 ORDER BY rk""".stripMargin,
 
     // x253: the bounded-state aggregate must reproduce the window-rank
     // rows exactly — same integer-cent scores, same (score desc, id)

@@ -4838,7 +4838,147 @@ object Queries {
         |                        ELSE 'Z' END AS xyz FROM v)
         |SELECT abc.abc, xyz.xyz, cast(count(*) AS BIGINT) AS parts
         |FROM abc JOIN xyz ON abc.pk = xyz.pk
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Isotonic (PAVA) calibration of x203's reliability deciles via the
+    // minimax identity: fit_i = max_{j<=i} min_{k>=i} rate(j..k) — the
+    // closed form of pool-adjacent-violators, so no recursion and no
+    // iteration. The O(bins^3) expansion runs on the 10-row bin table
+    // (bins are FIXED at any corpus scale; the fact-sized work is the
+    // ntile + one aggregation x203 already does). Segment rates divide
+    // identical integer pairs on both engines → identical doubles →
+    // min/max exact; output rounds at 4dp.
+    q("x262_isotonic_calibration",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding,1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |bins AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos
+        |         FROM d GROUP BY bin),
+        |c AS (SELECT bin, n, pos,
+        |             cast(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |             cast(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM bins),
+        |seg AS (SELECT j.bin AS j, k.bin AS k,
+        |               (k.cp - (j.cp - j.pos)) AS num, (k.cn - (j.cn - j.n)) AS den
+        |        FROM c j JOIN c k ON j.bin <= k.bin),
+        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1.0 / s.den) AS mn
+        |       FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
+        |fit AS (SELECT i AS bin, max(mn) AS f FROM mi GROUP BY 1)
+        |SELECT b.bin, b.n, b.pos,
+        |       cast(floor(b.pos * 10000.0 / b.n) AS BIGINT) AS raw_rate_bp,
+        |       round(f.f, 4) AS iso_rate
+        |FROM bins b JOIN fit f ON b.bin = f.bin ORDER BY b.bin""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |bins AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos
+        |         FROM d GROUP BY bin),
+        |c AS (SELECT bin, n, pos,
+        |             cast(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |             cast(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM bins),
+        |seg AS (SELECT j.bin AS j, k.bin AS k,
+        |               (k.cp - (j.cp - j.pos)) AS num, (k.cn - (j.cn - j.n)) AS den
+        |        FROM c j JOIN c k ON j.bin <= k.bin),
+        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1.0 / s.den) AS mn
+        |       FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
+        |fit AS (SELECT i AS bin, max(mn) AS f FROM mi GROUP BY 1)
+        |SELECT b.bin, b.n, b.pos,
+        |       cast(floor(b.pos * 10000.0 / b.n) AS BIGINT) AS raw_rate_bp,
+        |       round(f.f, 4) AS iso_rate
+        |FROM bins b JOIN fit f ON b.bin = f.bin ORDER BY b.bin""".stripMargin),
+
+    // OTIF / SLA attainment per ship month: share of lines shipped
+    // within the 0..65 business-day service window after order date,
+    // using x255's closed-form business-day counter. One join + one
+    // month-keyed aggregation. (This corpus draws ship and order dates
+    // near-independently — spans run ±2400 calendar days — so the
+    // attainment numbers are LOW; the operator's semantics, not the
+    // corpus's realism, are what the gate checks.)
+    q("x263_otif_sla",
+      """WITH j AS (SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |                  datediff(cast(o_orderdate AS DATE), DATE '1970-01-05') AS no,
+        |                  datediff(cast(l_shipdate AS DATE), DATE '1970-01-05') AS ns
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |b AS (SELECT m, ((ns div 7)*5 + least(ns % 7, 5))
+        |              - ((no div 7)*5 + least(no % 7, 5)) AS bd FROM j)
+        |SELECT m, cast(count(*) AS BIGINT) AS lines,
+        |       cast(sum(CASE WHEN bd BETWEEN 0 AND 65 THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+        |       cast((sum(CASE WHEN bd BETWEEN 0 AND 65 THEN 1 ELSE 0 END) * 10000) div count(*) AS BIGINT) AS otif_bp
+        |FROM b GROUP BY m ORDER BY m""".stripMargin,
+      """WITH j AS (SELECT cast(date_trunc('month', l_shipdate) AS DATE) AS m,
+        |                  datediff('day', DATE '1970-01-05', cast(o_orderdate AS DATE)) AS no,
+        |                  datediff('day', DATE '1970-01-05', cast(l_shipdate AS DATE)) AS ns
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |b AS (SELECT m, ((ns // 7)*5 + least(ns % 7, 5))
+        |              - ((no // 7)*5 + least(no % 7, 5)) AS bd FROM j)
+        |SELECT m, cast(count(*) AS BIGINT) AS lines,
+        |       cast(sum(CASE WHEN bd BETWEEN 0 AND 65 THEN 1 ELSE 0 END) AS BIGINT) AS on_time,
+        |       cast((sum(CASE WHEN bd BETWEEN 0 AND 65 THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS otif_bp
+        |FROM b GROUP BY m ORDER BY m""".stripMargin),
+
+    // Referential-integrity audit over the FK graph (the governance
+    // check next to x172's rule audit): per edge, child rows, distinct
+    // child keys, orphan count via NOT EXISTS. On this corpus every
+    // edge is clean (orphans = 0) — the distinct-key censuses keep the
+    // gate non-degenerate. Each branch is one semi/anti-join the
+    // optimizer can broadcast when the parent is a dim.
+    q("x264_fk_orphans",
+      """SELECT edge, child_rows, child_keys, orphans FROM (
+        |  SELECT 'customer->nation' AS edge, cast(count(*) AS BIGINT) AS child_rows,
+        |         cast(count(DISTINCT c_nationkey) AS BIGINT) AS child_keys,
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey) THEN 1 ELSE 0 END) AS BIGINT) AS orphans
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem->orders', cast(count(*) AS BIGINT),
+        |         cast(count(DISTINCT l_orderkey) AS BIGINT),
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem->part', cast(count(*) AS BIGINT),
+        |         cast(count(DISTINCT l_partkey) AS BIGINT),
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem->supplier', cast(count(*) AS BIGINT),
+        |         cast(count(DISTINCT l_suppkey) AS BIGINT),
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders->customer', cast(count(*) AS BIGINT),
+        |         cast(count(DISTINCT o_custkey) AS BIGINT),
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'supplier->nation', cast(count(*) AS BIGINT),
+        |         cast(count(DISTINCT s_nationkey) AS BIGINT),
+        |         cast(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey) THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM supplier
+        |) t ORDER BY edge""".stripMargin),
+
+    // Burstiness (Fano factor / index of dispersion) of per-user daily
+    // activity: var/mean of daily event counts in bp — the bot/burst
+    // screen next to x216's z-score anomalies (Fano > 1 = overdispersed
+    // = bursty; Poisson-like users sit near 10000bp). The ratio is
+    // computed in PURE INTEGER arithmetic via the algebraic identity
+    // var_samp/mean = (n·Σc² − (Σc)²)/((n−1)·Σc) — float var_samp hit
+    // the floor knife-edge at sf0.1 (14400 vs 14399). Two user-keyed
+    // aggregations; top-20 gate rows.
+    q("x265_burstiness",
+      """WITH d AS (SELECT user_id, cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, cast(count(*) AS BIGINT) AS active_days,
+        |             cast((10000 * (count(*) * sum(c*c) - sum(c)*sum(c)))
+        |                  div ((count(*) - 1) * sum(c)) AS BIGINT) AS fano_bp
+        |      FROM d GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, active_days, fano_bp FROM f
+        |ORDER BY fano_bp DESC, user_id LIMIT 20""".stripMargin,
+      """WITH d AS (SELECT user_id, cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |f AS (SELECT user_id, cast(count(*) AS BIGINT) AS active_days,
+        |             cast((10000 * (count(*) * sum(c*c) - sum(c)*sum(c)))
+        |                  // ((count(*) - 1) * sum(c)) AS BIGINT) AS fano_bp
+        |      FROM d GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT user_id, active_days, fano_bp FROM f
+        |ORDER BY fano_bp DESC, user_id LIMIT 20""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

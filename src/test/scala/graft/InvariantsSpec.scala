@@ -182,6 +182,45 @@ class InvariantsSpec extends SparkSpec {
       s"state holds $stored values across ${state.length} levels")
   }
 
+  // ---- HeavyHitters (functions/HeavyHitters.scala) ----------------------
+
+  test("misra-gries: exact at full capacity; production capacity keeps " +
+       "the support and undercount guarantees under adversarial merges") {
+    val r = new Random(13)
+    // zipf-ish stream: item i appears ~ n/(i+1) times
+    val stream = (0 until 40).flatMap(i => Seq.fill(2000 / (i + 1))(i.toLong))
+    val shuffled = r.shuffle(stream)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+
+    // full capacity: exact counts whatever the chunking/merge order
+    val full = new graft.functions.HeavyHitters(64)
+    val chunksF = shuffled.grouped(97).toSeq
+      .map(c => c.foldLeft(full.zero)(full.reduce))
+    val fState = chunksF.reduceRight(full.merge)
+    assert(fState == exact)
+    assert(full.finish(fState).take(3).map(_._1) == Seq(0L, 1L, 2L))
+
+    // production capacity k=8: (a) every stored counter undercounts by
+    // <= (N - M)/(k+1); (b) every item with true count > N/(k+1) is
+    // present
+    val k = 8
+    val prod = new graft.functions.HeavyHitters(k)
+    val state = shuffled.grouped(131).toSeq
+      .map(c => c.foldLeft(prod.zero)(prod.reduce))
+      .reduceLeft(prod.merge)
+    assert(state.size <= k)
+    val m = state.values.sum
+    val slack = (n - m) / (k + 1)
+    state.foreach { case (i, c) =>
+      assert(c <= exact(i), s"overcount on $i")
+      assert(exact(i) - c <= slack, s"undercount ${exact(i) - c} > $slack on $i")
+    }
+    exact.collect { case (i, c) if c > n / (k + 1) => i }.foreach { i =>
+      assert(state.contains(i), s"guaranteed heavy item $i missing")
+    }
+  }
+
   // ---- Skyline (operators/Skyline.scala) --------------------------------
 
   test("skyline2d equals brute-force dominance on random points with ties") {
