@@ -497,6 +497,40 @@ object Extensions {
         .select((col("pos") + 1).cast("long").as("rk"),
           col("col._1").as("user_id"), col("col._2").as("cnt"))
         .orderBy("rk")
+    },
+
+    // Grid-DBSCAN density clustering over the embedding plane (dims
+    // 1-2): core cells (≥ 3 points) connected through 8-adjacency by
+    // the native ConnectedComponents operator (pointer-jumped, O(log)
+    // rounds). The point→cell pass is one hash aggregation at any
+    // scale; the cell graph is bounded by the GRID (data-independent),
+    // and adjacency is an equi-join on the exploded x-offset — no
+    // cartesian anywhere. DuckDB walks the same cell graph with a
+    // recursive closure — one oracle, two engines' plans. Singleton
+    // core cells never enter the edge list; the coalesce keeps them as
+    // their own clusters (the operator only labels edge-incident ids).
+    "x267_grid_dbscan" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val pts = Catalog.load(s, dir, "embeddings").select(
+        expr("cast(floor(cast(element_at(embedding,1) AS DOUBLE)*40) AS BIGINT)").as("cx"),
+        expr("cast(floor(cast(element_at(embedding,2) AS DOUBLE)*40) AS BIGINT)").as("cy"))
+      val core = pts.groupBy("cx", "cy").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") >= 3)
+        .withColumn("id", (col("cx") + 100) * 1000 + (col("cy") + 100))
+      val withOff = core.select(col("id"), col("cx"), col("cy"))
+        .withColumn("nx", explode(array(col("cx") - 1, col("cx"), col("cx") + 1)))
+      val nbr = core.select(col("id").as("bid"), col("cx").as("bx"), col("cy").as("by"))
+      val edges = withOff.join(nbr,
+          col("nx") === col("bx") &&
+          abs(col("cy") - col("by")) <= 1 && col("id") =!= col("bid"))
+        .select(col("id").as("a"), col("bid").as("b"))
+      val labels = graft.operators.ConnectedComponents.run(edges)
+        .withColumnRenamed("id", "vid")
+      core.join(labels, core("id") === labels("vid"), "left")
+        .select(coalesce(col("label"), col("id")).as("cluster"), col("cnt"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("cells"), sum("cnt").as("points"))
+        .orderBy("cluster")
     }
   )
 
@@ -573,6 +607,25 @@ object Extensions {
         |       max(CASE WHEN rn = (95*n + 99)//100 THEN cents END) AS p95,
         |       max(n) AS n
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
+
+    // x267: the operator-clustered cell graph must match the recursive
+    // closure DuckDB computes over the SAME core cells and adjacency.
+    "x267_grid_dbscan" ->
+      """WITH RECURSIVE pts AS (SELECT cast(floor(cast(embedding[1] AS DOUBLE)*40) AS BIGINT) AS cx,
+        |       cast(floor(cast(embedding[2] AS DOUBLE)*40) AS BIGINT) AS cy FROM embeddings),
+        |cells AS (SELECT cx, cy, cast(count(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2),
+        |core AS (SELECT (cx+100)*1000 + (cy+100) AS id, cx, cy, cnt FROM cells WHERE cnt >= 3),
+        |e AS (SELECT a.id AS s, b.id AS t FROM core a JOIN core b
+        |      ON abs(a.cx-b.cx) <= 1 AND abs(a.cy-b.cy) <= 1 AND a.id <> b.id),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.id
+        |),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY 1)
+        |SELECT lab.label AS cluster, cast(count(*) AS BIGINT) AS cells,
+        |       cast(sum(core.cnt) AS BIGINT) AS points
+        |FROM lab JOIN core ON lab.id = core.id GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // x266: the full-capacity MG summary must reproduce the exact
     // top-10 frequent users — count-desc, user-asc tie-break on both

@@ -4978,7 +4978,69 @@ object Queries {
         |                  // ((count(*) - 1) * sum(c)) AS BIGINT) AS fano_bp
         |      FROM d GROUP BY 1 HAVING count(*) >= 5)
         |SELECT user_id, active_days, fano_bp FROM f
-        |ORDER BY fano_bp DESC, user_id LIMIT 20""".stripMargin)
+        |ORDER BY fano_bp DESC, user_id LIMIT 20""".stripMargin),
+
+    // STL-style additive decomposition of the daily event series:
+    // trend = centered 7-day moving average (full windows only),
+    // seasonal = per-weekday mean of the detrended series, residual =
+    // remainder. Everything that can stay integer does (trend_x7 and
+    // the seasonal numerator are exact integer sums); the two float
+    // outputs are single divisions of those integers — deterministic,
+    // no accumulation — rounded at 4dp. Windows partition trivially by
+    // series; the weekday agg is 7 rows.
+    q("x268_stl_decomp",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, c,
+        |        cast(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+        |        count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |        weekday(day) AS wd
+        |      FROM d),
+        |f AS (SELECT day, c, trend_x7, wd FROM t WHERE wn = 7),
+        |s AS (SELECT wd, cast(sum(7*c - trend_x7) AS BIGINT) AS seas_sum_x7,
+        |             cast(count(*) AS BIGINT) AS n_w
+        |      FROM f GROUP BY 1)
+        |SELECT f.day, f.c, f.trend_x7,
+        |       round(s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS seasonal,
+        |       round(f.c - f.trend_x7 / 7.0 - s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS residual
+        |FROM f JOIN s ON f.wd = s.wd ORDER BY f.day""".stripMargin,
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, c,
+        |        cast(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+        |        count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |        isodow(day) - 1 AS wd
+        |      FROM d),
+        |f AS (SELECT day, c, trend_x7, wd FROM t WHERE wn = 7),
+        |s AS (SELECT wd, cast(sum(7*c - trend_x7) AS BIGINT) AS seas_sum_x7,
+        |             cast(count(*) AS BIGINT) AS n_w
+        |      FROM f GROUP BY 1)
+        |SELECT f.day, f.c, f.trend_x7,
+        |       round(s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS seasonal,
+        |       round(f.c - f.trend_x7 / 7.0 - s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS residual
+        |FROM f JOIN s ON f.wd = s.wd ORDER BY f.day""".stripMargin),
+
+    // Degree assortativity of the co-purchase graph (x163's edge
+    // universe): Pearson correlation of endpoint degrees over the
+    // symmetrized edge list — do hubs link to hubs? (Newman 2002.)
+    // Degrees are one hash agg over the edge list; the corr runs over
+    // edge-sized input. This graph is near-neutral (≈0) — the number,
+    // not its size, is the verdict.
+    q("x269_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT p, cast(count(*) AS BIGINT) AS d FROM (
+        |          SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs) u GROUP BY 1),
+        |e AS (SELECT da.d AS dx, db.d AS dy
+        |      FROM pairs JOIN deg da ON pairs.p1 = da.p JOIN deg db ON pairs.p2 = db.p),
+        |sym AS (SELECT dx, dy FROM e UNION ALL SELECT dy, dx FROM e)
+        |SELECT round(corr(dx, dy), 4) AS assortativity,
+        |       cast(count(*)/2 AS BIGINT) AS edges,
+        |       cast((SELECT count(*) FROM deg) AS BIGINT) AS nodes
+        |FROM sym""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
