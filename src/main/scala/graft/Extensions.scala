@@ -531,6 +531,35 @@ object Extensions {
         .groupBy("cluster")
         .agg(count(lit(1)).as("cells"), sum("cnt").as("points"))
         .orderBy("cluster")
+    },
+
+    // Incremental aggregate maintenance — the materialized-view
+    // identity a 100 TB pipeline lives on: two ingest batches (split by
+    // event_id parity, so their GROUP BY keys OVERLAP) are aggregated
+    // independently and merged with a full-outer coalesce-sum join; the
+    // result must be byte-identical to the full recompute (the DuckDB
+    // oracle). At scale the delta agg touches only new data and the
+    // merge is state-sized — no fact rescan. (count/sum merge
+    // losslessly; avg/var would carry (sum, count) / (sum, sum², count)
+    // — the same partial-state shapes Spark's own partial aggregation
+    // uses, and x261/x266's ladders generalize.)
+    "x270_incremental_agg" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val ev = Catalog.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts").cast("date").as("day"),
+          expr("cast(round(value*100) AS BIGINT)").as("c"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("event_type", "day")
+          .agg(count(lit(1)).as("n"), sum("c").as("cents"))
+      val base = aggOf(ev.where(col("event_id") % 2 === 0))
+        .withColumnRenamed("n", "bn").withColumnRenamed("cents", "bc")
+      val delta = aggOf(ev.where(col("event_id") % 2 === 1))
+        .withColumnRenamed("n", "dn").withColumnRenamed("cents", "dc")
+      base.join(delta, Seq("event_type", "day"), "full_outer")
+        .select(col("event_type"), col("day"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
+        .orderBy("event_type", "day")
     }
   )
 
@@ -607,6 +636,14 @@ object Extensions {
         |       max(CASE WHEN rn = (95*n + 99)//100 THEN cents END) AS p95,
         |       max(n) AS n
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
+
+    // x270: the incremental merge must equal the full recompute — the
+    // materialized-view maintenance contract.
+    "x270_incremental_agg" ->
+      """SELECT event_type, cast(date_trunc('day', ts) AS DATE) AS day,
+        |       cast(count(*) AS BIGINT) AS n,
+        |       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // x267: the operator-clustered cell graph must match the recursive
     // closure DuckDB computes over the SAME core cells and adjacency.

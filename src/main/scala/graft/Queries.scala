@@ -5040,7 +5040,209 @@ object Queries {
         |SELECT round(corr(dx, dy), 4) AS assortativity,
         |       cast(count(*)/2 AS BIGINT) AS edges,
         |       cast((SELECT count(*) FROM deg) AS BIGINT) AS nodes
-        |FROM sym""".stripMargin)
+        |FROM sym""".stripMargin),
+
+    // Sequence-length bucketing efficiency curve — the padding-waste
+    // planner for training batches (companion to x107's packing and
+    // x122's token budget): for 1/2/4/8 equal-count length buckets,
+    // total padding = Σ(bucket max − len) if every doc pads to its
+    // bucket's max. Bucket id is pure integer rank arithmetic
+    // (((rk−1)·nb) div n + 1), identical on both engines — not SQL
+    // ntile, whose remainder placement the arithmetic form avoids
+    // having to match. One global rank (dim-sized here; the x100 tier
+    // is the fact-sized form) + per-bucket maxima.
+    q("x271_padding_waste",
+      """WITH l AS (SELECT doc_id, n_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |        count(*) OVER () AS n,
+        |        cast(sum(n_chars) OVER () AS BIGINT) AS t FROM documents),
+        |b AS (SELECT n_chars, t, nb, ((rk - 1) * nb) div n + 1 AS bucket
+        |      FROM l CROSS JOIN (SELECT explode(array(1,2,4,8)) AS nb) s),
+        |w AS (SELECT nb, bucket, max(t) AS t, cast(sum(max_c - n_chars) AS BIGINT) AS waste
+        |      FROM (SELECT nb, bucket, n_chars, t, max(n_chars) OVER (PARTITION BY nb, bucket) AS max_c FROM b) x
+        |      GROUP BY 1, 2)
+        |SELECT nb AS buckets, cast(sum(waste) AS BIGINT) AS padding_chars,
+        |       cast((sum(waste) * 10000) div max(t) AS BIGINT) AS overhead_bp
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH l AS (SELECT doc_id, n_chars,
+        |        row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |        count(*) OVER () AS n,
+        |        cast(sum(n_chars) OVER () AS BIGINT) AS t FROM documents),
+        |b AS (SELECT n_chars, t, nb, ((rk - 1) * nb) // n + 1 AS bucket
+        |      FROM l CROSS JOIN (SELECT unnest([1,2,4,8]) AS nb) s),
+        |w AS (SELECT nb, bucket, max(t) AS t, cast(sum(max_c - n_chars) AS BIGINT) AS waste
+        |      FROM (SELECT nb, bucket, n_chars, t, max(n_chars) OVER (PARTITION BY nb, bucket) AS max_c FROM b) x
+        |      GROUP BY 1, 2)
+        |SELECT nb AS buckets, cast(sum(waste) AS BIGINT) AS padding_chars,
+        |       cast((sum(waste) * 10000) // max(t) AS BIGINT) AS overhead_bp
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Link prediction over the co-purchase graph: common-neighbor,
+    // Jaccard and Adamic-Adar scores for 2-hop non-edges (the
+    // recommender/completion primitive on x163's universe). Wedges are
+    // one self-equi-join of the adjacency on the shared midpoint —
+    // Σdeg² work, the standard wedge bound; existing edges anti-joined
+    // out. Jaccard in integer bp; Adamic-Adar sums ≤ cn small ln terms,
+    // rounded 4dp.
+    q("x272_link_prediction",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1 AS a, p2 AS b FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+        |deg AS (SELECT a AS p, cast(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |wedge AS (SELECT x.a AS u, y.b AS v, x.b AS mid
+        |          FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b),
+        |cand AS (SELECT u, v, cast(count(*) AS BIGINT) AS cn,
+        |                round(sum(1.0 / ln(dm.d)), 4) AS adamic
+        |         FROM wedge JOIN deg dm ON wedge.mid = dm.p
+        |         WHERE dm.d > 1
+        |         GROUP BY 1, 2),
+        |new_pairs AS (SELECT c.u, c.v, c.cn, c.adamic FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.p1 = c.u AND p.p2 = c.v))
+        |SELECT n.u, n.v, n.cn,
+        |       cast((n.cn * 10000) div (du.d + dv.d - n.cn) AS BIGINT) AS jaccard_bp,
+        |       n.adamic
+        |FROM new_pairs n JOIN deg du ON n.u = du.p JOIN deg dv ON n.v = dv.p
+        |ORDER BY n.cn DESC, n.u, n.v LIMIT 20""".stripMargin,
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT p1 AS a, p2 AS b FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+        |deg AS (SELECT a AS p, cast(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+        |wedge AS (SELECT x.a AS u, y.b AS v, x.b AS mid
+        |          FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b),
+        |cand AS (SELECT u, v, cast(count(*) AS BIGINT) AS cn,
+        |                round(sum(1.0 / ln(dm.d)), 4) AS adamic
+        |         FROM wedge JOIN deg dm ON wedge.mid = dm.p
+        |         WHERE dm.d > 1
+        |         GROUP BY 1, 2),
+        |new_pairs AS (SELECT c.u, c.v, c.cn, c.adamic FROM cand c
+        |  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.p1 = c.u AND p.p2 = c.v))
+        |SELECT n.u, n.v, n.cn,
+        |       cast((n.cn * 10000) // (du.d + dv.d - n.cn) AS BIGINT) AS jaccard_bp,
+        |       n.adamic
+        |FROM new_pairs n JOIN deg du ON n.u = du.p JOIN deg dv ON n.v = dv.p
+        |ORDER BY n.cn DESC, n.u, n.v LIMIT 20""".stripMargin),
+
+    // Murphy decomposition of the Brier score (reliability / resolution
+    // / uncertainty) over score deciles — the calibration-quality
+    // triple completing x203/x262. The "probability" is a clamped
+    // LINEAR transform of the raw score (no exp/libm in the binning
+    // path: cross-engine math-library ulps must never reorder the
+    // decile sort). All terms are single divisions/products of exact
+    // integer bin counts except yhat (an avg of ≤ n/10 doubles),
+    // rounded at 4dp.
+    q("x273_brier_decomp",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding,1) AS DOUBLE) AS score,
+        |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |p AS (SELECT vec_id, least(greatest(0.5e0 + score, 0e0), 1e0) AS prob, y FROM s),
+        |d AS (SELECT prob, y, ntile(10) OVER (ORDER BY prob, vec_id) AS bin FROM p),
+        |bins AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos,
+        |                avg(prob) AS yhat FROM d GROUP BY bin),
+        |g AS (SELECT cast(sum(n) AS BIGINT) AS nn, cast(sum(pos) AS BIGINT) AS npos FROM bins)
+        |SELECT round(sum(n * (yhat - pos * 1e0/n) * (yhat - pos * 1e0/n)) / (SELECT nn FROM g), 4) AS reliability,
+        |       round(sum(n * (pos * 1e0/n - (SELECT npos * 1e0/nn FROM g)) * (pos * 1e0/n - (SELECT npos * 1e0/nn FROM g))) / (SELECT nn FROM g), 4) AS resolution,
+        |       round((SELECT npos * 1e0/nn * (1e0 - npos * 1e0/nn) FROM g), 4) AS uncertainty
+        |FROM bins""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |p AS (SELECT vec_id, least(greatest(0.5e0 + score, 0e0), 1e0) AS prob, y FROM s),
+        |d AS (SELECT prob, y, ntile(10) OVER (ORDER BY prob, vec_id) AS bin FROM p),
+        |bins AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos,
+        |                avg(prob) AS yhat FROM d GROUP BY bin),
+        |g AS (SELECT cast(sum(n) AS BIGINT) AS nn, cast(sum(pos) AS BIGINT) AS npos FROM bins)
+        |SELECT round(sum(n * (yhat - pos * 1e0/n) * (yhat - pos * 1e0/n)) / (SELECT nn FROM g), 4) AS reliability,
+        |       round(sum(n * (pos * 1e0/n - (SELECT npos * 1e0/nn FROM g)) * (pos * 1e0/n - (SELECT npos * 1e0/nn FROM g))) / (SELECT nn FROM g), 4) AS resolution,
+        |       round((SELECT npos * 1e0/nn * (1e0 - npos * 1e0/nn) FROM g), 4) AS uncertainty
+        |FROM bins""".stripMargin),
+
+    // Holt double exponential smoothing (level + trend) per event-type
+    // daily series — a genuinely SEQUENTIAL fold (x245's class) that
+    // both engines run as the SAME recursive CTE (Spark 4's recursion,
+    // exercised on real data beyond x91's scalar count). α=β=0.5 and
+    // e-notation literals keep every step in IEEE doubles with an
+    // identical op tree → bit-equal trajectories; outputs round at 4dp.
+    // Recursion depth = series length per type; types recurse
+    // independently (the per-series parallelism a cluster would use).
+    q("x274_holt_linear",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cast(ts AS DATE)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |h(event_type, rn, y, l, b) AS (
+        |  SELECT d1.event_type, 2, d2.y,
+        |         d2.y * 1e0, (d2.y - d1.y) * 1e0
+        |  FROM d d1 JOIN d d2 ON d1.event_type = d2.event_type AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn + 1, d.y,
+        |         5e-1 * d.y + 5e-1 * (h.l + h.b),
+        |         5e-1 * ((5e-1 * d.y + 5e-1 * (h.l + h.b)) - h.l) + 5e-1 * h.b
+        |  FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.rn + 1),
+        |fin AS (SELECT event_type, max(rn) AS mx FROM h GROUP BY 1)
+        |SELECT h.event_type, cast(h.rn AS BIGINT) AS rn, h.y,
+        |       round(h.l, 4) AS level, round(h.b, 4) AS trend,
+        |       round(h.l + h.b, 4) AS forecast_next
+        |FROM h JOIN fin ON h.event_type = fin.event_type AND h.rn = fin.mx
+        |ORDER BY h.event_type""".stripMargin),
+
+    // t-closeness audit — completes the privacy triad (x186
+    // k-anonymity, x234 l-diversity): per quasi-identifier group, the
+    // ordered-EMD distance between the group's sensitive-attribute
+    // (acctbal decile) distribution and the global one, in PURE INTEGER
+    // bp via cross-multiplied cumulative counts (|cg·N − cG·ng| sums —
+    // no float CDFs). Dim-sized windows; the decile assignment is the
+    // only fact-sized pass.
+    q("x275_t_closeness",
+      """WITH s AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS dec_b FROM customer),
+        |gq AS (SELECT nk, seg, dec_b, cast(count(*) AS BIGINT) AS c FROM s GROUP BY 1,2,3),
+        |gn AS (SELECT nk, seg, cast(sum(c) AS BIGINT) AS ng FROM gq GROUP BY 1,2),
+        |gl AS (SELECT dec_b, cast(sum(c) AS BIGINT) AS gc FROM gq GROUP BY 1),
+        |nn AS (SELECT cast(sum(gc) AS BIGINT) AS n FROM gl),
+        |decs AS (SELECT explode(sequence(1,10)) AS dec_b),
+        |cells AS (SELECT g.nk, g.seg, g.ng, d.dec_b,
+        |                 cast(coalesce(q.c, 0) AS BIGINT) AS c
+        |          FROM gn g CROSS JOIN decs d
+        |          LEFT JOIN gq q ON q.nk = g.nk AND q.seg = g.seg AND q.dec_b = d.dec_b),
+        |cum AS (SELECT nk, seg, ng, dec_b,
+        |               cast(sum(c) OVER (PARTITION BY nk, seg ORDER BY dec_b) AS BIGINT) AS cg
+        |        FROM cells),
+        |gcum AS (SELECT dec_b, cast(sum(gc) OVER (ORDER BY dec_b) AS BIGINT) AS cG FROM gl),
+        |emd AS (SELECT cum.nk, cum.seg, cum.ng,
+        |               cast(sum(abs(cum.cg * (SELECT n FROM nn) - gcum.cG * cum.ng)) AS BIGINT) AS num
+        |        FROM cum JOIN gcum ON cum.dec_b = gcum.dec_b
+        |        WHERE cum.dec_b < 10
+        |        GROUP BY 1, 2, 3)
+        |SELECT nk, seg, ng,
+        |       cast((num * 10000) div (ng * (SELECT n FROM nn) * 9) AS BIGINT) AS t_bp
+        |FROM emd ORDER BY nk, seg""".stripMargin,
+      """WITH s AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |        ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS dec_b FROM customer),
+        |gq AS (SELECT nk, seg, dec_b, cast(count(*) AS BIGINT) AS c FROM s GROUP BY 1,2,3),
+        |gn AS (SELECT nk, seg, cast(sum(c) AS BIGINT) AS ng FROM gq GROUP BY 1,2),
+        |gl AS (SELECT dec_b, cast(sum(c) AS BIGINT) AS gc FROM gq GROUP BY 1),
+        |nn AS (SELECT cast(sum(gc) AS BIGINT) AS n FROM gl),
+        |decs AS (SELECT unnest(range(1,11)) AS dec_b),
+        |cells AS (SELECT g.nk, g.seg, g.ng, d.dec_b,
+        |                 cast(coalesce(q.c, 0) AS BIGINT) AS c
+        |          FROM gn g CROSS JOIN decs d
+        |          LEFT JOIN gq q ON q.nk = g.nk AND q.seg = g.seg AND q.dec_b = d.dec_b),
+        |cum AS (SELECT nk, seg, ng, dec_b,
+        |               cast(sum(c) OVER (PARTITION BY nk, seg ORDER BY dec_b) AS BIGINT) AS cg
+        |        FROM cells),
+        |gcum AS (SELECT dec_b, cast(sum(gc) OVER (ORDER BY dec_b) AS BIGINT) AS cG FROM gl),
+        |emd AS (SELECT cum.nk, cum.seg, cum.ng,
+        |               cast(sum(abs(cum.cg * (SELECT n FROM nn) - gcum.cG * cum.ng)) AS BIGINT) AS num
+        |        FROM cum JOIN gcum ON cum.dec_b = gcum.dec_b
+        |        WHERE cum.dec_b < 10
+        |        GROUP BY 1, 2, 3)
+        |SELECT nk, seg, ng,
+        |       cast((num * 10000) // (ng * (SELECT n FROM nn) * 9) AS BIGINT) AS t_bp
+        |FROM emd ORDER BY nk, seg""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
