@@ -5242,7 +5242,161 @@ object Queries {
         |        GROUP BY 1, 2, 3)
         |SELECT nk, seg, ng,
         |       cast((num * 10000) // (ng * (SELECT n FROM nn) * 9) AS BIGINT) AS t_bp
-        |FROM emd ORDER BY nk, seg""".stripMargin)
+        |FROM emd ORDER BY nk, seg""".stripMargin),
+
+    // Mutual-information feature ranking (feature selection): MI(label;
+    // sign of embedding dims 1-4) from 2×2 contingency counts — the
+    // dependence measure x206's chi-square tests, turned into a ranked
+    // feature report. Counts are exact integers; the ln terms (≤ 4 per
+    // feature) round at 4dp and the RANK orders by the ROUNDED value
+    // (cross-engine libm ulps must never decide an ordering).
+    q("x276_mi_feature_rank",
+      """WITH f AS (
+        |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, fid,
+        |         CASE WHEN v >= 0 THEN 1 ELSE 0 END AS x
+        |  FROM (SELECT label, 1 AS fid, cast(element_at(embedding,1) AS DOUBLE) AS v FROM embeddings
+        |        UNION ALL SELECT label, 2, cast(element_at(embedding,2) AS DOUBLE) FROM embeddings
+        |        UNION ALL SELECT label, 3, cast(element_at(embedding,3) AS DOUBLE) FROM embeddings
+        |        UNION ALL SELECT label, 4, cast(element_at(embedding,4) AS DOUBLE) FROM embeddings) u),
+        |cxy AS (SELECT fid, x, y, cast(count(*) AS BIGINT) AS c FROM f GROUP BY 1,2,3),
+        |cx AS (SELECT fid, x, cast(sum(c) AS BIGINT) AS cx FROM cxy GROUP BY 1,2),
+        |cy AS (SELECT fid, y, cast(sum(c) AS BIGINT) AS cy FROM cxy GROUP BY 1,2),
+        |n AS (SELECT fid, cast(sum(c) AS BIGINT) AS n FROM cxy GROUP BY 1),
+        |mi AS (SELECT cxy.fid,
+        |              round(sum((cxy.c * 1e0 / n.n) * ln((cxy.c * 1e0 * n.n) / (cx.cx * 1e0 * cy.cy))), 4) AS mi_nats
+        |       FROM cxy JOIN cx ON cxy.fid = cx.fid AND cxy.x = cx.x
+        |            JOIN cy ON cxy.fid = cy.fid AND cxy.y = cy.y
+        |            JOIN n ON cxy.fid = n.fid
+        |       GROUP BY 1)
+        |SELECT cast(fid AS BIGINT) AS feature, mi_nats,
+        |       cast(row_number() OVER (ORDER BY mi_nats DESC, fid) AS BIGINT) AS rk
+        |FROM mi ORDER BY rk""".stripMargin,
+      """WITH f AS (
+        |  SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS y, fid,
+        |         CASE WHEN v >= 0 THEN 1 ELSE 0 END AS x
+        |  FROM (SELECT label, 1 AS fid, cast(embedding[1] AS DOUBLE) AS v FROM embeddings
+        |        UNION ALL SELECT label, 2, cast(embedding[2] AS DOUBLE) FROM embeddings
+        |        UNION ALL SELECT label, 3, cast(embedding[3] AS DOUBLE) FROM embeddings
+        |        UNION ALL SELECT label, 4, cast(embedding[4] AS DOUBLE) FROM embeddings) u),
+        |cxy AS (SELECT fid, x, y, cast(count(*) AS BIGINT) AS c FROM f GROUP BY 1,2,3),
+        |cx AS (SELECT fid, x, cast(sum(c) AS BIGINT) AS cx FROM cxy GROUP BY 1,2),
+        |cy AS (SELECT fid, y, cast(sum(c) AS BIGINT) AS cy FROM cxy GROUP BY 1,2),
+        |n AS (SELECT fid, cast(sum(c) AS BIGINT) AS n FROM cxy GROUP BY 1),
+        |mi AS (SELECT cxy.fid,
+        |              round(sum((cxy.c * 1e0 / n.n) * ln((cxy.c * 1e0 * n.n) / (cx.cx * 1e0 * cy.cy))), 4) AS mi_nats
+        |       FROM cxy JOIN cx ON cxy.fid = cx.fid AND cxy.x = cx.x
+        |            JOIN cy ON cxy.fid = cy.fid AND cxy.y = cy.y
+        |            JOIN n ON cxy.fid = n.fid
+        |       GROUP BY 1)
+        |SELECT cast(fid AS BIGINT) AS feature, mi_nats,
+        |       cast(row_number() OVER (ORDER BY mi_nats DESC, fid) AS BIGINT) AS rk
+        |FROM mi ORDER BY rk""".stripMargin),
+
+    // Split-conformal prediction calibration: the 90% nonconformity
+    // quantile from the even-id calibration split (rank = min(ceil(0.9·
+    // (n+1)), n) in pure integer arithmetic), then empirical coverage
+    // on the odd-id split — the distribution-free uncertainty wrapper
+    // (Vovk; split form per Lei et al.). Expected coverage ≥ 90%; the
+    // linear clamped probability keeps libm out entirely. Two scans +
+    // one dim-sized quantile row, broadcast into the coverage filter.
+    q("x277_conformal_coverage",
+      """WITH p AS (SELECT vec_id,
+        |        least(greatest(0.5e0 + cast(element_at(embedding,1) AS DOUBLE), 0e0), 1e0) AS prob,
+        |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |s AS (SELECT vec_id, CASE WHEN y = 1 THEN 1e0 - prob ELSE prob END AS nc FROM p),
+        |cal AS (SELECT nc, row_number() OVER (ORDER BY nc, vec_id) AS rn,
+        |               count(*) OVER () AS n FROM s WHERE vec_id % 2 = 0),
+        |q AS (SELECT nc AS qhat FROM cal WHERE rn = least(((n + 1) * 90 + 99) div 100, n)),
+        |ev AS (SELECT s.nc FROM s WHERE vec_id % 2 = 1)
+        |SELECT round((SELECT qhat FROM q), 4) AS qhat,
+        |       cast((SELECT count(*) FROM cal) AS BIGINT) AS n_calib,
+        |       cast(count(*) AS BIGINT) AS n_eval,
+        |       cast((sum(CASE WHEN nc <= (SELECT qhat FROM q) THEN 1 ELSE 0 END) * 10000) div count(*) AS BIGINT) AS coverage_bp
+        |FROM ev""".stripMargin,
+      """WITH p AS (SELECT vec_id,
+        |        least(greatest(0.5e0 + cast(embedding[1] AS DOUBLE), 0e0), 1e0) AS prob,
+        |        CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |s AS (SELECT vec_id, CASE WHEN y = 1 THEN 1e0 - prob ELSE prob END AS nc FROM p),
+        |cal AS (SELECT nc, row_number() OVER (ORDER BY nc, vec_id) AS rn,
+        |               count(*) OVER () AS n FROM s WHERE vec_id % 2 = 0),
+        |q AS (SELECT nc AS qhat FROM cal WHERE rn = least(((n + 1) * 90 + 99) // 100, n)),
+        |ev AS (SELECT s.nc FROM s WHERE vec_id % 2 = 1)
+        |SELECT round((SELECT qhat FROM q), 4) AS qhat,
+        |       cast((SELECT count(*) FROM cal) AS BIGINT) AS n_calib,
+        |       cast(count(*) AS BIGINT) AS n_eval,
+        |       cast((sum(CASE WHEN nc <= (SELECT qhat FROM q) THEN 1 ELSE 0 END) * 10000) // count(*) AS BIGINT) AS coverage_bp
+        |FROM ev""".stripMargin),
+
+    // Vocabulary shift between sources (domain-drift in the IDF sense,
+    // the term-level complement of x190's length drift and x134's
+    // doc-overlap): per-term document-frequency log-ratio between two
+    // source corpora, for terms present in ≥ 25% of each side's docs
+    // (the RELATIVE floor keeps every SF non-degenerate). Term-keyed
+    // equi-join carries the shuffle; the sort key is the ROUNDED
+    // |shift| (libm ulps never order the top-k).
+    q("x278_vocab_shift",
+      """WITH w AS (SELECT source, doc_id, explode(array_distinct(split(lower(text), ' '))) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |df AS (SELECT source, term, cast(count(*) AS BIGINT) AS df FROM w GROUP BY 1, 2),
+        |nd AS (SELECT source, cast(count(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY 1),
+        |j AS (SELECT a.term, a.df AS df_a, b.df AS df_b,
+        |             (SELECT nd FROM nd WHERE source='src0') AS na,
+        |             (SELECT nd FROM nd WHERE source='src1') AS nb
+        |      FROM df a JOIN df b ON a.term = b.term AND a.source='src0' AND b.source='src1'
+        |      WHERE a.df * 4 >= (SELECT nd FROM nd WHERE source='src0')
+        |        AND b.df * 4 >= (SELECT nd FROM nd WHERE source='src1'))
+        |SELECT term, df_a, df_b,
+        |       round(ln((df_a * 1e0 / na) / (df_b * 1e0 / nb)), 4) AS shift
+        |FROM j ORDER BY round(abs(ln((df_a * 1e0 / na) / (df_b * 1e0 / nb))), 4) DESC, term LIMIT 25""".stripMargin,
+      """WITH w AS (SELECT source, doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |df AS (SELECT source, term, cast(count(*) AS BIGINT) AS df FROM w GROUP BY 1, 2),
+        |nd AS (SELECT source, cast(count(DISTINCT doc_id) AS BIGINT) AS nd FROM w GROUP BY 1),
+        |j AS (SELECT a.term, a.df AS df_a, b.df AS df_b,
+        |             (SELECT nd FROM nd WHERE source='src0') AS na,
+        |             (SELECT nd FROM nd WHERE source='src1') AS nb
+        |      FROM df a JOIN df b ON a.term = b.term AND a.source='src0' AND b.source='src1'
+        |      WHERE a.df * 4 >= (SELECT nd FROM nd WHERE source='src0')
+        |        AND b.df * 4 >= (SELECT nd FROM nd WHERE source='src1'))
+        |SELECT term, df_a, df_b,
+        |       round(ln((df_a * 1e0 / na) / (df_b * 1e0 / nb)), 4) AS shift
+        |FROM j ORDER BY round(abs(ln((df_a * 1e0 / na) / (df_b * 1e0 / nb))), 4) DESC, term LIMIT 25""".stripMargin),
+
+    // Top rank movers year-over-year — the BI "biggest climbers and
+    // fallers" report: per-part revenue rank in 1996 vs 1997, largest
+    // absolute rank change. Ranks run over part-sized yearly aggregates
+    // (x153's window class); the join is part-keyed. All-integer.
+    q("x279_rank_movers",
+      """WITH r AS (SELECT l_partkey AS pk, year(l_shipdate) AS yr,
+        |       cast(sum(cast(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997) GROUP BY 1, 2),
+        |rk AS (SELECT pk, yr, rev, rank() OVER (PARTITION BY yr ORDER BY rev DESC, pk) AS rnk FROM r),
+        |j AS (SELECT a.pk,
+        |             cast(a.rnk AS BIGINT) AS rank_1996, cast(b.rnk AS BIGINT) AS rank_1997,
+        |             cast(a.rnk - b.rnk AS BIGINT) AS delta
+        |      FROM rk a JOIN rk b ON a.pk = b.pk AND a.yr = 1996 AND b.yr = 1997)
+        |SELECT pk, rank_1996, rank_1997, delta FROM j
+        |ORDER BY abs(delta) DESC, pk LIMIT 20""".stripMargin),
+
+    // Simpson's-paradox screen: pooled vs per-nation regression slope
+    // of account balance on order count, flagging nations whose ROUNDED
+    // slope sign opposes the pooled sign — the aggregation-reversal
+    // audit every segment-level dashboard needs. Slopes round at 4dp
+    // BEFORE the sign test (a float boundary must never decide a flag);
+    // constant-x groups yield NULL slopes → flag 0 on both engines.
+    q("x280_simpsons_check",
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |       cast(round(c_acctbal*100) AS BIGINT) AS bal FROM customer),
+        |o AS (SELECT o_custkey, cast(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |d AS (SELECT c.c_nationkey AS nk, c.bal, coalesce(o.n_orders, 0) AS n_orders
+        |      FROM c LEFT JOIN o ON c.c_custkey = o.o_custkey),
+        |pooled AS (SELECT round(regr_slope(bal, n_orders), 4) AS s FROM d),
+        |per AS (SELECT nk, cast(count(*) AS BIGINT) AS n, round(regr_slope(bal, n_orders), 4) AS s
+        |        FROM d GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT per.nk, per.n, per.s AS nation_slope,
+        |       (SELECT s FROM pooled) AS pooled_slope,
+        |       CASE WHEN per.s * (SELECT s FROM pooled) < 0 THEN 1 ELSE 0 END AS sign_flip
+        |FROM per ORDER BY per.nk""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
