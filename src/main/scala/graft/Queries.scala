@@ -5396,7 +5396,143 @@ object Queries {
         |SELECT per.nk, per.n, per.s AS nation_slope,
         |       (SELECT s FROM pooled) AS pooled_slope,
         |       CASE WHEN per.s * (SELECT s FROM pooled) < 0 THEN 1 ELSE 0 END AS sign_flip
-        |FROM per ORDER BY per.nk""".stripMargin)
+        |FROM per ORDER BY per.nk""".stripMargin),
+
+    // Label engineering for an engagement-decline model — the ML-
+    // pipeline op that BUILDS a training table: per-user features over
+    // the first 23 days (counts, purchase counts, spend, recency) and a
+    // binary label "weekly rate in the last 7 days fell below 80% of
+    // the prior weekly rate", kept in cross-multiplied integers
+    // (23·n2·10 < 7·n1·8 — no rate division anywhere). ~22% positive at
+    // every SF. Two user-keyed aggs + one join.
+    q("x281_engagement_labels",
+      """WITH w1 AS (SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+        |       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |       max(cast(ts AS DATE)) AS last_d
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1),
+        |w2 AS (SELECT user_id, cast(count(*) AS BIGINT) AS n2
+        |       FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1)
+        |SELECT w1.user_id, n_events, n_purchases, cents,
+        |       cast(datediff(DATE '2024-01-24', last_d) AS BIGINT) AS recency_days,
+        |       CASE WHEN 23 * coalesce(n2, 0) * 10 < 7 * n_events * 8 THEN 1 ELSE 0 END AS declined
+        |FROM w1 LEFT JOIN w2 ON w1.user_id = w2.user_id
+        |ORDER BY w1.user_id""".stripMargin,
+      """WITH w1 AS (SELECT user_id, cast(count(*) AS BIGINT) AS n_events,
+        |       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |       cast(sum(cast(round(value*100) AS BIGINT)) AS BIGINT) AS cents,
+        |       max(cast(ts AS DATE)) AS last_d
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1),
+        |w2 AS (SELECT user_id, cast(count(*) AS BIGINT) AS n2
+        |       FROM events WHERE ts >= TIMESTAMP '2024-01-24 00:00:00' GROUP BY 1)
+        |SELECT w1.user_id, n_events, n_purchases, cents,
+        |       cast(datediff('day', last_d, DATE '2024-01-24') AS BIGINT) AS recency_days,
+        |       CASE WHEN 23 * coalesce(n2, 0) * 10 < 7 * n_events * 8 THEN 1 ELSE 0 END AS declined
+        |FROM w1 LEFT JOIN w2 ON w1.user_id = w2.user_id
+        |ORDER BY w1.user_id""".stripMargin),
+
+    // Leave-one-out target encoding with additive smoothing (prior
+    // m=10 toward the global mean) — the category-feature transform
+    // done leak-free: each row's own target is excluded from its
+    // category mean. PURE INTEGER via cents and floor division. One
+    // category agg broadcast back over the fact rows.
+    q("x282_target_encoding",
+      """WITH e AS (SELECT event_id, event_type, cast(round(value*100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, cast(sum(c) AS BIGINT) AS sg, cast(count(*) AS BIGINT) AS ng FROM e GROUP BY 1),
+        |gm AS (SELECT cast(sum(c) AS BIGINT) div cast(count(*) AS BIGINT) AS m FROM e)
+        |SELECT e.event_id, e.event_type,
+        |       cast(((g.sg - e.c) + 10 * (SELECT m FROM gm)) div (g.ng - 1 + 10) AS BIGINT) AS loo_enc_cents
+        |FROM e JOIN g ON e.event_type = g.event_type
+        |WHERE e.event_id % 211 = 0 ORDER BY e.event_id""".stripMargin,
+      """WITH e AS (SELECT event_id, event_type, cast(round(value*100) AS BIGINT) AS c FROM events),
+        |g AS (SELECT event_type, cast(sum(c) AS BIGINT) AS sg, cast(count(*) AS BIGINT) AS ng FROM e GROUP BY 1),
+        |gm AS (SELECT cast(sum(c) AS BIGINT) // cast(count(*) AS BIGINT) AS m FROM e)
+        |SELECT e.event_id, e.event_type,
+        |       cast(((g.sg - e.c) + 10 * (SELECT m FROM gm)) // (g.ng - 1 + 10) AS BIGINT) AS loo_enc_cents
+        |FROM e JOIN g ON e.event_type = g.event_type
+        |WHERE e.event_id % 211 = 0 ORDER BY e.event_id""".stripMargin),
+
+    // Feature-hashing (hashing-trick) collision census over the doc
+    // vocabulary: terms → 256 buckets through the portable md5-prefix
+    // hash (x74's cross-engine family), reporting load factor, max
+    // load and colliding-term mass — the dimensionality/collision
+    // trade-off readout before anyone trains on hashed features.
+    q("x283_feature_hash_census",
+      """WITH w AS (SELECT DISTINCT explode(array_distinct(split(lower(text), ' '))) AS term FROM documents),
+        |h AS (SELECT term, cast(conv(substr(md5(term),1,8),16,10) AS BIGINT) % 256 AS bucket FROM w),
+        |b AS (SELECT bucket, cast(count(*) AS BIGINT) AS load FROM h GROUP BY 1)
+        |SELECT cast((SELECT count(*) FROM h) AS BIGINT) AS n_terms,
+        |       cast(count(*) AS BIGINT) AS buckets_used,
+        |       cast(max(load) AS BIGINT) AS max_load,
+        |       cast(sum(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT) AS colliding_terms
+        |FROM b""".stripMargin,
+      """WITH w AS (SELECT DISTINCT unnest(list_distinct(string_split(lower(text), ' '))) AS term FROM documents),
+        |h AS (SELECT term, cast(('0x'||substr(md5(term),1,8)) AS BIGINT) % 256 AS bucket FROM w),
+        |b AS (SELECT bucket, cast(count(*) AS BIGINT) AS load FROM h GROUP BY 1)
+        |SELECT cast((SELECT count(*) FROM h) AS BIGINT) AS n_terms,
+        |       cast(count(*) AS BIGINT) AS buckets_used,
+        |       cast(max(load) AS BIGINT) AS max_load,
+        |       cast(sum(CASE WHEN load > 1 THEN load ELSE 0 END) AS BIGINT) AS colliding_terms
+        |FROM b""".stripMargin),
+
+    // Deterministic negative sampling for a recommender training set:
+    // per sampled customer, the 5 hash-lowest parts they never bought
+    // (NOT EXISTS anti-join against the order×lineitem interaction
+    // set; candidate ranking via the portable md5 hash — no rand(),
+    // re-runs are byte-identical). The candidate fan-out is
+    // |sampled users| × |parts| with a per-user top-k — at scale the
+    // hash-rank would band candidates per user first (same trick as
+    // the ANN bucket path).
+    q("x284_negative_sampling",
+      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |bought AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cand AS (SELECT c.c_custkey AS ck, p.p_partkey AS pk,
+        |                cast(conv(substr(md5(concat(cast(c.c_custkey AS STRING), ':', cast(p.p_partkey AS STRING))),1,8),16,10) AS BIGINT) AS hv
+        |         FROM cust c CROSS JOIN part p),
+        |neg AS (SELECT cand.ck, cand.pk, hv,
+        |               row_number() OVER (PARTITION BY cand.ck ORDER BY hv, cand.pk) AS rk
+        |        FROM cand WHERE NOT EXISTS (SELECT 1 FROM bought b WHERE b.ck = cand.ck AND b.pk = cand.pk))
+        |SELECT ck, pk, hv, cast(rk AS BIGINT) AS rk FROM neg WHERE rk <= 5 ORDER BY ck, rk""".stripMargin,
+      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |bought AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
+        |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |cand AS (SELECT c.c_custkey AS ck, p.p_partkey AS pk,
+        |                cast(('0x'||substr(md5(concat(cast(c.c_custkey AS VARCHAR), ':', cast(p.p_partkey AS VARCHAR))),1,8)) AS BIGINT) AS hv
+        |         FROM cust c CROSS JOIN part p),
+        |neg AS (SELECT cand.ck, cand.pk, hv,
+        |               row_number() OVER (PARTITION BY cand.ck ORDER BY hv, cand.pk) AS rk
+        |        FROM cand WHERE NOT EXISTS (SELECT 1 FROM bought b WHERE b.ck = cand.ck AND b.pk = cand.pk))
+        |SELECT ck, pk, hv, cast(rk AS BIGINT) AS rk FROM neg WHERE rk <= 5 ORDER BY ck, rk""".stripMargin),
+
+    // Tail attribution: which event types over-contribute to the top
+    // value decile — lift of each type's share among the top 10% vs
+    // its overall share, exact integer bp via cross-multiplied counts.
+    // The decile is one global ntile (dim here; x100's two-pass tier is
+    // the fact-scale form).
+    q("x285_tail_attribution",
+      """WITH e AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS c, event_id FROM events),
+        |d AS (SELECT event_type, ntile(10) OVER (ORDER BY c, event_id) AS dec_b FROM e),
+        |a AS (SELECT event_type, cast(count(*) AS BIGINT) AS all_n FROM d GROUP BY 1),
+        |t AS (SELECT event_type, cast(count(*) AS BIGINT) AS top_n FROM d WHERE dec_b = 10 GROUP BY 1),
+        |tot AS (SELECT cast(sum(all_n) AS BIGINT) AS aN FROM a),
+        |ttot AS (SELECT cast(sum(top_n) AS BIGINT) AS tN FROM t)
+        |SELECT a.event_type, a.all_n, coalesce(t.top_n, 0) AS top_n,
+        |       cast((coalesce(t.top_n, 0) * (SELECT aN FROM tot) * 10000)
+        |            div ((SELECT tN FROM ttot) * a.all_n) AS BIGINT) AS lift_bp
+        |FROM a LEFT JOIN t ON a.event_type = t.event_type
+        |ORDER BY a.event_type""".stripMargin,
+      """WITH e AS (SELECT event_type, cast(round(value*100) AS BIGINT) AS c, event_id FROM events),
+        |d AS (SELECT event_type, ntile(10) OVER (ORDER BY c, event_id) AS dec_b FROM e),
+        |a AS (SELECT event_type, cast(count(*) AS BIGINT) AS all_n FROM d GROUP BY 1),
+        |t AS (SELECT event_type, cast(count(*) AS BIGINT) AS top_n FROM d WHERE dec_b = 10 GROUP BY 1),
+        |tot AS (SELECT cast(sum(all_n) AS BIGINT) AS aN FROM a),
+        |ttot AS (SELECT cast(sum(top_n) AS BIGINT) AS tN FROM t)
+        |SELECT a.event_type, a.all_n, coalesce(t.top_n, 0) AS top_n,
+        |       cast((coalesce(t.top_n, 0) * (SELECT aN FROM tot) * 10000)
+        |            // ((SELECT tN FROM ttot) * a.all_n) AS BIGINT) AS lift_bp
+        |FROM a LEFT JOIN t ON a.event_type = t.event_type
+        |ORDER BY a.event_type""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
