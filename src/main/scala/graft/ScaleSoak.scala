@@ -297,7 +297,8 @@ object ScaleSoak {
       def runN(dir: String, name: String): (Double, Long) =
         med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
       Seq("x254_fifo_allocation", "x256_cuped", "x260_abc_xyz",
-          "x261_quantile_sketch").foreach { n =>
+          "x261_quantile_sketch", "x266_heavy_hitters",
+          "x270_incremental_agg").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
