@@ -5532,7 +5532,96 @@ object Queries {
         |       cast((coalesce(t.top_n, 0) * (SELECT aN FROM tot) * 10000)
         |            // ((SELECT tN FROM ttot) * a.all_n) AS BIGINT) AS lift_bp
         |FROM a LEFT JOIN t ON a.event_type = t.event_type
-        |ORDER BY a.event_type""".stripMargin)
+        |ORDER BY a.event_type""".stripMargin),
+
+    // Sequential probability ratio test (Wald's SPRT) per arm: the
+    // log-likelihood-ratio walk over each arm's observation sequence
+    // (H0 p=0.18 vs H1 p=0.22 on purchase conversion), stopping at the
+    // ±ln(19) boundary (α=β=0.05) — early-stopping A/B monitoring as a
+    // cumulative window, no recursion needed. The walk accumulates in
+    // frame order on both engines (identical op sequence); each step is
+    // ~0.05-0.2 nats, so a cross-engine ulp drift (~1e-13 after 2k
+    // steps) cannot move the crossing index. Arm-partitioned windows
+    // scale horizontally.
+    q("x286_sprt",
+      """WITH s AS (SELECT user_id % 2 AS arm, event_id,
+        |       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv,
+        |       row_number() OVER (PARTITION BY user_id % 2 ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |llr AS (SELECT arm, rn, conv,
+        |        sum(CASE WHEN conv = 1 THEN ln(22e-2/18e-2) ELSE ln(78e-2/82e-2) END)
+        |          OVER (PARTITION BY arm ORDER BY rn) AS walk
+        |        FROM s),
+        |cross_t AS (SELECT arm, min(rn) AS t_cross FROM llr
+        |            WHERE abs(walk) >= ln(19e0) GROUP BY arm),
+        |fin AS (SELECT l.arm, c.t_cross, l.walk
+        |        FROM llr l JOIN cross_t c ON l.arm = c.arm AND l.rn = c.t_cross)
+        |SELECT cast(arm AS BIGINT) AS arm, cast(t_cross AS BIGINT) AS n_obs,
+        |       round(walk, 4) AS llr_at_cross,
+        |       CASE WHEN walk > 0 THEN 'accept_h1' ELSE 'accept_h0' END AS verdict
+        |FROM fin ORDER BY arm""".stripMargin),
+
+    // Exact 3-player Shapley attribution over user-day journeys: v(S) =
+    // integer-bp conversion rate of journeys exposed to exactly channel
+    // set S (all 8 cells populated at every SF), and each channel's
+    // Shapley value from the closed-form 3-player weights — emitted at
+    // ×6 scale so the whole computation stays in integers (efficiency
+    // check: Σφ·6 = 6·(v111 − v000) exactly). One user-day hash agg +
+    // an 8-cell pivot; the marginal-contribution algebra is
+    // constant-size.
+    q("x287_shapley_attribution",
+      """WITH u AS (SELECT user_id, cast(ts AS DATE) AS day,
+        |       max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS a,
+        |       max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS b,
+        |       max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS c,
+        |       max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT a, b, c, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS conv
+        |      FROM u GROUP BY 1, 2, 3),
+        |r AS (SELECT a, b, c, (conv * 10000) div n AS v_bp FROM v),
+        |p AS (SELECT
+        |  max(CASE WHEN a=0 AND b=0 AND c=0 THEN v_bp END) AS v000,
+        |  max(CASE WHEN a=1 AND b=0 AND c=0 THEN v_bp END) AS v100,
+        |  max(CASE WHEN a=0 AND b=1 AND c=0 THEN v_bp END) AS v010,
+        |  max(CASE WHEN a=0 AND b=0 AND c=1 THEN v_bp END) AS v001,
+        |  max(CASE WHEN a=1 AND b=1 AND c=0 THEN v_bp END) AS v110,
+        |  max(CASE WHEN a=1 AND b=0 AND c=1 THEN v_bp END) AS v101,
+        |  max(CASE WHEN a=0 AND b=1 AND c=1 THEN v_bp END) AS v011,
+        |  max(CASE WHEN a=1 AND b=1 AND c=1 THEN v_bp END) AS v111 FROM r),
+        |sh AS (
+        |  SELECT 'click' AS channel,
+        |         2*(v100-v000) + (v110-v010) + (v101-v001) + 2*(v111-v011) AS x6 FROM p
+        |  UNION ALL SELECT 'error',
+        |         2*(v001-v000) + (v011-v010) + (v101-v100) + 2*(v111-v110) FROM p
+        |  UNION ALL SELECT 'signup',
+        |         2*(v010-v000) + (v110-v100) + (v011-v001) + 2*(v111-v101) FROM p)
+        |SELECT channel, cast(x6 AS BIGINT) AS shapley_x6_bp FROM sh ORDER BY channel""".stripMargin,
+      """WITH u AS (SELECT user_id, cast(ts AS DATE) AS day,
+        |       max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS a,
+        |       max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS b,
+        |       max(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS c,
+        |       max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT a, b, c, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS conv
+        |      FROM u GROUP BY 1, 2, 3),
+        |r AS (SELECT a, b, c, (conv * 10000) // n AS v_bp FROM v),
+        |p AS (SELECT
+        |  max(CASE WHEN a=0 AND b=0 AND c=0 THEN v_bp END) AS v000,
+        |  max(CASE WHEN a=1 AND b=0 AND c=0 THEN v_bp END) AS v100,
+        |  max(CASE WHEN a=0 AND b=1 AND c=0 THEN v_bp END) AS v010,
+        |  max(CASE WHEN a=0 AND b=0 AND c=1 THEN v_bp END) AS v001,
+        |  max(CASE WHEN a=1 AND b=1 AND c=0 THEN v_bp END) AS v110,
+        |  max(CASE WHEN a=1 AND b=0 AND c=1 THEN v_bp END) AS v101,
+        |  max(CASE WHEN a=0 AND b=1 AND c=1 THEN v_bp END) AS v011,
+        |  max(CASE WHEN a=1 AND b=1 AND c=1 THEN v_bp END) AS v111 FROM r),
+        |sh AS (
+        |  SELECT 'click' AS channel,
+        |         2*(v100-v000) + (v110-v010) + (v101-v001) + 2*(v111-v011) AS x6 FROM p
+        |  UNION ALL SELECT 'error',
+        |         2*(v001-v000) + (v011-v010) + (v101-v100) + 2*(v111-v110) FROM p
+        |  UNION ALL SELECT 'signup',
+        |         2*(v010-v000) + (v110-v100) + (v011-v001) + 2*(v111-v101) FROM p)
+        |SELECT channel, cast(x6 AS BIGINT) AS shapley_x6_bp FROM sh ORDER BY channel""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
