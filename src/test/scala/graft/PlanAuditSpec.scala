@@ -85,6 +85,25 @@ class PlanAuditSpec extends SparkSpec {
       s"map-only stage must not hash-shuffle:\n$p")
   }
 
+  test("x258: bucket-pruned skyline broadcasts its offsets, no pair join") {
+    val p = physical("x258_skyline_native")
+    assert(p.contains("BroadcastHashJoin"), s"per-bucket offsets should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must never pair-join the points:\n$p")
+  }
+
+  test("x261: quantile-sketch aggregate merges ladders map-side (partial ObjectHashAggregate)") {
+    val p = physical("x261_quantile_sketch")
+    // partial aggregation BELOW the exchange = the shuffle carries one
+    // ladder per (group, map partition), not the group's rows — the
+    // mergeable-summary property the operator exists for.
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    val firstExchange = p.indexOf("Exchange")
+    assert(firstAgg >= 0, s"sketch should run as ObjectHashAggregate:\n$p")
+    assert(firstExchange >= 0 && p.indexOf("ObjectHashAggregate", firstExchange) >= 0,
+      s"expected a partial agg on the map side of the exchange:\n$p")
+  }
+
   test("x140: iterative pagerank truncates lineage, never unrolls the fact join") {
     // Since r6 PageRank.run owns its persists: it materializes via
     // localCheckpoint and unpersists the edge/vertex caches before
