@@ -5621,7 +5621,89 @@ object Queries {
         |         2*(v001-v000) + (v011-v010) + (v101-v100) + 2*(v111-v110) FROM p
         |  UNION ALL SELECT 'signup',
         |         2*(v010-v000) + (v110-v100) + (v011-v001) + 2*(v111-v101) FROM p)
-        |SELECT channel, cast(x6 AS BIGINT) AS shapley_x6_bp FROM sh ORDER BY channel""".stripMargin)
+        |SELECT channel, cast(x6 AS BIGINT) AS shapley_x6_bp FROM sh ORDER BY channel""".stripMargin),
+
+    // Little's law by construction: the sweep-line integral of session
+    // concurrency over time must equal the sum of session durations
+    // EXACTLY (Fubini in integer microseconds — the same invariant a
+    // metrics pipeline asserts between its "avg concurrent users" and
+    // "total engaged time" marts), plus the queueing numbers L̄ and W̄
+    // derived from the shared quantity. Sessionization is q31's 30-min
+    // gap; the sweep is x198's ±1-point walk. The identity row is the
+    // reconciliation — fubini_ok MUST be 1.
+    q("x288_littles_law",
+      """WITH e AS (SELECT user_id, ts, unix_micros(ts) AS us,
+        |       lag(unix_micros(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |sid AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sess
+        |        FROM s),
+        |sess AS (SELECT user_id, sess, min(us) AS s0, max(us) AS s1 FROM sid GROUP BY 1, 2),
+        |pts AS (SELECT s0 AS t, 1 AS d FROM sess UNION ALL SELECT s1, -1 FROM sess),
+        |sweep AS (SELECT t, sum(d) AS dd FROM pts GROUP BY t),
+        |walk AS (SELECT t, sum(dd) OVER (ORDER BY t) AS conc,
+        |                lead(t) OVER (ORDER BY t) AS nxt
+        |         FROM sweep),
+        |integral AS (SELECT cast(sum(conc * (nxt - t)) AS BIGINT) AS area_us FROM walk WHERE nxt IS NOT NULL),
+        |durs AS (SELECT cast(sum(s1 - s0) AS BIGINT) AS dur_us, cast(count(*) AS BIGINT) AS n FROM sess),
+        |span AS (SELECT cast(max(us) - min(us) AS BIGINT) AS t_us FROM sid)
+        |SELECT (SELECT area_us FROM integral) AS area_us,
+        |       (SELECT dur_us FROM durs) AS dur_us,
+        |       CASE WHEN (SELECT area_us FROM integral) = (SELECT dur_us FROM durs) THEN 1 ELSE 0 END AS fubini_ok,
+        |       (SELECT n FROM durs) AS sessions,
+        |       cast(((SELECT dur_us FROM durs) * 10000) div (SELECT t_us FROM span) AS BIGINT) AS l_avg_bp,
+        |       cast((SELECT dur_us FROM durs) div ((SELECT n FROM durs) * 1000000) AS BIGINT) AS w_avg_secs""".stripMargin,
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us,
+        |       lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |s AS (SELECT user_id, us,
+        |             CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |sid AS (SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sess
+        |        FROM s),
+        |sess AS (SELECT user_id, sess, min(us) AS s0, max(us) AS s1 FROM sid GROUP BY 1, 2),
+        |pts AS (SELECT s0 AS t, 1 AS d FROM sess UNION ALL SELECT s1, -1 FROM sess),
+        |sweep AS (SELECT t, sum(d) AS dd FROM pts GROUP BY t),
+        |walk AS (SELECT t, sum(dd) OVER (ORDER BY t) AS conc,
+        |                lead(t) OVER (ORDER BY t) AS nxt
+        |         FROM sweep),
+        |integral AS (SELECT cast(sum(conc * (nxt - t)) AS BIGINT) AS area_us FROM walk WHERE nxt IS NOT NULL),
+        |durs AS (SELECT cast(sum(s1 - s0) AS BIGINT) AS dur_us, cast(count(*) AS BIGINT) AS n FROM sess),
+        |span AS (SELECT cast(max(us) - min(us) AS BIGINT) AS t_us FROM sid)
+        |SELECT (SELECT area_us FROM integral) AS area_us,
+        |       (SELECT dur_us FROM durs) AS dur_us,
+        |       CASE WHEN (SELECT area_us FROM integral) = (SELECT dur_us FROM durs) THEN 1 ELSE 0 END AS fubini_ok,
+        |       (SELECT n FROM durs) AS sessions,
+        |       cast(((SELECT dur_us FROM durs) * 10000) // (SELECT t_us FROM span) AS BIGINT) AS l_avg_bp,
+        |       cast((SELECT dur_us FROM durs) // ((SELECT n FROM durs) * 1000000) AS BIGINT) AS w_avg_secs""".stripMargin),
+
+    // Sample-ratio mismatch check on the hash-based arm assignment
+    // (x105's portable md5 family): two-cell chi-square collapses to
+    // (o0−o1)²/n — pure integer at ×10000 scale; the flag fires at the
+    // χ²(1df, α=.05)=3.84 boundary via cross-multiplication. THE first
+    // sanity gate of any experiment readout (a flagged SRM invalidates
+    // x256/x286 downstream). One distinct + one 2-row agg.
+    q("x289_srm_check",
+      """WITH a AS (SELECT cast(conv(substr(md5(cast(user_id AS STRING)),1,8),16,10) AS BIGINT) % 2 AS arm,
+        |       cast(count(*) AS BIGINT) AS o
+        |  FROM (SELECT DISTINCT user_id FROM events) u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN o END) AS o0,
+        |             max(CASE WHEN arm = 1 THEN o END) AS o1 FROM a)
+        |SELECT o0, o1, cast(o0 + o1 AS BIGINT) AS n,
+        |       cast(((o0 - o1) * (o0 - o1) * 10000) div (o0 + o1) AS BIGINT) AS chi2_x10000,
+        |       CASE WHEN (o0 - o1) * (o0 - o1) * 100 > 384 * (o0 + o1) THEN 1 ELSE 0 END AS srm_flag
+        |FROM p""".stripMargin,
+      """WITH a AS (SELECT cast(('0x'||substr(md5(cast(user_id AS VARCHAR)),1,8)) AS BIGINT) % 2 AS arm,
+        |       cast(count(*) AS BIGINT) AS o
+        |  FROM (SELECT DISTINCT user_id FROM events) u GROUP BY 1),
+        |p AS (SELECT max(CASE WHEN arm = 0 THEN o END) AS o0,
+        |             max(CASE WHEN arm = 1 THEN o END) AS o1 FROM a)
+        |SELECT o0, o1, cast(o0 + o1 AS BIGINT) AS n,
+        |       cast(((o0 - o1) * (o0 - o1) * 10000) // (o0 + o1) AS BIGINT) AS chi2_x10000,
+        |       CASE WHEN (o0 - o1) * (o0 - o1) * 100 > 384 * (o0 + o1) THEN 1 ELSE 0 END AS srm_flag
+        |FROM p""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
