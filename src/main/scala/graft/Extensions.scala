@@ -472,6 +472,14 @@ object Extensions {
           expr("cast(round(l_extendedprice*100) AS BIGINT)").as("cents"))
         .groupBy("g")
         .agg(sk(col("cents")).as("qv"), count(lit(1)).as("n"))
+        // ENFORCED exactness gate (ADVICE r8 #2): the "ladder never
+        // compacts" claim requires every group's row count ≤ k. A corpus
+        // that outgrows k now fails loudly inside the plan (assert_true
+        // in a filter — not prunable, no driver round-trip) instead of
+        // silently degrading to an approximation the oracle can't see.
+        .where(coalesce(expr(
+          "assert_true(n <= 262144, 'x261 exactness: group size exceeds sketch capacity k=262144')"),
+          lit(true)))
         .select(col("g"),
           element_at(col("qv"), 1).as("p25"),
           element_at(col("qv"), 2).as("p50"),
@@ -492,7 +500,16 @@ object Extensions {
       import org.apache.spark.sql.functions._
       val hh = udaf(new graft.functions.HeavyHitters(262144))
       Catalog.load(s, dir, "events")
-        .agg(hh(col("user_id")).as("tk"))
+        // ENFORCED exactness gate (ADVICE r8 #2): "the decrement path
+        // never fires" requires distinct keys ≤ k. countDistinct rides
+        // the same aggregation; the assert_true filter fails the plan
+        // loudly if a larger corpus leaves the exact regime (the 10×
+        // soak is already at 150k of 262144).
+        .agg(hh(col("user_id")).as("tk"),
+          countDistinct(col("user_id")).as("du"))
+        .where(coalesce(expr(
+          "assert_true(du <= 262144, 'x266 exactness: distinct users exceed MG capacity k=262144')"),
+          lit(true)))
         .select(posexplode(slice(col("tk"), 1, 10)))
         .select((col("pos") + 1).cast("long").as("rk"),
           col("col._1").as("user_id"), col("col._2").as("cnt"))

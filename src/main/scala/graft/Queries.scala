@@ -3858,12 +3858,32 @@ object Queries {
     // CUSUM drift series: running sum of (daily mean - grand mean of the
     // daily means). The day frame is tiny after the first agg; the running
     // sum is a single-partition window over 30 rows.
+    //
+    // Integer-micro-unit discipline (r8 postmortem, the x265/x73 class):
+    // the final cusum row is mathematically zero — Σ(m−gm) over all days —
+    // and a float formulation leaves a ±1e-13 accumulation residue whose
+    // SIGN depends on partial-agg order, rounding to -0.0000 vs 0.0000
+    // between engines. So: quantize each day mean to an exact integer in
+    // micro-units (deterministic: one round of one division of exact
+    // integer sums), then n·cusum_k = n·Σ_{i≤k}mu_i − k·Σmu is EXACT
+    // integer arithmetic — the last row is the integer 0, identically, in
+    // both engines. The trailing `+ 0e0` normalizes any IEEE -0.0 from
+    // rounding a tiny negative (−0.0 + 0.0 = +0.0). Overflow headroom:
+    // per-day micro-sums stay < 2^63 below ~9e9 rows/day at value≈1e3.
     q("x214_cusum",
-      """WITH d AS (SELECT cast(ts AS DATE) AS day, avg(value) AS m, count(*) AS c FROM events GROUP BY 1),
-        |g AS (SELECT avg(m) AS gm FROM d)
-        |SELECT day, round(m, 4) AS day_mean,
-        |       round(sum(m - gm) OVER (ORDER BY day), 4) AS cusum
-        |FROM d, g ORDER BY day""".stripMargin),
+      """WITH d AS (SELECT cast(ts AS DATE) AS day,
+        |                  sum(cast(round(value * 1000000) AS BIGINT)) AS su,
+        |                  cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |m AS (SELECT day, cast(round(su * 1e0 / c) AS BIGINT) AS mu FROM d),
+        |w AS (SELECT day, mu,
+        |        cast(sum(mu) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |        cast(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        |        cast(sum(mu) OVER () AS BIGINT) AS tot,
+        |        cast(count(*) OVER () AS BIGINT) AS n
+        |      FROM m)
+        |SELECT day, round(mu / 1e6, 4) AS day_mean,
+        |       round((n * cum - k * tot) * 1e0 / (n * 1000000), 4) + 0e0 AS cusum
+        |FROM w ORDER BY day""".stripMargin),
 
     // Bollinger bands: 7-day trailing mean +/- 2 sigma over daily totals,
     // with a breakout flag. Band comparisons happen on raw doubles — both
@@ -4373,8 +4393,8 @@ object Queries {
     q("x237_entropy_diversity",
       """WITH c AS (SELECT c_nationkey AS nk, c_mktsegment AS seg, count(*) AS n FROM customer GROUP BY 1,2),
         |t AS (SELECT nk, sum(n) AS tot FROM c GROUP BY 1)
-        |SELECT c.nk, round(-sum((n*1.0/tot) * ln(n*1.0/tot)), 4) AS shannon,
-        |       round(1.0 - sum(n*n)*1.0/(tot*tot), 4) AS simpson,
+        |SELECT c.nk, round(-sum((n*1e0/tot) * ln(n*1e0/tot)), 4) AS shannon,
+        |       round(1e0 - sum(n*n)*1e0/(tot*tot), 4) AS simpson,
         |       cast(count(*) AS BIGINT) AS n_segments
         |FROM c JOIN t ON c.nk = t.nk GROUP BY c.nk, t.tot ORDER BY c.nk""".stripMargin),
 
@@ -4519,20 +4539,24 @@ object Queries {
     // between-group component (income-share-weighted), answering "is
     // revenue inequality driven by spread inside nations or gaps across
     // them". Positive integer-cent revenues keep ln() in domain; the
-    // ln-sum rounds at 4dp (x237's passing hazard class).
+    // ln-sum rounds at 4dp (x237's passing hazard class). Float outputs
+    // use DOUBLE literals throughout (`1e0`, not `1.0` — Spark types
+    // BIGINT*1.0 as DECIMAL(28,6) while DuckDB yields DOUBLE; the r8
+    // hash-red class), and each signed output gets `+ 0e0` so a tiny
+    // negative rounding to -0.0000 normalizes to +0.0 in both engines.
     q("x246_theil_decomp",
       """WITH r AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
         |              sum(cast(round(o_totalprice*100) AS BIGINT)) AS cents
         |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2),
-        |m AS (SELECT nk, avg(cents*1.0) AS mug, count(*) AS ng FROM r GROUP BY 1),
-        |o AS (SELECT avg(cents*1.0) AS mu, count(*) AS n FROM r),
+        |m AS (SELECT nk, avg(cents*1e0) AS mug, count(*) AS ng FROM r GROUP BY 1),
+        |o AS (SELECT avg(cents*1e0) AS mu, count(*) AS n FROM r),
         |tg AS (SELECT r.nk, avg((r.cents/m.mug) * ln(r.cents/m.mug)) AS theil_g
         |       FROM r JOIN m ON r.nk = m.nk GROUP BY r.nk)
         |SELECT m.nk, cast(m.ng AS BIGINT) AS n_cust,
         |       round(m.mug / o.mu, 4) AS mean_ratio,
-        |       round(tg.theil_g, 4) AS theil_within,
-        |       round((m.ng * m.mug) / (o.n * o.mu) * tg.theil_g, 4) AS within_contrib,
-        |       round((m.ng * m.mug) / (o.n * o.mu) * ln(m.mug / o.mu), 4) AS between_contrib
+        |       round(tg.theil_g, 4) + 0e0 AS theil_within,
+        |       round((m.ng * m.mug) / (o.n * o.mu) * tg.theil_g, 4) + 0e0 AS within_contrib,
+        |       round((m.ng * m.mug) / (o.n * o.mu) * ln(m.mug / o.mu), 4) + 0e0 AS between_contrib
         |FROM m JOIN tg ON m.nk = tg.nk CROSS JOIN o ORDER BY m.nk""".stripMargin),
 
     // Single change-point detection on the daily event-count series:
@@ -4552,7 +4576,7 @@ object Queries {
         |        sum(c) OVER () AS st, count(*) OVER () AS nt
         |      FROM d),
         |sc AS (SELECT day, n1, s1, st - s1 AS s2, nt - n1 AS n2,
-        |         (s1*1.0*s1)/n1 + ((st-s1)*1.0*(st-s1))/(nt-n1) AS score
+        |         (s1*1e0*s1)/n1 + ((st-s1)*1e0*(st-s1))/(nt-n1) AS score
         |       FROM w WHERE n1 >= 5 AND nt - n1 >= 5)
         |SELECT day AS split_after, cast(n1 AS BIGINT) AS n_left, cast(n2 AS BIGINT) AS n_right,
         |       cast(s1 AS BIGINT) AS sum_left, cast(s2 AS BIGINT) AS sum_right,
@@ -4860,7 +4884,7 @@ object Queries {
         |seg AS (SELECT j.bin AS j, k.bin AS k,
         |               (k.cp - (j.cp - j.pos)) AS num, (k.cn - (j.cn - j.n)) AS den
         |        FROM c j JOIN c k ON j.bin <= k.bin),
-        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1.0 / s.den) AS mn
+        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1e0 / s.den) AS mn
         |       FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
         |fit AS (SELECT i AS bin, max(mn) AS f FROM mi GROUP BY 1)
         |SELECT b.bin, b.n, b.pos,
@@ -4878,7 +4902,7 @@ object Queries {
         |seg AS (SELECT j.bin AS j, k.bin AS k,
         |               (k.cp - (j.cp - j.pos)) AS num, (k.cn - (j.cn - j.n)) AS den
         |        FROM c j JOIN c k ON j.bin <= k.bin),
-        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1.0 / s.den) AS mn
+        |mi AS (SELECT i.bin AS i, s.j, min(s.num * 1e0 / s.den) AS mn
         |       FROM bins i JOIN seg s ON s.j <= i.bin AND s.k >= i.bin GROUP BY 1, 2),
         |fit AS (SELECT i AS bin, max(mn) AS f FROM mi GROUP BY 1)
         |SELECT b.bin, b.n, b.pos,
@@ -5001,8 +5025,8 @@ object Queries {
         |             cast(count(*) AS BIGINT) AS n_w
         |      FROM f GROUP BY 1)
         |SELECT f.day, f.c, f.trend_x7,
-        |       round(s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS seasonal,
-        |       round(f.c - f.trend_x7 / 7.0 - s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS residual
+        |       round(s.seas_sum_x7 * 1e0 / (7 * s.n_w), 4) + 0e0 AS seasonal,
+        |       round(f.c - f.trend_x7 / 7e0 - s.seas_sum_x7 * 1e0 / (7 * s.n_w), 4) + 0e0 AS residual
         |FROM f JOIN s ON f.wd = s.wd ORDER BY f.day""".stripMargin,
       """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
         |           FROM events GROUP BY 1),
@@ -5016,8 +5040,8 @@ object Queries {
         |             cast(count(*) AS BIGINT) AS n_w
         |      FROM f GROUP BY 1)
         |SELECT f.day, f.c, f.trend_x7,
-        |       round(s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS seasonal,
-        |       round(f.c - f.trend_x7 / 7.0 - s.seas_sum_x7 * 1.0 / (7 * s.n_w), 4) AS residual
+        |       round(s.seas_sum_x7 * 1e0 / (7 * s.n_w), 4) + 0e0 AS seasonal,
+        |       round(f.c - f.trend_x7 / 7e0 - s.seas_sum_x7 * 1e0 / (7 * s.n_w), 4) + 0e0 AS residual
         |FROM f JOIN s ON f.wd = s.wd ORDER BY f.day""".stripMargin),
 
     // Degree assortativity of the co-purchase graph (x163's edge

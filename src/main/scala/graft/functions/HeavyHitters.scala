@@ -29,27 +29,59 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class HeavyHitters(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[(Long, Long)]] {
   require(k >= 1)
+  import HeavyHitters.MgBuf
 
-  def zero: Map[Long, Long] = Map.empty
+  // ObjectHashAggregate holds the buffer as a live object between rows and
+  // only serializes at the shuffle boundary, so reduce/merge mutate a
+  // wrapped mutable.LongMap in place (ADVICE r8 #4 — the immutable Map
+  // buffer allocated a fresh map per input row; SCALE.md §23 measured it
+  // as the x266 soak cost). The encoder surface stays Map[Long, Long]:
+  // MgBuf IS an immutable.Map view (serialized via its iterator), and a
+  // post-shuffle deserialized plain Map is re-wrapped on first touch.
+  private def buf(m: Map[Long, Long]): MgBuf = m match {
+    case b: MgBuf => b
+    case other =>
+      val u = scala.collection.mutable.LongMap.empty[Long]
+      other.foreach { case (i, c) => u.update(i, c) }
+      new MgBuf(u)
+  }
 
-  def reduce(m: Map[Long, Long], item: Long): Map[Long, Long] =
-    m.get(item) match {
-      case Some(c) => m.updated(item, c + 1)
-      case None if m.size < k => m.updated(item, 1L)
-      case None => // decrement-all, drop zeros; the insert is absorbed
-        m.iterator.collect { case (i, c) if c > 1 => i -> (c - 1) }.toMap
+  def zero: Map[Long, Long] = new MgBuf(scala.collection.mutable.LongMap.empty[Long])
+
+  def reduce(m: Map[Long, Long], item: Long): Map[Long, Long] = {
+    val b = buf(m); val u = b.u
+    val cur = u.getOrElse(item, -1L)
+    if (cur >= 0L) u.update(item, cur + 1)
+    else if (u.size < k) u.update(item, 1L)
+    else { // decrement-all, drop zeros; the insert is absorbed
+      val keys = u.keysIterator.toArray
+      var j = 0
+      while (j < keys.length) {
+        val c = u(keys(j))
+        if (c <= 1L) u.remove(keys(j)) else u.update(keys(j), c - 1L)
+        j += 1
+      }
     }
+    b
+  }
 
   def merge(x: Map[Long, Long], y: Map[Long, Long]): Map[Long, Long] = {
-    val sum = y.foldLeft(x) { case (m, (i, c)) =>
-      m.updated(i, m.getOrElse(i, 0L) + c)
-    }
-    if (sum.size <= k) sum
-    else {
+    val b = buf(x); val u = b.u
+    y.foreach { case (i, c) => u.update(i, u.getOrElse(i, 0L) + c) }
+    if (u.size > k) {
       // subtract the (k+1)-th largest counter from everyone
-      val cut = sum.valuesIterator.toArray.sortBy(-_).apply(k)
-      sum.iterator.collect { case (i, c) if c > cut => i -> (c - cut) }.toMap
+      val vals = u.valuesIterator.toArray
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - 1 - k)
+      val keys = u.keysIterator.toArray
+      var j = 0
+      while (j < keys.length) {
+        val c = u(keys(j))
+        if (c <= cut) u.remove(keys(j)) else u.update(keys(j), c - cut)
+        j += 1
+      }
     }
+    b
   }
 
   /** Top items by (count desc, item asc) — deterministic tie-break. */
@@ -60,4 +92,19 @@ class HeavyHitters(k: Int) extends Aggregator[Long, Map[Long, Long], Seq[(Long, 
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
   def outputEncoder: Encoder[Seq[(Long, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+object HeavyHitters {
+  /** Immutable-Map facade over an in-place mutable.LongMap: the encoder
+    * serializes through `iterator`; the two immutable ops are only there
+    * to satisfy the trait (never on the aggregation hot path). */
+  private[functions] final class MgBuf(val u: scala.collection.mutable.LongMap[Long])
+      extends Map[Long, Long] {
+    def get(key: Long): Option[Long] = u.get(key)
+    def iterator: Iterator[(Long, Long)] = u.iterator
+    def removed(key: Long): Map[Long, Long] = u.toMap.removed(key)
+    def updated[V1 >: Long](key: Long, value: V1): Map[Long, V1] =
+      u.toMap.updated(key, value)
+    override def size: Int = u.size
+  }
 }

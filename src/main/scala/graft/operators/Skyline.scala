@@ -32,9 +32,21 @@ import org.apache.spark.sql.functions._
 object Skyline {
 
   /** Returns the skyline rows of `df` (all columns preserved).
-    * `xCol`/`yCol` must be numeric; NULLs must be pre-filtered. */
+    *
+    * `xCol`/`yCol` must be INTEGRAL (byte/short/int/long) and NULL-free:
+    * the strictly-smaller-x test below is a RANGE frame ending at x-1,
+    * which equals "x' < x" only on integer domains — a double x would
+    * silently miss dominators with x-1 < x' < x (ADVICE r8 #1). Quantize
+    * fractional measures to integer units (cents, micro-units) first,
+    * exactly like the contract call sites (x258 price_c) do. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val (xt, yt) = (df.schema(xCol).dataType, df.schema(yCol).dataType)
+    require(integral(xt) && integral(yt),
+      s"skyline2d requires integral x/y (RANGE 'to x-1' is strict-x only on " +
+      s"integers); got $xCol:$xt, $yCol:$yt — quantize to integer units first")
     val spark = df.sparkSession
     val n = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
@@ -56,14 +68,17 @@ object Skyline {
     val cheaperW = Window.partitionBy(col("__pid")).orderBy(col(xCol))
       .rangeBetween(Window.unboundedPreceding, -1)
     val peerW = Window.partitionBy(col("__pid"), col(xCol))
+    // null-safe "no cheaper point": greatest() skips NULLs, so
+    // __cheaper_max is NULL exactly when no strictly-cheaper point exists
+    // — no Long.MinValue sentinel (which wrongly dropped a frontier point
+    // whose y equals the sentinel, ADVICE r8 #1).
     val scored = ranged.join(broadcast(offsets), "__pid")
       .withColumn("__cheaper_max",
-        greatest(coalesce(max(col(yCol)).over(cheaperW), lit(Long.MinValue)),
-                 coalesce(col("__prev_max"), lit(Long.MinValue))))
+        greatest(max(col(yCol)).over(cheaperW), col("__prev_max")))
       .withColumn("__peer_max", max(col(yCol)).over(peerW))
 
     scored
-      .where(col("__cheaper_max") < col(yCol) &&
+      .where((col("__cheaper_max").isNull || col("__cheaper_max") < col(yCol)) &&
              col("__peer_max") <= col(yCol))
       .drop("__pid", "__prev_max", "__cheaper_max", "__peer_max")
   }

@@ -29,6 +29,32 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // Output-type discipline gate (VERDICT r8 #3): Spark types
+  // `BIGINT * 1.0 / BIGINT` as DECIMAL(28,6) while DuckDB yields DOUBLE,
+  // and the driver canonicalizes decimal columns differently from double
+  // columns — the r8 x246/x247/x262/x268 hash-red mechanism. Every float
+  // output must be DOUBLE (use `1e0` literals, never `1.0`); money stays
+  // decimal only inside x123, which ships it cast AS STRING, so even
+  // x123's OUTPUT schema is decimal-free and no whitelist is needed.
+  // Analysis-only (`spark.sql(...).schema` resolves without execution),
+  // so the whole ~250-entry SQL inventory checks in seconds.
+  test("type parity: no query output column is DecimalType") {
+    Catalog.ensure(spark, sf0001)
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasDecimal(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasDecimal(a.elementType)
+      case m: org.apache.spark.sql.types.MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+      case _ => false
+    }
+    val bad = Queries.all.flatMap { q =>
+      val offenders = spark.sql(q.spark).schema.fields
+        .filter(f => hasDecimal(f.dataType)).map(f => s"${f.name}:${f.dataType.sql}")
+      if (offenders.isEmpty) None else Some(s"${q.name} -> ${offenders.mkString(", ")}")
+    }
+    assert(bad.isEmpty, s"decimal-typed outputs (use 1e0 literals, or cast AS DOUBLE):\n${bad.mkString("\n")}")
+  }
+
   test("q02 pushes its filter into the parquet scan") {
     val plan = SparkEntry.queries("q02_project_filter")(spark, sf0001)
       .queryExecution.executedPlan.toString

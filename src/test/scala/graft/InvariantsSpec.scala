@@ -169,7 +169,9 @@ class InvariantsSpec extends SparkSpec {
     val prod = new graft.functions.QuantileSketch(k, qsProbs)
     val state = chunks.map(c => c.foldLeft(prod.zero)(prod.reduce))
       .reduceLeft(prod.merge)
-    val levels = state.count(_(0) > 0) max state.length
+    // L = ACTIVE levels only (ADVICE r8 #3: `max state.length` always won,
+    // inflating L — and the bound — whenever some levels were empty)
+    val levels = state.count(_(0) > 0)
     val bound = levels.toLong * n / k + 1
     val est = prod.finish(state)
     est.zip(targets).foreach { case (v, t) =>

@@ -6,8 +6,17 @@ Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 Reads each <verifyOutDir>/<name>/ parquet (Spark result) and runs the
 matching oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 <sfDir> parquet tables; compares row count, column names (sorted), and
-canonicalized values. Mirrors SURVEY.md §5.3: floats %.4f (-0.0000→0.0000),
-NULL literal, timestamps µs, columns sorted by name.
+canonicalized values. Mirrors SURVEY.md §5.3: floats %.4f (strict: -0.0000
+is NOT normalized — the driver's canonicalizer distinguishes it, r8
+postmortem), NULL literal, timestamps µs, columns sorted by name.
+
+Driver-strength hard checks beyond value compare (VERDICT r8 #2):
+ - any DECIMAL-typed column in a Spark result parquet FAILS the entry
+   (Spark types BIGINT*1.0 as DECIMAL while DuckDB yields DOUBLE; use
+   1e0 literals — the r8 x246/x247/x262/x268 mechanism);
+ - any float cell equal to IEEE -0.0 on the Spark side FAILS the entry
+   (sign-unstable mathematically-zero outputs must be quantized or
+   normalized with `+ 0e0`, the x214 mechanism).
 """
 import sys, json, glob, datetime, math
 import duckdb
@@ -25,6 +34,19 @@ def knife_edge(v):
     frac = abs(v * 10000.0) % 1.0
     return abs(frac - 0.5) < 1e-6
 
+def near_zero(v):
+    """SURVEY §5.4 hazard #2 (r8 x214 postmortem): an output that is
+    mathematically zero but computed as a float residue has an
+    accumulation-order-dependent SIGN — it legally rounds to -0.0000 in
+    one engine and 0.0000 in the other. Flag any tiny-but-nonzero float
+    so sign-unstable zeros surface as warnings before the driver trips."""
+    if not isinstance(v, float) or math.isnan(v) or math.isinf(v):
+        return False
+    return v != 0.0 and abs(v) < 5e-5
+
+def neg_zero(v):
+    return isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0
+
 def canon(v):
     if v is None: return "NULL"
     # pandas NULL timestamps surface as NaT (not None) — strftime would
@@ -33,8 +55,9 @@ def canon(v):
     if v != v and not isinstance(v, float): return "NULL"
     if isinstance(v, float):
         if math.isnan(v): return "NaN"
-        s = f"{v:.4f}"
-        return "0.0000" if s == "-0.0000" else s
+        # STRICT: -0.0000 stays distinct (the driver distinguishes it);
+        # a Spark-side -0.0 additionally hard-fails the entry below.
+        return f"{v:.4f}"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
@@ -70,6 +93,16 @@ def run(sf_dir, out_dir):
             got_df = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchdf()
             got_cols = list(got_df.columns)
             got = list(got_df.itertuples(index=False, name=None))
+            # hard check (a): the Spark result's PHYSICAL schema must be
+            # decimal-free — the driver canonicalizes DECIMAL columns
+            # differently from DOUBLE (r8 x246/x247/x262/x268).
+            phys = con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()
+            dec = [f"{c[0]}:{c[1]}" for c in phys if "DECIMAL" in str(c[1])]
+            if dec:
+                print(f"FAIL {name}: DECIMAL-typed Spark output "
+                      f"({', '.join(dec)}) — use 1e0 literals or cast AS DOUBLE")
+                n_fail += 1; continue
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if sorted(ref_cols) != sorted(got_cols):
@@ -83,14 +116,22 @@ def run(sf_dir, out_dir):
         gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
         bad = None
         edges = 0
+        zeros = 0
+        negz = 0
         try:
             for i, (r, g) in enumerate(zip(ref, got)):
                 edges += sum(1 for j in rperm if knife_edge(r[j]))
                 edges += sum(1 for j in gperm if knife_edge(g[j]))
+                zeros += sum(1 for j in rperm if near_zero(r[j]))
+                zeros += sum(1 for j in gperm if near_zero(g[j]))
+                # hard check (b): Spark-side IEEE -0.0 — a sign-unstable
+                # mathematically-zero output (r8 x214); quantize it or
+                # normalize with `+ 0e0` in the query.
+                negz += sum(1 for j in gperm if neg_zero(g[j]))
                 rc = tuple(canon(r[j]) for j in rperm)
                 gc = tuple(canon(g[j]) for j in gperm)
-                if rc != gc:
-                    bad = (i, rc, gc); break
+                if rc != gc and bad is None:
+                    bad = (i, rc, gc)
         except Exception as e:
             # canonicalization crash (e.g. an unforeseen dtype) must fail
             # THIS query, not abort the remaining inventory
@@ -99,6 +140,14 @@ def run(sf_dir, out_dir):
             print(f"WARN {name}: {edges} knife-edge rounding value(s) "
                   f"(|frac(x*1e4)-0.5| < 1e-6) — hash may legally diverge")
             n_edge += 1
+        if zeros:
+            print(f"WARN {name}: {zeros} near-zero float(s) (0<|x|<5e-5) — "
+                  f"sign-unstable if mathematically zero; consider quantizing")
+            n_edge += 1
+        if negz:
+            print(f"FAIL {name}: {negz} Spark-side -0.0 cell(s) — "
+                  f"normalize with `+ 0e0` or emit integer micro-units")
+            n_fail += 1; continue
         if bad:
             i, rc, gc = bad
             print(f"FAIL {name}: row {i} oracle={rc} spark={gc}")
