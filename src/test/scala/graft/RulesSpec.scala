@@ -1,21 +1,28 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, Project}
 
 /** The DeferProjectionPastTopK rule must fire on expensive-projection
   * top-k plans and must not change results. */
 class RulesSpec extends SparkSpec {
 
-  test("rule defers q38's math past the limit") {
+  test("rule defers q38's math past the limit (single-stage top-k shape)") {
     val df = SparkEntry.queries("q38_math_funcs")(spark, sf0001)
     val plan = df.queryExecution.optimizedPlan
-    // After the rewrite the outermost operators are projections above the
-    // GlobalLimit, not a limit above a sort-over-projection.
+    // Round-9 shape: the expensive projection sits INSIDE the limit,
+    // directly above the sort — Limit(Project(f(x), Sort)) — which
+    // SpecialLimits plans as one terminal TakeOrderedAndProjectExec
+    // (projection on ≤ n rows after the top-k merge, no extra stage).
     val fired = plan.collectFirst {
-      case Project(_, Project(_, _: GlobalLimit)) => true
-      case Project(_, _: GlobalLimit)             => true
+      case GlobalLimit(_, LocalLimit(_, Project(projs, _: org.apache.spark.sql.catalyst.plans.logical.Sort)))
+          if projs.exists(p => !p.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) => true
     }.getOrElse(false)
     assert(fired, s"rule did not fire:\n${plan.treeString}")
+    // and the physical plan must be a TERMINAL TakeOrderedAndProject —
+    // no Exchange, no second scheduling wave (the r4 shape's cost).
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("TakeOrderedAndProject"), phys)
+    assert(!phys.contains("Exchange"), s"deferred top-k must be single-stage:\n$phys")
   }
 
   test("rule does not fire when projections are cheap (q32)") {
