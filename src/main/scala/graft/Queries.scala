@@ -5727,7 +5727,328 @@ object Queries {
         |SELECT o0, o1, cast(o0 + o1 AS BIGINT) AS n,
         |       cast(((o0 - o1) * (o0 - o1) * 10000) // (o0 + o1) AS BIGINT) AS chi2_x10000,
         |       CASE WHEN (o0 - o1) * (o0 - o1) * 100 > 384 * (o0 + o1) THEN 1 ELSE 0 END AS srm_flag
-        |FROM p""".stripMargin)
+        |FROM p""".stripMargin),
+
+    // ---- round-9 tier: robust trends, drift, reliability, feature/ -------
+    // ---- retrieval eval, quant series (x290+) ----------------------------
+
+    // Theil-Sen robust trend of the daily event-count series: the exact
+    // median of all C(n,2) pairwise slopes (Sen 1968) — outlier-days
+    // cannot drag it the way OLS (x84/x125) lets them. The pair join is
+    // over the DAY dimension (n_days² ≈ 435 pairs at 30 days), not rows:
+    // dimension-sized work after the per-day count shuffle, at ANY
+    // corpus scale. Each slope is one division of exact integers
+    // (deterministic double); the median is positional (values at the
+    // two middle ranks — identical multiset ⇒ identical picks in both
+    // engines, tie order irrelevant).
+    q("x290_theil_sen",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |i AS (SELECT c, row_number() OVER (ORDER BY day) AS k FROM d),
+        |s AS (SELECT (b.c - a.c) * 1e0 / (b.k - a.k) AS slope
+        |      FROM i a JOIN i b ON a.k < b.k),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope) AS rk,
+        |             count(*) OVER () AS np FROM s)
+        |SELECT round(avg(slope), 4) + 0e0 AS theil_sen_slope,
+        |       cast(max(np) AS BIGINT) AS n_pairs
+        |FROM r
+        |WHERE rk = cast(floor((np + 1) / 2e0) AS BIGINT)
+        |   OR rk = cast(floor((np + 2) / 2e0) AS BIGINT)""".stripMargin),
+
+    // Mann-Kendall monotone-trend test on the same daily series — the
+    // nonparametric S statistic (Σ sign over ordered pairs) with the
+    // tie-corrected variance, both EXACT integers; only the final z is
+    // a float (one sqrt of an integer ratio — deterministic). Pairs
+    // over the day dimension again. var_x18 carries 18·Var(S) so the
+    // variance stays integer; z uses the standard ±1 continuity
+    // correction.
+    q("x291_mann_kendall",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |i AS (SELECT c, row_number() OVER (ORDER BY day) AS k FROM d),
+        |p AS (SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sg
+        |      FROM i a JOIN i b ON a.k < b.k),
+        |s AS (SELECT cast(sum(sg) AS BIGINT) AS s_stat FROM p),
+        |t AS (SELECT cast(coalesce(sum(tg*(tg-1)*(2*tg+5)), 0) AS BIGINT) AS tie_term
+        |      FROM (SELECT cast(count(*) AS BIGINT) AS tg FROM d GROUP BY c) g WHERE tg > 1),
+        |n AS (SELECT cast(count(*) AS BIGINT) AS n FROM d)
+        |SELECT s.s_stat,
+        |       cast(n.n AS BIGINT) AS n_days,
+        |       cast(n.n*(n.n-1)*(2*n.n+5) - t.tie_term AS BIGINT) AS var_x18,
+        |       round(CASE WHEN s.s_stat > 0
+        |                  THEN (s.s_stat - 1) / sqrt((n.n*(n.n-1)*(2*n.n+5) - t.tie_term) / 18e0)
+        |                  WHEN s.s_stat < 0
+        |                  THEN (s.s_stat + 1) / sqrt((n.n*(n.n-1)*(2*n.n+5) - t.tie_term) / 18e0)
+        |                  ELSE 0e0 END, 4) + 0e0 AS z,
+        |       CASE WHEN s.s_stat > 0 THEN 'up' WHEN s.s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+        |FROM s, t, n""".stripMargin),
+
+    // Page-Hinkley drift monitor over the daily-mean series (Page 1954;
+    // the sequential sibling of x214's CUSUM — PH tracks deviation from
+    // the RUNNING mean, not the grand mean, so it is computable online).
+    // Day means quantized to integer micro-units (x214's discipline);
+    // each PH term is mu_i − cum_i/i (one division of exact integers,
+    // deterministic), the running sum/min are prefix windows in day
+    // order (identical accumulation order in both engines). Alarm fires
+    // when PH − min(PH) exceeds λ = 2 000 000 micro-units (2.0 in value
+    // units).
+    q("x292_page_hinkley",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day,
+        |                  sum(cast(round(value * 1000000) AS BIGINT)) AS su,
+        |                  cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |m AS (SELECT day, cast(round(su * 1e0 / c) AS BIGINT) AS mu FROM d),
+        |w AS (SELECT day, mu,
+        |        cast(sum(mu) OVER (ORDER BY day) AS BIGINT) AS cum,
+        |        cast(row_number() OVER (ORDER BY day) AS BIGINT) AS k
+        |      FROM m),
+        |ph AS (SELECT day, mu, sum(mu - cum * 1e0 / k) OVER (ORDER BY day) AS ph
+        |       FROM w),
+        |mn AS (SELECT day, mu, ph, min(ph) OVER (ORDER BY day) AS ph_min FROM ph)
+        |SELECT day, round(mu / 1e6, 4) AS day_mean,
+        |       round(ph / 1e6, 4) + 0e0 AS ph_stat,
+        |       round((ph - ph_min) / 1e6, 4) + 0e0 AS ph_gap,
+        |       CASE WHEN ph - ph_min > 2000000 THEN 1 ELSE 0 END AS alarm
+        |FROM mn ORDER BY day""".stripMargin),
+
+    // Per-node local clustering coefficient of the co-purchase graph
+    // (x269's support-≥2 edge universe; Watts-Strogatz 1998): how
+    // cliquish is each part's neighborhood — the node-level refinement
+    // of x163's global triangle count. Triangles enumerate once via the
+    // ordered 3-join (each listed exactly once as a<b<c), then unpivot
+    // to the 3 member vertices; lcc_bp = 2·tri·10⁴ / deg(deg−1) in
+    // exact integer basis points. Support pruning keeps the edge list
+    // dimension-sized; the triangle join is the x163/x165 shape.
+    q("x293_local_clustering",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, cast(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) x GROUP BY 1),
+        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |       FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tv AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr),
+        |tc AS (SELECT node, cast(count(*) AS BIGINT) AS tri FROM tv GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |       cast(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
+        |       cast(floor(coalesce(tc.tri, 0) * 20000e0 / (deg.d * (deg.d - 1))) AS BIGINT) AS lcc_bp
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg.d >= 2
+        |ORDER BY lcc_bp DESC, deg.node LIMIT 20""".stripMargin),
+
+    // Multi-window error-budget burn (the SRE alerting identity: burn
+    // rate = error rate / SLO budget, alerted fast at 14.4× over the
+    // short window and slow at 6× over the long one — Beyer et al.,
+    // "Site Reliability Workbook" ch. 5, here at daily granularity with
+    // 1-day/7-day windows over a 1% budget). Every rate is an exact
+    // integer comparison (err·1000 vs 144·tot ⇔ rate > 14.4%); the bp
+    // columns floor deterministic integer divisions. One per-day count
+    // shuffle; the windows ride the 30-row day frame.
+    q("x294_error_budget_burn",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day,
+        |             cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS err,
+        |             cast(count(*) AS BIGINT) AS tot
+        |           FROM events GROUP BY 1),
+        |w AS (SELECT day, err, tot,
+        |        cast(sum(err) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS err7,
+        |        cast(sum(tot) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS tot7,
+        |        cast(count(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS nw
+        |      FROM d)
+        |SELECT day, err, tot,
+        |       cast(floor(err * 10000e0 / tot) AS BIGINT) AS rate_1d_bp,
+        |       cast(floor(err7 * 10000e0 / tot7) AS BIGINT) AS rate_7d_bp,
+        |       CASE WHEN err * 1000 > 144 * tot THEN 1 ELSE 0 END AS alert_fast,
+        |       CASE WHEN nw = 7 AND err7 * 100 > 6 * tot7 THEN 1 ELSE 0 END AS alert_slow
+        |FROM w ORDER BY day""".stripMargin),
+
+    // Zone-map (min/max) file-pruning census — the SQL oracle twin of
+    // the native skip surface (sources/SkipIndex file manifest, x242
+    // bloom skipping): partition lineitem into file-sized buckets by
+    // orderkey range, keep each bucket's min/max shipdate "zone map",
+    // and count how many files a ship-date range predicate can skip
+    // WITHOUT opening, plus the exact row savings. All integers; the
+    // zone-map table is manifest-sized (one row per file) — the thing a
+    // 100 TB scan planner actually reads.
+    q("x295_zonemap_prune",
+      """WITH f AS (SELECT cast(floor(l_orderkey / 1500e0) AS BIGINT) AS file_id,
+        |                  min(l_shipdate) AS mn, max(l_shipdate) AS mx,
+        |                  cast(count(*) AS BIGINT) AS rows_in_file
+        |           FROM lineitem GROUP BY 1),
+        |p AS (SELECT file_id, rows_in_file,
+        |             CASE WHEN mx < TIMESTAMP '1997-01-01 00:00:00'
+        |                    OR mn >= TIMESTAMP '1998-01-01 00:00:00'
+        |                  THEN 1 ELSE 0 END AS pruned
+        |      FROM f)
+        |SELECT cast(count(*) AS BIGINT) AS n_files,
+        |       cast(sum(pruned) AS BIGINT) AS files_pruned,
+        |       cast(sum(CASE WHEN pruned = 1 THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_skipped,
+        |       cast(sum(CASE WHEN pruned = 0 THEN rows_in_file ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |       cast(sum(rows_in_file) AS BIGINT) AS rows_total
+        |FROM p""".stripMargin),
+
+    // MTBF / MTTR over the per-user event stream (errors = failures,
+    // next non-error event = recovery): the reliability twin of x139's
+    // generic runs. Gaps are exact integer microseconds; the recovery
+    // lookup is a FOLLOWING-frame running min per user (no self-join);
+    // output divides exact integer sums once. Users partition the
+    // windows — embarrassingly parallel at any scale.
+    q("x296_mttr_mtbf",
+      """WITH e AS (SELECT user_id, event_type, unix_micros(ts) AS us, event_id FROM events),
+        |r AS (SELECT user_id, event_type, us,
+        |             min(CASE WHEN event_type <> 'error' THEN us END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ok,
+        |             lead(CASE WHEN event_type = 'error' THEN us END)
+        |               IGNORE NULLS
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_err
+        |      FROM e),
+        |fail AS (SELECT user_id, us, next_ok, next_err FROM r WHERE event_type = 'error')
+        |SELECT cast(count(*) AS BIGINT) AS n_failures,
+        |       cast(sum(CASE WHEN next_err IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |       cast(floor(sum(CASE WHEN next_err IS NOT NULL THEN next_err - us ELSE 0 END)
+        |             / (1000000e0 * nullif(sum(CASE WHEN next_err IS NOT NULL THEN 1 ELSE 0 END), 0)))
+        |         AS BIGINT) AS mtbf_secs,
+        |       cast(sum(CASE WHEN next_ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        |       cast(floor(sum(CASE WHEN next_ok IS NOT NULL THEN next_ok - us ELSE 0 END)
+        |             / (1000000e0 * nullif(sum(CASE WHEN next_ok IS NOT NULL THEN 1 ELSE 0 END), 0)))
+        |         AS BIGINT) AS mttr_secs
+        |FROM fail""".stripMargin,
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+        |r AS (SELECT user_id, event_type, us,
+        |             min(CASE WHEN event_type <> 'error' THEN us END)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ok,
+        |             lead(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+        |               OVER (PARTITION BY user_id ORDER BY us, event_id) AS next_err
+        |      FROM e),
+        |fail AS (SELECT user_id, us, next_ok, next_err FROM r WHERE event_type = 'error')
+        |SELECT cast(count(*) AS BIGINT) AS n_failures,
+        |       cast(sum(CASE WHEN next_err IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        |       cast(floor(sum(CASE WHEN next_err IS NOT NULL THEN next_err - us ELSE 0 END)
+        |             / (1000000e0 * nullif(sum(CASE WHEN next_err IS NOT NULL THEN 1 ELSE 0 END), 0)))
+        |         AS BIGINT) AS mtbf_secs,
+        |       cast(sum(CASE WHEN next_ok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+        |       cast(floor(sum(CASE WHEN next_ok IS NOT NULL THEN next_ok - us ELSE 0 END)
+        |             / (1000000e0 * nullif(sum(CASE WHEN next_ok IS NOT NULL THEN 1 ELSE 0 END), 0)))
+        |         AS BIGINT) AS mttr_secs
+        |FROM fail""".stripMargin),
+
+    // Weight-of-Evidence / Information Value per score decile (the
+    // credit-scoring feature diagnostic; Siddiqi 2006) — ranks a
+    // feature by how separable good/bad outcomes are per bin, the
+    // binned complement of x276's MI ranking and x282's target
+    // encoding. Bins via global ntile with unique tie-break; WoE/IV are
+    // single ln() calls over exact integer count ratios (deterministic
+    // doubles), signed → `+ 0e0` normalized. Laplace +1 smoothing keeps
+    // ln() in domain on empty cells.
+    q("x297_woe_iv",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding, 1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS bad FROM embeddings),
+        |d AS (SELECT bad, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |b AS (SELECT bin, cast(sum(1 - bad) + 1 AS BIGINT) AS g, cast(sum(bad) + 1 AS BIGINT) AS bd
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT cast(sum(g) AS BIGINT) AS gt, cast(sum(bd) AS BIGINT) AS bt FROM b)
+        |SELECT b.bin, b.g - 1 AS goods, b.bd - 1 AS bads,
+        |       round(ln((b.g * 1e0 / t.gt) / (b.bd * 1e0 / t.bt)), 4) + 0e0 AS woe,
+        |       round((b.g * 1e0 / t.gt - b.bd * 1e0 / t.bt)
+        |             * ln((b.g * 1e0 / t.gt) / (b.bd * 1e0 / t.bt)), 4) + 0e0 AS iv_contrib
+        |FROM b CROSS JOIN t ORDER BY b.bin""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS bad FROM embeddings),
+        |d AS (SELECT bad, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |b AS (SELECT bin, cast(sum(1 - bad) + 1 AS BIGINT) AS g, cast(sum(bad) + 1 AS BIGINT) AS bd
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT cast(sum(g) AS BIGINT) AS gt, cast(sum(bd) AS BIGINT) AS bt FROM b)
+        |SELECT b.bin, b.g - 1 AS goods, b.bd - 1 AS bads,
+        |       round(ln((b.g * 1e0 / t.gt) / (b.bd * 1e0 / t.bt)), 4) + 0e0 AS woe,
+        |       round((b.g * 1e0 / t.gt - b.bd * 1e0 / t.bt)
+        |             * ln((b.g * 1e0 / t.gt) / (b.bd * 1e0 / t.bt)), 4) + 0e0 AS iv_contrib
+        |FROM b CROSS JOIN t ORDER BY b.bin""".stripMargin),
+
+    // Temporal train/test split leakage audit — the ML-data hygiene
+    // gate a training pipeline runs before shipping a time-based split:
+    // boundary = min day + 20 (deterministic, corpus-relative), train =
+    // days ≤ boundary, test = after. Reports, per event type, how much
+    // of the test period comes from users already seen in train (user
+    // leakage ≠ row leakage — a seen user's test rows are fine for
+    // forecasting but poison user-level holdout). Two hash aggs + one
+    // broadcast-sized distinct-user semi-join.
+    q("x298_split_leakage",
+      """WITH b AS (SELECT cast(min(cast(ts AS DATE)) + 20 AS DATE) AS cut FROM events),
+        |tr AS (SELECT DISTINCT user_id FROM events, b WHERE cast(ts AS DATE) <= b.cut),
+        |te AS (SELECT e.event_type, e.user_id FROM events e, b WHERE cast(e.ts AS DATE) > b.cut)
+        |SELECT te.event_type,
+        |       cast(count(*) AS BIGINT) AS test_rows,
+        |       cast(sum(CASE WHEN tr.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS rows_from_seen_users,
+        |       cast(count(DISTINCT te.user_id) AS BIGINT) AS test_users,
+        |       cast(count(DISTINCT CASE WHEN tr.user_id IS NOT NULL THEN te.user_id END) AS BIGINT) AS seen_users,
+        |       cast(floor(sum(CASE WHEN tr.user_id IS NOT NULL THEN 1 ELSE 0 END) * 10000e0 / count(*)) AS BIGINT) AS leak_bp
+        |FROM te LEFT JOIN tr ON te.user_id = tr.user_id
+        |GROUP BY te.event_type ORDER BY te.event_type""".stripMargin),
+
+    // Retrieval evaluation (MRR + Recall@5) over the bucketed-ANN
+    // candidate shape: queries = every 97th vector, candidates = the
+    // query's coarse cell (floor(dim1·8) — the x59 IVF assignment in
+    // miniature), ranked by 4dp-rounded cosine with unique tie-break
+    // (q43's determinism discipline). Relevance = same label. MRR is
+    // summed in exact integer micro-units (floor(1e6/rank)) so no
+    // float accumulation crosses a partial-agg boundary. Pair cost =
+    // queries × own-cell, the linear ANN-probe shape — the all-pairs
+    // exact form stays fenced in x48/x49.
+    q("x299_mrr_recall",
+      """WITH v AS (SELECT vec_id, embedding, label,
+        |                  cast(floor(cast(element_at(embedding, 1) AS DOUBLE) * 8) AS BIGINT) AS cell
+        |           FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+        |pr AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
+        |              round(cosine_sim(q.embedding, c.embedding), 4) AS sim
+        |       FROM q JOIN v c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+        |rk AS (SELECT qid, ql, cl,
+        |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |       FROM pr),
+        |fr AS (SELECT qid, min(CASE WHEN ql = cl THEN rn END) AS first_rel FROM rk GROUP BY 1)
+        |SELECT cast(count(*) AS BIGINT) AS n_queries,
+        |       cast(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_relevant,
+        |       cast(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at5,
+        |       cast(floor(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END) * 10000e0 / count(*)) AS BIGINT) AS recall5_bp,
+        |       cast(sum(coalesce(cast(floor(1000000e0 / first_rel) AS BIGINT), 0)) AS BIGINT) AS mrr_sum_x1e6,
+        |       cast(floor(sum(coalesce(cast(floor(1000000e0 / first_rel) AS BIGINT), 0)) * 1e0 / count(*)) AS BIGINT) AS mrr_x1e6
+        |FROM fr""".stripMargin,
+      """WITH v AS (SELECT vec_id, embedding, label,
+        |                  cast(floor(cast(embedding[1] AS DOUBLE) * 8) AS BIGINT) AS cell
+        |           FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id % 97 = 0),
+        |pr AS (SELECT q.vec_id AS qid, q.label AS ql, c.vec_id AS cid, c.label AS cl,
+        |              round(cast(list_cosine_similarity(q.embedding, c.embedding) AS DOUBLE), 4) AS sim
+        |       FROM q JOIN v c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+        |rk AS (SELECT qid, ql, cl,
+        |              row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rn
+        |       FROM pr),
+        |fr AS (SELECT qid, min(CASE WHEN ql = cl THEN rn END) AS first_rel FROM rk GROUP BY 1)
+        |SELECT cast(count(*) AS BIGINT) AS n_queries,
+        |       cast(sum(CASE WHEN first_rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_relevant,
+        |       cast(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_at5,
+        |       cast(floor(sum(CASE WHEN first_rel <= 5 THEN 1 ELSE 0 END) * 10000e0 / count(*)) AS BIGINT) AS recall5_bp,
+        |       cast(sum(coalesce(cast(floor(1000000e0 / first_rel) AS BIGINT), 0)) AS BIGINT) AS mrr_sum_x1e6,
+        |       cast(floor(sum(coalesce(cast(floor(1000000e0 / first_rel) AS BIGINT), 0)) * 1e0 / count(*)) AS BIGINT) AS mrr_x1e6
+        |FROM fr""".stripMargin),
+
+    // Monthly revenue drawdown from running peak (the quant
+    // max-drawdown shape applied to the revenue level series): peak =
+    // running max of monthly revenue, drawdown = how far the current
+    // month sits below the best month so far. EXACT integer cents
+    // end-to-end — no float ever forms. One month-keyed agg; windows
+    // over the month dimension.
+    q("x300_drawdown",
+      """WITH m AS (SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                  cast(sum(cast(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM orders GROUP BY 1),
+        |w AS (SELECT month, cents,
+        |             cast(max(cents) OVER (ORDER BY month) AS BIGINT) AS peak
+        |      FROM m)
+        |SELECT month, cents AS rev_cents, peak AS peak_cents,
+        |       cast(peak - cents AS BIGINT) AS drawdown_cents,
+        |       cast(floor((peak - cents) * 10000e0 / peak) AS BIGINT) AS drawdown_bp
+        |FROM w ORDER BY month""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
