@@ -130,6 +130,10 @@ object BenchStream {
         drain(graft.streaming.EventStream
           .trendingCounts6h(fileStream(eventsDir, eventsSchema)), "update")
       },
+      "burn_rate" -> { () =>
+        drain(graft.streaming.EventStream
+          .burnRate6h(fileStream(eventsDir, eventsSchema)), "update")
+      },
       "cdc_apply" -> { () =>
         val table = replayDir(s"cdc-table-$rep")
         rep += 1

@@ -516,6 +516,35 @@ object Extensions {
         .orderBy("rk")
     },
 
+    // Count-Min sketch point estimates (functions/CountMinSketch.scala)
+    // for a deterministic probe set of users — completes the mergeable-
+    // summary family (x253 top-k / x261 quantiles / x266 frequent
+    // items / x301 frequencies). Structural exactness: row 0 of the
+    // grid is the identity bucket, injective while every user_id lies
+    // in [0, width) — asserted INSIDE the plan — and CMS never
+    // undercounts, so min-over-rows equals the exact GROUP BY count the
+    // oracle computes. Production capacities (depth 4 × width 2048) are
+    // ε-bound-spec'd in InvariantsSpec. The shuffle carries one grid,
+    // not the rows.
+    "x301_cms_counts" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val depth = 2; val width = 262144
+      val cms = udaf(new graft.functions.CountMinSketch(depth, width))
+      val probeU = udf((g: Seq[Long], key: Long) =>
+        graft.functions.CountMinSketch.probe(g.toArray, depth, width, key))
+      val ev = Catalog.load(s, dir, "events")
+      val sk = ev
+        .agg(cms(col("user_id")).as("sk"),
+          max(col("user_id")).as("mx"), min(col("user_id")).as("mn"))
+        .where(coalesce(expr(
+          s"assert_true(mx < $width AND mn >= 0, 'x301 exactness: user_id outside identity-row range [0, $width)')"),
+          lit(true)))
+      val probes = ev.select(col("user_id")).where(col("user_id") % 7 === 0).distinct()
+      probes.crossJoin(broadcast(sk))
+        .select(col("user_id"), probeU(col("sk"), col("user_id")).as("est"))
+        .orderBy("user_id")
+    },
+
     // Grid-DBSCAN density clustering over the embedding plane (dims
     // 1-2): core cells (≥ 3 points) connected through 8-adjacency by
     // the native ConnectedComponents operator (pointer-jumped, O(log)
@@ -690,6 +719,12 @@ object Extensions {
         |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
         |  FROM events GROUP BY user_id) t
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // x301: in the identity-row-injective regime the CMS point estimate
+    // must equal the exact per-user multiset count.
+    "x301_cms_counts" ->
+      """SELECT user_id, cast(count(*) AS BIGINT) AS est FROM events
+        |WHERE user_id % 7 = 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x253: the bounded-state aggregate must reproduce the window-rank
     // rows exactly — same integer-cent scores, same (score desc, id)

@@ -6048,7 +6048,127 @@ object Queries {
         |SELECT month, cents AS rev_cents, peak AS peak_cents,
         |       cast(peak - cents AS BIGINT) AS drawdown_cents,
         |       cast(floor((peak - cents) * 10000e0 / peak) AS BIGINT) AS drawdown_bp
-        |FROM w ORDER BY month""".stripMargin)
+        |FROM w ORDER BY month""".stripMargin),
+
+    // Small-file compaction planning — the Layout.compact planner's
+    // math as an oracle-checked query: files (orderkey-range buckets
+    // with their byte-ish weights) are packed into target-size
+    // compaction groups by CUMULATIVE-SUM bucketing (group = floor of
+    // running size / target) — the deterministic, shuffle-free
+    // approximation of bin packing a manifest-scale planner can afford
+    // (greedy FFD would need a sequential pass; cumsum-div packs within
+    // 1 target of optimal for files ≪ target, which small files are BY
+    // DEFINITION here). Output: per-group file count, size, fill ratio.
+    q("x302_compaction_plan",
+      """WITH f AS (SELECT cast(floor(l_orderkey / 300e0) AS BIGINT) AS file_id,
+        |                  cast(count(*) * 64 AS BIGINT) AS kb
+        |           FROM lineitem GROUP BY 1),
+        |c AS (SELECT file_id, kb,
+        |             cast(sum(kb) OVER (ORDER BY file_id) AS BIGINT) AS cum
+        |      FROM f),
+        |g AS (SELECT file_id, kb, cast(floor((cum - 1) / 16384e0) AS BIGINT) AS grp
+        |      FROM c)
+        |SELECT grp, cast(count(*) AS BIGINT) AS n_files,
+        |       cast(sum(kb) AS BIGINT) AS group_kb,
+        |       cast(min(file_id) AS BIGINT) AS first_file,
+        |       cast(max(file_id) AS BIGINT) AS last_file,
+        |       cast(floor(sum(kb) * 10000e0 / 16384) AS BIGINT) AS fill_bp
+        |FROM g GROUP BY grp ORDER BY grp""".stripMargin),
+
+    // Z-order (Morton) locality census — the Layout writer's
+    // interleave math oracle-checked in pure integer arithmetic: 8-bit
+    // price-bucket × size coordinates interleave into a 16-bit Morton
+    // code (explicit per-bit shifts — no UDF), then per z-tile
+    // (code div 4096) the census shows BOTH dimensions stay
+    // range-coherent inside a tile — the property that lets a z-ordered
+    // file layout prune on either column. Dimension-sized throughout.
+    q("x303_zorder_locality",
+      """WITH p AS (SELECT p_partkey,
+        |             least(255, greatest(0, cast(floor((p_retailprice - 900) / 4.5e0) AS BIGINT))) AS x,
+        |             least(255, cast(p_size AS BIGINT) * 5) AS y
+        |           FROM part),
+        |z AS (SELECT p_partkey, x, y,
+        |        (shiftright(x,0) & 1) * 1 + (shiftright(y,0) & 1) * 2
+        |      + (shiftright(x,1) & 1) * 4 + (shiftright(y,1) & 1) * 8
+        |      + (shiftright(x,2) & 1) * 16 + (shiftright(y,2) & 1) * 32
+        |      + (shiftright(x,3) & 1) * 64 + (shiftright(y,3) & 1) * 128
+        |      + (shiftright(x,4) & 1) * 256 + (shiftright(y,4) & 1) * 512
+        |      + (shiftright(x,5) & 1) * 1024 + (shiftright(y,5) & 1) * 2048
+        |      + (shiftright(x,6) & 1) * 4096 + (shiftright(y,6) & 1) * 8192
+        |      + (shiftright(x,7) & 1) * 16384 + (shiftright(y,7) & 1) * 32768 AS zcode
+        |      FROM p)
+        |SELECT cast(floor(zcode / 4096e0) AS BIGINT) AS z_tile,
+        |       cast(count(*) AS BIGINT) AS parts,
+        |       cast(min(x) AS BIGINT) AS x_min, cast(max(x) AS BIGINT) AS x_max,
+        |       cast(min(y) AS BIGINT) AS y_min, cast(max(y) AS BIGINT) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH p AS (SELECT p_partkey,
+        |             least(255, greatest(0, cast(floor((p_retailprice - 900) / 4.5e0) AS BIGINT))) AS x,
+        |             least(255, cast(p_size AS BIGINT) * 5) AS y
+        |           FROM part),
+        |z AS (SELECT p_partkey, x, y,
+        |        ((x >> 0) & 1) * 1 + ((y >> 0) & 1) * 2
+        |      + ((x >> 1) & 1) * 4 + ((y >> 1) & 1) * 8
+        |      + ((x >> 2) & 1) * 16 + ((y >> 2) & 1) * 32
+        |      + ((x >> 3) & 1) * 64 + ((y >> 3) & 1) * 128
+        |      + ((x >> 4) & 1) * 256 + ((y >> 4) & 1) * 512
+        |      + ((x >> 5) & 1) * 1024 + ((y >> 5) & 1) * 2048
+        |      + ((x >> 6) & 1) * 4096 + ((y >> 6) & 1) * 8192
+        |      + ((x >> 7) & 1) * 16384 + ((y >> 7) & 1) * 32768 AS zcode
+        |      FROM p)
+        |SELECT cast(floor(zcode / 4096e0) AS BIGINT) AS z_tile,
+        |       cast(count(*) AS BIGINT) AS parts,
+        |       cast(min(x) AS BIGINT) AS x_min, cast(max(x) AS BIGINT) AS x_max,
+        |       cast(min(y) AS BIGINT) AS y_min, cast(max(y) AS BIGINT) AS y_max
+        |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Top session journey prefixes: each 30-minute-gap session's first
+    // three event types as an ordered path string (q31's session
+    // definition, x187's Markov transitions generalized to 3-step
+    // journeys), census of the most-travelled openings. Sessions
+    // partition per user; the path build is two windows + one agg —
+    // no self-join, user-parallel at any scale.
+    q("x304_session_paths",
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |        FROM s),
+        |rk AS (SELECT user_id, sess, event_type,
+        |              row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+        |       FROM sid),
+        |p AS (SELECT user_id, sess,
+        |             max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |             max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |             max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |      FROM rk WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT concat(e1, '>', coalesce(e2, '.'), '>', coalesce(e3, '.')) AS path,
+        |       cast(count(*) AS BIGINT) AS sessions
+        |FROM p GROUP BY 1 ORDER BY sessions DESC, path LIMIT 15""".stripMargin,
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |        FROM s),
+        |rk AS (SELECT user_id, sess, event_type,
+        |              row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+        |       FROM sid),
+        |p AS (SELECT user_id, sess,
+        |             max(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |             max(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |             max(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |      FROM rk WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT concat(e1, '>', coalesce(e2, '.'), '>', coalesce(e3, '.')) AS path,
+        |       cast(count(*) AS BIGINT) AS sessions
+        |FROM p GROUP BY 1 ORDER BY sessions DESC, path LIMIT 15""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -324,6 +324,44 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r9tier")) {
+      // 1×→10× scaling of the round-9 tier (SCALE.md §28). Shapes under
+      // test: x290/x291 pairwise work must ride the DAY dimension (30²
+      // pairs at any corpus size — expect flat), x293's triangle 3-join
+      // rides the support-pruned co-purchase edge list, x296's windows
+      // partition per user, x299's pair cost is queries × own-cell
+      // (linear in corpus), x301's CMS shuffles one grid (users grow
+      // 10× to ~15k — still far inside the 262144 identity-injective
+      // width, and the IN-PLAN assert_true guard re-proves it on every
+      // soak run rather than assuming it).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (dt, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      def runN(dir: String, name: String): (Double, Long) =
+        med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
+      Seq("x290_theil_sen", "x291_mann_kendall", "x293_local_clustering",
+          "x294_error_budget_burn", "x296_mttr_mtbf", "x299_mrr_recall",
+          "x301_cms_counts", "x304_session_paths").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row

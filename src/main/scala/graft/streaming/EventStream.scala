@@ -116,6 +116,26 @@ object EventStream {
       .select(col("w_start"), col("rk"), col("event_type"), col("c"))
   }
 
+  /** Streaming error-budget burn — x294's SRE alerting identity at 6h
+    * window granularity: per closed window, error/total counts, the
+    * error rate in exact integer basis points, and the fast-burn alert
+    * (rate > 14.4× a 1% budget ⇔ err·1000 > 144·tot, a pure integer
+    * comparison — no float crosses the state store). The windowed agg
+    * is the ONLY state (bounded by the watermark); the flag is a
+    * stateless projection over final counts, so append mode emits each
+    * window exactly once with its verdict. Parity vs the batch x294
+    * frame in StreamingSpec; benched in BenchStream. */
+  def burnRate6h(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("tot"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
+      .select(col("window.start").as("w_start"), col("err"), col("tot"),
+        floor(col("err") * lit(10000L) / col("tot")).cast("long").as("rate_bp"),
+        when(col("err") * lit(1000L) > col("tot") * lit(144L), 1L)
+          .otherwise(0L).as("alert_fast"))
+
   /** Sliding 6h/3h window counts. */
   def sliding6h3h(events: DataFrame): DataFrame =
     events

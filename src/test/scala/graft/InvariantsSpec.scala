@@ -223,6 +223,46 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  // ---- CountMinSketch (functions/CountMinSketch.scala) ------------------
+
+  test("count-min: exact in the identity-injective regime; production " +
+       "capacity never undercounts and stays within the eps*N bound") {
+    val r = new Random(29)
+    val stream = (0 until 60).flatMap(i => Seq.fill(3000 / (i + 1))(i.toLong))
+    val shuffled = r.shuffle(stream)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+
+    // identity-injective regime: width > max key, so row 0 is exact and
+    // min-over-rows equals it — whatever the chunking/merge order
+    val fullD = 2; val fullW = 64
+    val full = new graft.functions.CountMinSketch(fullD, fullW)
+    val fState = shuffled.grouped(113).toSeq
+      .map(c => c.foldLeft(full.zero)(full.reduce))
+      .reduceRight(full.merge)
+    exact.foreach { case (i, c) =>
+      assert(graft.functions.CountMinSketch.probe(fState, fullD, fullW, i) == c)
+    }
+
+    // production capacity: (a) NEVER undercounts; (b) overcount within
+    // the analytic eps*N bound with eps = e/width (Cormode-Muthukrishnan;
+    // deterministic generously since depth rows all hold it here)
+    val d = 4; val w = 32 // small width so collisions actually occur
+    val prod = new graft.functions.CountMinSketch(d, w)
+    val state = shuffled.grouped(157).toSeq
+      .map(c => c.foldLeft(prod.zero)(prod.reduce))
+      .reduceLeft(prod.merge)
+    val eps = math.E / w
+    val bound = math.ceil(eps * n).toLong
+    exact.foreach { case (i, c) =>
+      val est = graft.functions.CountMinSketch.probe(state, d, w, i)
+      assert(est >= c, s"undercount on $i: $est < $c")
+      assert(est - c <= bound, s"overcount ${est - c} > eps*N=$bound on $i")
+    }
+    // grid state is bounded by depth*width regardless of input size
+    assert(state.length == d * w)
+  }
+
   // ---- Skyline (operators/Skyline.scala) --------------------------------
 
   test("skyline2d equals brute-force dominance on random points with ties") {

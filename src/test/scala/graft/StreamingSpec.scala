@@ -48,6 +48,29 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got.groupBy(_._1).forall(_._2.size <= 3))
   }
 
+  test("error-budget burn stream == batch 6h frame (integer-exact flags)") {
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark, EventStream.burnRate6h(stream),
+      "burn", complete = true)
+    val got = spark.table("burn")
+      .select((unix_millis(col("w_start")) / 21600000L).cast("long").as("w"),
+        col("err"), col("tot"), col("rate_bp"), col("alert_fast"))
+      .orderBy("w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val want = Catalog.load(spark, sf0001, "events")
+      .groupBy((unix_millis(col("ts")) / 21600000L).cast("long").as("w"))
+      .agg(sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"),
+        count(lit(1)).as("tot"))
+      .select(col("w"), col("err"), col("tot"),
+        floor(col("err") * lit(10000L) / col("tot")).cast("long").as("rate_bp"),
+        when(col("err") * lit(1000L) > col("tot") * lit(144L), 1L)
+          .otherwise(0L).as("alert_fast"))
+      .orderBy("w")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("session windows stream == batch q31 sessionization") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark, EventStream.sessions30m(stream),
