@@ -530,8 +530,14 @@ object Extensions {
       import org.apache.spark.sql.functions._
       val depth = 2; val width = 262144
       val cms = udaf(new graft.functions.CountMinSketch(depth, width))
-      val probeU = udf((g: Seq[Long], key: Long) =>
-        graft.functions.CountMinSketch.probe(g.toArray, depth, width, key))
+      // Probe via element_at on the (broadcast) array column — O(1)
+      // reads against the UnsafeArrayData in place. The first version
+      // passed the whole grid into a (Seq, key) UDF, which re-boxed all
+      // 524 288 counters PER PROBE ROW — measured 65 s at the 10× soak;
+      // this form is milliseconds (SCALE.md §28). Only the scalar
+      // Carter-Wegman bucket index goes through a UDF; row 0's identity
+      // bucket is pure SQL pmod.
+      val b1 = udf((k: Long) => graft.functions.CountMinSketch.bucket(k, 1, width))
       val ev = Catalog.load(s, dir, "events")
       val sk = ev
         .agg(cms(col("user_id")).as("sk"),
@@ -541,8 +547,52 @@ object Extensions {
           lit(true)))
       val probes = ev.select(col("user_id")).where(col("user_id") % 7 === 0).distinct()
       probes.crossJoin(broadcast(sk))
-        .select(col("user_id"), probeU(col("sk"), col("user_id")).as("est"))
+        .select(col("user_id"),
+          least(
+            element_at(col("sk"), (pmod(col("user_id"), lit(width.toLong))).cast("int") + lit(1)),
+            element_at(col("sk"), b1(col("user_id")) + lit(width + 1))).as("est"))
         .orderBy("user_id")
+    },
+
+    // Native interval overlap join (operators/IntervalJoin.scala):
+    // 30-min-gap sessions (q31's definition, half-open [first_event,
+    // last_event+1)) overlap-joined to the 6h wall-clock grid via
+    // bucket gridding — sessions active per window. The declarative
+    // overlap predicate has no equi-key (Catalyst can only nested-loop
+    // it); the operator explodes intervals to grid cells and
+    // equi-joins on the cell, O(span/bucket + matches). DuckDB walks
+    // the same semantics with a plain range-predicate join over
+    // generate_series — one oracle, two plans.
+    "x305_interval_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val sixH = 21600000000L // 6h in µs
+      val ev = Catalog.load(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      val sess = ev
+        .withColumn("new_s",
+          when(lag("us", 1).over(w).isNull ||
+               col("us") - lag("us", 1).over(w) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum("new_s").over(w))
+        .groupBy("user_id", "sid")
+        .agg(min("us").as("s_start"), (max("us") + lit(1L)).as("s_end"))
+        .withColumn("skey", col("user_id") * lit(1000000L) + col("sid"))
+        .select("skey", "s_start", "s_end")
+      val wins = ev.agg(min("us").as("mn"), max("us").as("mx"))
+        .select(explode(sequence(
+          floor(col("mn") / lit(sixH)).cast("long"),
+          floor(col("mx") / lit(sixH)).cast("long"))).as("widx"))
+        .select(col("widx"),
+          (col("widx") * lit(sixH)).as("w_start_us"),
+          ((col("widx") + lit(1L)) * lit(sixH)).as("w_end_us"))
+      graft.operators.IntervalJoin
+        .overlap(sess, "s_start", "s_end", "skey",
+                 wins, "w_start_us", "w_end_us", "widx", bucket = sixH)
+        .groupBy("widx")
+        .agg(count(lit(1)).as("active_sessions"))
+        .select(col("widx").cast("long").as("w"), col("active_sessions"))
+        .orderBy("w")
     },
 
     // Grid-DBSCAN density clustering over the embedding plane (dims
@@ -725,6 +775,31 @@ object Extensions {
     "x301_cms_counts" ->
       """SELECT user_id, cast(count(*) AS BIGINT) AS est FROM events
         |WHERE user_id % 7 = 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x305: the bucket-gridded native interval join must reproduce the
+    // plain range-predicate overlap join over the same sessions × 6h
+    // windows (half-open on both sides).
+    "x305_interval_native" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |s AS (SELECT user_id, us,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e),
+        |sid AS (SELECT user_id, us,
+        |               sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS sess
+        |        FROM s),
+        |sess AS (SELECT user_id, sess, min(us) AS s0, max(us) + 1 AS s1
+        |         FROM sid GROUP BY 1, 2),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |w AS (SELECT unnest(generate_series((SELECT mn // 21600000000 FROM b),
+        |                                    (SELECT mx // 21600000000 FROM b))) AS widx)
+        |SELECT cast(w.widx AS BIGINT) AS w,
+        |       cast(count(*) AS BIGINT) AS active_sessions
+        |FROM w JOIN sess
+        |  ON sess.s0 < (w.widx + 1) * 21600000000
+        | AND w.widx * 21600000000 < sess.s1
+        |GROUP BY w.widx ORDER BY w""".stripMargin,
 
     // x253: the bounded-state aggregate must reproduce the window-rank
     // rows exactly — same integer-cent scores, same (score desc, id)

@@ -353,7 +353,8 @@ object ScaleSoak {
         med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
       Seq("x290_theil_sen", "x291_mann_kendall", "x293_local_clustering",
           "x294_error_budget_burn", "x296_mttr_mtbf", "x299_mrr_recall",
-          "x301_cms_counts", "x304_session_paths").foreach { n =>
+          "x301_cms_counts", "x304_session_paths",
+          "x305_interval_native").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
