@@ -6168,7 +6168,94 @@ object Queries {
         |      FROM rk WHERE rn <= 3 GROUP BY 1, 2)
         |SELECT concat(e1, '>', coalesce(e2, '.'), '>', coalesce(e3, '.')) AS path,
         |       cast(count(*) AS BIGINT) AS sessions
-        |FROM p GROUP BY 1 ORDER BY sessions DESC, path LIMIT 15""".stripMargin)
+        |FROM p GROUP BY 1 ORDER BY sessions DESC, path LIMIT 15""".stripMargin),
+
+    // A/B test power analysis per event type: minimum per-arm sample
+    // size to detect a 5%-of-mean shift at α=0.05 two-sided, power 0.8
+    // — n = (z_α/2 + z_β)²·2σ²/δ² with the z constants as literals
+    // (1.96 + 0.84 ⇒ multiplier 15.68). σ² comes from EXACT integer
+    // centi-unit sums (n·Σx² − (Σx)²)/(n(n−1)) — one deterministic
+    // double division, no float accumulation order anywhere — and δ in
+    // the same centi-units, so the ceil() boundary is engine-stable.
+    q("x306_power_analysis",
+      """WITH s AS (SELECT event_type,
+        |             cast(count(*) AS BIGINT) AS n,
+        |             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS su,
+        |             cast(sum(cast(round(value * 100) AS BIGINT)
+        |                      * cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+        |           FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |       round(su * 1e0 / (100 * n), 4) AS mean_value,
+        |       round((n * sq - su * su) * 1e0 / (n * (n - 1e0)) / 10000, 4) AS variance,
+        |       cast(ceil(15.6816e0 * 2e0 * ((n * sq - su * su) * 1e0 / (n * (n - 1e0)))
+        |                 / ((su * 1e0 / (20 * n)) * (su * 1e0 / (20 * n)))) AS BIGINT) AS n_per_arm
+        |FROM s ORDER BY event_type""".stripMargin),
+
+    // Bloom-filter false-positive calibration — the measured-vs-
+    // analytic check behind the native bloom skip source (x242):
+    // members (even partkeys) insert k=3 md5-slice positions into an
+    // m=8192-bit filter; non-members (odd partkeys) probe all three;
+    // a false positive needs ALL k positions set. Measured FPR must
+    // sit near the analytic (1 − e^(−kn/m))^k — both reported in bp,
+    // the analytic one from one deterministic closed-form double.
+    // The bit table is m-bounded; probes join it k times by position —
+    // manifest-sized work, the same shape the real filter's
+    // serialized bitset uses.
+    q("x307_bloom_fpr",
+      """WITH mem AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 2 = 0),
+        |pos AS (SELECT DISTINCT pos FROM (
+        |    SELECT cast(conv(substr(md5(cast(k AS STRING)),1,8),16,10) AS BIGINT) % 8192 AS pos FROM mem
+        |    UNION ALL
+        |    SELECT cast(conv(substr(md5(cast(k AS STRING)),9,8),16,10) AS BIGINT) % 8192 FROM mem
+        |    UNION ALL
+        |    SELECT cast(conv(substr(md5(cast(k AS STRING)),17,8),16,10) AS BIGINT) % 8192 FROM mem) u),
+        |pr AS (SELECT p_partkey AS k,
+        |         cast(conv(substr(md5(cast(p_partkey AS STRING)),1,8),16,10) AS BIGINT) % 8192 AS h1,
+        |         cast(conv(substr(md5(cast(p_partkey AS STRING)),9,8),16,10) AS BIGINT) % 8192 AS h2,
+        |         cast(conv(substr(md5(cast(p_partkey AS STRING)),17,8),16,10) AS BIGINT) % 8192 AS h3
+        |       FROM part WHERE p_partkey % 2 = 1),
+        |hit AS (SELECT pr.k,
+        |          CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL AND b3.pos IS NOT NULL
+        |               THEN 1 ELSE 0 END AS fp
+        |        FROM pr LEFT JOIN pos b1 ON pr.h1 = b1.pos
+        |                LEFT JOIN pos b2 ON pr.h2 = b2.pos
+        |                LEFT JOIN pos b3 ON pr.h3 = b3.pos),
+        |n AS (SELECT cast(count(*) AS BIGINT) AS members FROM mem),
+        |bs AS (SELECT cast(count(*) AS BIGINT) AS bits_set FROM pos)
+        |SELECT n.members, bs.bits_set,
+        |       cast(count(*) AS BIGINT) AS probes,
+        |       cast(sum(fp) AS BIGINT) AS false_positives,
+        |       cast(floor(sum(fp) * 10000e0 / count(*)) AS BIGINT) AS fpr_bp,
+        |       cast(floor(power(1e0 - exp(-3e0 * n.members / 8192), 3) * 10000) AS BIGINT) AS expected_fpr_bp
+        |FROM hit CROSS JOIN n CROSS JOIN bs
+        |GROUP BY n.members, bs.bits_set""".stripMargin,
+      """WITH mem AS (SELECT p_partkey AS k FROM part WHERE p_partkey % 2 = 0),
+        |pos AS (SELECT DISTINCT pos FROM (
+        |    SELECT cast(('0x'||substr(md5(cast(k AS VARCHAR)),1,8)) AS BIGINT) % 8192 AS pos FROM mem
+        |    UNION ALL
+        |    SELECT cast(('0x'||substr(md5(cast(k AS VARCHAR)),9,8)) AS BIGINT) % 8192 FROM mem
+        |    UNION ALL
+        |    SELECT cast(('0x'||substr(md5(cast(k AS VARCHAR)),17,8)) AS BIGINT) % 8192 FROM mem) u),
+        |pr AS (SELECT p_partkey AS k,
+        |         cast(('0x'||substr(md5(cast(p_partkey AS VARCHAR)),1,8)) AS BIGINT) % 8192 AS h1,
+        |         cast(('0x'||substr(md5(cast(p_partkey AS VARCHAR)),9,8)) AS BIGINT) % 8192 AS h2,
+        |         cast(('0x'||substr(md5(cast(p_partkey AS VARCHAR)),17,8)) AS BIGINT) % 8192 AS h3
+        |       FROM part WHERE p_partkey % 2 = 1),
+        |hit AS (SELECT pr.k,
+        |          CASE WHEN b1.pos IS NOT NULL AND b2.pos IS NOT NULL AND b3.pos IS NOT NULL
+        |               THEN 1 ELSE 0 END AS fp
+        |        FROM pr LEFT JOIN pos b1 ON pr.h1 = b1.pos
+        |                LEFT JOIN pos b2 ON pr.h2 = b2.pos
+        |                LEFT JOIN pos b3 ON pr.h3 = b3.pos),
+        |n AS (SELECT cast(count(*) AS BIGINT) AS members FROM mem),
+        |bs AS (SELECT cast(count(*) AS BIGINT) AS bits_set FROM pos)
+        |SELECT n.members, bs.bits_set,
+        |       cast(count(*) AS BIGINT) AS probes,
+        |       cast(sum(fp) AS BIGINT) AS false_positives,
+        |       cast(floor(sum(fp) * 10000e0 / count(*)) AS BIGINT) AS fpr_bp,
+        |       cast(floor(power(1e0 - exp(-3e0 * n.members / 8192), 3) * 10000) AS BIGINT) AS expected_fpr_bp
+        |FROM hit CROSS JOIN n CROSS JOIN bs
+        |GROUP BY n.members, bs.bits_set""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
