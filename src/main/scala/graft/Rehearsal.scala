@@ -96,6 +96,21 @@ object Rehearsal {
     println(s"[rehearsal] x177 stages: " +
       census.map { case (s, n) => s"$s=$n" }.mkString(", "))
 
+    // ---- round-9 natives at 100×: interval join + reliability windows
+    // over the 10 M-row events corpus (150 k users). x301's CMS is
+    // deliberately NOT run here: the 100× user space (≈991 k ids)
+    // exceeds the identity-injective width 262144, and the entry's
+    // in-plan assert_true would (correctly) refuse to produce
+    // silently-approximate "exact" output — that refusal is the
+    // designed behavior, soaked at 10× where the regime holds.
+    val nWin = phase("x305 interval") {
+      SparkEntry.queries("x305_interval_native")(spark, out).collect().length
+    }
+    val mttr = phase("x296 mttr") {
+      SparkEntry.queries("x296_mttr_mtbf")(spark, out).collect()(0)
+    }
+    println(s"[rehearsal] x305 windows=$nWin  x296 row=$mttr")
+
     // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
     // Change stream derived from the 100× events: ~1/10 of keys collide
     // across batches (updates), ~1% tombstones, seq = event id. 64

@@ -294,6 +294,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), s"window crept back in:\n$p")
   }
 
+  test("x305: interval join plans as an EQUI-join on the grid cell") {
+    val p = physical("x305_interval_native")
+    // the operator's whole point: the overlap predicate alone can only
+    // nested-loop; bucket gridding must turn it into a hash-keyed join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), s"expected equi-join on __cell:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval join degenerated to a loop join:\n$p")
+  }
+
+  test("x301: CMS probes read the broadcast grid in place (no UDF over the array)") {
+    val p = physical("x301_cms_counts")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final CMS agg:\n$p")
+    // element_at probing keeps the 524k-long grid out of any
+    // collection-boxing UDF (the 82x r9 soak fix, SCALE.md §28) —
+    // only the scalar bucket-index UDF may appear
+    assert(!p.contains("UDF(sk"), s"grid passed through a UDF again:\n$p")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself
