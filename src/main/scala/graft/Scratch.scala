@@ -105,8 +105,8 @@ object Scratch {
       // with the distributed filter + bounded driver collect of
       // SkipIndex.readRange. Measures what SCALE.md §15 records.
       def manifest(n: Long) = spark.range(n).select(
-        concat(lit("s3://t/part-"), col("id")).as("file"),
-        lit("s3://t").as("root"), lit(1000L).as("n_rows"),
+        concat(lit("file:/tmp/t/part-"), col("id")).as("file"),
+        lit("file:/tmp/t").as("root"), lit(1000L).as("n_rows"),
         (col("id") * 1000L).as("k_min"),
         (col("id") * 1000L + lit(999L)).as("k_max"))
       val man = manifest(1000000L)

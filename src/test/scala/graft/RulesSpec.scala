@@ -78,6 +78,19 @@ class RulesSpec extends SparkSpec {
       assert(fresh.sessionState.optimizer.extendedOperatorOptimizationRules
         .contains(plans.DeferProjectionPastTopK),
         "DeferProjectionPastTopK must be in the session's optimizer rules")
+      // extensions-path shape parity (round 9): through
+      // extendedOperatorOptimizationRules the rule fires MID-optimizer,
+      // where later batches could in principle disturb the emitted
+      // Limit(Project(Sort)) shape — assert q38 still plans a terminal
+      // TakeOrderedAndProject and returns the entry-path rows.
+      fresh.read.parquet(s"$sf0001/lineitem.parquet")
+        .createOrReplaceTempView("lineitem")
+      val viaExt = fresh.sql(Queries.sparkSql("q38_math_funcs"))
+      assert(viaExt.queryExecution.executedPlan.toString
+        .contains("TakeOrderedAndProject"),
+        viaExt.queryExecution.executedPlan.toString)
+      assert(viaExt.collect().toSeq ==
+        SparkEntry.queries("q38_math_funcs")(spark, sf0001).collect().toSeq)
     } finally {
       org.apache.spark.sql.SparkSession.clearActiveSession()
       old.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
