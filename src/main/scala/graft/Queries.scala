@@ -6255,7 +6255,231 @@ object Queries {
         |       cast(floor(sum(fp) * 10000e0 / count(*)) AS BIGINT) AS fpr_bp,
         |       cast(floor(power(1e0 - exp(-3e0 * n.members / 8192), 3) * 10000) AS BIGINT) AS expected_fpr_bp
         |FROM hit CROSS JOIN n CROSS JOIN bs
-        |GROUP BY n.members, bs.bits_set""".stripMargin)
+        |GROUP BY n.members, bs.bits_set""".stripMargin),
+
+    // Benjamini-Hochberg FDR over the per-type mean-shift z tests
+    // (each event type's value mean vs the rest, Welch z from EXACT
+    // integer centi-unit sums — x306's moment discipline). The normal
+    // tail needs Φ, which neither engine ships as SQL — both dialects
+    // evaluate the SAME Abramowitz-Stegun 7.1.26 erf polynomial
+    // (literals + one exp), so p-values are identical doubles. BH
+    // step-up: reject H_(i) when p_(i) ≤ (i/m)·α, α=0.05, via the
+    // running-max significance rule (largest i wins ⇒ max over
+    // suffix). Multiple-testing control as a query — the alerting
+    // layer every per-segment metric sweep needs.
+    q("x308_bh_fdr",
+      """WITH s AS (SELECT event_type,
+        |             cast(count(*) AS BIGINT) AS n,
+        |             cast(sum(cast(round(value * 100) AS BIGINT)) AS BIGINT) AS su,
+        |             cast(sum(cast(round(value * 100) AS BIGINT)
+        |                      * cast(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT cast(sum(n) AS BIGINT) AS nt, cast(sum(su) AS BIGINT) AS sut,
+        |             cast(sum(sq) AS BIGINT) AS sqt, cast(count(*) AS BIGINT) AS m FROM s),
+        |z AS (SELECT s.event_type, s.n, t.m,
+        |        abs( (s.su * 1e0 / s.n - (t.sut - s.su) * 1e0 / (t.nt - s.n))
+        |           / sqrt( ((s.n * s.sq - s.su * s.su) * 1e0 / (s.n * (s.n - 1e0))) / s.n
+        |                 + (((t.nt - s.n) * (t.sqt - s.sq) - (t.sut - s.su) * (t.sut - s.su) * 1e0)
+        |                    / ((t.nt - s.n) * (t.nt - s.n - 1e0))) / (t.nt - s.n) ) ) AS az
+        |      FROM s CROSS JOIN t),
+        |p AS (SELECT event_type, n, m, az,
+        |        2e0 * (1e0 - 0.5e0 * (1e0 +
+        |          (1e0 - ( 0.254829592e0 * (1e0 / (1e0 + 0.3275911e0 * (az / 1.4142135623730951e0)))
+        |                 - 0.284496736e0 * power(1e0 / (1e0 + 0.3275911e0 * (az / 1.4142135623730951e0)), 2)
+        |                 + 1.421413741e0 * power(1e0 / (1e0 + 0.3275911e0 * (az / 1.4142135623730951e0)), 3)
+        |                 - 1.453152027e0 * power(1e0 / (1e0 + 0.3275911e0 * (az / 1.4142135623730951e0)), 4)
+        |                 + 1.061405429e0 * power(1e0 / (1e0 + 0.3275911e0 * (az / 1.4142135623730951e0)), 5)
+        |                 ) * exp(-(az / 1.4142135623730951e0) * (az / 1.4142135623730951e0))))) AS pval
+        |      FROM z),
+        |r AS (SELECT event_type, az, pval,
+        |             row_number() OVER (ORDER BY pval, event_type) AS i, m
+        |      FROM p),
+        |bh AS (SELECT event_type, az, pval, i, m,
+        |              CASE WHEN pval * m <= 0.05e0 * i THEN 1 ELSE 0 END AS below_line
+        |       FROM r),
+        |mx AS (SELECT event_type, az, pval, i,
+        |              max(CASE WHEN below_line = 1 THEN i ELSE 0 END) OVER () AS imax
+        |       FROM bh)
+        |SELECT event_type, round(az, 4) AS abs_z, round(pval, 4) AS p_value,
+        |       cast(i AS BIGINT) AS p_rank,
+        |       CASE WHEN i <= imax THEN 1 ELSE 0 END AS rejected
+        |FROM mx ORDER BY p_rank""".stripMargin),
+
+    // Hyndman strength-of-trend / strength-of-seasonality on x268's
+    // additive components: F_T = max(0, 1 − Var(R)/Var(T+R)),
+    // F_S = max(0, 1 − Var(R)/Var(S+R)). Components are x268's
+    // deterministic per-row doubles; the two variances aggregate a
+    // 24-row day frame (the x124 float-variance class, rounded 4dp).
+    q("x309_seasonal_strength",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, c,
+        |        cast(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+        |        count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |        weekday(day) AS wd
+        |      FROM d),
+        |f AS (SELECT day, c, trend_x7, wd FROM t WHERE wn = 7),
+        |s AS (SELECT wd, cast(sum(7*c - trend_x7) AS BIGINT) AS seas_sum_x7,
+        |             cast(count(*) AS BIGINT) AS n_w
+        |      FROM f GROUP BY 1),
+        |comp AS (SELECT f.day,
+        |           s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS seas,
+        |           f.c - f.trend_x7 / 7e0 - s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS resid,
+        |           f.c - s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS detrended_plus_r,
+        |           f.c - f.trend_x7 / 7e0 AS deseason_plus_r
+        |         FROM f JOIN s ON f.wd = s.wd)
+        |SELECT cast(count(*) AS BIGINT) AS n_days,
+        |       round(greatest(0e0, 1e0 - var_samp(resid) / var_samp(detrended_plus_r)), 4) + 0e0 AS trend_strength,
+        |       round(greatest(0e0, 1e0 - var_samp(resid) / var_samp(deseason_plus_r)), 4) + 0e0 AS seasonal_strength
+        |FROM comp""".stripMargin,
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT day, c,
+        |        cast(sum(c) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x7,
+        |        count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS wn,
+        |        isodow(day) - 1 AS wd
+        |      FROM d),
+        |f AS (SELECT day, c, trend_x7, wd FROM t WHERE wn = 7),
+        |s AS (SELECT wd, cast(sum(7*c - trend_x7) AS BIGINT) AS seas_sum_x7,
+        |             cast(count(*) AS BIGINT) AS n_w
+        |      FROM f GROUP BY 1),
+        |comp AS (SELECT f.day,
+        |           s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS seas,
+        |           f.c - f.trend_x7 / 7e0 - s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS resid,
+        |           f.c - s.seas_sum_x7 * 1e0 / (7 * s.n_w) AS detrended_plus_r,
+        |           f.c - f.trend_x7 / 7e0 AS deseason_plus_r
+        |         FROM f JOIN s ON f.wd = s.wd)
+        |SELECT cast(count(*) AS BIGINT) AS n_days,
+        |       round(greatest(0e0, 1e0 - var_samp(resid) / var_samp(detrended_plus_r)), 4) + 0e0 AS trend_strength,
+        |       round(greatest(0e0, 1e0 - var_samp(resid) / var_samp(deseason_plus_r)), 4) + 0e0 AS seasonal_strength
+        |FROM comp""".stripMargin),
+
+    // Chapman capture-recapture population estimate: the week-1 and
+    // week-2 active-user sets are the two "captures"; the overlap
+    // estimates the true population N̂ = (n1+1)(n2+1)/(m+1) − 1 — the
+    // bias-corrected Lincoln-Petersen form, all-integer until one
+    // floor. The estimator every coverage question ("how many users
+    // exist that we never see?") reduces to.
+    q("x310_capture_recapture",
+      """WITH b AS (SELECT cast(min(cast(ts AS DATE)) AS DATE) AS d0 FROM events),
+        |w1 AS (SELECT DISTINCT user_id FROM events, b
+        |       WHERE cast(ts AS DATE) >= b.d0 AND cast(ts AS DATE) < b.d0 + 7),
+        |w2 AS (SELECT DISTINCT user_id FROM events, b
+        |       WHERE cast(ts AS DATE) >= b.d0 + 7 AND cast(ts AS DATE) < b.d0 + 14),
+        |m AS (SELECT cast(count(*) AS BIGINT) AS recaptured
+        |      FROM w1 JOIN w2 ON w1.user_id = w2.user_id),
+        |c AS (SELECT (SELECT cast(count(*) AS BIGINT) FROM w1) AS n1,
+        |             (SELECT cast(count(*) AS BIGINT) FROM w2) AS n2,
+        |             (SELECT recaptured FROM m) AS m)
+        |SELECT n1, n2, m,
+        |       cast(floor((n1 + 1) * (n2 + 1) * 1e0 / (m + 1)) - 1 AS BIGINT) AS n_hat,
+        |       cast(floor(m * 10000e0 / n2) AS BIGINT) AS recapture_bp
+        |FROM c""".stripMargin),
+
+    // Month-over-month customer churn matrix: per consecutive month
+    // pair, customers retained / churned / new via one FULL OUTER join
+    // of month-customer sets — the subscription-analytics staple,
+    // pure integers.
+    q("x311_churn_matrix",
+      """WITH mc AS (SELECT DISTINCT cast(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                            o_custkey FROM orders),
+        |mm AS (SELECT DISTINCT month FROM mc),
+        |pairs AS (SELECT a.month AS m0, min(b.month) AS m1
+        |          FROM mm a JOIN mm b ON b.month > a.month GROUP BY a.month),
+        |j AS (SELECT p.m0, p.m1, cur.o_custkey AS c0, nxt.o_custkey AS c1
+        |      FROM pairs p
+        |      LEFT JOIN mc cur ON cur.month = p.m0
+        |      FULL OUTER JOIN mc nxt ON nxt.month = p.m1 AND nxt.o_custkey = cur.o_custkey
+        |      WHERE cur.month = p.m0 OR nxt.month = p.m1)
+        |SELECT m0 AS month, m1 AS next_month,
+        |       cast(sum(CASE WHEN c0 IS NOT NULL AND c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+        |       cast(sum(CASE WHEN c0 IS NOT NULL AND c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+        |       cast(sum(CASE WHEN c0 IS NULL AND c1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_custs,
+        |       cast(floor(sum(CASE WHEN c0 IS NOT NULL AND c1 IS NULL THEN 1 ELSE 0 END) * 10000e0
+        |             / nullif(sum(CASE WHEN c0 IS NOT NULL THEN 1 ELSE 0 END), 0)) AS BIGINT) AS churn_bp
+        |FROM j GROUP BY m0, m1 ORDER BY m0""".stripMargin),
+
+    // Decision-stump split search on the first embedding dimension:
+    // candidate thresholds = the 9 interior decile boundaries; for
+    // each, the label<5 Gini impurity of the two sides from EXACT
+    // integer counts (impurity doubles are single-shot from those
+    // ints). Output every candidate with its weighted impurity and
+    // gain vs the root — the one-feature CART step, oracle-checkable.
+    q("x312_decision_stump",
+      """WITH s AS (SELECT vec_id, cast(element_at(embedding, 1) AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |b AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |             cast(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |             cast(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+        |             cast(sum(n) OVER () AS BIGINT) AS nt,
+        |             cast(sum(pos) OVER () AS BIGINT) AS pt
+        |      FROM b),
+        |g AS (SELECT bin AS split_after, cn, cp, nt, pt,
+        |        (cn * 1e0 / nt) * (1e0 - (cp * 1e0 / cn) * (cp * 1e0 / cn)
+        |                               - ((cn - cp) * 1e0 / cn) * ((cn - cp) * 1e0 / cn))
+        |      + ((nt - cn) * 1e0 / nt) * (1e0 - ((pt - cp) * 1e0 / (nt - cn)) * ((pt - cp) * 1e0 / (nt - cn))
+        |                               - ((nt - cn - pt + cp) * 1e0 / (nt - cn)) * ((nt - cn - pt + cp) * 1e0 / (nt - cn))) AS gini_split,
+        |        1e0 - (pt * 1e0 / nt) * (pt * 1e0 / nt)
+        |            - ((nt - pt) * 1e0 / nt) * ((nt - pt) * 1e0 / nt) AS gini_root
+        |      FROM c WHERE bin < 10)
+        |SELECT split_after, cast(cn AS BIGINT) AS n_left, cast(cp AS BIGINT) AS pos_left,
+        |       round(gini_split, 4) AS gini_split,
+        |       round(gini_root - gini_split, 4) + 0e0 AS gain
+        |FROM g ORDER BY split_after""".stripMargin,
+      """WITH s AS (SELECT vec_id, cast(embedding[1] AS DOUBLE) AS score,
+        |                  CASE WHEN label < 5 THEN 1 ELSE 0 END AS y FROM embeddings),
+        |d AS (SELECT y, ntile(10) OVER (ORDER BY score, vec_id) AS bin FROM s),
+        |b AS (SELECT bin, cast(count(*) AS BIGINT) AS n, cast(sum(y) AS BIGINT) AS pos
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT bin, n, pos,
+        |             cast(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cn,
+        |             cast(sum(pos) OVER (ORDER BY bin) AS BIGINT) AS cp,
+        |             cast(sum(n) OVER () AS BIGINT) AS nt,
+        |             cast(sum(pos) OVER () AS BIGINT) AS pt
+        |      FROM b),
+        |g AS (SELECT bin AS split_after, cn, cp, nt, pt,
+        |        (cn * 1e0 / nt) * (1e0 - (cp * 1e0 / cn) * (cp * 1e0 / cn)
+        |                               - ((cn - cp) * 1e0 / cn) * ((cn - cp) * 1e0 / cn))
+        |      + ((nt - cn) * 1e0 / nt) * (1e0 - ((pt - cp) * 1e0 / (nt - cn)) * ((pt - cp) * 1e0 / (nt - cn))
+        |                               - ((nt - cn - pt + cp) * 1e0 / (nt - cn)) * ((nt - cn - pt + cp) * 1e0 / (nt - cn))) AS gini_split,
+        |        1e0 - (pt * 1e0 / nt) * (pt * 1e0 / nt)
+        |            - ((nt - pt) * 1e0 / nt) * ((nt - pt) * 1e0 / nt) AS gini_root
+        |      FROM c WHERE bin < 10)
+        |SELECT split_after, cast(cn AS BIGINT) AS n_left, cast(cp AS BIGINT) AS pos_left,
+        |       round(gini_split, 4) AS gini_split,
+        |       round(gini_root - gini_split, 4) + 0e0 AS gain
+        |FROM g ORDER BY split_after""".stripMargin),
+
+    // Temporal PSI drift per event type: Population Stability Index of
+    // the value distribution, first half vs second half of the
+    // observation window, over 10 FIXED value bins with +1 Laplace
+    // smoothing (the temporal complement of x190's cross-source bucket
+    // drift). PSI = Σ(p−q)·ln(p/q); >0.2 is the conventional
+    // "significant shift" flag, emitted as an integer comparison on
+    // the rounded micro-PSI.
+    q("x313_temporal_psi",
+      """WITH b AS (SELECT cast(min(cast(ts AS DATE)) + 15 AS DATE) AS cut FROM events),
+        |e AS (SELECT event_type,
+        |             CASE WHEN cast(ts AS DATE) <= b.cut THEN 0 ELSE 1 END AS half,
+        |             least(9, greatest(0, cast(floor(value / 100e0) AS BIGINT))) AS bin
+        |      FROM events, b),
+        |c AS (SELECT event_type, bin,
+        |             cast(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS a_n,
+        |             cast(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS b_n
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, cast(sum(a_n) AS BIGINT) AS at, cast(sum(b_n) AS BIGINT) AS bt
+        |      FROM c GROUP BY 1),
+        |psi AS (SELECT c.event_type,
+        |          sum((c.a_n * 1e0 / t.at - c.b_n * 1e0 / t.bt)
+        |              * ln((c.a_n * 1e0 / t.at) / (c.b_n * 1e0 / t.bt))) AS psi
+        |        FROM c JOIN t ON c.event_type = t.event_type GROUP BY c.event_type)
+        |SELECT event_type, round(psi, 4) + 0e0 AS psi,
+        |       cast(round(psi * 1000000) AS BIGINT) AS psi_x1e6,
+        |       CASE WHEN round(psi * 1000000) > 200000 THEN 1 ELSE 0 END AS drifted
+        |FROM psi ORDER BY event_type""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
