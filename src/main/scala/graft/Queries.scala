@@ -6479,7 +6479,71 @@ object Queries {
         |SELECT event_type, round(psi, 4) + 0e0 AS psi,
         |       cast(round(psi * 1000000) AS BIGINT) AS psi_x1e6,
         |       CASE WHEN round(psi * 1000000) > 200000 THEN 1 ELSE 0 END AS drifted
-        |FROM psi ORDER BY event_type""".stripMargin)
+        |FROM psi ORDER BY event_type""".stripMargin),
+
+    // Cohort lifetime-value curve: per signup-quarter cohort, revenue
+    // by quarter offset and the cumulative LTV — EXACT integer cents
+    // (x82's retention triangle counts heads; this follows the money).
+    // Quarter arithmetic via year()/quarter() — identical on both
+    // engines, no interval math.
+    q("x314_cohort_ltv",
+      """WITH o AS (SELECT o_custkey, cast(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |                  cast(date_trunc('quarter', o_orderdate) AS DATE) AS q FROM orders),
+        |c AS (SELECT o_custkey, min(q) AS cq FROM o GROUP BY 1),
+        |j AS (SELECT c.cq AS cohort,
+        |             (year(o.q) - year(c.cq)) * 4 + (quarter(o.q) - quarter(c.cq)) AS off,
+        |             o.cents
+        |      FROM o JOIN c ON o.o_custkey = c.o_custkey),
+        |g AS (SELECT cohort, cast(off AS BIGINT) AS quarter_offset,
+        |             cast(sum(cents) AS BIGINT) AS rev_cents,
+        |             cast(count(*) AS BIGINT) AS orders
+        |      FROM j GROUP BY 1, 2)
+        |SELECT cohort, quarter_offset, orders, rev_cents,
+        |       cast(sum(rev_cents) OVER (PARTITION BY cohort ORDER BY quarter_offset) AS BIGINT) AS cum_ltv_cents
+        |FROM g ORDER BY cohort, quarter_offset""".stripMargin),
+
+    // Duplicate-group size distribution (frequency of frequencies) on
+    // x47's exact-dup key — the dedup REPORT a corpus owner reads:
+    // how many groups of each size, how many docs they hold, and the
+    // rows removable by keep-first. Two hash aggs, any scale.
+    q("x315_dup_size_dist",
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key
+        |  FROM documents),
+        |g AS (SELECT key, cast(count(*) AS BIGINT) AS sz FROM k GROUP BY 1)
+        |SELECT sz AS group_size, cast(count(*) AS BIGINT) AS n_groups,
+        |       cast(sz * count(*) AS BIGINT) AS docs,
+        |       cast((sz - 1) * count(*) AS BIGINT) AS removable
+        |FROM g GROUP BY sz ORDER BY sz""".stripMargin,
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key
+        |  FROM documents),
+        |g AS (SELECT key, cast(count(*) AS BIGINT) AS sz FROM k GROUP BY 1)
+        |SELECT sz AS group_size, cast(count(*) AS BIGINT) AS n_groups,
+        |       cast(sz * count(*) AS BIGINT) AS docs,
+        |       cast((sz - 1) * count(*) AS BIGINT) AS removable
+        |FROM g GROUP BY sz ORDER BY sz""".stripMargin),
+
+    // Order-to-ship cycle-time percentiles per priority — the ops SLA
+    // distribution (x263's OTIF counts attainment; this shows the
+    // latency shape): integer day lags, exact discrete percentiles.
+    q("x316_cycle_time",
+      """SELECT o.o_orderpriority AS prio,
+        |       cast(count(*) AS BIGINT) AS n,
+        |       cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY datediff(l.l_shipdate, o.o_orderdate)) AS BIGINT) AS p50_days,
+        |       cast(percentile_disc(0.9) WITHIN GROUP (ORDER BY datediff(l.l_shipdate, o.o_orderdate)) AS BIGINT) AS p90_days,
+        |       cast(percentile_disc(0.99) WITHIN GROUP (ORDER BY datediff(l.l_shipdate, o.o_orderdate)) AS BIGINT) AS p99_days,
+        |       cast(max(datediff(l.l_shipdate, o.o_orderdate)) AS BIGINT) AS max_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT o.o_orderpriority AS prio,
+        |       cast(count(*) AS BIGINT) AS n,
+        |       cast(quantile_disc(datediff('day', o.o_orderdate, l.l_shipdate), 0.5) AS BIGINT) AS p50_days,
+        |       cast(quantile_disc(datediff('day', o.o_orderdate, l.l_shipdate), 0.9) AS BIGINT) AS p90_days,
+        |       cast(quantile_disc(datediff('day', o.o_orderdate, l.l_shipdate), 0.99) AS BIGINT) AS p99_days,
+        |       cast(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_days
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
