@@ -71,6 +71,28 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("count-min sketch over a stream == exact batch counts (mergeable = streaming-safe)") {
+    // The mergeable-summary claim cashed out in streaming: a CMS
+    // aggregated across micro-batches (partial grids merged by the
+    // same element-wise add the batch shuffle uses) must land on the
+    // identical exact counts in the identity-injective regime — the
+    // property that lets a 1000-executor fleet AND a stream share one
+    // sketch implementation.
+    val depth = 2; val width = 4096
+    val cms = udaf(new graft.functions.CountMinSketch(depth, width))
+    val stream = EventStream.readEvents(spark, sf0001)
+    EventStream.drainToMemory(spark,
+      stream.agg(cms(col("user_id")).as("sk")), "cms_stream", complete = true)
+    val grid = spark.table("cms_stream").head().getSeq[Long](0).toArray
+    val exact = Catalog.load(spark, sf0001, "events")
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (u, c) =>
+      assert(graft.functions.CountMinSketch.probe(grid, depth, width, u) == c,
+        s"user $u: stream CMS diverged from exact count")
+    }
+  }
+
   test("session windows stream == batch q31 sessionization") {
     val stream = EventStream.readEvents(spark, sf0001)
     EventStream.drainToMemory(spark, EventStream.sessions30m(stream),
