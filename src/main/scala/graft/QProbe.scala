@@ -44,7 +44,13 @@ object QProbe {
         var df: org.apache.spark.sql.DataFrame = null
         val tBuild = ms { df = build(n) }
         val tPlan = ms { df.queryExecution.executedPlan }
-        val tExec = ms { df.collect() }
+        // SPARK_GRAFT_NOOP=1: drive doExecute (noop sink) instead of
+        // executeCollect — isolates the terminal-collect machinery cost
+        val tExec = ms {
+          if (sys.env.get("SPARK_GRAFT_NOOP").contains("1"))
+            df.write.mode("overwrite").format("noop").save()
+          else df.collect()
+        }
         (tBuild, tPlan, tExec)
       }.sortBy(r => r._1 + r._2 + r._3)
       val (b, p, e) = reps(2)

@@ -12,21 +12,23 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * projection's input, the projection can run after the limit instead —
   * f over ≤ n rows.
   *
-  * Emitted shape (round 9): `Limit(Project(f(x), Sort(k, scan)))` — the
-  * projection INSIDE the limit, directly above the sort. That is exactly
-  * the pattern `SpecialLimits` plans as ONE terminal
-  * `TakeOrderedAndProjectExec(limit, order, projectList, scan)`, whose
-  * `executeCollect` runs per-partition top-k heaps, merges on the driver,
-  * and only then applies the projection to the ≤ n survivors — a single
-  * stage. (The round-4 shape hoisted the projection ABOVE the limit,
-  * which forced TakeOrderedAndProject through `doExecute` — a
-  * single-partition shuffle plus a second scheduling wave per query, one
-  * whole task-launch floor of pure overhead at bench scale; measured via
-  * QProbe, SCALE.md §25.)
+  * Emitted shape is STATS-HYBRID (round 9, SCALE.md §25):
   *
-  * Measured effect: q38 (4× BigDecimal `round` + sqrt/ln/power over 600k
-  * rows, top-500) drops from ~950ms to scan+sort cost (~90ms, QProbe
-  * no-defer A/B at sf0.1).
+  *  - input ≤ the broadcast threshold → `Limit(Project(f(x), Sort))`:
+  *    one terminal `TakeOrderedAndProjectExec`, f(x) on the ≤ n
+  *    survivors after a driver-side merge — saves a whole scheduling
+  *    wave on small inputs (q37, 150k-row orders: 122 → 72 ms);
+  *  - larger input → `Project(f(x), Limit(Sort))`: per-partition top-k
+  *    with an EXECUTOR-side singleton merge, f(x) in a tiny second
+  *    stage — the doExecute top-k path measures much cheaper at row
+  *    count (q38, 600k-row lineitem: 51 ms vs 207 ms single-stage on a
+  *    quiet VM), and at cluster scale it also keeps the P×k merge off
+  *    the driver. The threshold reuses autoBroadcastJoinThreshold —
+  *    the session's existing "small enough to centralize" knob.
+  *
+  * Measured effect vs NO rule either way: q38 (4× BigDecimal `round` +
+  * sqrt/ln/power over 600k rows, top-500) drops from ~950ms to
+  * scan+sort cost (QProbe no-defer A/B at sf0.1).
   *
   * Safety: requires (a) every sort key resolves against the projection's
   * child, (b) all projections deterministic, (c) no window/agg in between
@@ -59,7 +61,11 @@ object DeferProjectionPastTopK extends Rule[LogicalPlan] {
     }
   }
 
-  private def defer(gle: Expression, lle: Expression,
+  /** Single-stage shape: projection INSIDE the limit, planned as one
+    * terminal TakeOrderedAndProjectExec (f(x) on ≤ n survivors, driver
+    * merge). Right when the input is small — it saves a whole
+    * scheduling wave. */
+  private def deferSingleStage(gle: Expression, lle: Expression,
                     finalProj: Seq[NamedExpression], order: Seq[SortOrder],
                     child: LogicalPlan, hint: Option[SortHint]): LogicalPlan = {
     // Keep column pruning: scan only what the projection + sort need.
@@ -70,6 +76,38 @@ object DeferProjectionPastTopK extends Rule[LogicalPlan] {
         Project(finalProj,
           Sort(order, global = true,
             Project(child.output.filter(needed.contains), child), hint))))
+  }
+
+  /** Two-stage shape: projection ABOVE the limit — per-partition top-k,
+    * EXECUTOR-side singleton merge, then f(x) over the k survivors in a
+    * tiny second stage. Right when the input is large: the per-row
+    * top-k path is measurably cheaper (quiet-VM A/B at sf0.1: q38 over
+    * 600k rows ran 51 ms here vs 207 ms single-stage, while 150k-row
+    * q37 prefers single-stage 72 ms vs 122 ms), and at cluster scale it
+    * also keeps the P×k merge off the driver. */
+  private def deferTwoStage(gle: Expression, lle: Expression,
+                    finalProj: Seq[NamedExpression], order: Seq[SortOrder],
+                    child: LogicalPlan, hint: Option[SortHint]): LogicalPlan = {
+    val needed = AttributeSet(finalProj.flatMap(_.references)) ++
+      AttributeSet(order.flatMap(_.references))
+    Project(finalProj,
+      GlobalLimit(gle,
+        LocalLimit(lle,
+          Sort(order, global = true,
+            Project(child.output.filter(needed.contains), child), hint))))
+  }
+
+  /** Small inputs take the single-stage driver-merge form; anything
+    * bigger than the broadcast threshold (the session's existing
+    * "small enough to centralize" knob) keeps the executor-side merge. */
+  private def defer(gle: Expression, lle: Expression,
+                    finalProj: Seq[NamedExpression], order: Seq[SortOrder],
+                    child: LogicalPlan, hint: Option[SortHint]): LogicalPlan = {
+    val threshold = conf.autoBroadcastJoinThreshold
+    if (threshold > 0 && child.stats.sizeInBytes <= threshold)
+      deferSingleStage(gle, lle, finalProj, order, child, hint)
+    else
+      deferTwoStage(gle, lle, finalProj, order, child, hint)
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {

@@ -25,6 +25,28 @@ class RulesSpec extends SparkSpec {
     assert(!phys.contains("Exchange"), s"deferred top-k must be single-stage:\n$phys")
   }
 
+  test("rule goes two-stage above the size threshold (executor-side merge)") {
+    // force every input "large": the hybrid must hoist the projection
+    // ABOVE the limit so the P×k top-k merge stays executor-side
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+      // bare spark.sql: Catalog.sql's prepared-statement cache would
+      // (correctly) return the pre-threshold plan
+      Catalog.ensure(spark, sf0001)
+      val df = spark.sql(Queries.sparkSql("q38_math_funcs"))
+      val plan = df.queryExecution.optimizedPlan
+      val fired = plan.collectFirst {
+        case Project(projs, _: GlobalLimit)
+            if projs.exists(p => !p.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) => true
+      }.getOrElse(false)
+      assert(fired, s"two-stage shape missing:\n${plan.treeString}")
+      assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+      // same rows as the single-stage path
+      assert(df.collect().length == 500)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("rule does not fire when projections are cheap (q32)") {
     val plan = SparkEntry.queries("q32_sort_limit_offset")(spark, sf0001)
       .queryExecution.optimizedPlan
