@@ -6543,7 +6543,95 @@ object Queries {
         |       cast(quantile_disc(datediff('day', o.o_orderdate, l.l_shipdate), 0.99) AS BIGINT) AS p99_days,
         |       cast(max(datediff('day', o.o_orderdate, l.l_shipdate)) AS BIGINT) AS max_days
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Wald-Wolfowitz runs test on the daily up/down move sequence —
+    // "is the series random, or do moves cluster?" (the independence
+    // complement of x291's monotone-trend test). Runs, n⁺, n⁻ are
+    // EXACT integers from one lag window; μ_R and σ_R are closed-form
+    // rationals of those integers; only the final z divides once.
+    // Zero-change days are excluded (the standard treatment).
+    q("x317_runs_test",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |m AS (SELECT day, c - lag(c) OVER (ORDER BY day) AS diff FROM d),
+        |s AS (SELECT day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+        |      FROM m WHERE diff IS NOT NULL AND diff <> 0),
+        |r AS (SELECT day, sgn, lag(sgn) OVER (ORDER BY day) AS prev FROM s),
+        |agg AS (SELECT cast(sum(CASE WHEN prev IS NULL OR sgn <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+        |               cast(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |               cast(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn
+        |        FROM r)
+        |SELECT runs, n_up, n_dn,
+        |       round(1e0 + 2e0 * n_up * n_dn / (n_up + n_dn), 4) AS mu_runs,
+        |       round((runs - (1e0 + 2e0 * n_up * n_dn / (n_up + n_dn)))
+        |             / sqrt(2e0 * n_up * n_dn * (2e0 * n_up * n_dn - n_up - n_dn)
+        |                    / ((n_up + n_dn) * (n_up + n_dn) * (n_up + n_dn - 1e0))), 4) + 0e0 AS z
+        |FROM agg""".stripMargin),
+
+    // Ljung-Box portmanteau test: Q = n(n+2)·Σ_{k≤5} ρ̂_k²/(n−k) over
+    // the daily-count series — "is ANY of the first five
+    // autocorrelations nonzero?" (the joint complement of x213's
+    // per-lag ACFs). The χ²₅ 0.05 critical value (11.07) ships as a
+    // literal; the flag compares the rounded micro-Q as integers.
+    q("x318_ljung_box",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |l AS (SELECT c, lag(c, 1) OVER (ORDER BY day) AS c1, lag(c, 2) OVER (ORDER BY day) AS c2,
+        |             lag(c, 3) OVER (ORDER BY day) AS c3, lag(c, 4) OVER (ORDER BY day) AS c4,
+        |             lag(c, 5) OVER (ORDER BY day) AS c5 FROM d),
+        |a AS (SELECT cast((SELECT count(*) FROM d) AS BIGINT) AS n,
+        |             corr(c, c1) AS r1, corr(c, c2) AS r2, corr(c, c3) AS r3,
+        |             corr(c, c4) AS r4, corr(c, c5) AS r5 FROM l)
+        |SELECT n,
+        |       round(n * (n + 2e0) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+        |                            + r4*r4/(n-4) + r5*r5/(n-5)), 4) AS q_stat,
+        |       CASE WHEN round(n * (n + 2e0) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+        |                  + r4*r4/(n-4) + r5*r5/(n-5)) * 1000000) > 11070000
+        |            THEN 1 ELSE 0 END AS autocorrelated
+        |FROM a""".stripMargin),
+
+    // Heaps' law exponent per source: vocabulary size V(N) ≈ K·N^β on
+    // cumulative token counts — β estimated by the closed-form OLS
+    // slope over (ln N_i, ln V_i) at per-doc checkpoints. The running
+    // vocabulary is a cumulative count-distinct expressed as "first
+    // time this term appears in this source" (one window over the
+    // term's first doc), so no quadratic state; regr_slope is the same
+    // closed form on both engines. The LLM-data question it answers:
+    // how fast does each source keep minting new tokens?
+    q("x319_heaps_law",
+      """WITH w AS (SELECT source, doc_id, t FROM (
+        |        SELECT source, doc_id, explode(split(lower(text), ' ')) AS t FROM documents)
+        |      WHERE t <> ''),
+        |tok AS (SELECT source, doc_id, cast(count(*) AS BIGINT) AS toks FROM w GROUP BY 1, 2),
+        |ft AS (SELECT source, t, min(doc_id) AS first_doc FROM w GROUP BY 1, 2),
+        |nv AS (SELECT source, first_doc AS doc_id, cast(count(*) AS BIGINT) AS new_terms
+        |       FROM ft GROUP BY 1, 2),
+        |cum AS (SELECT tok.source, tok.doc_id,
+        |          cast(sum(tok.toks) OVER (PARTITION BY tok.source ORDER BY tok.doc_id) AS BIGINT) AS cum_toks,
+        |          cast(sum(coalesce(nv.new_terms, 0)) OVER (PARTITION BY tok.source ORDER BY tok.doc_id) AS BIGINT) AS cum_vocab
+        |        FROM tok LEFT JOIN nv ON tok.source = nv.source AND tok.doc_id = nv.doc_id)
+        |SELECT source,
+        |       cast(count(*) AS BIGINT) AS checkpoints,
+        |       cast(max(cum_toks) AS BIGINT) AS total_tokens,
+        |       cast(max(cum_vocab) AS BIGINT) AS vocabulary,
+        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) AS heaps_beta
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin,
+      """WITH w AS (SELECT source, doc_id, t FROM (
+        |        SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |      WHERE t <> ''),
+        |tok AS (SELECT source, doc_id, cast(count(*) AS BIGINT) AS toks FROM w GROUP BY 1, 2),
+        |ft AS (SELECT source, t, min(doc_id) AS first_doc FROM w GROUP BY 1, 2),
+        |nv AS (SELECT source, first_doc AS doc_id, cast(count(*) AS BIGINT) AS new_terms
+        |       FROM ft GROUP BY 1, 2),
+        |cum AS (SELECT tok.source, tok.doc_id,
+        |          cast(sum(tok.toks) OVER (PARTITION BY tok.source ORDER BY tok.doc_id) AS BIGINT) AS cum_toks,
+        |          cast(sum(coalesce(nv.new_terms, 0)) OVER (PARTITION BY tok.source ORDER BY tok.doc_id) AS BIGINT) AS cum_vocab
+        |        FROM tok LEFT JOIN nv ON tok.source = nv.source AND tok.doc_id = nv.doc_id)
+        |SELECT source,
+        |       cast(count(*) AS BIGINT) AS checkpoints,
+        |       cast(max(cum_toks) AS BIGINT) AS total_tokens,
+        |       cast(max(cum_vocab) AS BIGINT) AS vocabulary,
+        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) AS heaps_beta
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
