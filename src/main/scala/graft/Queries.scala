@@ -6631,7 +6631,73 @@ object Queries {
         |       cast(max(cum_toks) AS BIGINT) AS total_tokens,
         |       cast(max(cum_vocab) AS BIGINT) AS vocabulary,
         |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) AS heaps_beta
-        |FROM cum GROUP BY source ORDER BY source""".stripMargin)
+        |FROM cum GROUP BY source ORDER BY source""".stripMargin),
+
+    // Two-level binary segmentation: x247 finds the best single split;
+    // this recurses ONE level — the best sub-split inside each side of
+    // the level-1 cut (5-day minimum segments throughout), emitting
+    // all three change points ranked. Same exact-integer objective
+    // (S²/n maximization); the windows re-partition by side, still
+    // day-dimension work at any corpus scale.
+    q("x320_binary_segmentation",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c,
+        |        cast(sum(c) OVER (ORDER BY day) AS BIGINT) AS s1,
+        |        cast(count(*) OVER (ORDER BY day) AS BIGINT) AS n1,
+        |        cast(sum(c) OVER () AS BIGINT) AS st,
+        |        cast(count(*) OVER () AS BIGINT) AS nt
+        |      FROM d),
+        |lvl1 AS (SELECT day AS cut1 FROM (
+        |    SELECT day, (s1*1e0*s1)/n1 + ((st-s1)*1e0*(st-s1))/(nt-n1) AS score
+        |    FROM w WHERE n1 >= 5 AND nt - n1 >= 5
+        |    ORDER BY score DESC, day LIMIT 1) t),
+        |sided AS (SELECT w.day, w.c,
+        |            CASE WHEN w.day <= l.cut1 THEN 0 ELSE 1 END AS side
+        |          FROM w CROSS JOIN lvl1 l),
+        |sw AS (SELECT day, c, side,
+        |         cast(sum(c) OVER (PARTITION BY side ORDER BY day) AS BIGINT) AS s1,
+        |         cast(count(*) OVER (PARTITION BY side ORDER BY day) AS BIGINT) AS n1,
+        |         cast(sum(c) OVER (PARTITION BY side) AS BIGINT) AS st,
+        |         cast(count(*) OVER (PARTITION BY side) AS BIGINT) AS nt
+        |       FROM sided),
+        |lvl2 AS (SELECT side, day, score, rn FROM (
+        |    SELECT side, day,
+        |           (s1*1e0*s1)/n1 + ((st-s1)*1e0*(st-s1))/(nt-n1) AS score,
+        |           row_number() OVER (PARTITION BY side
+        |             ORDER BY (s1*1e0*s1)/n1 + ((st-s1)*1e0*(st-s1))/(nt-n1) DESC, day) AS rn
+        |    FROM sw WHERE n1 >= 5 AND nt - n1 >= 5) t WHERE rn = 1)
+        |SELECT cast(0 AS BIGINT) AS level, cut1 AS split_after,
+        |       cast(-1 AS BIGINT) AS side FROM lvl1
+        |UNION ALL
+        |SELECT cast(1 AS BIGINT), day, cast(side AS BIGINT) FROM lvl2
+        |ORDER BY level, side""".stripMargin),
+
+    // Log-log price elasticity per brand: regr_slope of ln(quantity)
+    // on ln(unit price) across a brand's parts (aggregated demand per
+    // part first, so the regression sees part-level points, not line
+    // items). Closed-form OLS — one deterministic expression per
+    // brand; brands with fewer than 5 parts are excluded.
+    q("x321_price_elasticity",
+      """WITH pp AS (SELECT l_partkey, cast(sum(cast(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |            FROM lineitem GROUP BY 1),
+        |j AS (SELECT p.p_brand, pp.qty,
+        |             cast(round(p.p_retailprice * 100) AS BIGINT) AS price_c
+        |      FROM pp JOIN part p ON pp.l_partkey = p.p_partkey
+        |      WHERE pp.qty > 0),
+        |b AS (SELECT p_brand, cast(count(*) AS BIGINT) AS n_parts,
+        |             regr_slope(ln(qty * 1e0), ln(price_c * 1e0)) AS beta
+        |      FROM j GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT p_brand, n_parts, round(beta, 4) + 0e0 AS elasticity
+        |FROM b ORDER BY p_brand""".stripMargin),
+
+    // Per-user active-days distribution (frequency of frequencies on
+    // engagement): how many users were active exactly d days — the
+    // engagement histogram x281's labels summarize. Two hash aggs.
+    q("x322_active_days_dist",
+      """WITH ud AS (SELECT user_id, cast(count(DISTINCT cast(ts AS DATE)) AS BIGINT) AS days
+        |            FROM events GROUP BY 1)
+        |SELECT days AS active_days, cast(count(*) AS BIGINT) AS users
+        |FROM ud GROUP BY days ORDER BY days""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
