@@ -6697,7 +6697,123 @@ object Queries {
       """WITH ud AS (SELECT user_id, cast(count(DISTINCT cast(ts AS DATE)) AS BIGINT) AS days
         |            FROM events GROUP BY 1)
         |SELECT days AS active_days, cast(count(*) AS BIGINT) AS users
-        |FROM ud GROUP BY days ORDER BY days""".stripMargin)
+        |FROM ud GROUP BY days ORDER BY days""".stripMargin),
+
+    // Kendall's τ-a between the daily event count and the daily mean
+    // value — the rank-correlation complement of x205's Spearman,
+    // computed from EXACT integer concordant/discordant pair counts
+    // over the day dimension (C(30,2) pairs; means quantized to
+    // micro-units first, x214's discipline, so sign() arguments are
+    // exact integers).
+    q("x323_kendall_tau",
+      """WITH d AS (SELECT cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS c,
+        |                  sum(cast(round(value * 1000000) AS BIGINT)) AS su
+        |           FROM events GROUP BY 1),
+        |m AS (SELECT day, c, cast(round(su * 1e0 / c) AS BIGINT) AS mu FROM d),
+        |p AS (SELECT CASE WHEN (b.c - a.c) * (b.mu - a.mu) > 0 THEN 1 ELSE 0 END AS con,
+        |             CASE WHEN (b.c - a.c) * (b.mu - a.mu) < 0 THEN 1 ELSE 0 END AS dis
+        |      FROM m a JOIN m b ON a.day < b.day),
+        |agg AS (SELECT cast(sum(con) AS BIGINT) AS nc, cast(sum(dis) AS BIGINT) AS nd,
+        |               cast(count(*) AS BIGINT) AS np FROM p)
+        |SELECT nc AS concordant, nd AS discordant, np AS n_pairs,
+        |       round((nc - nd) * 1e0 / np, 4) + 0e0 AS kendall_tau
+        |FROM agg""".stripMargin),
+
+    // McNemar's paired test on week-1 vs week-2 user activity (the
+    // paired complement of x310's capture-recapture on the SAME two
+    // sets): discordant cells b (active→inactive) and c
+    // (inactive→active) over the union of users, χ² = (b−c)²/(b+c)
+    // in integer ×10000, significance at 3.84 via cross-multiplication
+    // — no float anywhere.
+    q("x324_mcnemar",
+      """WITH bnd AS (SELECT cast(min(cast(ts AS DATE)) AS DATE) AS d0 FROM events),
+        |w1 AS (SELECT DISTINCT user_id FROM events, bnd
+        |       WHERE cast(ts AS DATE) >= bnd.d0 AND cast(ts AS DATE) < bnd.d0 + 7),
+        |w2 AS (SELECT DISTINCT user_id FROM events, bnd
+        |       WHERE cast(ts AS DATE) >= bnd.d0 + 7 AND cast(ts AS DATE) < bnd.d0 + 14),
+        |u AS (SELECT coalesce(w1.user_id, w2.user_id) AS user_id,
+        |             CASE WHEN w1.user_id IS NOT NULL THEN 1 ELSE 0 END AS a1,
+        |             CASE WHEN w2.user_id IS NOT NULL THEN 1 ELSE 0 END AS a2
+        |      FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id),
+        |cells AS (SELECT cast(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_active,
+        |                 cast(sum(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |                 cast(sum(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |          FROM u)
+        |SELECT both_active, b AS dropped, c AS joined,
+        |       cast(CASE WHEN b + c = 0 THEN 0
+        |                 ELSE ((b - c) * (b - c) * 10000) / (b + c) END AS BIGINT) AS chi2_x10000,
+        |       CASE WHEN (b - c) * (b - c) * 100 > 384 * (b + c) THEN 1 ELSE 0 END AS significant
+        |FROM cells""".stripMargin,
+      """WITH bnd AS (SELECT cast(min(cast(ts AS DATE)) AS DATE) AS d0 FROM events),
+        |w1 AS (SELECT DISTINCT user_id FROM events, bnd
+        |       WHERE cast(ts AS DATE) >= bnd.d0 AND cast(ts AS DATE) < bnd.d0 + 7),
+        |w2 AS (SELECT DISTINCT user_id FROM events, bnd
+        |       WHERE cast(ts AS DATE) >= bnd.d0 + 7 AND cast(ts AS DATE) < bnd.d0 + 14),
+        |u AS (SELECT coalesce(w1.user_id, w2.user_id) AS user_id,
+        |             CASE WHEN w1.user_id IS NOT NULL THEN 1 ELSE 0 END AS a1,
+        |             CASE WHEN w2.user_id IS NOT NULL THEN 1 ELSE 0 END AS a2
+        |      FROM w1 FULL OUTER JOIN w2 ON w1.user_id = w2.user_id),
+        |cells AS (SELECT cast(sum(CASE WHEN a1 = 1 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_active,
+        |                 cast(sum(CASE WHEN a1 = 1 AND a2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |                 cast(sum(CASE WHEN a1 = 0 AND a2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |          FROM u)
+        |SELECT both_active, b AS dropped, c AS joined,
+        |       cast(CASE WHEN b + c = 0 THEN 0
+        |                 ELSE ((b - c) * (b - c) * 10000) // (b + c) END AS BIGINT) AS chi2_x10000,
+        |       CASE WHEN (b - c) * (b - c) * 100 > 384 * (b + c) THEN 1 ELSE 0 END AS significant
+        |FROM cells""".stripMargin),
+
+    // Conversion lift by session entry type: do sessions that OPEN
+    // with a given event type convert (contain a purchase) more often
+    // than the rest? Rate and risk-ratio in integer basis points per
+    // entry type — the landing-page question over q31's sessions.
+    q("x325_entry_conversion",
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN unix_micros(ts) - lag(unix_micros(ts))
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |        FROM s),
+        |agg AS (SELECT user_id, sess,
+        |          min(CASE WHEN rn = 1 THEN event_type END) AS entry,
+        |          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |                         ORDER BY ts, event_id) AS rn FROM sid) t
+        |        GROUP BY 1, 2),
+        |e AS (SELECT entry, cast(count(*) AS BIGINT) AS sessions,
+        |             cast(sum(converted) AS BIGINT) AS conversions FROM agg GROUP BY 1),
+        |t AS (SELECT cast(sum(sessions) AS BIGINT) AS st, cast(sum(conversions) AS BIGINT) AS ct FROM e)
+        |SELECT e.entry, e.sessions, e.conversions,
+        |       cast(floor(e.conversions * 10000e0 / e.sessions) AS BIGINT) AS conv_bp,
+        |       cast(floor((e.conversions * 1e0 / e.sessions)
+        |             / nullif((t.ct - e.conversions) * 1e0 / (t.st - e.sessions), 0e0) * 10000) AS BIGINT) AS lift_bp
+        |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin,
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+        |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |                    OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                  THEN 1 ELSE 0 END AS new_s
+        |           FROM events),
+        |sid AS (SELECT user_id, ts, event_id, event_type,
+        |               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+        |        FROM s),
+        |agg AS (SELECT user_id, sess,
+        |          min(CASE WHEN rn = 1 THEN event_type END) AS entry,
+        |          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |                         ORDER BY ts, event_id) AS rn FROM sid) t
+        |        GROUP BY 1, 2),
+        |e AS (SELECT entry, cast(count(*) AS BIGINT) AS sessions,
+        |             cast(sum(converted) AS BIGINT) AS conversions FROM agg GROUP BY 1),
+        |t AS (SELECT cast(sum(sessions) AS BIGINT) AS st, cast(sum(conversions) AS BIGINT) AS ct FROM e)
+        |SELECT e.entry, e.sessions, e.conversions,
+        |       cast(floor(e.conversions * 10000e0 / e.sessions) AS BIGINT) AS conv_bp,
+        |       cast(floor((e.conversions * 1e0 / e.sessions)
+        |             / nullif((t.ct - e.conversions) * 1e0 / (t.st - e.sessions), 0e0) * 10000) AS BIGINT) AS lift_bp
+        |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
