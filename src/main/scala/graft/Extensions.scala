@@ -464,29 +464,17 @@ object Extensions {
     // group's rows — the mergeable-summary shape of a fleet rollup.
     "x261_quantile_sketch" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val sk = udaf(new graft.functions.QuantileSketch(
-        262144, Seq((25, 100), (50, 100), (75, 100), (95, 100))))
-      Catalog.load(s, dir, "lineitem")
-        .where("l_partkey % 40 = 0")
-        .select(col("l_returnflag").as("g"),
-          expr("cast(round(l_extendedprice*100) AS BIGINT)").as("cents"))
-        .groupBy("g")
-        .agg(sk(col("cents")).as("qv"), count(lit(1)).as("n"))
-        // ENFORCED exactness gate (ADVICE r8 #2): the "ladder never
-        // compacts" claim requires every group's row count ≤ k. A corpus
-        // that outgrows k now fails loudly inside the plan (assert_true
-        // in a filter — not prunable, no driver round-trip) instead of
-        // silently degrading to an approximation the oracle can't see.
-        .where(coalesce(expr(
-          "assert_true(n <= 262144, 'x261 exactness: group size exceeds sketch capacity k=262144')"),
-          lit(true)))
-        .select(col("g"),
-          element_at(col("qv"), 1).as("p25"),
-          element_at(col("qv"), 2).as("p50"),
-          element_at(col("qv"), 3).as("p75"),
-          element_at(col("qv"), 4).as("p95"),
-          col("n"))
-        .orderBy("g")
+      // Dual-mode (round 10, operators/Sketches.scala): `exact` = 1
+      // while every group ≤ k (ladder never compacts — structural
+      // equality with the explicit-rank oracle, which computes the same
+      // flag); over capacity the MRL rank bound applies and the flag
+      // drops to 0 instead of the r8-era assert_true killing the job.
+      graft.operators.Sketches.quantileLadder(
+        Catalog.load(s, dir, "lineitem")
+          .where("l_partkey % 40 = 0")
+          .select(col("l_returnflag").as("g"),
+            expr("cast(round(l_extendedprice*100) AS BIGINT)").as("cents")),
+        "g", "cents", 262144)
     },
 
     // Misra-Gries heavy hitters (functions/HeavyHitters.scala) at a
@@ -497,23 +485,14 @@ object Extensions {
     // are ε-bound-spec'd in InvariantsSpec. The shuffle carries ≤ k
     // (item, count) pairs, not rows — frequent-items as a fleet rollup.
     "x266_heavy_hitters" -> { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      val hh = udaf(new graft.functions.HeavyHitters(262144))
-      Catalog.load(s, dir, "events")
-        // ENFORCED exactness gate (ADVICE r8 #2): "the decrement path
-        // never fires" requires distinct keys ≤ k. countDistinct rides
-        // the same aggregation; the assert_true filter fails the plan
-        // loudly if a larger corpus leaves the exact regime (the 10×
-        // soak is already at 150k of 262144).
-        .agg(hh(col("user_id")).as("tk"),
-          countDistinct(col("user_id")).as("du"))
-        .where(coalesce(expr(
-          "assert_true(du <= 262144, 'x266 exactness: distinct users exceed MG capacity k=262144')"),
-          lit(true)))
-        .select(posexplode(slice(col("tk"), 1, 10)))
-        .select((col("pos") + 1).cast("long").as("rk"),
-          col("col._1").as("user_id"), col("col._2").as("cnt"))
-        .orderBy("rk")
+      // Dual-mode (round 10, operators/Sketches.scala): `exact` = 1
+      // while distinct users ≤ k (the decrement path provably never
+      // fires — top-10 equals the plain GROUP BY oracle, which computes
+      // the same flag from its own countDistinct); over capacity the MG
+      // undercount bound applies and the flag drops to 0 instead of the
+      // r8-era assert_true killing the job.
+      graft.operators.Sketches.heavyHittersTop(
+        Catalog.load(s, dir, "events"), "user_id", 262144, 10)
     },
 
     // Count-Min sketch point estimates (functions/CountMinSketch.scala)
@@ -528,30 +507,19 @@ object Extensions {
     // not the rows.
     "x301_cms_counts" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val depth = 2; val width = 262144
-      val cms = udaf(new graft.functions.CountMinSketch(depth, width))
-      // Probe via element_at on the (broadcast) array column — O(1)
-      // reads against the UnsafeArrayData in place. The first version
-      // passed the whole grid into a (Seq, key) UDF, which re-boxed all
-      // 524 288 counters PER PROBE ROW — measured 65 s at the 10× soak;
-      // this form is milliseconds (SCALE.md §28). Only the scalar
-      // Carter-Wegman bucket index goes through a UDF; row 0's identity
-      // bucket is pure SQL pmod.
-      val b1 = udf((k: Long) => graft.functions.CountMinSketch.bucket(k, 1, width))
+      // Dual-mode (round 10, operators/Sketches.scala): `exact` = 1
+      // while every user_id lies in [0, width) — row 0's identity
+      // bucket injective, min-over-rows = the exact GROUP BY count the
+      // oracle computes (plus the same flag from its own min/max);
+      // outside that range the ε·N overcount bound applies and the flag
+      // drops to 0 instead of the r9-era assert_true killing the job.
+      // The grid stays an in-place element_at read (never through a
+      // UDF — the r9 boxing postmortem, SCALE.md §28).
       val ev = Catalog.load(s, dir, "events")
-      val sk = ev
-        .agg(cms(col("user_id")).as("sk"),
-          max(col("user_id")).as("mx"), min(col("user_id")).as("mn"))
-        .where(coalesce(expr(
-          s"assert_true(mx < $width AND mn >= 0, 'x301 exactness: user_id outside identity-row range [0, $width)')"),
-          lit(true)))
-      val probes = ev.select(col("user_id")).where(col("user_id") % 7 === 0).distinct()
-      probes.crossJoin(broadcast(sk))
-        .select(col("user_id"),
-          least(
-            element_at(col("sk"), (pmod(col("user_id"), lit(width.toLong))).cast("int") + lit(1)),
-            element_at(col("sk"), b1(col("user_id")) + lit(width + 1))).as("est"))
-        .orderBy("user_id")
+      graft.operators.Sketches.cmsProbe(
+        ev, "user_id",
+        ev.select(col("user_id")).where(col("user_id") % 7 === 0).distinct(),
+        depth = 2, width = 262144)
     },
 
     // Native interval overlap join (operators/IntervalJoin.scala):
@@ -730,7 +698,8 @@ object Extensions {
         |       max(CASE WHEN rn = (50*n + 99)//100 THEN cents END) AS p50,
         |       max(CASE WHEN rn = (75*n + 99)//100 THEN cents END) AS p75,
         |       max(CASE WHEN rn = (95*n + 99)//100 THEN cents END) AS p95,
-        |       max(n) AS n
+        |       max(n) AS n,
+        |       cast(CASE WHEN max(n) <= 262144 THEN 1 ELSE 0 END AS BIGINT) AS exact
         |FROM r GROUP BY g ORDER BY g""".stripMargin,
 
     // x270: the incremental merge must equal the full recompute — the
@@ -764,7 +733,10 @@ object Extensions {
     // top-10 frequent users — count-desc, user-asc tie-break on both
     // sides.
     "x266_heavy_hitters" ->
-      """SELECT cast(rk AS BIGINT) AS rk, user_id, cnt FROM (
+      """SELECT cast(rk AS BIGINT) AS rk, user_id, cnt,
+        |       cast(CASE WHEN (SELECT count(DISTINCT user_id) FROM events) <= 262144
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS exact
+        |FROM (
         |  SELECT user_id, cast(count(*) AS BIGINT) AS cnt,
         |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
         |  FROM events GROUP BY user_id) t
@@ -773,7 +745,11 @@ object Extensions {
     // x301: in the identity-row-injective regime the CMS point estimate
     // must equal the exact per-user multiset count.
     "x301_cms_counts" ->
-      """SELECT user_id, cast(count(*) AS BIGINT) AS est FROM events
+      """SELECT user_id, cast(count(*) AS BIGINT) AS est,
+        |       cast(CASE WHEN (SELECT max(user_id) FROM events) < 262144
+        |                  AND (SELECT min(user_id) FROM events) >= 0
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS exact
+        |FROM events
         |WHERE user_id % 7 = 0 GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x305: the bucket-gridded native interval join must reproduce the

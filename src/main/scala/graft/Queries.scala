@@ -6789,7 +6789,7 @@ object Queries {
         |SELECT e.entry, e.sessions, e.conversions,
         |       cast(floor(e.conversions * 10000e0 / e.sessions) AS BIGINT) AS conv_bp,
         |       cast(floor((e.conversions * 1e0 / e.sessions)
-        |             / nullif((t.ct - e.conversions) * 1e0 / (t.st - e.sessions), 0e0) * 10000) AS BIGINT) AS lift_bp
+        |             / nullif((t.ct - e.conversions) * 1e0 / nullif(t.st - e.sessions, 0), 0e0) * 10000) AS BIGINT) AS lift_bp
         |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin,
       """WITH s AS (SELECT user_id, ts, event_id, event_type,
         |             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -6812,7 +6812,7 @@ object Queries {
         |SELECT e.entry, e.sessions, e.conversions,
         |       cast(floor(e.conversions * 10000e0 / e.sessions) AS BIGINT) AS conv_bp,
         |       cast(floor((e.conversions * 1e0 / e.sessions)
-        |             / nullif((t.ct - e.conversions) * 1e0 / (t.st - e.sessions), 0e0) * 10000) AS BIGINT) AS lift_bp
+        |             / nullif((t.ct - e.conversions) * 1e0 / nullif(t.st - e.sessions, 0), 0e0) * 10000) AS BIGINT) AS lift_bp
         |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin)
   )
 

@@ -35,6 +35,11 @@ import org.apache.spark.sql.expressions.Aggregator
 class CountMinSketch(depth: Int, width: Int)
     extends Aggregator[Long, Array[Long], Array[Long]] {
   require(depth >= 1 && width >= 2)
+  // The Carter-Wegman constant tables hold 8 rows; cycling past them
+  // (j % 8) would silently reuse row 0's identity hash for row 8,
+  // duplicating a row and voiding the 1−e^(−depth) bound (ADVICE r9 #1).
+  require(depth <= CountMinSketch.maxDepth,
+    s"depth must be <= ${CountMinSketch.maxDepth} (distinct hash rows available)")
 
   def zero: Array[Long] = Array.emptyLongArray
 
@@ -69,6 +74,9 @@ class CountMinSketch(depth: Int, width: Int)
 
 object CountMinSketch {
   private val P = (1L << 61) - 1 // Mersenne prime 2^61-1
+  /** Max supported depth = number of distinct hash rows (identity + 7
+    * Carter-Wegman rows). */
+  val maxDepth: Int = 8
   // fixed odd Carter-Wegman constants per row (row 0 unused: identity)
   private val A = Array(0L, 0x9e3779b97f4a7c15L, 0xc2b2ae3d27d4eb4fL, 0x165667b19e3779f9L,
     0x27d4eb2f165667c5L, 0x85ebca77c2b2ae63L, 0x2545f4914f6cdd1dL, 0xff51afd7ed558ccdL)

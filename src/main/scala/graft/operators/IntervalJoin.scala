@@ -21,21 +21,34 @@ import org.apache.spark.sql.functions._
   *
   * Skew note (the q31-sessions use case): one hot cell = one hot
   * shuffle key. `bucket` is the knob — size it so a cell holds a
-  * bounded interval count; degenerate long intervals (span ≫ bucket)
-  * multiply their own explode factor, so cap or split them upstream
-  * (SCALE.md §28 measures the explode factor at 1×/10×).
+  * bounded interval count. Degenerate long intervals (span ≫ bucket)
+  * multiply their own explode factor; `maxSpanCells` handles them
+  * INSIDE the operator (round 10 — r9 delegated "cap or split" to
+  * caller discipline): when set, each interval is first exploded into
+  * chunks of ≤ maxSpanCells cells and the chunks re-shuffled before
+  * the cell explode, so one degenerate row's span/bucket cells are
+  * generated across many tasks instead of one — total cell count is
+  * identical, and the terminal dropDuplicates already collapses the
+  * multi-cell matches, so results are bit-identical (IntervalJoinSpec
+  * proves it against the declarative oracle at span ≫ bucket).
   *
-  * Columns must be integral (µs, cents — the repo's unit discipline);
-  * both inputs keep all their columns in the output (b's prefixed via
-  * the caller's aliasing if names collide).
+  * Columns must be integral (µs, cents — the repo's unit discipline)
+  * and every interval non-empty (end > start): an inverted interval
+  * would make the cell `sequence` run DESCENDING and silently explode
+  * O(span/bucket) spurious cells (ADVICE r9 #2), so the plan asserts
+  * end > start per row — loud, not a cost blow-up. Both inputs keep
+  * all their columns in the output (b's prefixed via the caller's
+  * aliasing if names collide).
   */
 object IntervalJoin {
 
   /** Overlap-join with explicit per-side key columns for the dedup.
-    * `aKey`/`bKey` must uniquely identify rows of their side. */
+    * `aKey`/`bKey` must uniquely identify rows of their side.
+    * `maxSpanCells` > 0 bounds the per-task explode of long intervals
+    * (see above); 0 = single-stage explode (fine when spans ≈ bucket). */
   def overlap(a: DataFrame, aStart: String, aEnd: String, aKey: String,
               b: DataFrame, bStart: String, bEnd: String, bKey: String,
-              bucket: Long): DataFrame = {
+              bucket: Long, maxSpanCells: Int = 0): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared.isEmpty,
@@ -47,14 +60,34 @@ object IntervalJoin {
         s"interval bounds must be integral (got ${f.name}:${f.dataType}) — " +
         "quantize to µs/cents first"))
 
-    def gridded(df: DataFrame, s: String, e: String) =
-      df.withColumn("__cell",
-        explode(sequence(
-          floor(col(s) / lit(bucket)).cast("long"),
-          floor((col(e) - 1) / lit(bucket)).cast("long"))))
+    def gridded(df: DataFrame, s: String, e: String, key: String) = {
+      // loud per-row contract: half-open [s, e) must be non-empty, else
+      // the cell sequence below runs descending (ADVICE r9 #2)
+      val checked = df.where(coalesce(
+        assert_true(col(e) > col(s),
+          lit(s"IntervalJoin: empty or inverted interval ($s >= $e)")),
+        lit(true)))
+      val c0 = floor(col(s) / lit(bucket)).cast("long")
+      val c1 = floor((col(e) - 1) / lit(bucket)).cast("long")
+      if (maxSpanCells <= 0)
+        checked.withColumn("__cell", explode(sequence(c0, c1)))
+      else {
+        // two-stage explode: chunks first (span/(bucket·m) rows), spread
+        // across the cluster, then ≤ m cells per chunk row — a single
+        // degenerate interval no longer pins one task
+        val m = lit(maxSpanCells.toLong)
+        checked
+          .withColumn("__chunk", explode(sequence(lit(0L), (c1 - c0) / m)))
+          .repartition(col(key), col("__chunk"))
+          .withColumn("__cell", explode(sequence(
+            c0 + col("__chunk") * m,
+            least(c0 + (col("__chunk") + 1) * m - 1, c1))))
+          .drop("__chunk")
+      }
+    }
 
-    val ga = gridded(a, aStart, aEnd)
-    val gb = gridded(b, bStart, bEnd)
+    val ga = gridded(a, aStart, aEnd, aKey)
+    val gb = gridded(b, bStart, bEnd, bKey)
 
     ga.join(gb, "__cell")
       // exact refine: half-open overlap

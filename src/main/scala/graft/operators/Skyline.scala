@@ -33,24 +33,31 @@ object Skyline {
 
   /** Returns the skyline rows of `df` (all columns preserved).
     *
-    * `xCol`/`yCol` must be INTEGRAL (byte/short/int/long) and NULL-free:
-    * the strictly-smaller-x test below is a RANGE frame ending at x-1,
-    * which equals "x' < x" only on integer domains — a double x would
-    * silently miss dominators with x-1 < x' < x (ADVICE r8 #1). Quantize
-    * fractional measures to integer units (cents, micro-units) first,
-    * exactly like the contract call sites (x258 price_c) do. */
+    * `xCol`/`yCol` must be NULL-free and orderable; any numeric type
+    * works. Rounds ≤ 9 required integral x (the strictly-smaller-x test
+    * was a RANGE frame ending at x-1, strict only on integer domains);
+    * round 10 generalizes per ADVICE r8 #1's suggestion: the frame now
+    * ranges over `dense_rank(x) − 1` WITHIN each bucket — dense rank is
+    * integral for any orderable x and "rank' ≤ rank − 1 ⇔ x' < x"
+    * exactly, so fractional measures need no quantization (SkylineSpec
+    * covers a fractional-x frontier). The extra dense_rank rides the
+    * same per-bucket sort the frame needs — no new shuffle or pass. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
-    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
     val (xt, yt) = (df.schema(xCol).dataType, df.schema(yCol).dataType)
-    require(integral(xt) && integral(yt),
-      s"skyline2d requires integral x/y (RANGE 'to x-1' is strict-x only on " +
-      s"integers); got $xCol:$xt, $yCol:$yt — quantize to integer units first")
+    require(xt.isInstanceOf[NumericType] && yt.isInstanceOf[NumericType],
+      s"skyline2d requires numeric x/y; got $xCol:$xt, $yCol:$yt")
     val spark = df.sparkSession
     val n = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
-    val (ranged, _) = GlobalWindow.bucketed(df, Seq(xCol), n)
+    val (ranged0, _) = GlobalWindow.bucketed(df, Seq(xCol), n)
+    // integral surrogate for strict-x comparison within the bucket:
+    // dense_rank over the bucket-local sort (bucket boundaries preserve
+    // strict x order across buckets, so cross-bucket logic is untouched)
+    val ranged = ranged0.withColumn("__xr",
+      dense_rank().over(
+        Window.partitionBy(col("__pid")).orderBy(col(xCol))).cast("long"))
 
     // pass 2a: per-bucket max(y) — n tiny rows; prefix max over strictly
     // lower bucket ids = max(y) among points with strictly smaller x
@@ -64,8 +71,9 @@ object Skyline {
       .select(col("__pid"), col("__prev_max"))
 
     // pass 2b: within-bucket prefix max over strictly smaller x (RANGE
-    // frame excludes x-peers) + equal-x peer max.
-    val cheaperW = Window.partitionBy(col("__pid")).orderBy(col(xCol))
+    // frame over dense_rank(x) − 1 excludes x-peers for ANY x type) +
+    // equal-x peer max.
+    val cheaperW = Window.partitionBy(col("__pid")).orderBy(col("__xr"))
       .rangeBetween(Window.unboundedPreceding, -1)
     val peerW = Window.partitionBy(col("__pid"), col(xCol))
     // null-safe "no cheaper point": greatest() skips NULLs, so
@@ -80,6 +88,6 @@ object Skyline {
     scored
       .where((col("__cheaper_max").isNull || col("__cheaper_max") < col(yCol)) &&
              col("__peer_max") <= col(yCol))
-      .drop("__pid", "__prev_max", "__cheaper_max", "__peer_max")
+      .drop("__pid", "__xr", "__prev_max", "__cheaper_max", "__peer_max")
   }
 }

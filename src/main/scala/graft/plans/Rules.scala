@@ -99,12 +99,24 @@ object DeferProjectionPastTopK extends Rule[LogicalPlan] {
 
   /** Small inputs take the single-stage driver-merge form; anything
     * bigger than the broadcast threshold (the session's existing
-    * "small enough to centralize" knob) keeps the executor-side merge. */
+    * "small enough to centralize" knob) keeps the executor-side merge.
+    *
+    * The single-stage shape only pays off when SpecialLimits plans it as
+    * TakeOrderedAndProjectExec; past topKSortFallbackThreshold the
+    * planner falls back to a full global sort that would run the
+    * expensive projection on EVERY sorted row before the limit (ADVICE
+    * r9 #3) — so the limit literal must also sit under that threshold,
+    * else keep the two-stage form (whose outer Project stays above the
+    * limit either way). */
   private def defer(gle: Expression, lle: Expression,
                     finalProj: Seq[NamedExpression], order: Seq[SortOrder],
                     child: LogicalPlan, hint: Option[SortHint]): LogicalPlan = {
     val threshold = conf.autoBroadcastJoinThreshold
-    if (threshold > 0 && child.stats.sizeInBytes <= threshold)
+    val limitOk = gle match {
+      case Literal(n: Int, _) => n < conf.topKSortFallbackThreshold
+      case _                  => false
+    }
+    if (threshold > 0 && limitOk && child.stats.sizeInBytes <= threshold)
       deferSingleStage(gle, lle, finalProj, order, child, hint)
     else
       deferTwoStage(gle, lle, finalProj, order, child, hint)

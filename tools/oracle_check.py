@@ -75,7 +75,7 @@ def run(sf_dir, out_dir):
         src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = n_edge = 0
+    n_pass = n_fail = n_edge = n_zero = 0
     for name in sorted(oracle):
         sql = oracle[name]
         files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
@@ -143,7 +143,7 @@ def run(sf_dir, out_dir):
         if zeros:
             print(f"WARN {name}: {zeros} near-zero float(s) (0<|x|<5e-5) — "
                   f"sign-unstable if mathematically zero; consider quantizing")
-            n_edge += 1
+            n_zero += 1
         if negz:
             print(f"FAIL {name}: {negz} Spark-side -0.0 cell(s) — "
                   f"normalize with `+ 0e0` or emit integer micro-units")
@@ -154,7 +154,7 @@ def run(sf_dir, out_dir):
             n_fail += 1
         else:
             print(f"PASS {name} ({len(ref)} rows)"); n_pass += 1
-    print(f"== {n_pass} pass / {n_fail} fail / {n_edge} knife-edge warn ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_edge} knife-edge warn / {n_zero} near-zero warn ==")
     return n_fail
 
 if __name__ == "__main__":
