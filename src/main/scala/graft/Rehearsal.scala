@@ -96,13 +96,9 @@ object Rehearsal {
     println(s"[rehearsal] x177 stages: " +
       census.map { case (s, n) => s"$s=$n" }.mkString(", "))
 
-    // ---- round-9 natives at 100×: interval join + reliability windows
-    // over the 10 M-row events corpus (150 k users). x301's CMS is
-    // deliberately NOT run here: the 100× user space (≈991 k ids)
-    // exceeds the identity-injective width 262144, and the entry's
-    // in-plan assert_true would (correctly) refuse to produce
-    // silently-approximate "exact" output — that refusal is the
-    // designed behavior, soaked at 10× where the regime holds.
+    // ---- round-9/10 natives at 100×: interval join + reliability
+    // windows + session paths + local clustering over the 10 M-row
+    // events corpus (≈991 k users).
     val nWin = phase("x305 interval") {
       SparkEntry.queries("x305_interval_native")(spark, out).collect().length
     }
@@ -110,6 +106,26 @@ object Rehearsal {
       SparkEntry.queries("x296_mttr_mtbf")(spark, out).collect()(0)
     }
     println(s"[rehearsal] x305 windows=$nWin  x296 row=$mttr")
+    val paths = phase("x304 paths") {
+      SparkEntry.queries("x304_session_paths")(spark, out).collect().length
+    }
+    val clus = phase("x293 clustering") {
+      SparkEntry.queries("x293_local_clustering")(spark, out).collect().length
+    }
+    println(s"[rehearsal] x304 rows=$paths  x293 rows=$clus")
+    // x301's CMS at 100× exercises the round-10 DUAL-MODE path: the
+    // user space (≈991 k ids) exceeds the identity-injective width
+    // 262144, so — where the r9 assert_true refused to run — the entry
+    // now completes with every probe row flagged exact=0 and the ε·N
+    // overcount bound in force. Completion + all-flagged is the
+    // evidence; a single exact=1 row here would be a regression.
+    val cms = phase("x301 cms approx") {
+      val rows = SparkEntry.queries("x301_cms_counts")(spark, out).collect()
+      (rows.length, rows.count(_.getAs[Long]("exact") == 0L))
+    }
+    assert(cms._1 == cms._2,
+      s"x301 at 100x: expected every probe flagged approx, got ${cms._2}/${cms._1}")
+    println(s"[rehearsal] x301 probes=${cms._1} flagged_approx=${cms._2}")
 
     // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
     // Change stream derived from the 100× events: ~1/10 of keys collide

@@ -124,6 +124,33 @@ object Scratch {
           lit(0L), lit(999999L)).count())
       spark.stop(); return
     }
+    if (args.contains("spancells")) {
+      // maxSpanCells A/B (round 10): degenerate long intervals (spans up
+      // to ~2000 cells) against a dense short side — uncapped one-stage
+      // explode vs the two-stage chunked explode at several chunk sizes.
+      import spark.implicits._
+      val r = new scala.util.Random(7)
+      // the pathological shape maxSpanCells exists for: a handful of
+      // whale intervals (≈2M cells each at bucket=100) among normal
+      // ones — uncapped, each whale's cell explode runs inside ONE map
+      // task; capped, the chunk pre-explode + reshuffle spreads it
+      val whales = Seq.tabulate(4)(i =>
+        (100000L + i, (i * 1000L), (i * 1000L) + 200000000L))
+      val normals = Seq.tabulate(2000) { i =>
+        val s = r.nextInt(200000000).toLong; (i.toLong, s, s + 1 + r.nextInt(5000))
+      }
+      val longs = (whales ++ normals).toDF("akey", "as0", "ae").repartition(16)
+      val shorts = Seq.tabulate(4000) { j =>
+        val s = r.nextInt(200000000).toLong; (j.toLong, s, s + 1 + r.nextInt(500))
+      }.toDF("bkey", "bs0", "be")
+      Seq(0, 4096, 65536).foreach { m =>
+        t(s"overlap maxSpanCells=$m")(
+          operators.IntervalJoin.overlap(
+            longs, "as0", "ae", "akey", shorts, "bs0", "be", "bkey",
+            bucket = 100L, maxSpanCells = m).count())
+      }
+      spark.stop(); return
+    }
     if (args.contains("semdedup")) {
       // pair-count curve for SCALE.md §10: planted mega-cluster of
       // identical vectors, capped vs uncapped candidate pairs

@@ -77,7 +77,8 @@ object IntervalJoin {
         // degenerate interval no longer pins one task
         val m = lit(maxSpanCells.toLong)
         checked
-          .withColumn("__chunk", explode(sequence(lit(0L), (c1 - c0) / m)))
+          .withColumn("__chunk",
+            explode(sequence(lit(0L), floor((c1 - c0) / m).cast("long"))))
           .repartition(col(key), col("__chunk"))
           .withColumn("__cell", explode(sequence(
             c0 + col("__chunk") * m,

@@ -41,6 +41,47 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set(2L)) // [0,10) touches [10,20) only at the open end
   }
 
+  test("maxSpanCells splitting: bit-identical at span >> bucket") {
+    import spark.implicits._
+    val r = new Random(43)
+    // degenerate long intervals: spans up to ~700 cells at bucket=7,
+    // exactly the shape r9 delegated to "cap or split upstream"
+    val as = Seq.tabulate(60) { i =>
+      val s = r.nextInt(500).toLong; (i.toLong, s, s + 1 + r.nextInt(5000))
+    }
+    val bs = Seq.tabulate(80) { j =>
+      val s = r.nextInt(5500).toLong; (j.toLong, s, s + 1 + r.nextInt(40))
+    }
+    val expected = (for {
+      (i, as0, ae) <- as; (j, bs0, be) <- bs
+      if as0 < be && bs0 < ae
+    } yield (i, j)).toSet
+    val a = as.toDF("akey", "as0", "ae")
+    val b = bs.toDF("bkey", "bs0", "be")
+    Seq(1, 4, 64, 100000).foreach { m =>
+      val got = operators.IntervalJoin
+        .overlap(a, "as0", "ae", "akey", b, "bs0", "be", "bkey", 7L,
+          maxSpanCells = m)
+        .select("akey", "bkey").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"maxSpanCells=$m")
+    }
+  }
+
+  test("inverted or empty intervals fail loudly, not with a cell explosion") {
+    import spark.implicits._
+    val a = Seq((1L, 10L, 10L)).toDF("akey", "as0", "ae") // empty [10,10)
+    val b = Seq((1L, 0L, 20L)).toDF("bkey", "bs0", "be")
+    val e = intercept[Exception] {
+      operators.IntervalJoin
+        .overlap(a, "as0", "ae", "akey", b, "bs0", "be", "bkey", 4L)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("empty or inverted interval")),
+      s"unexpected failure: $e")
+  }
+
   test("rejects non-integral bounds and shared column names") {
     import spark.implicits._
     val a = Seq((1L, 0.5, 2.0)).toDF("k", "s", "e")

@@ -263,6 +263,96 @@ class InvariantsSpec extends SparkSpec {
     assert(state.length == d * w)
   }
 
+  // ---- Dual-mode query shapes (operators/Sketches.scala) ----------------
+  // The SAME plan builders the contract entries (x261/x266/x301) use,
+  // driven over capacity: the job must complete, flag exact=0, and stay
+  // inside each sketch's published error bound (VERDICT r9 #1 — the
+  // r8/r9 assert_true gates killed the job here instead).
+
+  test("quantile ladder over capacity: exact=0, ranks within L*N/k") {
+    import spark.implicits._
+    val r = new Random(17)
+    val n = 2000
+    val values = Array.fill(n)(r.nextInt(500).toLong)
+    val sorted = values.sorted
+    val k = 32
+    val in = values.toSeq.map(v => ("a", v)).toDF("g", "v")
+    val rows = operators.Sketches.quantileLadder(in, "g", "v", k).collect()
+    assert(rows.length == 1)
+    val row = rows.head
+    assert(row.getAs[Long]("exact") == 0L, "over-capacity group must flag approx")
+    assert(row.getAs[Long]("n") == n.toLong)
+    val targets = qsProbs.map { case (num, den) => (num.toLong * n + den - 1) / den }
+    // generous active-level count for the bound: ladder depth is
+    // <= log2(n/k)+2 levels at capacity k
+    val levels = (math.log(n.toDouble / k) / math.log(2)).toInt + 2
+    val bound = levels.toLong * n / k + 1
+    Seq("p25", "p50", "p75", "p95").zip(targets).foreach { case (c, t) =>
+      val err = rankErr(sorted, row.getAs[Long](c), t)
+      assert(err <= bound, s"$c rank err $err > bound $bound")
+    }
+  }
+
+  test("heavy hitters over capacity: exact=0, support guarantee holds") {
+    import spark.implicits._
+    // 30 distinct items, zipf-ish, capacity k=8 (< 30 distinct)
+    val r = new Random(19)
+    val stream = (0 until 30).flatMap(i => Seq.fill(3000 / (i + 1))(i.toLong))
+    val shuffled = r.shuffle(stream)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val k = 8
+    val rows = operators.Sketches
+      .heavyHittersTop(shuffled.toDF("item"), "item", k, 5).collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("exact") == 0L),
+      "over-capacity summary must flag approx")
+    // reported counts never overcount (MG counters are lower bounds)
+    rows.foreach { row =>
+      val (i, c) = (row.getAs[Long]("item"), row.getAs[Long]("cnt"))
+      assert(c <= exact(i), s"overcount on $i: $c > ${exact(i)}")
+    }
+    // any item with true share > 1/(k+1) is guaranteed reported
+    val guaranteed = exact.collect { case (i, c) if c > n / (k + 1) => i }
+    val reported = rows.map(_.getAs[Long]("item")).toSet
+    guaranteed.foreach(i => assert(reported.contains(i), s"heavy item $i missing"))
+  }
+
+  test("cms probe over capacity: exact=0, never undercounts, eps*N bound") {
+    import spark.implicits._
+    val r = new Random(23)
+    // keys up to 59 >> width 32: the identity row is NOT injective
+    val stream = (0 until 60).flatMap(i => Seq.fill(3000 / (i + 1))(i.toLong))
+    val shuffled = r.shuffle(stream)
+    val n = shuffled.size.toLong
+    val exact = shuffled.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    val d = 4; val w = 32
+    val ev = shuffled.toDF("key")
+    val probes = exact.keys.toSeq.toDF("key")
+    val rows = operators.Sketches.cmsProbe(ev, "key", probes, d, w).collect()
+    assert(rows.length == exact.size)
+    val bound = math.ceil(math.E / w * n).toLong
+    rows.foreach { row =>
+      val (i, est) = (row.getAs[Long]("key"), row.getAs[Long]("est"))
+      assert(row.getAs[Long]("exact") == 0L, "out-of-range keys must flag approx")
+      assert(est >= exact(i), s"undercount on $i: $est < ${exact(i)}")
+      assert(est - exact(i) <= bound, s"overcount ${est - exact(i)} > $bound on $i")
+    }
+  }
+
+  test("dual-mode shapes flag exact=1 inside the structural regime") {
+    import spark.implicits._
+    val vals = (1L to 100L).map(v => ("a", v))
+    val q = operators.Sketches
+      .quantileLadder(vals.toDF("g", "v"), "g", "v", 256).collect().head
+    assert(q.getAs[Long]("exact") == 1L && q.getAs[Long]("p50") == 50L)
+    val hh = operators.Sketches
+      .heavyHittersTop(Seq(1L, 1L, 2L).toDF("item"), "item", 8, 2).collect()
+    assert(hh.forall(_.getAs[Long]("exact") == 1L))
+    val cms = operators.Sketches.cmsProbe(
+      Seq(3L, 3L, 5L).toDF("key"), "key", Seq(3L).toDF("key"), 2, 16).collect().head
+    assert(cms.getAs[Long]("exact") == 1L && cms.getAs[Long]("est") == 2L)
+  }
+
   // ---- Skyline (operators/Skyline.scala) --------------------------------
 
   test("skyline2d equals brute-force dominance on random points with ties") {
@@ -286,5 +376,24 @@ class InvariantsSpec extends SparkSpec {
       withDup.toDF("id", "x", "y"), "x", "y", buckets = 8)
       .select("id").as[Long].collect().toSet
     assert(got2.contains(9001L) && got2.contains(expected.head))
+  }
+
+  test("skyline2d on fractional doubles (round-10 dense-rank generalization)") {
+    import spark.implicits._
+    val r = new Random(31)
+    // fractional x/y with engineered ties (multiples of 0.25) — the exact
+    // shape the r9 integral restriction rejected (ADVICE r8 #1: a RANGE
+    // 'to x-1' frame would silently miss dominators with x-1 < x' < x)
+    val pts = Seq.tabulate(400)(i =>
+      (i.toLong, r.nextInt(200) * 0.25, r.nextInt(200) * 0.25))
+    val expected = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, bx, by) =>
+        bx <= x && by >= y && (bx < x || by > y)
+      }
+    }.map(_._1).toSet
+    val got = operators.Skyline
+      .skyline2d(pts.toDF("id", "x", "y"), "x", "y", buckets = 8)
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
   }
 }
