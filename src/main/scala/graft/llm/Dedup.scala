@@ -62,8 +62,17 @@ object Dedup {
     * the LSH candidate-probability curve. Hash array let-bound
     * ([[Cols.bind]]) so it is built once per row. */
   def minHashSignature(shs: Column, numHashes: Int): Column =
-    Cols.bind(transform(shs, s => xxhash64(s).bitwiseAND(0x7FFFFFFFL))) { hvs =>
-      array(portablePerms(numHashes).map { case (a, b) =>
+    affineSignature(shs, portablePerms(numHashes), HashFamily.Production)
+
+  /** THE MinHash signature kernel, shared by both families (round 10,
+    * VERDICT r9 #7): hash every shingle once under `family`, then
+    * element i = min over shingles of (a_i·hv + b_i) mod 2³¹−1. Only
+    * the content hash differs between the production and portable
+    * twins — this is where that difference is confined. */
+  def affineSignature(shs: Column, perms: Seq[(Long, Long)],
+                      family: HashFamily): Column =
+    Cols.bind(transform(shs, s => family.hash31(s))) { hvs =>
+      array(perms.map { case (a, b) =>
         array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
       }: _*)
     }
@@ -84,10 +93,9 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** 32-bit content hash both engines evaluate identically:
-    * first 8 hex chars of md5, as a BIGINT.
-    * (Spark: conv(substr(md5(s),1,8),16,10); DuckDB: '0x'||… cast.) */
-  def md5Hash32(s: Column): Column =
-    conv(substr(md5(s), lit(1), lit(8)), 16, 10).cast("long")
+    * first 8 hex chars of md5, as a BIGINT — delegates to the shared
+    * [[HashFamily.Portable]] definition (one source of truth). */
+  def md5Hash32(s: Column): Column = HashFamily.Portable.hash31(s)
 
   /** Affine permutation constants — consecutive primes from two fixed
     * seeds, generated (not listed) so the Scala operators and the
@@ -103,15 +111,11 @@ object Dedup {
 
   /** MinHash signature under the portable family: element i =
     * min over shingles of (a_i * md5Hash32(s) + b_i) mod (2^31-1).
-    * The hash array is let-bound: one md5 pass per shingle, reused by
-    * all |perms| permutations. a_i·hv < 2^21·2^32 = 2^53 — exact in
-    * BIGINT on both engines. */
+    * Same [[affineSignature]] kernel as production — one md5 pass per
+    * shingle, reused by all |perms| permutations; a_i·hv < 2^21·2^32 =
+    * 2^53, exact in BIGINT on both engines. */
   def affineMinHashSignature(shs: Column, perms: Seq[(Long, Long)]): Column =
-    Cols.bind(transform(shs, s => md5Hash32(s))) { hvs =>
-      array(perms.map { case (a, b) =>
-        array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
-      }: _*)
-    }
+    affineSignature(shs, perms, HashFamily.Portable)
 
   /** LSH banding: numHashes/rowsPerBand band keys per doc; docs sharing a
     * band key are candidates. P(candidate) = 1-(1-J^r)^b — pick r small
@@ -238,14 +242,19 @@ object Dedup {
     * made the HOF the x53 bottleneck (x53 end-to-end 2.45 s → 0.40 s
     * at sf0.1 after the swap), so the operator path ([[simHashes]])
     * uses the native one. */
+  /** Σ over the token-hash array of ±1 votes by bit `b` — the SimHash
+    * vote kernel, ONE implementation for both families (round 10,
+    * VERDICT r9 #7); only the hash feeding it and the packing differ
+    * between the 64-bit production and 32-bit portable signatures. */
+  private def bitVote(hs: Column, b: Int): Column =
+    aggregate(hs, lit(0L), (acc, h) =>
+      acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+
   def simHashHof(words: Column): Column = Cols.bind(words) { w =>
     // hash each token once, then take 64 bit-votes over the hash array
-    Cols.bind(transform(w, t => xxhash64(t))) { hs =>
+    Cols.bind(transform(w, t => HashFamily.Production.tokenHash(t))) { hs =>
       // unrolled over the 64 bits (shiftright needs a literal bit index)
-      val bitVotes: Seq[Column] = (0 until 64).map { b =>
-        aggregate(hs, lit(0L), (acc, h) =>
-          acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      }
+      val bitVotes: Seq[Column] = (0 until 64).map(bitVote(hs, _))
       // pack with shift/or (not *2+bit): ANSI mode rejects the signed-long
       // overflow a full 64-bit signature hits on the top bit
       bitVotes.foldLeft(lit(0L))((acc, v) =>
@@ -298,11 +307,9 @@ object Dedup {
     * x79 SQL twin states as sum(n·(2·bit−1)). All-integer weights, so
     * the sign of every bit is exact on both engines. */
   def simHash32Md5(words: Column): Column = Cols.bind(words) { w =>
-    Cols.bind(transform(w, t => md5Hash32(t))) { hs =>
-      (0 until 32).map { j =>
-        val vote = aggregate(hs, lit(0L), (acc, h) =>
-          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        when(vote > 0, shiftleft(lit(1L), j)).otherwise(0L)
+    Cols.bind(transform(w, t => HashFamily.Portable.tokenHash(t))) { hs =>
+      (0 until HashFamily.Portable.simBits).map { j =>
+        when(bitVote(hs, j) > 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce(_ + _) // disjoint bits: plain sum == bitwise OR, no overflow
     }
   }

