@@ -47,6 +47,28 @@ class RulesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("rule goes two-stage when the limit exceeds topKSortFallbackThreshold") {
+    // ADVICE r9 #3: past the fallback threshold SpecialLimits abandons
+    // TakeOrderedAndProjectExec for a full global sort, which would run
+    // the expensive projection on EVERY sorted row in the single-stage
+    // shape — the rule must keep the projection ABOVE the limit there,
+    // however small the input's stats are.
+    val old = spark.conf.get("spark.sql.execution.topKSortFallbackThreshold")
+    try {
+      spark.conf.set("spark.sql.execution.topKSortFallbackThreshold", "100")
+      Catalog.ensure(spark, sf0001)
+      // q38's LIMIT 500 >= the forced threshold 100
+      val df = spark.sql(Queries.sparkSql("q38_math_funcs"))
+      val plan = df.queryExecution.optimizedPlan
+      val twoStage = plan.collectFirst {
+        case Project(projs, _: GlobalLimit)
+            if projs.exists(p => !p.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) => true
+      }.getOrElse(false)
+      assert(twoStage, s"expected two-stage shape past the fallback threshold:\n${plan.treeString}")
+      assert(df.collect().length == 500)
+    } finally spark.conf.set("spark.sql.execution.topKSortFallbackThreshold", old)
+  }
+
   test("rule does not fire when projections are cheap (q32)") {
     val plan = SparkEntry.queries("q32_sort_limit_offset")(spark, sf0001)
       .queryExecution.optimizedPlan
