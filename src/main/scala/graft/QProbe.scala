@@ -79,17 +79,25 @@ object QProbe {
 
     if (multifile) {
       // SAME rows, 16 part files per table — multi-split scans, the
-      // cluster-realistic layout. Bench inputs are never touched.
-      val dir16 = "/tmp/graft_qprobe_16f"
+      // cluster-realistic layout. Bench inputs are never touched. The
+      // dir is keyed by the SOURCE sfDir (a different source must never
+      // silently reuse another's cache) and completion is marked by a
+      // _DONE sentinel written AFTER the last table — a run killed
+      // mid-rewrite rebuilds from scratch instead of probing a partial
+      // corpus.
+      val dir16 = "/tmp/graft_qprobe_16f_" +
+        java.lang.Integer.toHexString(sfDir.hashCode)
       val fs = org.apache.hadoop.fs.FileSystem
         .get(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$dir16/orders.parquet"))) {
+      val done = new org.apache.hadoop.fs.Path(s"$dir16/_DONE")
+      if (!fs.exists(done)) {
         Catalog.tables.foreach { t =>
           Catalog.load(spark, sfDir, t).repartition(16)
             .write.mode("overwrite").parquet(s"$dir16/$t.parquet")
         }
+        fs.create(done, true).close()
       }
-      probe(dir16, "16-file (parallel scan), same rows")
+      probe(dir16, s"16-file (parallel scan), same rows as $sfDir")
     }
     spark.stop()
   }

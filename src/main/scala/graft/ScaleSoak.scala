@@ -294,8 +294,21 @@ object ScaleSoak {
         }
         (runs.map(_._1).sorted.apply(1), runs.head._2)
       }
+      // x261/x266 are dual-mode since round 10: assert the soak corpus
+      // is still inside the exact regime (every row exact = 1), the
+      // same re-proof the r9tier block applies to x301
+      val dualMode = Set("x261_quantile_sketch", "x266_heavy_hitters")
       def runN(dir: String, name: String): (Double, Long) =
-        med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
+        med3 {
+          val rows = SparkEntry.queries(name)(spark, dir).collect()
+          if (dualMode(name)) {
+            val approx = rows.count(_.getAs[Long]("exact") == 0L)
+            assert(approx == 0,
+              s"$name at $dir: $approx row(s) flagged approx — soak " +
+              "corpus left the exact regime")
+          }
+          rows.length.toLong
+        }
       Seq("x254_fifo_allocation", "x256_cuped", "x260_abc_xyz",
           "x261_quantile_sketch", "x266_heavy_hitters",
           "x270_incremental_agg").foreach { n =>
@@ -332,8 +345,14 @@ object ScaleSoak {
       // partition per user, x299's pair cost is queries × own-cell
       // (linear in corpus), x301's CMS shuffles one grid (users grow
       // 10× to ~15k — still far inside the 262144 identity-injective
-      // width, and the IN-PLAN assert_true guard re-proves it on every
-      // soak run rather than assuming it).
+      // width). Since round 10 the sketch entries are DUAL-MODE (the
+      // r9 in-plan assert_true is gone): the regime is re-proven per
+      // soak run by asserting every output row carries exact = 1 below
+      // — a 10× corpus that silently left the exact regime would fail
+      // the soak here, and the 100× Rehearsal asserts the opposite
+      // (all-approx) on its over-width keyspace.
+      val dualMode = Set("x301_cms_counts", "x261_quantile_sketch",
+        "x266_heavy_hitters")
       val out = "/tmp/graft_sf1x"
       val fsH = org.apache.hadoop.fs.FileSystem
         .get(spark.sparkContext.hadoopConfiguration)
@@ -350,7 +369,17 @@ object ScaleSoak {
         (runs.map(_._1).sorted.apply(1), runs.head._2)
       }
       def runN(dir: String, name: String): (Double, Long) =
-        med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
+        med3 {
+          val rows = SparkEntry.queries(name)(spark, dir).collect()
+          if (dualMode(name)) {
+            val approx = rows.count(_.getAs[Long]("exact") == 0L)
+            assert(approx == 0,
+              s"$name at $dir: $approx row(s) flagged approx — the soak " +
+              "corpus left the exact regime; ratios would describe " +
+              "approximate output")
+          }
+          rows.length.toLong
+        }
       Seq("x290_theil_sen", "x291_mann_kendall", "x293_local_clustering",
           "x294_error_budget_burn", "x296_mttr_mtbf", "x299_mrr_recall",
           "x301_cms_counts", "x304_session_paths",

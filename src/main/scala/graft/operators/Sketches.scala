@@ -42,16 +42,18 @@ object Sketches {
   def quantileLadder(in: DataFrame, gCol: String, vCol: String, k: Int): DataFrame = {
     val sk = udaf(new graft.functions.QuantileSketch(
       k, Seq((25, 100), (50, 100), (75, 100), (95, 100))))
-    in.groupBy(col(gCol).as("g"))
+    // group column keeps the CALLER's name (the heavyHittersTop/cmsProbe
+    // convention) — no silent rename to a fixed label
+    in.groupBy(col(gCol))
       .agg(sk(col(vCol)).as("qv"), count(lit(1)).as("n"))
-      .select(col("g"),
+      .select(col(gCol),
         element_at(col("qv"), 1).as("p25"),
         element_at(col("qv"), 2).as("p50"),
         element_at(col("qv"), 3).as("p75"),
         element_at(col("qv"), 4).as("p95"),
         col("n"),
         when(col("n") <= k, lit(1L)).otherwise(lit(0L)).as("exact"))
-      .orderBy("g")
+      .orderBy(gCol)
   }
 
   /** Misra-Gries top-N (x266 shape): the `topN` most frequent values of

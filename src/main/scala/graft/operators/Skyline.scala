@@ -36,12 +36,14 @@ object Skyline {
     * `xCol`/`yCol` must be NULL-free and orderable; any numeric type
     * works. Rounds ≤ 9 required integral x (the strictly-smaller-x test
     * was a RANGE frame ending at x-1, strict only on integer domains);
-    * round 10 generalizes per ADVICE r8 #1's suggestion: the frame now
-    * ranges over `dense_rank(x) − 1` WITHIN each bucket — dense rank is
-    * integral for any orderable x and "rank' ≤ rank − 1 ⇔ x' < x"
-    * exactly, so fractional measures need no quantization (SkylineSpec
-    * covers a fractional-x frontier). The extra dense_rank rides the
-    * same per-bucket sort the frame needs — no new shuffle or pass. */
+    * round 10 generalizes per ADVICE r8 #1's suggestion: non-integral x
+    * ranges the frame over `dense_rank(x) − 1` WITHIN each bucket —
+    * dense rank is integral for any orderable x and "rank' ≤ rank − 1 ⇔
+    * x' < x" exactly, so fractional measures need no quantization
+    * (InvariantsSpec covers a fractional-x frontier). Integral x keeps
+    * the direct RANGE-on-x form, which shares the frame's own sort; the
+    * surrogate's extra per-bucket window sort is charged only to the
+    * types the fast path cannot serve. */
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
                 buckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.types._
@@ -52,12 +54,21 @@ object Skyline {
     val n = if (buckets > 0) buckets
             else spark.sessionState.conf.numShufflePartitions
     val (ranged0, _) = GlobalWindow.bucketed(df, Seq(xCol), n)
-    // integral surrogate for strict-x comparison within the bucket:
-    // dense_rank over the bucket-local sort (bucket boundaries preserve
-    // strict x order across buckets, so cross-bucket logic is untouched)
-    val ranged = ranged0.withColumn("__xr",
-      dense_rank().over(
-        Window.partitionBy(col("__pid")).orderBy(col(xCol))).cast("long"))
+    // Strict-x comparison within the bucket. Integral x keeps the r9
+    // fast path — RANGE to x−1 directly on x, which shares its sort
+    // with the frame (no extra window pass). Fractional/other numeric x
+    // takes the dense_rank surrogate: integral for any orderable type,
+    // "rank' ≤ rank − 1 ⇔ x' < x" exactly, at the cost of one extra
+    // per-bucket sorted window (Catalyst cannot prove __xr order equals
+    // x order, so the surrogate pays a second SortExec — only charged
+    // to the types the fast path cannot serve).
+    val integralX = Set[DataType](ByteType, ShortType, IntegerType, LongType)(xt)
+    val (ranged, cheaperKey) =
+      if (integralX) (ranged0, col(xCol))
+      else (ranged0.withColumn("__xr",
+              dense_rank().over(
+                Window.partitionBy(col("__pid")).orderBy(col(xCol))).cast("long")),
+            col("__xr"))
 
     // pass 2a: per-bucket max(y) — n tiny rows; prefix max over strictly
     // lower bucket ids = max(y) among points with strictly smaller x
@@ -71,9 +82,9 @@ object Skyline {
       .select(col("__pid"), col("__prev_max"))
 
     // pass 2b: within-bucket prefix max over strictly smaller x (RANGE
-    // frame over dense_rank(x) − 1 excludes x-peers for ANY x type) +
-    // equal-x peer max.
-    val cheaperW = Window.partitionBy(col("__pid")).orderBy(col("__xr"))
+    // frame ending at key−1: exact on the integral x fast path, exact on
+    // the dense_rank surrogate for every other type) + equal-x peer max.
+    val cheaperW = Window.partitionBy(col("__pid")).orderBy(cheaperKey)
       .rangeBetween(Window.unboundedPreceding, -1)
     val peerW = Window.partitionBy(col("__pid"), col(xCol))
     // null-safe "no cheaper point": greatest() skips NULLs, so
