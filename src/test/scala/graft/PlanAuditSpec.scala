@@ -90,6 +90,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"per-bucket offsets should broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"skyline must never pair-join the points:\n$p")
+    // round-10 fast path: integral x (price_c) must use the direct
+    // RANGE-on-x frame — the dense_rank surrogate (and its extra
+    // per-bucket window sort) is reserved for fractional x
+    assert(!p.contains("__xr"),
+      s"integral-x skyline must not pay the dense_rank surrogate:\n$p")
   }
 
   test("x261: quantile-sketch aggregate merges ladders map-side (partial ObjectHashAggregate)") {
