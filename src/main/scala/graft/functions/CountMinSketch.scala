@@ -19,13 +19,16 @@ import org.apache.spark.sql.expressions.Aggregator
   * use Carter-Wegman multiply-shift over the Mersenne prime 2⁶¹−1 with
   * fixed odd constants — deterministic, public, pairwise independent.
   *
-  * Exactness gate (structural, the x261/x266 pattern): row 0 is
+  * Exactness regime (structural, the x261/x266 pattern): row 0 is
   * INJECTIVE whenever every key lies in [0, width), and CMS never
   * undercounts, so min(rows) = row 0 = the exact multiset count — in
   * that regime the declared x301 entry hash-matches a plain GROUP BY
-  * oracle, and the entry asserts the key-range precondition inside the
-  * plan (assert_true filter). Production capacities (depth 4, width
-  * 2048) are ε-bound-spec'd in InvariantsSpec instead.
+  * oracle. Since round 10 the entry is DUAL-MODE (operators/Sketches
+  * .cmsProbe): the key range rides the same aggregation and an `exact`
+  * flag column marks the regime per row — over-width keyspaces get the
+  * ε·N-bounded estimate flagged approx instead of a dead job.
+  * Production capacities (depth 4, width 2048) are ε-bound-spec'd in
+  * InvariantsSpec.
   *
   * Buffer is a flat primitive Array[Long] (depth·width), mutated in
   * place per row (the r8 HeavyHitters lesson — no per-row allocation);

@@ -18,7 +18,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * item with true count > N/(k+1) is guaranteed present
   * (InvariantsSpec asserts both on adversarial merges).
   *
-  * Exactness gate (x261's pattern, structural): with k ≥ the number of
+  * Exactness regime (x261's pattern, structural; dual-mode entry since
+  * r10 — operators/Sketches.heavyHittersTop flags `exact` per row
+  * instead of asserting): with k ≥ the number of
   * DISTINCT items, no decrement can ever fire — every item holds a
   * slot, counters are exact multiset counts in any arrival/merge order,
   * and the declared x266 entry runs in that regime against a plain

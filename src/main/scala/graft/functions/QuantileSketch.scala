@@ -22,7 +22,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * num/den ((num·N + den − 1) / den), so no float boundary can disagree
   * with the oracle's integer form.
   *
-  * Exactness gate (the x54/x103 full-probe pattern, structural by
+  * Exactness regime (the x54/x103 full-probe pattern, structural by
   * construction): with capacity k ≥ N no level ever fills, nothing is
   * ever compacted, the ladder IS the exact multiset, and merge order
   * cannot matter — the declared x261 entry runs in that regime and
