@@ -126,6 +126,31 @@ object Rehearsal {
     assert(cms._1 == cms._2,
       s"x301 at 100x: expected every probe flagged approx, got ${cms._2}/${cms._1}")
     println(s"[rehearsal] x301 probes=${cms._1} flagged_approx=${cms._2}")
+    // x266's regime is about DISTINCT count, not key range: the 100×
+    // replication shifts user ids (max ≈ 991 k, which is what trips
+    // x301's identity-range flag) but only multiplies the distinct
+    // count to ≈150 k — still inside k = 262144, so the entry must
+    // stay all-exact here. The flag must be right in BOTH directions.
+    val mg = phase("x266 mg exact") {
+      val rows = SparkEntry.queries("x266_heavy_hitters")(spark, out).collect()
+      (rows.length, rows.count(_.getAs[Long]("exact") == 1L))
+    }
+    assert(mg._1 == mg._2,
+      s"x266 at 100x: 150k distinct users <= k, expected all-exact, got ${mg._2}/${mg._1}")
+    println(s"[rehearsal] x266 rows=${mg._1} flagged_exact=${mg._2}")
+    // The MG APPROX path at 100×: the same builder over event_id —
+    // ≈10 M distinct keys ≫ k = 262144, so the decrement/merge-cut
+    // path runs for real on every partial and merge, bounded state
+    // throughout, and every output row must be flagged approx.
+    val mgA = phase("mg approx path") {
+      val rows = graft.operators.Sketches.heavyHittersTop(
+        spark.read.parquet(s"$out/events.parquet").select("event_id"),
+        "event_id", 262144, 10).collect()
+      (rows.length, rows.count(_.getAs[Long]("exact") == 0L))
+    }
+    assert(mgA._1 == mgA._2,
+      s"MG over event_id at 100x: expected all-approx, got ${mgA._2}/${mgA._1}")
+    println(s"[rehearsal] mg(event_id) rows=${mgA._1} flagged_approx=${mgA._2}")
 
     // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
     // Change stream derived from the 100× events: ~1/10 of keys collide
