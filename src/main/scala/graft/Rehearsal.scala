@@ -151,6 +151,25 @@ object Rehearsal {
     assert(mgA._1 == mgA._2,
       s"MG over event_id at 100x: expected all-approx, got ${mgA._2}/${mgA._1}")
     println(s"[rehearsal] mg(event_id) rows=${mgA._1} flagged_approx=${mgA._2}")
+    // Quantile ladder approx path: one 10 M-row group ≫ k = 262144, so
+    // the MRL compaction runs for real on every level (the contract
+    // entries never compact). State stays ≤ k·L longs per partial; the
+    // single output row must flag approx and its quantiles must honor
+    // the ladder's monotonicity (p25 ≤ p50 ≤ p75 ≤ p95).
+    val ql = phase("quantile approx") {
+      val row = graft.operators.Sketches.quantileLadder(
+        spark.read.parquet(s"$out/events.parquet")
+          .select(lit("all").as("g"),
+            expr("cast(round(value*100) AS BIGINT)").as("cents")),
+        "g", "cents", 262144).collect().head
+      (row.getAs[Long]("exact"), row.getAs[Long]("n"),
+        Seq("p25", "p50", "p75", "p95").map(row.getAs[Long]))
+    }
+    assert(ql._1 == 0L && ql._2 == 10000000L,
+      s"quantile ladder at 100x: expected approx flag over 10M rows, got $ql")
+    assert(ql._3 == ql._3.sorted,
+      s"quantile ladder at 100x: non-monotone quantiles ${ql._3}")
+    println(s"[rehearsal] quantile(10M) flagged_approx n=${ql._2} q=${ql._3}")
 
     // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
     // Change stream derived from the 100× events: ~1/10 of keys collide
