@@ -4820,7 +4820,7 @@ object Queries {
         |             min(CASE WHEN clab <> label THEN dist END) AS b
         |      FROM d GROUP BY 1, 2)
         |SELECT vec_id, cast(label AS BIGINT) AS label, round(a, 4) AS a,
-        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) AS sil
+        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) + 0e0 AS sil
         |FROM s ORDER BY vec_id""".stripMargin,
       """WITH e2 AS (SELECT e.vec_id, e.label, t.i - 1 AS pos,
         |                   cast(e.embedding[t.i] AS DOUBLE) AS v
@@ -4835,7 +4835,7 @@ object Queries {
         |             min(CASE WHEN clab <> label THEN dist END) AS b
         |      FROM d GROUP BY 1, 2)
         |SELECT vec_id, cast(label AS BIGINT) AS label, round(a, 4) AS a,
-        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) AS sil
+        |       round(b, 4) AS b, round((b - a) / greatest(a, b), 4) + 0e0 AS sil
         |FROM s ORDER BY vec_id""".stripMargin),
 
     // ABC-XYZ inventory matrix: x153's revenue ABC bands crossed with

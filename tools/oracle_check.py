@@ -118,6 +118,7 @@ def run(sf_dir, out_dir):
         edges = 0
         zeros = 0
         negz = 0
+        onegz = 0
         try:
             for i, (r, g) in enumerate(zip(ref, got)):
                 edges += sum(1 for j in rperm if knife_edge(r[j]))
@@ -128,6 +129,12 @@ def run(sf_dir, out_dir):
                 # mathematically-zero output (r8 x214); quantize it or
                 # normalize with `+ 0e0` in the query.
                 negz += sum(1 for j in gperm if neg_zero(g[j]))
+                # oracle-side -0.0 (r10 x259 catch at sf0.1): DuckDB's
+                # accumulation order can round a mathematically-zero
+                # residue to -0.0000 where Spark lands +0.0000 — same
+                # defect class, opposite engine. Warn (the fix is a
+                # `+ 0e0` normalizer in BOTH dialects).
+                onegz += sum(1 for j in rperm if neg_zero(r[j]))
                 rc = tuple(canon(r[j]) for j in rperm)
                 gc = tuple(canon(g[j]) for j in gperm)
                 if rc != gc and bad is None:
@@ -143,6 +150,10 @@ def run(sf_dir, out_dir):
         if zeros:
             print(f"WARN {name}: {zeros} near-zero float(s) (0<|x|<5e-5) — "
                   f"sign-unstable if mathematically zero; consider quantizing")
+            n_zero += 1
+        if onegz:
+            print(f"WARN {name}: {onegz} ORACLE-side -0.0 cell(s) — "
+                  f"normalize both dialects with `+ 0e0` (r10 x259 class)")
             n_zero += 1
         if negz:
             print(f"FAIL {name}: {negz} Spark-side -0.0 cell(s) — "
