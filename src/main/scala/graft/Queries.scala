@@ -6613,7 +6613,7 @@ object Queries {
         |       cast(count(*) AS BIGINT) AS checkpoints,
         |       cast(max(cum_toks) AS BIGINT) AS total_tokens,
         |       cast(max(cum_vocab) AS BIGINT) AS vocabulary,
-        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) AS heaps_beta
+        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) + 0e0 AS heaps_beta
         |FROM cum GROUP BY source ORDER BY source""".stripMargin,
       """WITH w AS (SELECT source, doc_id, t FROM (
         |        SELECT source, doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
@@ -6630,7 +6630,7 @@ object Queries {
         |       cast(count(*) AS BIGINT) AS checkpoints,
         |       cast(max(cum_toks) AS BIGINT) AS total_tokens,
         |       cast(max(cum_vocab) AS BIGINT) AS vocabulary,
-        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) AS heaps_beta
+        |       round(regr_slope(ln(cum_vocab * 1e0), ln(cum_toks * 1e0)), 4) + 0e0 AS heaps_beta
         |FROM cum GROUP BY source ORDER BY source""".stripMargin),
 
     // Two-level binary segmentation: x247 finds the best single split;
