@@ -6813,7 +6813,63 @@ object Queries {
         |       cast(floor(e.conversions * 10000e0 / e.sessions) AS BIGINT) AS conv_bp,
         |       cast(floor((e.conversions * 1e0 / e.sessions)
         |             / nullif((t.ct - e.conversions) * 1e0 / nullif(t.st - e.sessions, 0), 0e0) * 10000) AS BIGINT) AS lift_bp
-        |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin)
+        |FROM e CROSS JOIN t ORDER BY e.entry""".stripMargin),
+
+    // HITS hubs/authorities over x136's nation trade graph — the
+    // mutual-reinforcement complement of PageRank (Kleinberg 1999):
+    // auth(j) = Σ_{i→j} hub(i)·w, hub(i) = Σ_{i→j} auth(j)·w, each step
+    // max-normalized. ALL arithmetic BIGINT micro-units with integer
+    // division, so both engines are bit-identical regardless of join
+    // order. Overflow bound: scores ≤ 1e6 so per-node sums ≤ 1e6·Σw and
+    // the 1e6-normalizer product stays under 2^63 while Σw ≤ 9.2e6
+    // lineitems — at 100 TB the edge weights would be pre-normalized to
+    // per-mille shares before iterating (same plan shape, one extra
+    // pass). Each iteration = one broadcast-able join + shuffle agg.
+    q("x326_hits_hubs",
+      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, cast(count(*) AS BIGINT) AS w
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           GROUP BY 1, 2),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |h0 AS (SELECT node, cast(1000000 AS BIGINT) AS h FROM n),
+        |a1r AS (SELECT n.node, cast(coalesce(sum(h0.h * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h0 ON h0.node = e.src GROUP BY 1),
+        |a1 AS (SELECT node, cast((v * 1000000) div (SELECT max(v) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT n.node, cast(coalesce(sum(a1.a * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT node, cast((v * 1000000) div (SELECT max(v) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT n.node, cast(coalesce(sum(h1.h * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT node, cast((v * 1000000) div (SELECT max(v) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT n.node, cast(coalesce(sum(a2.a * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT node, cast((v * 1000000) div (SELECT max(v) FROM h2r) AS BIGINT) AS h FROM h2r)
+        |SELECT h2.node AS nationkey, nat.n_name AS nation, h2.h AS hub_micro, a2.a AS auth_micro
+        |FROM h2 JOIN a2 ON a2.node = h2.node JOIN nation nat ON nat.n_nationkey = h2.node
+        |ORDER BY 1""".stripMargin,
+      """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, cast(count(*) AS BIGINT) AS w
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |                JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |           GROUP BY 1, 2),
+        |n AS (SELECT n_nationkey AS node FROM nation),
+        |h0 AS (SELECT node, cast(1000000 AS BIGINT) AS h FROM n),
+        |a1r AS (SELECT n.node, cast(coalesce(sum(h0.h * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h0 ON h0.node = e.src GROUP BY 1),
+        |a1 AS (SELECT node, cast((v * 1000000) // (SELECT max(v) FROM a1r) AS BIGINT) AS a FROM a1r),
+        |h1r AS (SELECT n.node, cast(coalesce(sum(a1.a * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a1 ON a1.node = e.dst GROUP BY 1),
+        |h1 AS (SELECT node, cast((v * 1000000) // (SELECT max(v) FROM h1r) AS BIGINT) AS h FROM h1r),
+        |a2r AS (SELECT n.node, cast(coalesce(sum(h1.h * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.dst = n.node LEFT JOIN h1 ON h1.node = e.src GROUP BY 1),
+        |a2 AS (SELECT node, cast((v * 1000000) // (SELECT max(v) FROM a2r) AS BIGINT) AS a FROM a2r),
+        |h2r AS (SELECT n.node, cast(coalesce(sum(a2.a * e.w), 0) AS BIGINT) AS v
+        |        FROM n LEFT JOIN e ON e.src = n.node LEFT JOIN a2 ON a2.node = e.dst GROUP BY 1),
+        |h2 AS (SELECT node, cast((v * 1000000) // (SELECT max(v) FROM h2r) AS BIGINT) AS h FROM h2r)
+        |SELECT h2.node AS nationkey, nat.n_name AS nation, h2.h AS hub_micro, a2.a AS auth_micro
+        |FROM h2 JOIN a2 ON a2.node = h2.node JOIN nation nat ON nat.n_nationkey = h2.node
+        |ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */
