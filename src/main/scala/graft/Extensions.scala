@@ -267,6 +267,61 @@ object Extensions {
         .orderBy("nationkey")
     },
 
+    // Iterative HITS (operators.Graph.hits): the scale-shaped twin of
+    // x326's unrolled-CTE SQL (VERDICT r10 #1 — the x140 treatment).
+    // Same BIGINT micro-unit arithmetic with per-half-step max-
+    // normalization → the same DuckDB oracle checks both, proving
+    // iterative-materialized == declarative-unrolled bit-for-bit; but
+    // THIS plan aggregates the 4-table trade join once (persisted)
+    // instead of once per CTE reference, and carries an in-plan
+    // overflow guard the declared form only documents (Graph.scala
+    // scaladoc; ADVICE r10 #4).
+    "x327_hits_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val edges = Catalog.load(s, dir, "orders")
+        .join(Catalog.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Catalog.load(s, dir, "lineitem"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Catalog.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nation = Catalog.load(s, dir, "nation")
+      val nodes = nation.select(col("n_nationkey").as("node"))
+      graft.operators.Graph.hits(edges, nodes, iters = 2)
+        .join(nation, col("node") === col("n_nationkey"))
+        .select(col("node").as("nationkey"), col("n_name").as("nation"),
+          col("h").as("hub_micro"), col("a").as("auth_micro"))
+        .orderBy("nationkey")
+    },
+
+    // Raw-text log ingestion, oracle-gated (VERDICT r10 #4 — closes the
+    // one §2 row whose correctness rested on ScalaTest alone): events is
+    // rendered once as deterministic log-line TEXT FILES (ms-floored
+    // timestamp, level, [evt-user] component, "type value=v" message —
+    // LogLines.ensureEventsFixture), re-ingested through the real
+    // schema-on-read path (spark.read.text + regexp parse), and
+    // aggregated. The DuckDB oracle computes the same rollup STRAIGHT
+    // from the events table, so any defect in render→parse→type
+    // round-trip (a regex group off by one, lines with spaces in the
+    // message dropped, a malformed line silently parsed) lands as a
+    // hash mismatch. All-BIGINT outputs; ts compared at the fixture's
+    // ms precision (epoch µs floor-divided by 1000 on the oracle side,
+    // matching date_format's sub-ms truncation).
+    "x328_logparse" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val fixture = graft.sources.LogLines.ensureEventsFixture(s, dir)
+      graft.sources.LogLines.read(s, fixture)
+        .groupBy(col("level"),
+          regexp_extract(col("component"), "^evt-(\\d+)$", 1)
+            .cast("long").as("uid"))
+        .agg(count(lit(1)).as("n"),
+          max(unix_millis(col("ts"))).as("max_ms"),
+          countDistinct(split(col("message"), " ").getItem(0)).as("types"))
+        .orderBy("uid", "level")
+    },
+
     // Iterative BPE trainer (llm.Bpe): same contract as the unrolled
     // x148 SQL — one oracle text, two Spark plans — but the loop
     // materializes the encoded dict per step (lineage-truncated), so
@@ -652,6 +707,22 @@ object Extensions {
     // x140: the iterative operator must land exactly where the unrolled
     // declarative form lands — one oracle text, two Spark plans.
     "x140_pagerank_native" -> Queries.oracleSql("x136_pagerank"),
+
+    // x327: same policy for HITS — the persist-once iterative operator
+    // shares x326's unrolled oracle verbatim.
+    "x327_hits_native" -> Queries.oracleSql("x326_hits_hubs"),
+
+    // x328: the round-trip oracle — the Spark side reads rendered text
+    // files; the oracle computes the identical rollup straight from
+    // the events table the fixture was rendered from. epoch_us // 1000
+    // = the fixture's ms-floor timestamp precision.
+    "x328_logparse" ->
+      """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END AS level,
+        |       CAST(user_id AS BIGINT) AS uid,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(epoch_us(ts) // 1000) AS BIGINT) AS max_ms,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS types
+        |FROM events GROUP BY 1, 2 ORDER BY uid, level""".stripMargin,
 
     // x149: same policy for the BPE trainer — the iterative operator
     // shares the unrolled x148 oracle verbatim.

@@ -80,22 +80,36 @@ object QProbe {
     if (multifile) {
       // SAME rows, 16 part files per table — multi-split scans, the
       // cluster-realistic layout. Bench inputs are never touched. The
-      // dir is keyed by the SOURCE sfDir (a different source must never
-      // silently reuse another's cache) and completion is marked by a
-      // _DONE sentinel written AFTER the last table — a run killed
-      // mid-rewrite rebuilds from scratch instead of probing a partial
-      // corpus.
+      // dir is keyed by the SANITIZED FULL source path (ADVICE r10 #3:
+      // a 32-bit hashCode key could collide two sources) and the _DONE
+      // sentinel carries a (size, mtime) fingerprint of every source
+      // table file — a source whose rows changed in place rebuilds
+      // instead of silently reusing the stale rewrite; a run killed
+      // mid-rewrite rebuilds from scratch (sentinel written last).
       val dir16 = "/tmp/graft_qprobe_16f_" +
-        java.lang.Integer.toHexString(sfDir.hashCode)
+        sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      val fingerprint = Catalog.tables.map { t =>
+        val f = new java.io.File(s"$sfDir/$t.parquet")
+        s"$t:${f.length}:${f.lastModified}"
+      }.mkString("\n")
       val fs = org.apache.hadoop.fs.FileSystem
         .get(spark.sparkContext.hadoopConfiguration)
       val done = new org.apache.hadoop.fs.Path(s"$dir16/_DONE")
-      if (!fs.exists(done)) {
+      val fresh = fs.exists(done) && {
+        val in = fs.open(done)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+        finally in.close()
+      }
+      if (!fresh) {
         Catalog.tables.foreach { t =>
           Catalog.load(spark, sfDir, t).repartition(16)
             .write.mode("overwrite").parquet(s"$dir16/$t.parquet")
         }
-        fs.create(done, true).close()
+        val out = fs.create(done, true)
+        try out.write(fingerprint.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
       }
       probe(dir16, s"16-file (parallel scan), same rows as $sfDir")
     }

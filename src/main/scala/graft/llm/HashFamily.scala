@@ -20,9 +20,15 @@ import org.apache.spark.sql.functions._
   *    rows+schema+hash oracle gate (the r4 twin-equality promotion).
   */
 sealed trait HashFamily {
-  /** Content hash of a string column with at most 31 significant bits —
-    * safe input to the shared affine permutation (a·h + b) mod 2³¹−1,
-    * whose products stay exact in BIGINT on both engines. */
+  /** Content hash of a string column, guaranteed < 2³² (Production masks
+    * to 31 bits; Portable is the full 32-bit md5 prefix). Safe input to
+    * the shared affine permutation (a·h + b) mod 2³¹−1 because the
+    * EXACTNESS invariant is a·h + b < 2⁵³ (the BIGINT-exact window both
+    * engines share), which rests on the permutation constants being
+    * < 2²¹ ([[graft.llm.Dedup.portablePerms]] draws consecutive primes
+    * near 10⁴/2·10⁴ ≪ 2²¹), NOT on the hash being 31-bit: 2²¹·2³² = 2⁵³
+    * exactly (ADVICE r10 #1). A future family may return any value
+    * < 2³²; a future perm table must keep a < 2²¹. */
   def hash31(c: Column): Column
 
   /** Full-width token hash for SimHash bit votes ([[simBits]] wide). */

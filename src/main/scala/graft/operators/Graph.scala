@@ -56,6 +56,102 @@ object Graph {
     } finally e.unpersist()
   }
 
+  /** HITS hubs/authorities (Kleinberg 1999) over a weighted directed
+    * edge list — the iterative-materialized twin of x326's unrolled-CTE
+    * SQL (the x136/x140 policy, applied to mutual reinforcement):
+    * auth(j) = Σ_{i→j} hub(i)·w, hub(i) = Σ_{i→j} auth(j)·w, each half-
+    * step max-normalized back to `scale` units. Spark inlines CTEs, so
+    * the declared SQL re-executes the edge CTE — a 4-table fact join in
+    * x326 — once per CTE reference (up to 6× for 2 iterations); this
+    * operator aggregates the edges ONCE (persist) and each half-step is
+    * one join edges⋈scores (shuffle on the probe endpoint) + one
+    * groupBy + one broadcast join against the 1-row max — O(|E|)
+    * shuffled longs per half-step, the fact join computed exactly once.
+    *
+    * Arithmetic contract (shared with the x326 SQL so the same DuckDB
+    * oracle checks both): scores in BIGINT `scale`-units (micro by
+    * convention); raw score v = Σ (score·w) over in-(auth) / out-(hub)
+    * edges, 0 for isolated nodes; normalized score = (v·scale) div
+    * max(v). Integer sums and integer division are execution-order
+    * independent, so iterative-materialized == declarative-unrolled
+    * bit-for-bit. Overflow (ADVICE r10 #4): v·scale must stay < 2⁶³,
+    * i.e. v ≤ 2⁶³/scale — enforced IN-PLAN with a per-row assert_true
+    * on every raw-score frame, so a corpus whose per-node weighted
+    * in-flow outgrows the bound fails LOUDLY on both iteration paths
+    * instead of wrapping (non-ANSI Spark would silently wrap where
+    * DuckDB raises — an engine divergence). At 100 TB, pre-shrink the
+    * weights with `perMilleWeights(edges)` below (one extra pass, same
+    * plan shape): w ← max(1, (w·1000) div Σw) caps Σ_in w' near
+    * 1000 + indeg, pushing the overflow horizon to indeg ≈ 9·10¹² —
+    * beyond any physical graph. Rank ORDER is preserved for weight
+    * profiles where shares dominate the ±1 rounding (GraphSpec pins the
+    * fixture's ordering equal across exact and per-mille modes); exact
+    * micro-scores differ, so the contract entry (x327) runs unshrunk.
+    *
+    * Lineage: each half-step's plan nests the previous; scores are
+    * localCheckpoint'ed per iteration (truncation, the
+    * [[ConnectedComponents]]/[[PageRank]] rationale — use reliable
+    * checkpoint() on a real cluster).
+    *
+    * @param edges (src, dst, w: long) weighted directed edges
+    * @param nodes (node) the full vertex set, including isolated nodes
+    * @param iters full auth-then-hub rounds (≥ 1)
+    * @param scale score units (default micro, 10⁶ = initial hub score)
+    * @return (node, h, a) hub/authority scores in `scale` units */
+  def hits(edges: DataFrame, nodes: DataFrame, iters: Int,
+           scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration")
+    val ew = edges.select(col("src"), col("dst"), col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nds = nodes.select(col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vBound = Long.MaxValue / scale
+      // one half-step: raw = Σ score(other end)·w grouped by `probe`,
+      // isolated nodes coalesced to 0, then max-normalize to `scale`
+      def halfStep(scores: DataFrame, scoreCol: String,
+                   probe: String, other: String): DataFrame = {
+        val raw = ew.join(scores, ew(other) === scores("node"))
+          .groupBy(ew(probe).as("node"))
+          .agg(sum(col(scoreCol) * col("w")).as("v"))
+        val all = nds.join(raw, Seq("node"), "left")
+          .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
+          // loud overflow guard: v·scale must stay BIGINT-exact
+          .where(coalesce(assert_true(col("v") <= vBound,
+            lit(s"Graph.hits: raw score exceeds 2^63/$scale — " +
+              "normalizer product would overflow BIGINT; pre-shrink " +
+              "weights with Graph.perMilleWeights")), lit(true)))
+        val mx = all.agg(max(col("v")).as("mxv"))
+        all.crossJoin(broadcast(mx))
+          .select(col("node"),
+            expr(s"(v * $scale) div mxv").cast("long").as("s"))
+      }
+      var h = nds.select(col("node"), lit(scale).as("s"))
+      var a: DataFrame = null
+      for (_ <- 1 to iters) {
+        a = halfStep(h, "s", "dst", "src").localCheckpoint(true)
+        h = halfStep(a, "s", "src", "dst").localCheckpoint(true)
+      }
+      h.withColumnRenamed("s", "h")
+        .join(a.withColumnRenamed("s", "a"), "node")
+        .localCheckpoint(true)
+    } finally { ew.unpersist(); nds.unpersist() }
+  }
+
+  /** Per-mille weight shrink for [[hits]] at extreme scale: each weight
+    * becomes its per-mille share of the TOTAL edge weight, floored, but
+    * never below 1 (an edge must not vanish). Symmetric — the same w'
+    * serves both the auth (in-edge) and hub (out-edge) directions — and
+    * order-preserving on weights. One aggregation + one broadcast join;
+    * the [[hits]] overflow horizon moves from Σ_in w ≤ 2⁶³/scale² to
+    * indeg ≈ 9·10¹². */
+  def perMilleWeights(edges: DataFrame): DataFrame = {
+    val tot = edges.agg(sum(col("w")).as("tw"))
+    edges.crossJoin(broadcast(tot))
+      .select(col("src"), col("dst"),
+        greatest(expr("(w * 1000) div tw"), lit(1L)).cast("long").as("w"))
+  }
+
   /** Fixed-round k-core peeling over an oriented edge set (p1 < p2):
     * each round drops every vertex whose CURRENT degree is below `k`
     * (and its incident edges), which can push surviving neighbors

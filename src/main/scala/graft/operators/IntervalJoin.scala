@@ -72,11 +72,21 @@ object IntervalJoin {
       if (maxSpanCells <= 0)
         checked.withColumn("__cell", explode(sequence(c0, c1)))
       else {
-        // two-stage explode: chunks first (span/(bucket·m) rows), spread
-        // across the cluster, then ≤ m cells per chunk row — a single
-        // degenerate interval no longer pins one task
+        // two-stage explode FOR THE WHALES ONLY (ADVICE r10 #5: paying
+        // the chunk explode + an extra full repartition on every row
+        // taxes the well-behaved majority for the degenerate few): rows
+        // whose span fits one chunk take the single-stage explode with
+        // their input partitioning intact; rows spanning ≥ maxSpanCells
+        // cells are chunked first (span/(bucket·m) rows), re-shuffled so
+        // one degenerate interval's cells generate across many tasks,
+        // then exploded ≤ m cells per chunk row. Same total cell set —
+        // the terminal dropDuplicates already collapses multi-cell
+        // matches — so results are bit-identical either way
+        // (IntervalJoinSpec proves it against the declarative oracle).
         val m = lit(maxSpanCells.toLong)
-        checked
+        val short = checked.where(c1 - c0 < m)
+          .withColumn("__cell", explode(sequence(c0, c1)))
+        val long = checked.where(c1 - c0 >= m)
           .withColumn("__chunk",
             explode(sequence(lit(0L), floor((c1 - c0) / m).cast("long"))))
           .repartition(col(key), col("__chunk"))
@@ -84,6 +94,7 @@ object IntervalJoin {
             c0 + col("__chunk") * m,
             least(c0 + (col("__chunk") + 1) * m - 1, c1))))
           .drop("__chunk")
+        short.unionByName(long)
       }
     }
 

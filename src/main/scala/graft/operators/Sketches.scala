@@ -97,9 +97,12 @@ object Sketches {
       }
     val est = if (rowEsts.size == 1) rowEsts.head else least(rowEsts: _*)
     probes.crossJoin(broadcast(sk))
-      .select(col(keyCol), est.as("est"),
-        when(col("mx") < width && col("mn") >= 0, lit(1L))
-          .otherwise(lit(0L)).as("exact"))
+      // Empty input (ADVICE r10 #2): the agg row carries null sketch and
+      // null mx/mn; every probe's true count is 0 and that zero is EXACT
+      // — report est = 0 / exact = 1, not a null estimate flagged approx.
+      .select(col(keyCol), coalesce(est, lit(0L)).as("est"),
+        when(col("mx").isNull || (col("mx") < width && col("mn") >= 0),
+          lit(1L)).otherwise(lit(0L)).as("exact"))
       .orderBy(keyCol)
   }
 }

@@ -52,4 +52,29 @@ object LogLines {
       when(col("event_type") === "error", lit(" ERROR")).otherwise(lit(" INFO")),
       lit(" [evt-"), col("user_id"), lit("] "),
       col("event_type"), lit(" value="), col("value")).as("value"))
+
+  /** Deterministic on-disk text fixture for the oracle-gated ingestion
+    * entry (x328, VERDICT r10 #4): the sf corpus ships parquet only, so
+    * the raw-text path is exercised by rendering `events` as log lines
+    * into /tmp — 4 files, bucketed by user — and re-reading them through
+    * [[read]]. Written lazily once per source corpus; the _GRAFT_DONE
+    * sentinel carries a (size, mtime) fingerprint of the source
+    * events.parquet (the QProbe cache-key lesson, ADVICE r10 #3), and is
+    * written LAST so a run killed mid-write rebuilds. Spark's text scan
+    * skips `_`-prefixed files, so the sentinel never parses as a line. */
+  def ensureEventsFixture(spark: SparkSession, sfDir: String): String = {
+    val dir = "/tmp/graft-logtext/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val src = new java.io.File(s"$sfDir/events.parquet")
+    val fingerprint = s"${src.length}:${src.lastModified}"
+    val done = new java.io.File(dir, "_GRAFT_DONE")
+    val fresh = done.isFile &&
+      java.nio.file.Files.readString(done.toPath) == fingerprint
+    if (!fresh) {
+      val events = graft.Catalog.load(spark, sfDir, "events")
+      renderEvents(events.repartition(4, pmod(col("user_id"), lit(4L))))
+        .write.mode("overwrite").text(dir)
+      java.nio.file.Files.writeString(done.toPath, fingerprint)
+    }
+    dir
+  }
 }

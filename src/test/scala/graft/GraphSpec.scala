@@ -43,6 +43,91 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCorePeel(g, k = 5, rounds = 2).isEmpty)
   }
 
+  // --- HITS (x327's engine) ------------------------------------------
+
+  /** In-test reference: the x326 recurrence in plain Scala longs —
+    * scores start at `scale`, each half-step is Σ score·w over in-
+    * (auth) / out- (hub) edges then (v·scale) div max(v). All values
+    * non-negative, so Scala `/` == SQL `div`. */
+  private def refHits(edges: Seq[(Long, Long, Long)], nodes: Seq[Long],
+                      iters: Int, scale: Long): Map[Long, (Long, Long)] = {
+    var h = nodes.map(_ -> scale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val rawA = nodes.map(n =>
+        n -> edges.collect { case (s, d, w) if d == n => h(s) * w }.sum).toMap
+      val mxA = rawA.values.max
+      a = rawA.map { case (n, v) => n -> (v * scale) / mxA }
+      val rawH = nodes.map(n =>
+        n -> edges.collect { case (s, d, w) if s == n => a(d) * w }.sum).toMap
+      val mxH = rawH.values.max
+      h = rawH.map { case (n, v) => n -> (v * scale) / mxH }
+    }
+    nodes.map(n => n -> (h(n), a(n))).toMap
+  }
+
+  test("HITS on a star: the center is the unit hub, leaves are the auths") {
+    // 1 → {2,3,4} with equal weight: center hub = scale, auth = 0;
+    // every leaf auth = scale (ties at the max), hub = 0.
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = Graph.hits(edges, nodes, iters = 2)
+      .orderBy("node").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1000000L, 0L), (2L, 0L, 1000000L),
+      (3L, 0L, 1000000L), (4L, 0L, 1000000L)))
+  }
+
+  test("HITS matches the exact integer recurrence on a weighted digraph") {
+    // asymmetric weights, a node that is both hub and auth (3), an
+    // isolated node (6) that must appear with (0, 0), 3 iterations
+    val es = Seq((1L, 3L, 5L), (1L, 4L, 2L), (2L, 3L, 1L),
+      (3L, 4L, 7L), (3L, 5L, 1L), (4L, 5L, 3L))
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val want = refHits(es, ns, iters = 3, scale = 1000000L)
+    val got = Graph.hits(es.toDF("src", "dst", "w"), ns.toDF("node"), iters = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(got === want)
+  }
+
+  test("per-mille weight shrink preserves hub/auth rank order on share-dominated weights") {
+    // weights are exact per-mille multiples of the total (Σw = 10000 →
+    // w' = w/10, no rounding) so ordering survives the shrink exactly
+    val es = Seq((1L, 3L, 5000L), (2L, 3L, 3000L), (2L, 4L, 1500L),
+      (3L, 4L, 500L))
+    val ns = Seq(1L, 2L, 3L, 4L)
+    def ranks(edges: org.apache.spark.sql.DataFrame): (Seq[Long], Seq[Long]) = {
+      val rows = Graph.hits(edges, ns.toDF("node"), iters = 2)
+        .as[(Long, Long, Long)].collect().toSeq
+      (rows.sortBy(r => (-r._2, r._1)).map(_._1), // hub order
+       rows.sortBy(r => (-r._3, r._1)).map(_._1)) // auth order
+    }
+    val exact = ranks(es.toDF("src", "dst", "w"))
+    val shrunk = ranks(Graph.perMilleWeights(es.toDF("src", "dst", "w")))
+    assert(shrunk === exact)
+    // and the shrink itself floors to per-mille shares, never below 1
+    val w2 = Graph.perMilleWeights(
+      Seq((1L, 2L, 999999L), (2L, 3L, 1L)).toDF("src", "dst", "w"))
+      .orderBy("src").as[(Long, Long, Long)].collect().toSeq
+    assert(w2 === Seq((1L, 2L, 999L), (2L, 3L, 1L)))
+  }
+
+  test("HITS overflow guard fails loudly instead of wrapping BIGINT") {
+    // one in-edge of weight 10^7 at hub score 10^6 → raw v = 10^13 >
+    // 2^63/10^6 ≈ 9.22e12: the normalizer product would overflow, and
+    // non-ANSI Spark would wrap silently where DuckDB raises (ADVICE
+    // r10 #4) — the in-plan assert must kill the job with the remedy
+    val edges = Seq((1L, 2L, 10000000L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val e = intercept[Exception] {
+      Graph.hits(edges, nodes, iters = 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("perMilleWeights")),
+      s"unexpected failure: $e")
+  }
+
   test("co-occurrence edges: min-support filters, orientation p1<p2, dup lines collapse") {
     // Baskets: {A,B,C} twice (all three pairs support 2), {A,B} once
     // more (AB support 3), and a dup'd line (10,"A") that must not
