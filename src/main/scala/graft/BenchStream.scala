@@ -155,7 +155,14 @@ object BenchStream {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val medians = ops.map { case (name, f) =>
+    // SPARK_GRAFT_STREAM_OPS=a,b: run a subset — the 10× streaming soak
+    // (VERDICT r10 #6) times only the two state-heavy ops on the soak
+    // corpus instead of paying the full suite at 10×.
+    val wanted = sys.env.get("SPARK_GRAFT_STREAM_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val medians = ops
+      .filter { case (name, _) => wanted.forall(_.contains(name)) }
+      .map { case (name, f) =>
       once(f) // warm-up: JIT, codegen, footers
       val ts = Seq(once(f), once(f), once(f)).sorted
       name -> ts(1)

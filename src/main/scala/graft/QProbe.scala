@@ -22,9 +22,16 @@ import org.apache.spark.sql.SparkSession
 object QProbe {
   def main(args: Array[String]): Unit = {
     val multifile = args.contains("multifile")
-    val rest = args.filterNot(_ == "multifile")
+    // `suite`: probe the FULL 46-query BASELINE suite instead of the
+    // floor-class sample, so the multifile contrast yields the one
+    // cluster-realistic number VERDICT r10 #5 asks for — suite total on
+    // multi-split inputs (the bench protocol itself must stay on the
+    // shared single-row-group files).
+    val suite = args.contains("suite")
+    val rest = args.filterNot(a => a == "multifile" || a == "suite")
     val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (rest.length > 1) rest.tail.toSeq
+    val names = if (suite) SparkEntry.queries.keys.toSeq.filter(_.startsWith("q")).sorted
+                else if (rest.length > 1) rest.tail.toSeq
                 else Seq("q37_date_funcs", "q29_ntile", "q38_math_funcs", "q01_count")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -56,6 +63,7 @@ object QProbe {
       (1 to 2).foreach(_ => names.foreach(n => build(n).collect()))
       println(s"[qprobe] layout: $label ($dir)")
       println(f"${"query"}%-22s ${"build"}%7s ${"plan"}%7s ${"exec"}%7s ${"total"}%7s  (medians of 5, ms)")
+      var suiteTotal = 0.0
       names.foreach { n =>
         val reps = (1 to 5).map { _ =>
           var df: org.apache.spark.sql.DataFrame = null
@@ -71,8 +79,10 @@ object QProbe {
           (tBuild, tPlan, tExec)
         }.sortBy(r => r._1 + r._2 + r._3)
         val (b, p, e) = reps(2)
+        suiteTotal += b + p + e
         println(f"$n%-22s $b%7.1f $p%7.1f $e%7.1f ${b + p + e}%7.1f")
       }
+      println(f"[qprobe] suite_total ($label): $suiteTotal%.1f ms over ${names.size}%d queries")
     }
 
     probe(sfDir, "contract (1 row group per table)")

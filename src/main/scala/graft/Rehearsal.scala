@@ -113,6 +113,25 @@ object Rehearsal {
       SparkEntry.queries("x293_local_clustering")(spark, out).collect().length
     }
     println(s"[rehearsal] x304 rows=$paths  x293 rows=$clus")
+    // x327's engine at 100× (round 11): HITS over the user→event-type
+    // bipartite graph of the 10 M-row events corpus — ≈991 k hub nodes,
+    // 5 authority nodes (crc32 ids, disjoint from user ids), ~5 M
+    // weighted edges. The driver holds only the broadcast 1-row max per
+    // half-step; the in-plan overflow guard (raw score ≤ 2⁶³/10⁶) is
+    // live the whole run — Σ_in w ≈ 2 M per type leaves ~4.6×
+    // headroom, and a corpus that outgrew it would fail loudly here
+    // instead of wrapping (ADVICE r10 #4).
+    val hitsN = phase("x327 hits 100x") {
+      val ev = spark.read.parquet(s"$out/events.parquet")
+        .select(col("user_id"), col("event_type"))
+      val edges = ev.groupBy(col("user_id").as("src"),
+          crc32(col("event_type")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = ev.select(col("user_id").as("node")).distinct()
+        .union(ev.select(crc32(col("event_type")).as("node")).distinct())
+      graft.operators.Graph.hits(edges, nodes, iters = 2).count()
+    }
+    println(s"[rehearsal] x327 hits nodes=$hitsN")
     // x301's CMS at 100× exercises the round-10 DUAL-MODE path: the
     // user space (≈991 k ids) exceeds the identity-injective width
     // 262144, so — where the r9 assert_true refused to run — the entry

@@ -392,6 +392,91 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r11tier")) {
+      // Round-11 tier at 10× (VERDICT r10 #1/#2): the HITS pair —
+      // declared unrolled-CTE x326 vs persist-once native x327 — plus
+      // the oracle-gated raw-text ingestion round-trip (x328) and the
+      // x258 fractional-x skyline path (dense_rank surrogate) on a
+      // fact-sized double column.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) = {
+        val runs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime(); val n = f
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (dt, n)
+        }
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+
+      // ADVICE r10 #4 guard: the DECLARED x326 carries no in-plan
+      // overflow guard (its SQL must stay oracle-verbatim; the native
+      // x327 asserts in-plan), so the soak proves the corpus sits
+      // inside the documented bound BEFORE timing it: normalizer
+      // product v·10⁶ with v ≤ 10⁶·Σw stays under 2⁶³ iff the max
+      // per-node weight sum (either direction — auth reads in-edges,
+      // hub reads out-edges) is ≤ 2⁶³/10¹² ≈ 9.22e6.
+      val wBound = Long.MaxValue / 1000000L / 1000000L
+      Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
+        val e = Catalog.load(spark, dir, "orders")
+          .join(Catalog.load(spark, dir, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(Catalog.load(spark, dir, "lineitem"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Catalog.load(spark, dir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
+        def maxSum(k: String) = e.groupBy(k).agg(sum("w").as("s"))
+          .agg(max("s")).collect()(0).getLong(0)
+        val (maxIn, maxOut) = (maxSum("dst"), maxSum("src"))
+        assert(maxIn <= wBound && maxOut <= wBound,
+          s"x326 $label outside the overflow bound: in=$maxIn out=$maxOut > $wBound")
+        println(f"[soak] x326 overflow-bound $label%-6s max node weight " +
+          f"in=$maxIn%9d out=$maxOut%9d bound=$wBound (headroom ${wBound / math.max(maxIn, maxOut)}%d x)")
+        spark.catalog.clearCache()
+      }
+      // declared-vs-native plan evidence (the x136/x140 table shape):
+      // each CTE reference re-executes the 4-table edge build, so the
+      // lineitem scan count in x326's executed plan counts the
+      // re-executions; x327 scans each source table exactly once by
+      // construction (persist + InMemoryTableScan thereafter).
+      val liScans = "lineitem".r.findAllIn(
+        Catalog.sql(spark, sf, Queries.sparkSql("x326_hits_hubs"))
+          .queryExecution.executedPlan.toString).size
+      println(s"[soak] x326 declared plan: $liScans lineitem scan references (x327 native: 1)")
+
+      // pre-warm the x328 text fixture so the timed reps measure the
+      // ingestion path, not the one-time render
+      graft.sources.LogLines.ensureEventsFixture(spark, sf)
+      graft.sources.LogLines.ensureEventsFixture(spark, out)
+      Seq("x326_hits_hubs", "x327_hits_native", "x328_logparse").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      // x258 fractional path: fact-sized DOUBLE x (events.value) takes
+      // the dense_rank surrogate the round-10 generalization added;
+      // 1M points at 10× — expect ~linear like the integral path
+      def fracPts(dir: String) = Catalog.load(spark, dir, "events")
+        .select(col("event_id"), col("value").as("x"),
+          (col("user_id").cast("double") + col("value") / lit(1000.0)).as("y"))
+      val (tf1, nf1) = med3(operators.Skyline.skyline2d(fracPts(sf), "x", "y").count())
+      val (tf10, nf10) = med3(operators.Skyline.skyline2d(fracPts(out), "x", "y").count())
+      println(f"[soak] x258 skyline2d (frac x) sf0.1 ${tf1 * 1000}%8.1f ms ($nf1%7d rows)   " +
+        f"10x ${tf10 * 1000}%8.1f ms ($nf10%7d rows)   ratio ${tf10 / tf1}%5.2f")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row

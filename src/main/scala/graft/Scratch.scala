@@ -167,6 +167,32 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("hits")) {
+      // x327 shape A/B: nested-plan (exchange-reuse) vs per-round
+      // localCheckpoint truncation — same results by construction
+      val edges = Catalog.load(spark, dir, "orders")
+        .join(Catalog.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(Catalog.load(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(Catalog.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val nodes = Catalog.load(spark, dir, "nation")
+        .select(col("n_nationkey").as("node"))
+      // Nested (un-truncated) variants are deliberately absent from the
+      // operator: each HITS half-step references its frame twice, so a
+      // nested span of k half-steps recomputes 2^k× (measured: one
+      // nested round 4.7 s vs 2.4 s truncated; fully nested 7-15 s at
+      // iters=2, DIED at iters=6 — exchange reuse does not dedup the
+      // replicated agg subtrees). This timing pins the shipped
+      // per-half-step truncation at two iteration depths.
+      (1 to 3).foreach { _ =>
+        t("hits iters=2")(
+          graft.operators.Graph.hits(edges, nodes, iters = 2).count())
+      }
+      t("hits iters=6")(
+        graft.operators.Graph.hits(edges, nodes, iters = 6).count())
+      spark.stop(); return
+    }
     t("shingleSets.count")(Dedup.shingleSets(docs).count())
     val sets = Dedup.shingleSets(docs)
     t("signature[64].agg")(sets

@@ -88,10 +88,18 @@ object Graph {
     * fixture's ordering equal across exact and per-mille modes); exact
     * micro-scores differ, so the contract entry (x327) runs unshrunk.
     *
-    * Lineage: each half-step's plan nests the previous; scores are
-    * localCheckpoint'ed per iteration (truncation, the
-    * [[ConnectedComponents]]/[[PageRank]] rationale — use reliable
-    * checkpoint() on a real cluster).
+    * Lineage: unlike [[PageRank]] (whose rounds reference the previous
+    * frame ONCE — a linear chain that can safely nest un-materialized
+    * between sparse checkpoints), each HITS half-step references its
+    * frame TWICE (the max agg and the normalizing join), so every
+    * un-truncated half-step DOUBLES the recompute — exchange reuse
+    * does NOT dedup the replicated aggregation subtrees. Measured at
+    * sf0.1/iters=2: per-half-step truncation ~2.4 s, one nested round
+    * ~4.7 s, fully nested 7–15 s, and iters=6 nested (2¹² copies)
+    * fails outright. Scores are therefore localCheckpoint'ed after
+    * EVERY half-step, no knob (use reliable checkpoint() on a real
+    * cluster): a handful of O(|V|) materializations beats exponential
+    * recompute at every scale that matters.
     *
     * @param edges (src, dst, w: long) weighted directed edges
     * @param nodes (node) the full vertex set, including isolated nodes
@@ -116,12 +124,18 @@ object Graph {
           .agg(sum(col(scoreCol) * col("w")).as("v"))
         val all = nds.join(raw, Seq("node"), "left")
           .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
-          // loud overflow guard: v·scale must stay BIGINT-exact
-          .where(coalesce(assert_true(col("v") <= vBound,
+        // loud overflow guard on the 1-ROW max — raw scores are
+        // non-negative, so v·scale overflows for SOME node iff it
+        // overflows for max(v): same coverage as a per-row assert at
+        // O(1) evaluations, and it keeps `all` assert-free (RaiseError
+        // is non-deterministic to Catalyst, and a non-deterministic
+        // `all` defeats the exchange reuse the nested-plan default
+        // depends on)
+        val mx = all.agg(max(col("v")).as("mxv"))
+          .where(coalesce(assert_true(col("mxv") <= vBound,
             lit(s"Graph.hits: raw score exceeds 2^63/$scale — " +
               "normalizer product would overflow BIGINT; pre-shrink " +
               "weights with Graph.perMilleWeights")), lit(true)))
-        val mx = all.agg(max(col("v")).as("mxv"))
         all.crossJoin(broadcast(mx))
           .select(col("node"),
             expr(s"(v * $scale) div mxv").cast("long").as("s"))
