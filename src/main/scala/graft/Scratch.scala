@@ -156,7 +156,7 @@ object Scratch {
       // identical vectors, capped vs uncapped candidate pairs
       import spark.implicits._
       val embs = Catalog.load(spark, dir, "embeddings").select("vec_id", "embedding")
-      val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head._2
+      val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head()._2
       val m = 5000
       val planted = (0 until m).map(i => (1000000L + i, proto)).toDF("vec_id", "embedding")
       val all = embs.unionByName(planted).cache(); all.count()

@@ -97,7 +97,9 @@ object Ann {
     val scored = centroids.map { case (l, c) =>
       struct(dot(col("e"), lit(c)).as("sim"), lit(l).as("list"))
     }
-    vectors.withColumn("list", greatest(scored: _*).getField("list"))
+    vectors.withColumn("list",
+      greatest(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*)
+        .getField("list"))
   }
 
   /** IVF query: score the (driver-resident) centroids, probe the nProbe
@@ -372,7 +374,9 @@ object Ann {
     }
     val mat = planes(numPlanes, dim, seed)
     val assigned = bucketed(embeddings.where(col("vec_id") >= nAnchors), mat)
-      .withColumn("cluster_id", greatest(scored: _*).getField("aid"))
+      .withColumn("cluster_id",
+        greatest(scala.collection.immutable.ArraySeq.unsafeWrapArray(scored): _*)
+          .getField("aid"))
     val sizes = assigned.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
     val keyed = assigned.join(broadcast(sizes), "cluster_id")
       .withColumn("k2",

@@ -210,7 +210,7 @@ object Dedup {
     * join-back shape, which shuffles the full corpus twice (both join
     * sides) to produce the same rows. Output column set/order preserved. */
   def exactKeepFirst(df: DataFrame, key: Column, id: String): DataFrame = {
-    val cols = df.columns
+    val cols = df.columns.toIndexedSeq
     df.groupBy(key.as("__key"))
       .agg(min_by(struct(cols.map(col): _*), col(id)).as("__row"))
       .select(cols.map(c => col(s"__row.$c")): _*)

@@ -91,7 +91,7 @@ class BloomSkipSpec extends SparkSpec {
     bucketedOrders()
     val m = 1 << 16; val k = 4
     val idx = BloomSkip.build(spark, dir, "o_custkey", m, k)
-    val perFile = idx.groupBy("file").count().agg(max("count")).head.getLong(0)
+    val perFile = idx.groupBy("file").count().agg(max("count")).head().getLong(0)
     assert(perFile <= k.toLong * (m / 64),
       s"manifest rows per file $perFile exceeds the dense bound")
   }

@@ -97,7 +97,7 @@ class SkewAndNearDupSpec extends SparkSpec {
     // degenerate mega-cluster: 1500 identical copies of one vector —
     // the boilerplate-duplication shape that makes uncapped SemDeDup
     // quadratic in one shuffle partition
-    val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head._2
+    val proto = embs.where("vec_id = 8").as[(Long, Array[Float])].head()._2
     val planted = (0 until 1500).map(i => (100000L + i, proto)).toDF("vec_id", "embedding")
     val all = embs.unionByName(planted)
     val cap = 100
