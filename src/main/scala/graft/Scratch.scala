@@ -149,6 +149,20 @@ object Scratch {
             longs, "as0", "ae", "akey", shorts, "bs0", "be", "bkey",
             bucket = 100L, maxSpanCells = m).count())
       }
+      // round-11 re-measure: the shape where the r10 knob HURT —
+      // uniformly-long intervals (~2k cells each, no whales). Since the
+      // whale-only routing (ADVICE r10 #5) rows with span < m bypass
+      // the chunk explode + reshuffle entirely, so m=4096 should now
+      // price like uncapped instead of 3x it.
+      val uniform = Seq.tabulate(2000) { i =>
+        val s = r.nextInt(200000000).toLong; (i.toLong, s, s + 150000L + r.nextInt(100000))
+      }.toDF("akey", "as0", "ae").repartition(16)
+      Seq(0, 4096).foreach { m =>
+        t(s"uniform-long maxSpanCells=$m")(
+          operators.IntervalJoin.overlap(
+            uniform, "as0", "ae", "akey", shorts, "bs0", "be", "bkey",
+            bucket = 100L, maxSpanCells = m).count())
+      }
       spark.stop(); return
     }
     if (args.contains("semdedup")) {
