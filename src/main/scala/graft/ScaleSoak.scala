@@ -445,14 +445,21 @@ object ScaleSoak {
         spark.catalog.clearCache()
       }
       // declared-vs-native plan evidence (the x136/x140 table shape):
-      // each CTE reference re-executes the 4-table edge build, so the
-      // lineitem scan count in x326's executed plan counts the
-      // re-executions; x327 scans each source table exactly once by
+      // Spark inlines CTEs per reference RECURSIVELY (each iteration
+      // CTE and each scalar max subquery re-inlines the whole lineage
+      // under it), so the executed plan's FileSourceScanExec count per
+      // fact table measures how many times the 4-table edge build
+      // would run; x327 scans each source table exactly once by
       // construction (persist + InMemoryTableScan thereafter).
-      val liScans = "lineitem".r.findAllIn(
-        Catalog.sql(spark, sf, Queries.sparkSql("x326_hits_hubs"))
-          .queryExecution.executedPlan.toString).size
-      println(s"[soak] x326 declared plan: $liScans lineitem scan references (x327 native: 1)")
+      // (formatted explain prints one `Location:` line per scan node,
+      // including inside subqueries and under the AQE wrapper — which
+      // plain plan.collect does not traverse)
+      val x326Explain = Catalog.sql(spark, sf, Queries.sparkSql("x326_hits_hubs"))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val liScans = x326Explain.linesIterator
+        .count(l => l.startsWith("Location:") && l.contains("lineitem"))
+      println(s"[soak] x326 declared plan: $liScans lineitem scan nodes (x327 native: 1)")
 
       // pre-warm the x328 text fixture so the timed reps measure the
       // ingestion path, not the one-time render
