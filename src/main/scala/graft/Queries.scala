@@ -6821,10 +6821,14 @@ object Queries {
     // max-normalized. ALL arithmetic BIGINT micro-units with integer
     // division, so both engines are bit-identical regardless of join
     // order. Overflow bound: scores ≤ 1e6 so per-node sums ≤ 1e6·Σw and
-    // the 1e6-normalizer product stays under 2^63 while Σw ≤ 9.2e6
-    // lineitems — at 100 TB the edge weights would be pre-normalized to
-    // per-mille shares before iterating (same plan shape, one extra
-    // pass). Each iteration = one broadcast-able join + shuffle agg.
+    // the 1e6-normalizer product stays under 2^63 while Σw ≤ 9.2e6 per
+    // node — asserted per corpus by the r11tier soak (SCALE.md §29),
+    // and Graph.perMilleWeights pre-shrinks weights for graphs outside
+    // it. SCALE NOTE (round 11): Spark inlines these CTEs RECURSIVELY —
+    // the executed plan carries 33 scan nodes PER fact table — so this
+    // declared form is the oracle shape only; the 100 TB path is
+    // x327_hits_native (operators/Graph.hits, edge build persisted
+    // once, in-plan overflow guard), which shares this oracle verbatim.
     q("x326_hits_hubs",
       """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, cast(count(*) AS BIGINT) AS w
         |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
