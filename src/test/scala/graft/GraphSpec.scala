@@ -90,6 +90,30 @@ class GraphSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("HITS equals the reference recurrence on seeded random digraphs") {
+    // the integer-exactness claim (execution-order-independent sums +
+    // integer division) must hold for arbitrary topology, weights and
+    // depth, not just the crafted fixture above — 4 seeded random
+    // digraphs, 4-8 nodes, weight 1-9, 1-3 iterations
+    val rnd = new scala.util.Random(11)
+    (1 to 4).foreach { trial =>
+      val n = 4 + rnd.nextInt(5)
+      val ns = (1L to n.toLong).toSeq
+      val es = for {
+        s <- ns; d <- ns
+        if s != d && rnd.nextInt(3) == 0
+      } yield (s, d, 1L + rnd.nextInt(9).toLong)
+      if (es.nonEmpty) { // ≥1 edge ⇒ every half-step's max(v) > 0
+        val iters = 1 + rnd.nextInt(3)
+        val want = refHits(es, ns, iters, 1000000L)
+        val got = Graph.hits(es.toDF("src", "dst", "w"), ns.toDF("node"), iters)
+          .as[(Long, Long, Long)].collect()
+          .map { case (nd, h, a) => nd -> (h, a) }.toMap
+        assert(got === want, s"trial $trial: n=$n edges=${es.size} iters=$iters")
+      }
+    }
+  }
+
   test("per-mille weight shrink preserves hub/auth rank order on share-dominated weights") {
     // weights are exact per-mille multiples of the total (Σw = 10000 →
     // w' = w/10, no rounding) so ordering survives the shrink exactly
