@@ -165,6 +165,33 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("ccreuse")) {
+      // Does exchange reuse dedup ConnectedComponents' within-round
+      // double reference of `prop` (the round-11 HITS lesson: RaiseError
+      // blocked reuse there; CC has no assert, so reuse SHOULD fire)?
+      // Reproduce one round's plan shape and inspect the executed plan.
+      import spark.implicits._
+      val e = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L)).toDF("s", "d")
+      val und = e.union(e.select(col("d"), col("s"))).localCheckpoint(true)
+      val labels = und.select(col("s").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      val nbr = und.join(labels, und("s") === labels("id"))
+        .select(und("d").as("id"), labels("label"))
+      val prop = labels.select(col("id"), col("label")).union(nbr)
+        .groupBy("id").agg(min("label").as("label"))
+      val byId = prop.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = prop.join(byId, prop("label") === byId("jid"), "left")
+        .select(prop("id"),
+          least(prop("label"), coalesce(col("jlabel"), prop("label"))).as("label"))
+      next.collect()
+      val plan = next.queryExecution.executedPlan.toString
+      val reused = Seq("ReusedExchange", "ReusedQueryStage", "TableCacheQueryStage")
+        .map(k => k -> k.r.findAllIn(plan).size)
+      println(s"[scratch] cc round reuse markers: $reused")
+      val aggs = "HashAggregate".r.findAllIn(plan).size
+      println(s"[scratch] cc round HashAggregate nodes: $aggs (4 = prop's 2-phase agg built once+reused; 8 = built twice)")
+      spark.stop(); return
+    }
     if (args.contains("semdedup")) {
       // pair-count curve for SCALE.md §10: planted mega-cluster of
       // identical vectors, capped vs uncapped candidate pairs

@@ -92,8 +92,13 @@ object Graph {
     * frame ONCE — a linear chain that can safely nest un-materialized
     * between sparse checkpoints), each HITS half-step references its
     * frame TWICE (the max agg and the normalizing join), so every
-    * un-truncated half-step DOUBLES the recompute — exchange reuse
-    * does NOT dedup the replicated aggregation subtrees. Measured at
+    * un-truncated half-step DOUBLES the recompute. Exchange reuse
+    * cannot dedup it: the score frame's plan tops out in a join +
+    * projection, not a shuffle boundary, and ReuseExchange only dedups
+    * identical EXCHANGE subtrees (contrast [[ConnectedComponents]],
+    * whose twice-referenced `prop` ends in a shuffle agg — its
+    * exchange IS reused, one extra final-agg pass instead of a
+    * rebuild; `Scratch ccreuse` pins both behaviors). Measured at
     * sf0.1/iters=2: per-half-step truncation ~2.4 s, one nested round
     * ~4.7 s, fully nested 7–15 s, and iters=6 nested (2¹² copies)
     * fails outright. Scores are therefore localCheckpoint'ed after
@@ -127,10 +132,9 @@ object Graph {
         // loud overflow guard on the 1-ROW max — raw scores are
         // non-negative, so v·scale overflows for SOME node iff it
         // overflows for max(v): same coverage as a per-row assert at
-        // O(1) evaluations, and it keeps `all` assert-free (RaiseError
-        // is non-deterministic to Catalyst, and a non-deterministic
-        // `all` defeats the exchange reuse the nested-plan default
-        // depends on)
+        // O(1) evaluations, and it keeps the score frames free of
+        // RaiseError (non-deterministic to Catalyst, which pins
+        // per-row asserts against collapse/reorder optimizations)
         val mx = all.agg(max(col("v")).as("mxv"))
           .where(coalesce(assert_true(col("mxv") <= vBound,
             lit(s"Graph.hits: raw score exceeds 2^63/$scale — " +
