@@ -132,6 +132,20 @@ object Rehearsal {
       graft.operators.Graph.hits(edges, nodes, iters = 2).count()
     }
     println(s"[rehearsal] x327 hits nodes=$hitsN")
+    // Raw-text ingestion at 100× (round 11): the reference category's
+    // NATIVE input shape — 10 M log lines (~700 MB text) rendered once,
+    // then the x328 read path (spark.read.text → regex parse → typed
+    // agg) end-to-end under the pinned heap. Parse must be lossless:
+    // per-level row counts summing to 10 M is asserted, not printed.
+    val logAgg = phase("x328 logparse 100x") {
+      val fixture = graft.sources.LogLines.ensureEventsFixture(spark, out)
+      graft.sources.LogLines.read(spark, fixture)
+        .groupBy("level").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    }
+    assert(logAgg.values.sum == 10000000L && !logAgg.contains(null),
+      s"x328 at 100x: parse lost lines or produced null levels: $logAgg")
+    println(s"[rehearsal] x328 levels=$logAgg")
     // x301's CMS at 100× exercises the round-10 DUAL-MODE path: the
     // user space (≈991 k ids) exceeds the identity-injective width
     // 262144, so — where the r9 assert_true refused to run — the entry

@@ -106,7 +106,10 @@ object Graph {
     * cluster): a handful of O(|V|) materializations beats exponential
     * recompute at every scale that matters.
     *
-    * @param edges (src, dst, w: long) weighted directed edges
+    * @param edges (src, dst, w: long) weighted directed edges; an
+    *              EMPTY edge set yields null scores (the max
+    *              normalizer is 0 and BIGINT div 0 is null in Spark) —
+    *              HITS is undefined on an edgeless graph, filter first
     * @param nodes (node) the full vertex set, including isolated nodes
     * @param iters full auth-then-hub rounds (≥ 1)
     * @param scale score units (default micro, 10⁶ = initial hub score)
