@@ -339,6 +339,23 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("cms probe over EMPTY input: est=0 and exact=1, not a null flagged approx") {
+    // ADVICE r10 #2: an empty events frame aggregates to a null sketch
+    // and null mx/mn — every probe's true count is 0 and that zero is
+    // exact, so downstream consumers branching on the flag must see an
+    // exact zero, never a null estimate labeled approx
+    import spark.implicits._
+    val rows = operators.Sketches.cmsProbe(
+      Seq.empty[Long].toDF("key"), "key",
+      Seq(1L, 7L, 999L).toDF("key"), 4, 32).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("est")), "est must not be null on empty input")
+      assert(r.getAs[Long]("est") == 0L)
+      assert(r.getAs[Long]("exact") == 1L)
+    }
+  }
+
   test("dual-mode shapes flag exact=1 inside the structural regime") {
     import spark.implicits._
     val vals = (1L to 100L).map(v => ("a", v))
