@@ -6824,7 +6824,10 @@ object Queries {
     // the 1e6-normalizer product stays under 2^63 while Σw ≤ 9.2e6 per
     // node — asserted per corpus by the r11tier soak (SCALE.md §29),
     // and Graph.perMilleWeights pre-shrinks weights for graphs outside
-    // it. SCALE NOTE (round 11): Spark inlines these CTEs RECURSIVELY —
+    // it. (Sessions run Spark 4's default ANSI mode, so an overflow
+    // raises rather than wraps — but generically; the native tier's
+    // guard names the bound and the remedy, and protects ansi=off
+    // deployments.) SCALE NOTE (round 11): Spark inlines these CTEs RECURSIVELY —
     // the executed plan carries 33 scan nodes PER fact table — so this
     // declared form is the oracle shape only; the 100 TB path is
     // x327_hits_native (operators/Graph.hits, edge build persisted

@@ -75,11 +75,14 @@ object Graph {
     * max(v). Integer sums and integer division are execution-order
     * independent, so iterative-materialized == declarative-unrolled
     * bit-for-bit. Overflow (ADVICE r10 #4): v·scale must stay < 2⁶³,
-    * i.e. v ≤ 2⁶³/scale — enforced IN-PLAN with a per-row assert_true
-    * on every raw-score frame, so a corpus whose per-node weighted
-    * in-flow outgrows the bound fails LOUDLY on both iteration paths
-    * instead of wrapping (non-ANSI Spark would silently wrap where
-    * DuckDB raises — an engine divergence). At 100 TB, pre-shrink the
+    * i.e. v ≤ 2⁶³/scale — enforced IN-PLAN by an assert_true on each
+    * half-step's 1-row max frame (v ≥ 0, so overflow anywhere ⇔
+    * overflow at max(v)), so a corpus whose per-node weighted in-flow
+    * outgrows the bound fails with the bound and the remedy NAMED.
+    * (Sessions run Spark 4's default ANSI mode, where the product
+    * would raise anyway — but generically; the guard also protects
+    * ansi=off deployments, where it would silently wrap while DuckDB
+    * raises — an engine divergence.) At 100 TB, pre-shrink the
     * weights with `perMilleWeights(edges)` below (one extra pass, same
     * plan shape): w ← max(1, (w·1000) div Σw) caps Σ_in w' near
     * 1000 + indeg, pushing the overflow horizon to indeg ≈ 9·10¹² —

@@ -138,9 +138,10 @@ class GraphSpec extends SparkSpec {
 
   test("HITS overflow guard fails loudly instead of wrapping BIGINT") {
     // one in-edge of weight 10^7 at hub score 10^6 → raw v = 10^13 >
-    // 2^63/10^6 ≈ 9.22e12: the normalizer product would overflow, and
-    // non-ANSI Spark would wrap silently where DuckDB raises (ADVICE
-    // r10 #4) — the in-plan assert must kill the job with the remedy
+    // 2^63/10^6 ≈ 9.22e12: the normalizer product would overflow.
+    // Under default ANSI that raises generically; ansi=off would wrap
+    // silently where DuckDB raises (ADVICE r10 #4) — either way the
+    // in-plan assert must kill the job FIRST, with the remedy
     val edges = Seq((1L, 2L, 10000000L)).toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L).toDF("node")
     val e = intercept[Exception] {
