@@ -110,9 +110,12 @@ object Graph {
     * recompute at every scale that matters.
     *
     * @param edges (src, dst, w: long) weighted directed edges; an
-    *              EMPTY edge set yields null scores (the max
-    *              normalizer is 0 and BIGINT div 0 is null in Spark) —
-    *              HITS is undefined on an edgeless graph, filter first
+    *              HITS is undefined on a graph whose max raw score is
+    *              0 (no edges, or every weight 0) — the normalizer
+    *              guard fails LOUDLY with the reason named, the same
+    *              way in ANSI and ansi=off sessions (unguarded, the
+    *              div-0 would raise generically under ANSI but return
+    *              silent all-null scores with ansi=off)
     * @param nodes (node) the full vertex set, including isolated nodes
     * @param iters full auth-then-hub rounds (≥ 1)
     * @param scale score units (default micro, 10⁶ = initial hub score)
@@ -142,6 +145,10 @@ object Graph {
         // RaiseError (non-deterministic to Catalyst, which pins
         // per-row asserts against collapse/reorder optimizations)
         val mx = all.agg(max(col("v")).as("mxv"))
+          .where(coalesce(assert_true(col("mxv") >= 1L,
+            lit("Graph.hits: max raw score is 0 (no edges, or all " +
+              "weights 0) — HITS is undefined; filter to a non-empty " +
+              "positively-weighted edge set first")), lit(true)))
           .where(coalesce(assert_true(col("mxv") <= vBound,
             lit(s"Graph.hits: raw score exceeds 2^63/$scale — " +
               "normalizer product would overflow BIGINT; pre-shrink " +

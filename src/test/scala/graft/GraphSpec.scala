@@ -153,6 +153,27 @@ class GraphSpec extends SparkSpec {
       s"unexpected failure: $e")
   }
 
+  test("HITS on an edgeless or zero-weight graph fails loudly, same in both ANSI modes") {
+    // max raw score 0 ⇒ the normalizer would divide by zero — which
+    // raises GENERICALLY under default ANSI but returns silent
+    // all-null scores with ansi=off. The 1-row max guard must name
+    // the real cause first, identically in both modes.
+    import spark.implicits._
+    val nodes = Seq(1L, 2L).toDF("node")
+    Seq(
+      Seq.empty[(Long, Long, Long)],   // no edges at all
+      Seq((1L, 2L, 0L))                // edges exist, all weights 0
+    ).foreach { es =>
+      val e = intercept[Exception] {
+        Graph.hits(es.toDF("src", "dst", "w"), nodes, iters = 1).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("HITS is undefined")),
+        s"edges=$es raised without the named cause: $e")
+    }
+  }
+
   test("co-occurrence edges: min-support filters, orientation p1<p2, dup lines collapse") {
     // Baskets: {A,B,C} twice (all three pairs support 2), {A,B} once
     // more (AB support 3), and a dup'd line (10,"A") that must not
