@@ -130,6 +130,31 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("x327: iterative HITS truncates lineage; only the declared x326 unrolls the fact join") {
+    // The x140 pin applied to the round-11 HITS pair (SCALE.md §29):
+    // recursive CTE inlining hands the DECLARED x326 plan dozens of
+    // fact-scan nodes at 2 iterations (33 lineitem Locations in the
+    // formatted plan), while Graph.hits aggregates the 4-table trade
+    // join ONCE (persisted) and iterates over checkpointed score
+    // frames. Pin the asymmetry, not the exact node count (a
+    // Spark-version detail): the declared plan re-reaches lineitem,
+    // the native plan's only surviving FileScan is the nation dim it
+    // joins for display names.
+    val declared = physical("x326_hits_hubs")
+    assert("lineitem".r.findAllIn(declared).length > 1,
+      s"x326's unrolled form should re-scan the fact (else drop the native tier):\n$declared")
+    val df = SparkEntry.queries("x327_hits_native")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Scan ExistingRDD"),
+      s"scores should be lineage-truncated (localCheckpoint):\n$p")
+    Seq("lineitem", "orders", "customer", "supplier").foreach { t =>
+      assert(!p.contains(t), s"no $t scan may survive into the final plan:\n$p")
+    }
+    assert("FileScan parquet".r.findAllIn(p).length <= 1,
+      s"only the nation display join may scan parquet:\n$p")
+    spark.catalog.clearCache()
+  }
+
   // ---- inventory-wide sweep (VERDICT r2 next-#7) -----------------------
   // Every declared query's physical plan must be free of the two
   // anti-patterns that silently kill 100x scale-ups: CartesianProduct
