@@ -160,6 +160,17 @@ object BenchStream {
     // corpus instead of paying the full suite at 10×.
     val wanted = sys.env.get("SPARK_GRAFT_STREAM_OPS")
       .map(_.split(",").map(_.trim).toSet)
+    // an op name that matches nothing must fail, not silently shrink
+    // the suite: a typo'd subset would otherwise publish its sum under
+    // the same metric name as the full suite and corrupt the trend
+    wanted.foreach { ws =>
+      val known = ops.map(_._1).toSet
+      val unknown = ws.diff(known)
+      require(unknown.isEmpty, s"SPARK_GRAFT_STREAM_OPS names unknown " +
+        s"ops: ${unknown.toSeq.sorted.mkString(",")} (known: " +
+        s"${known.toSeq.sorted.mkString(",")})")
+    }
+    val subset = wanted.isDefined
     val medians = ops
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .map { case (name, f) =>
@@ -170,7 +181,9 @@ object BenchStream {
     val js = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    println(s"""{"metric":"stream_suite_total","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir"}""")
+    // subset runs get their own metric name for the same reason
+    val metric = if (subset) "stream_subset_total" else "stream_suite_total"
+    println(s"""{"metric":"$metric","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,6 +34,36 @@ object Catalog {
   // cheap (Verify/Bench call it once per query).
   private val registeredDir = new TrieMap[SparkSession, String]()
 
+  /** Collision-proof /tmp cache-dir key for a source path: the sanitized
+    * path for readability PLUS an md5-8 of the raw path — sanitization
+    * alone maps every non-[A-Za-z0-9._-] char to '_', so "/d/sf 1" and
+    * "/d/sf_1" would otherwise share a key (ADVICE r10 #3 follow-up:
+    * the fingerprint makes a collision rebuild rather than mis-reuse,
+    * but two live sources sharing a dir would rebuild on EVERY probe). */
+  def cacheKey(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("md5")
+      .digest(path.getBytes("UTF-8"))
+    path.replaceAll("[^A-Za-z0-9._-]", "_") + "." +
+      md.take(4).map("%02x".format(_)).mkString
+  }
+
+  /** Content fingerprint of a parquet source that works for BOTH layouts:
+    * a flat file (the driver corpus) and a Spark-written DIRECTORY (the
+    * 10×/100× soak corpora) — for a directory, File.length is a
+    * meaningless fs-block constant and mtime only tracks direct-child
+    * create/delete, so a part file rewritten in place would go
+    * undetected; list the data files recursively (skip _SUCCESS/.crc
+    * bookkeeping) and fingerprint each (relative name, size, mtime). */
+  def fingerprint(path: String): String = {
+    def walk(f: java.io.File, rel: String): Seq[String] =
+      if (f.isDirectory)
+        f.listFiles().sortBy(_.getName).toSeq
+          .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
+          .flatMap(c => walk(c, s"$rel/${c.getName}"))
+      else Seq(s"$rel:${f.length}:${f.lastModified}")
+    walk(new java.io.File(path), "").mkString("\n")
+  }
+
   /** Idempotently register all tables from `dir` as temp views. */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))

@@ -41,6 +41,26 @@ object Extensions {
       .orderBy(desc("sim"), col("vec_id")).limit(k)
   }
 
+  /** The nation-trade edge list — weighted src→dst nation edges from the
+    * orders⋈customer⋈lineitem⋈supplier fact join — shared by BOTH graph
+    * natives (x140 PageRank, x327 HITS) and their soak/probe harnesses.
+    * ONE definition on purpose: the x136/x326 oracle SQL unrolls this
+    * exact CTE, so every consumer must stay bit-identical to it for the
+    * declared-vs-native equivalence to hold; four hand-copies drifting
+    * apart (a join-key typo in one) would break that silently. */
+  def nationTradeEdges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Catalog.load(s, dir, "orders")
+      .join(Catalog.load(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Catalog.load(s, dir, "lineitem"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Catalog.load(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // MinHash+LSH near-dup: banded candidates, exact-Jaccard verified.
     // Runs the full Scala operator pipeline (shingling → signature →
@@ -247,15 +267,7 @@ object Extensions {
     // one scan per table; see PageRank.scala scaladoc).
     "x140_pagerank_native" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val edges = Catalog.load(s, dir, "orders")
-        .join(Catalog.load(s, dir, "customer"),
-          col("o_custkey") === col("c_custkey"))
-        .join(Catalog.load(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Catalog.load(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = nationTradeEdges(s, dir)
       val nation = Catalog.load(s, dir, "nation")
       val nodes = nation.select(col("n_nationkey").as("node"))
       graft.operators.PageRank
@@ -278,15 +290,7 @@ object Extensions {
     // scaladoc; ADVICE r10 #4).
     "x327_hits_native" -> { (s, dir) =>
       import org.apache.spark.sql.functions._
-      val edges = Catalog.load(s, dir, "orders")
-        .join(Catalog.load(s, dir, "customer"),
-          col("o_custkey") === col("c_custkey"))
-        .join(Catalog.load(s, dir, "lineitem"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(Catalog.load(s, dir, "supplier"),
-          col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = nationTradeEdges(s, dir)
       val nation = Catalog.load(s, dir, "nation")
       val nodes = nation.select(col("n_nationkey").as("node"))
       graft.operators.Graph.hits(edges, nodes, iters = 2)

@@ -90,17 +90,18 @@ object QProbe {
     if (multifile) {
       // SAME rows, 16 part files per table — multi-split scans, the
       // cluster-realistic layout. Bench inputs are never touched. The
-      // dir is keyed by the SANITIZED FULL source path (ADVICE r10 #3:
-      // a 32-bit hashCode key could collide two sources) and the _DONE
-      // sentinel carries a (size, mtime) fingerprint of every source
-      // table file — a source whose rows changed in place rebuilds
-      // instead of silently reusing the stale rewrite; a run killed
-      // mid-rewrite rebuilds from scratch (sentinel written last).
-      val dir16 = "/tmp/graft_qprobe_16f_" +
-        sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      // dir key is collision-proof (Catalog.cacheKey: sanitized path +
+      // md5-8 — ADVICE r10 #3, plus the follow-up that sanitization
+      // alone can still collide two sources into rebuild thrash) and
+      // the _DONE sentinel carries a per-data-file (name, size, mtime)
+      // fingerprint of every source table (Catalog.fingerprint — flat
+      // files AND Spark-written directory corpora) — a source whose
+      // rows changed in place rebuilds instead of silently reusing the
+      // stale rewrite; a run killed mid-rewrite rebuilds from scratch
+      // (sentinel written last).
+      val dir16 = "/tmp/graft_qprobe_16f_" + Catalog.cacheKey(sfDir)
       val fingerprint = Catalog.tables.map { t =>
-        val f = new java.io.File(s"$sfDir/$t.parquet")
-        s"$t:${f.length}:${f.lastModified}"
+        s"$t\n${Catalog.fingerprint(s"$sfDir/$t.parquet")}"
       }.mkString("\n")
       val fs = org.apache.hadoop.fs.FileSystem
         .get(spark.sparkContext.hadoopConfiguration)

@@ -115,20 +115,25 @@ object Rehearsal {
     println(s"[rehearsal] x304 rows=$paths  x293 rows=$clus")
     // x327's engine at 100× (round 11): HITS over the user→event-type
     // bipartite graph of the 10 M-row events corpus — ≈991 k hub nodes,
-    // 5 authority nodes (crc32 ids, disjoint from user ids), ~5 M
-    // weighted edges. The driver holds only the broadcast 1-row max per
-    // half-step; the in-plan overflow guard (raw score ≤ 2⁶³/10⁶) is
-    // live the whole run — Σ_in w ≈ 2 M per type leaves ~4.6×
-    // headroom, and a corpus that outgrew it would fail loudly here
-    // instead of wrapping (ADVICE r10 #4).
+    // 5 authority nodes (crc32 ids), ~5 M weighted edges. The driver
+    // holds only the broadcast 1-row max per half-step; the ENTRY
+    // overflow guard (per-node Σw ≤ 2⁶³/10¹², summed wrap-free in
+    // DOUBLE) is live the whole run — Σ_in w ≈ 2 M per type leaves
+    // ~4.6× headroom, and a corpus that outgrew it would fail loudly
+    // here instead of wrapping (ADVICE r10 #4). The union is
+    // .distinct()'d: a crc32 type id landing on an existing user_id
+    // (~0.1% odds over 991 k ids, deterministic per type-string set)
+    // would otherwise duplicate a node row and quietly inflate the
+    // final h⋈a join.
     val hitsN = phase("x327 hits 100x") {
       val ev = spark.read.parquet(s"$out/events.parquet")
         .select(col("user_id"), col("event_type"))
       val edges = ev.groupBy(col("user_id").as("src"),
           crc32(col("event_type")).as("dst"))
         .agg(count(lit(1)).as("w"))
-      val nodes = ev.select(col("user_id").as("node")).distinct()
-        .union(ev.select(crc32(col("event_type")).as("node")).distinct())
+      val nodes = ev.select(col("user_id").as("node"))
+        .union(ev.select(crc32(col("event_type")).as("node")))
+        .distinct()
       graft.operators.Graph.hits(edges, nodes, iters = 2).count()
     }
     println(s"[rehearsal] x327 hits nodes=$hitsN")

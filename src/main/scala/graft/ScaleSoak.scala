@@ -17,6 +17,24 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleSoak [rebuild]
   */
 object ScaleSoak {
+
+  /** Median-of-3 timing shared by every tier (was seven drifting local
+    * copies). Elapsed is captured BEFORE the optional inter-rep cache
+    * clear — clearing is inter-measurement hygiene, not operator cost
+    * (ADVICE r6 #5). `clearBetween` pins each tier's original protocol:
+    * tiers whose operators persist/cache internally clear so rep 2
+    * doesn't time a cache hit; pure-SQL tiers don't. Returns (median
+    * seconds, first-rep row count). */
+  private def timedMed3(spark: org.apache.spark.sql.SparkSession,
+                        clearBetween: Boolean)(f: => Long): (Double, Long) = {
+    val runs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); val n = f
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (clearBetween) spark.catalog.clearCache()
+      (dt, n)
+    }
+    (runs.map(_._1).sorted.apply(1), runs.head._2)
+  }
   private val root = "/tmp/graft_sf1"
 
   def main(args: Array[String]): Unit = {
@@ -50,17 +68,8 @@ object ScaleSoak {
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
 
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          // elapsed captured BEFORE the inter-rep cache clear — clearing
-          // is inter-measurement hygiene, not operator cost (ADVICE r6 #5)
-          val t0 = System.nanoTime(); val n = f
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          (dt, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
 
       Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
         // x111: x74 banded-MinHash pairs closed into components
@@ -121,13 +130,8 @@ object ScaleSoak {
       if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); val n = f
-          ((System.nanoTime() - t0) / 1e9, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = false)(f)
       def runQ(dir: String, name: String): (Double, Long) =
         med3 { Catalog.sql(spark, dir, Queries.sparkSql(name)).collect().length.toLong }
       Seq("x183_sequence_gaps", "x189_concentration", "x198_peak_concurrency")
@@ -176,13 +180,8 @@ object ScaleSoak {
       if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); val n = f
-          ((System.nanoTime() - t0) / 1e9, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = false)(f)
       def runN(dir: String, name: String): (Double, Long) =
         med3 { SparkEntry.queries(name)(spark, dir).collect().length.toLong }
       Seq("x230_grid_radius_join", "x231_inverted_index", "x232_bigram_lm",
@@ -285,15 +284,8 @@ object ScaleSoak {
       if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); val n = f
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          (dt, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
       // x261/x266 are dual-mode since round 10: assert the soak corpus
       // is still inside the exact regime (every row exact = 1), the
       // same re-proof the r9tier block applies to x301
@@ -359,15 +351,8 @@ object ScaleSoak {
       if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); val n = f
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          (dt, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
       def runN(dir: String, name: String): (Double, Long) =
         med3 {
           val rows = SparkEntry.queries(name)(spark, dir).collect()
@@ -404,15 +389,8 @@ object ScaleSoak {
       if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
-      def med3(f: => Long): (Double, Long) = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); val n = f
-          val dt = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          (dt, n)
-        }
-        (runs.map(_._1).sorted.apply(1), runs.head._2)
-      }
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
       def runN(dir: String, name: String): (Double, Long) =
         med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
 
@@ -425,16 +403,7 @@ object ScaleSoak {
       // hub reads out-edges) is ≤ 2⁶³/10¹² ≈ 9.22e6.
       val wBound = Long.MaxValue / 1000000L / 1000000L
       Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
-        val e = Catalog.load(spark, dir, "orders")
-          .join(Catalog.load(spark, dir, "customer"),
-            col("o_custkey") === col("c_custkey"))
-          .join(Catalog.load(spark, dir, "lineitem"),
-            col("l_orderkey") === col("o_orderkey"))
-          .join(Catalog.load(spark, dir, "supplier"),
-            col("l_suppkey") === col("s_suppkey"))
-          .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-          .agg(count(lit(1)).as("w"))
-          .localCheckpoint(true)
+        val e = Extensions.nationTradeEdges(spark, dir).localCheckpoint(true)
         def maxSum(k: String) = e.groupBy(k).agg(sum("w").as("s"))
           .agg(max("s")).collect()(0).getLong(0)
         val (maxIn, maxOut) = (maxSum("dst"), maxSum("src"))
@@ -497,12 +466,8 @@ object ScaleSoak {
           || args.contains("rebuild"))
         buildFull(spark, sf, out)
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
-      def med3(f: => Long): Double = {
-        val runs = (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }
-        runs.sorted.apply(1)
-      }
+      def med3(f: => Long): Double =
+        timedMed3(spark, clearBetween = false)(f)._1
       Seq(("sf0.1", sf), ("10x", out)).foreach { case (label, dir) =>
         val li = Catalog.load(spark, dir, "lineitem")
         val tEx = med3(operators.ColumnProfile.profile(li, cols).count())

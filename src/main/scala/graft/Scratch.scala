@@ -211,12 +211,7 @@ object Scratch {
     if (args.contains("hits")) {
       // x327 shape A/B: nested-plan (exchange-reuse) vs per-round
       // localCheckpoint truncation — same results by construction
-      val edges = Catalog.load(spark, dir, "orders")
-        .join(Catalog.load(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(Catalog.load(spark, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
-        .join(Catalog.load(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      val edges = Extensions.nationTradeEdges(spark, dir)
       val nodes = Catalog.load(spark, dir, "nation")
         .select(col("n_nationkey").as("node"))
       // Nested (un-truncated) variants are deliberately absent from the

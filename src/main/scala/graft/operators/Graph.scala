@@ -74,15 +74,26 @@ object Graph {
     * edges, 0 for isolated nodes; normalized score = (v·scale) div
     * max(v). Integer sums and integer division are execution-order
     * independent, so iterative-materialized == declarative-unrolled
-    * bit-for-bit. Overflow (ADVICE r10 #4): v·scale must stay < 2⁶³,
-    * i.e. v ≤ 2⁶³/scale — enforced IN-PLAN by an assert_true on each
-    * half-step's 1-row max frame (v ≥ 0, so overflow anywhere ⇔
-    * overflow at max(v)), so a corpus whose per-node weighted in-flow
-    * outgrows the bound fails with the bound and the remedy NAMED.
-    * (Sessions run Spark 4's default ANSI mode, where the product
-    * would raise anyway — but generically; the guard also protects
-    * ansi=off deployments, where it would silently wrap while DuckDB
-    * raises — an engine divergence.) At 100 TB, pre-shrink the
+    * bit-for-bit. Overflow (ADVICE r10 #4): v·scale must stay < 2⁶³.
+    * Guarding v AFTER the Σ(score·w) aggregation is blind past 2⁶³ —
+    * with ansi=off the sum itself wraps modulo 2⁶⁴ first, and the
+    * wrapped value can land back UNDER the bound and pass (true
+    * v ≈ 1.8·10¹⁹ wraps to ≈ 4.5·10¹¹), silently corrupting scores
+    * while DuckDB raises — the exact engine divergence the guard
+    * exists to prevent. So the guard runs at ENTRY on quantities no
+    * BIGINT arithmetic has touched: per-node Σw in each direction,
+    * summed as DOUBLE (non-negative double sums cannot wrap, and are
+    * exact below 2⁵³ — six orders of magnitude above the bound), with
+    * max(Σw) ≤ 2⁶³/scale² and min(w) ≥ 0 asserted on the 1-row frame.
+    * Every score is ≤ scale by construction (initial h = scale;
+    * normalized s = v·scale div max(v) ≤ scale), so per node
+    * v = Σ score·w ≤ scale·Σw ≤ 2⁶³/scale: no term, partial sum, or
+    * normalizer product can reach 2⁶³ in ANY later step — wrap-free by
+    * induction, not spot-checked after the fact. A corpus outside the
+    * bound fails at entry with the bound and the remedy NAMED, the
+    * same way in ANSI-on (where the wrap would raise, but generically)
+    * and ansi=off (where nothing else would catch it) sessions.
+    * At 100 TB, pre-shrink the
     * weights with `perMilleWeights(edges)` below (one extra pass, same
     * plan shape): w ← max(1, (w·1000) div Σw) caps Σ_in w' near
     * 1000 + indeg, pushing the overflow horizon to indeg ≈ 9·10¹² —
@@ -128,7 +139,34 @@ object Graph {
     val nds = nodes.select(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val vBound = Long.MaxValue / scale
+      // ENTRY overflow guard (see the arithmetic-contract scaladoc):
+      // per-node Σw per direction in DOUBLE — untouched by any BIGINT
+      // op that could wrap first — bounded by 2⁶³/scale², which by the
+      // score ≤ scale induction keeps every later product, partial
+      // sum, and normalizer under 2⁶³ in BOTH ANSI modes. One 1-row
+      // aggregate over the just-persisted edges (so this also warms
+      // the cache the half-steps reuse); negative weights rejected in
+      // the same pass (they would break the v ≥ 0 zero-guard logic
+      // and sign the scores silently with ansi=off).
+      val swBound = (Long.MaxValue / scale / scale).toDouble
+      ew.select(col("src").as("node"), col("w"))
+        .union(ew.select(col("dst").as("node"), col("w")))
+        .groupBy("node").agg(sum(col("w").cast("double")).as("sw"))
+        .agg(max(col("sw")).as("mxsw"))
+        .crossJoin(ew.agg(min(col("w")).as("mnw")))
+        // NULL aggregates = empty edge set: pass here so the half-step
+        // zero-normalizer guard names the real cause ("HITS is
+        // undefined"), not a phantom weight violation
+        .where(coalesce(assert_true(coalesce(col("mnw") >= 0L, lit(true)),
+          lit("Graph.hits: negative edge weight — HITS scores are " +
+            "defined over non-negative weights; filter or abs() the " +
+            "edge set first")), lit(true)))
+        .where(coalesce(assert_true(coalesce(col("mxsw") <= swBound, lit(true)),
+          lit(s"Graph.hits: a node's total edge weight exceeds " +
+            s"2^63/$scale^2 — the score·weight sum could wrap BIGINT " +
+            "before any in-plan check runs; pre-shrink weights with " +
+            "Graph.perMilleWeights")), lit(true)))
+        .collect()
       // one half-step: raw = Σ score(other end)·w grouped by `probe`,
       // isolated nodes coalesced to 0, then max-normalize to `scale`
       def halfStep(scores: DataFrame, scoreCol: String,
@@ -138,21 +176,15 @@ object Graph {
           .agg(sum(col(scoreCol) * col("w")).as("v"))
         val all = nds.join(raw, Seq("node"), "left")
           .select(col("node"), coalesce(col("v"), lit(0L)).as("v"))
-        // loud overflow guard on the 1-ROW max — raw scores are
-        // non-negative, so v·scale overflows for SOME node iff it
-        // overflows for max(v): same coverage as a per-row assert at
-        // O(1) evaluations, and it keeps the score frames free of
-        // RaiseError (non-deterministic to Catalyst, which pins
-        // per-row asserts against collapse/reorder optimizations)
+        // zero-normalizer guard on the 1-ROW max (overflow is already
+        // excluded at entry; this one is data-shape-dependent — a
+        // subgraph can go all-zero only when the whole graph has no
+        // positive weight, but the guard is O(1) so it stays)
         val mx = all.agg(max(col("v")).as("mxv"))
           .where(coalesce(assert_true(col("mxv") >= 1L,
             lit("Graph.hits: max raw score is 0 (no edges, or all " +
               "weights 0) — HITS is undefined; filter to a non-empty " +
               "positively-weighted edge set first")), lit(true)))
-          .where(coalesce(assert_true(col("mxv") <= vBound,
-            lit(s"Graph.hits: raw score exceeds 2^63/$scale — " +
-              "normalizer product would overflow BIGINT; pre-shrink " +
-              "weights with Graph.perMilleWeights")), lit(true)))
         all.crossJoin(broadcast(mx))
           .select(col("node"),
             expr(s"(v * $scale) div mxv").cast("long").as("s"))

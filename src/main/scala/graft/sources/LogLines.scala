@@ -58,14 +58,17 @@ object LogLines {
     * the raw-text path is exercised by rendering `events` as log lines
     * into /tmp — 4 files, bucketed by user — and re-reading them through
     * [[read]]. Written lazily once per source corpus; the _GRAFT_DONE
-    * sentinel carries a (size, mtime) fingerprint of the source
-    * events.parquet (the QProbe cache-key lesson, ADVICE r10 #3), and is
-    * written LAST so a run killed mid-write rebuilds. Spark's text scan
+    * sentinel carries a per-data-file (name, size, mtime) fingerprint of
+    * the source events.parquet — [[graft.Catalog.fingerprint]], which
+    * handles the flat-file driver corpus AND Spark-written directory
+    * corpora (the 10×/100× soaks), where File.length/lastModified on the
+    * directory itself would miss an in-place part rewrite — and is
+    * written LAST so a run killed mid-write rebuilds. The dir key is
+    * collision-proof ([[graft.Catalog.cacheKey]]). Spark's text scan
     * skips `_`-prefixed files, so the sentinel never parses as a line. */
   def ensureEventsFixture(spark: SparkSession, sfDir: String): String = {
-    val dir = "/tmp/graft-logtext/" + sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val src = new java.io.File(s"$sfDir/events.parquet")
-    val fingerprint = s"${src.length}:${src.lastModified}"
+    val dir = "/tmp/graft-logtext/" + graft.Catalog.cacheKey(sfDir)
+    val fingerprint = graft.Catalog.fingerprint(s"$sfDir/events.parquet")
     val done = new java.io.File(dir, "_GRAFT_DONE")
     val fresh = done.isFile &&
       java.nio.file.Files.readString(done.toPath) == fingerprint

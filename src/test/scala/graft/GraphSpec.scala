@@ -141,7 +141,7 @@ class GraphSpec extends SparkSpec {
     // 2^63/10^6 ≈ 9.22e12: the normalizer product would overflow.
     // Under default ANSI that raises generically; ansi=off would wrap
     // silently where DuckDB raises (ADVICE r10 #4) — either way the
-    // in-plan assert must kill the job FIRST, with the remedy
+    // entry guard must kill the job FIRST, with the remedy
     val edges = Seq((1L, 2L, 10000000L)).toDF("src", "dst", "w")
     val nodes = Seq(1L, 2L).toDF("node")
     val e = intercept[Exception] {
@@ -150,6 +150,51 @@ class GraphSpec extends SparkSpec {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("perMilleWeights")),
+      s"unexpected failure: $e")
+  }
+
+  test("HITS overflow guard is not blind past 2^63 with ansi=off (wrap-landing regime)") {
+    // w = 2^64/10^6 + δ: true v = 10^6·w ≈ 1.8e19 ≥ 2^63, and with
+    // ansi=off the BIGINT sum wraps modulo 2^64 to a SMALL positive
+    // value that would sail under any post-aggregation v ≤ bound
+    // check — the silent-corruption regime a guard placed after the
+    // sum cannot see. The entry guard runs on per-node Σw in DOUBLE
+    // (cannot wrap), so it must fail with the named remedy BEFORE any
+    // wrapping arithmetic executes, in ansi=off exactly like ANSI-on.
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val edges = Seq((1L, 2L, 18446744073710L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    // sanity of the fixture: 10^6·w mod 2^64 is positive and under the
+    // old post-sum bound 2^63/10^6 — i.e. this input WOULD have passed
+    val wrapped = 1000000L * 18446744073710L
+    assert(wrapped > 0L && wrapped < Long.MaxValue / 1000000L,
+      s"fixture no longer lands in the wrap-blind window: $wrapped")
+    for (ansi <- Seq("true", "false")) {
+      val prev = spark.conf.get("spark.sql.ansi.enabled")
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val e = intercept[Exception] {
+          Graph.hits(edges, nodes, iters = 1).collect()
+        }
+        assert(msgs(e).exists(_.contains("perMilleWeights")),
+          s"ansi=$ansi raised without the named remedy: $e")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+  }
+
+  test("HITS rejects negative edge weights by name") {
+    // a negative weight breaks the v >= 0 induction the zero-guard and
+    // the overflow bound both rest on, and with ansi=off it would just
+    // sign the scores silently — the entry guard names it instead
+    val edges = Seq((1L, 2L, 5L), (2L, 1L, -1L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Graph.hits(edges, nodes, iters = 1).collect()
+    }
+    assert(msgs(e).exists(_.contains("non-negative weights")),
       s"unexpected failure: $e")
   }
 
