@@ -6831,7 +6831,7 @@ object Queries {
     // the executed plan carries 33 scan nodes PER fact table — so this
     // declared form is the oracle shape only; the 100 TB path is
     // x327_hits_native (operators/Graph.hits, edge build persisted
-    // once, in-plan overflow guard), which shares this oracle verbatim.
+    // once, entry overflow guard), which shares this oracle verbatim.
     q("x326_hits_hubs",
       """WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, cast(count(*) AS BIGINT) AS w
         |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
