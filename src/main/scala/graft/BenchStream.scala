@@ -112,7 +112,7 @@ object BenchStream {
     val ops: Seq[(String, () => Unit)] = Seq(
       "neardup" -> { () =>
         drain(graft.streaming.NearDupStream
-          .nearDupFlags(fileStream(docsDir, docsSchema), maxHamming = 6), "update")
+          .nearDupFlags(fileStream(docsDir, docsSchema), maxHamming = 6), "append")
       },
       "funnel" -> { () =>
         drain(graft.streaming.EventStream

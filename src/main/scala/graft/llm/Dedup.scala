@@ -284,13 +284,20 @@ object Dedup {
     * 32-bit portable path. */
   private def hammingPairs(sigs: DataFrame, sigBits: Int,
                            maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming must be in [0, ${sigBits - 1}] (got $maxHamming)")
     val chunks = maxHamming + 1
     val width = sigBits / chunks
+    // width = 64 (maxHamming = 0 on the 64-bit path: exact-dup banding,
+    // one full-width chunk) needs the all-ones mask spelled out —
+    // 1L << 64 wraps to 1 (Scala shifts mod 64), so (1L << 64) - 1
+    // would mask every signature to bucket 0 and band ALL docs together
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     val banded = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until chunks).map(c => struct(
         lit(c).as("chunk"),
         shiftright(col("simhash"), c * width)
-          .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("ck"))
+          .bitwiseAND(mask).as("key"))): _*)).as("ck"))
       .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.key"))
     banded.as("x").join(banded.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.key") === col("y.key") &&

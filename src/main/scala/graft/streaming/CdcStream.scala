@@ -181,20 +181,56 @@ object CdcStream {
   private def bucketOf(key: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(key), lit(nBuckets.toLong)).cast("int")
 
+  /** Column names the merge plumbing owns: the physical partition
+    * column plus the __-prefixed scratch columns. A batch using one of
+    * these would be silently clobbered (the partition column `b` in
+    * particular moves out of the data files and reads back NULL), so
+    * [[applyBatch]] rejects them by name up front. */
+  private val ReservedCols =
+    Set("b", "__rn", "__p", "__b", "__bk", "__dk", "__dseq", "__m")
+
   /** Apply one micro-batch of changes. Batch schema: the key column,
-    * payload columns, a `seq` long (change order — latest wins), and a
-    * `deleted` boolean (tombstone). Only buckets containing changed
-    * keys are read and rewritten; every other bucket is carried into
-    * the new version as a manifest reference to its existing files.
-    * `txnId` (pass the foreachBatch micro-batch id) makes crash-replay
-    * of an already-committed batch a no-op. Returns the new (or, on an
-    * idempotent skip, existing) version number. */
+    * payload columns, a `seq` long (change order), and a `deleted`
+    * boolean (tombstone). Only buckets containing changed keys are
+    * read and rewritten; every other bucket is carried into the new
+    * version as a manifest reference to its existing files. `txnId`
+    * (pass the foreachBatch micro-batch id) makes crash-replay of an
+    * already-committed batch a no-op. Returns the new (or, on an
+    * idempotent skip, existing) version number.
+    *
+    * Latest-wins holds ACROSS batches, not just within one: the seq is
+    * PERSISTED with each row (last stored column), and the merge keeps
+    * whichever of base/batch carries the higher seq — a late batch
+    * replaying an older change is a no-op for that key instead of a
+    * silent regression (which unconditional batch-wins would produce
+    * the moment the transport reorders across micro-batches: a
+    * multi-partition source without key partitioning, a backfill, a
+    * compacted feed). Tombstones carry their seq too and only delete
+    * rows they are strictly newer than; ties resolve upsert-over-
+    * tombstone, matching the in-batch tie-break. Known limit (the
+    * classic tombstone-retention problem): a tombstone removes the
+    * row AND its seq, so a staler update arriving after the delete
+    * re-inserts — full protection needs tombstone retention, which
+    * this format does not carry.
+    *
+    * Schema contract: reserved internal names ([[ReservedCols]]) are
+    * rejected, and after the first commit the batch's (key, payload,
+    * seq) column set must EQUAL the table's — a batch missing a column
+    * would otherwise silently narrow the committed schema and null
+    * that column across every carried bucket. */
   def applyBatch(spark: SparkSession, tableDir: String, batch: DataFrame,
                  keyCol: String, seqCol: String = "seq",
                  deletedCol: String = "deleted", nBuckets: Int = 16,
                  txnId: Option[String] = None): Long = {
+    val clash = batch.columns.filter(ReservedCols)
+    require(clash.isEmpty, s"CdcStream.applyBatch: column name(s) " +
+      s"${clash.mkString(", ")} are reserved by the merge plumbing " +
+      "(partition column 'b' and __-prefixed scratch); rename them upstream")
     val payloadCols = batch.columns.filterNot(c =>
       c == keyCol || c == seqCol || c == deletedCol).toSeq
+    // seq rides with the row (last stored column) so later batches can
+    // compare against it — cross-batch latest-wins needs it on disk
+    val storedCols = payloadCols :+ seqCol
 
     val vs = versionDirs(spark, tableDir)
     // replay idempotence: the latest commit already applied this txn
@@ -204,6 +240,20 @@ object CdcStream {
     } yield n
     if (alreadyApplied.isDefined) return alreadyApplied.get
     val prev = vs.lastOption.map { case (_, p) => readManifest(spark, p) }
+    prev.foreach { p =>
+      val stored = p.schema.fieldNames.toSet
+      if (!stored.contains(seqCol))
+        throw new IllegalStateException(
+          s"table $tableDir was written by a pre-seq format (stored " +
+            s"columns: ${stored.toSeq.sorted.mkString(", ")}); it cannot " +
+            "take cross-batch ordered merges — rebuild it")
+      val now = (keyCol +: storedCols).toSet
+      require(now == stored, s"CdcStream.applyBatch: batch column set " +
+        s"does not match the table's — missing ${(stored -- now).toSeq.sorted
+          .mkString("{", ",", "}")}, extra ${(now -- stored).toSeq.sorted
+          .mkString("{", ",", "}")}; a narrowed batch would silently null " +
+        "the missing column across the whole table")
+    }
     // bucket scheme is fixed at table creation; later batches follow it
     val nb = prev.map(_.nBuckets).getOrElse(nBuckets)
     val next = vs.lastOption.map(_._1 + 1).getOrElse(0L)
@@ -215,59 +265,77 @@ object CdcStream {
 
     // latest-wins within the batch, tie-broken deterministically:
     // equal seq resolves upsert-over-tombstone, then by payload hash
-    // (ADVICE r5: seq desc alone left equal-seq picks unspecified)
+    // (ADVICE r5: seq desc alone left equal-seq picks unspecified).
+    // Persisted: it feeds three actions (the changed-bucket collect,
+    // the merged write's upsert and tombstone branches) — unpersisted,
+    // every micro-batch would pay the batch scan + per-key window
+    // shuffle twice or more on the hot streaming path.
     val w = Window.partitionBy(keyCol).orderBy(col(seqCol).desc,
       col(deletedCol).asc, xxhash64(struct(payloadCols.map(col): _*)).asc)
     val lastChange = batch
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
-    val upserts = lastChange.where(!col(deletedCol))
-      .select(col(keyCol), struct(payloadCols.map(col): _*).as("__p"))
-    val tombstones = lastChange.where(col(deletedCol)).select(col(keyCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val upserts = lastChange.where(!col(deletedCol))
+        .select(col(keyCol), struct(storedCols.map(col): _*).as("__p"))
+      val tombstones = lastChange.where(col(deletedCol))
+        .select(col(keyCol).as("__dk"), col(seqCol).as("__dseq"))
 
-    // the pruning set: distinct buckets of changed keys — at most
-    // min(|batch|, nBuckets) ints, config-bounded driver metadata
-    val changed: Set[Int] = lastChange
-      .select(bucketOf(col(keyCol), nb).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
+      // the pruning set: distinct buckets of changed keys — at most
+      // min(|batch|, nBuckets) ints, config-bounded driver metadata
+      val changed: Set[Int] = lastChange
+        .select(bucketOf(col(keyCol), nb).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
 
-    // base = ONLY the changed buckets of the previous version
-    val baseDirs = prev.toSeq.flatMap(_.buckets.collect {
-      case (b, dir) if changed(b) => dir
-    })
-    val merged = if (prev.isEmpty || baseDirs.isEmpty) {
-      upserts.select(col(keyCol) +: payloadCols.map(c => col("__p").getField(c).as(c)): _*)
-    } else {
-      val base = spark.read.schema(prev.get.schema).parquet(baseDirs.distinct: _*)
-        .select(col(keyCol).as("__bk"), struct(payloadCols.map(col): _*).as("__b"))
-      // x169's full-outer coalesce, struct-packed to stay generic
-      base.join(upserts, col("__bk") === col(keyCol), "full_outer")
-        .select(coalesce(col(keyCol), col("__bk")).as(keyCol),
-                coalesce(col("__p"), col("__b")).as("__m"))
-        .join(tombstones.withColumnRenamed(keyCol, "__dk"),
-              col(keyCol) === col("__dk"), "left_anti")
-        .select(col(keyCol) +: payloadCols.map(c => col("__m").getField(c).as(c)): _*)
-    }
+      // base = ONLY the changed buckets of the previous version
+      val baseDirs = prev.toSeq.flatMap(_.buckets.collect {
+        case (b, dir) if changed(b) => dir
+      })
+      val merged = if (prev.isEmpty || baseDirs.isEmpty) {
+        upserts.select(col(keyCol) +: storedCols.map(c => col("__p").getField(c).as(c)): _*)
+      } else {
+        val base = spark.read.schema(prev.get.schema).parquet(baseDirs.distinct: _*)
+          .select(col(keyCol).as("__bk"), struct(storedCols.map(col): _*).as("__b"))
+        // x169's full-outer coalesce, struct-packed to stay generic —
+        // except the winner is chosen by SEQ, not by presence: a batch
+        // row only replaces the base row it is at-least-as-new as
+        base.join(upserts, col("__bk") === col(keyCol), "full_outer")
+          .select(coalesce(col(keyCol), col("__bk")).as(keyCol),
+                  when(col("__p").isNull, col("__b"))
+                    .when(col("__b").isNull, col("__p"))
+                    .when(col("__p").getField(seqCol) >= col("__b").getField(seqCol),
+                      col("__p"))
+                    .otherwise(col("__b")).as("__m"))
+          .join(tombstones, col(keyCol) === col("__dk"), "left")
+          // delete only when the tombstone is STRICTLY newer than the
+          // surviving row (ties keep the row — upsert-over-tombstone,
+          // same as the in-batch rule); a stale tombstone is a no-op
+          .where(col("__dseq").isNull ||
+            col("__dseq") <= col("__m").getField(seqCol))
+          .select(col(keyCol) +: storedCols.map(c => col("__m").getField(c).as(c)): _*)
+      }
 
-    // unique data dir per attempt: no writer (racer or replayer) can
-    // ever overwrite files an existing manifest references (ADVICE r6)
-    val dataDir = s"$tableDir/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
-    merged.withColumn("b", bucketOf(col(keyCol), nb))
-      .write.partitionBy("b").parquet(dataDir)
+      // unique data dir per attempt: no writer (racer or replayer) can
+      // ever overwrite files an existing manifest references (ADVICE r6)
+      val dataDir = s"$tableDir/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+      merged.withColumn("b", bucketOf(col(keyCol), nb))
+        .write.partitionBy("b").parquet(dataDir)
 
-    // rewritten buckets = the b=<x> dirs the write actually produced
-    // (a fully-tombstoned bucket produces none and leaves the table)
-    val dd = new Path(dataDir)
-    val f = fs(spark, dd)
-    val written: Map[Int, String] = f.listStatus(dd).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
-      .map(s => s.getPath.getName.drop(2).toInt -> s.getPath.toString).toMap
+      // rewritten buckets = the b=<x> dirs the write actually produced
+      // (a fully-tombstoned bucket produces none and leaves the table)
+      val dd = new Path(dataDir)
+      val f = fs(spark, dd)
+      val written: Map[Int, String] = f.listStatus(dd).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+        .map(s => s.getPath.getName.drop(2).toInt -> s.getPath.toString).toMap
 
-    val carried = prev.map(_.buckets.filterNot { case (b, _) => changed(b) })
-      .getOrElse(Map.empty)
-    val schema = org.apache.spark.sql.types.StructType(
-      merged.schema.fields)
-    commit(spark, tableDir, next, Commit(schema, nb, carried ++ written), txnId)
-    next
+      val carried = prev.map(_.buckets.filterNot { case (b, _) => changed(b) })
+        .getOrElse(Map.empty)
+      val schema = org.apache.spark.sql.types.StructType(
+        merged.schema.fields)
+      commit(spark, tableDir, next, Commit(schema, nb, carried ++ written), txnId)
+      next
+    } finally lastChange.unpersist()
   }
 
   /** What [[vacuum]] reclaimed (spec / operational reporting). */
@@ -287,11 +355,22 @@ object CdcStream {
     * be partially live); a data dir itself goes only when none of its
     * buckets survive. Orphaned `.tmp-v*` manifest dirs (crashed
     * commits) are reclaimed too. The latest commit is never touched
-    * (`keepLast >= 1` enforced). Single-writer discipline is the same
-    * one the streaming sink already requires: don't vacuum concurrently
-    * with an in-flight applyBatch, or its not-yet-committed unique data
-    * dir could be swept as an orphan (crash-replay then rewrites it —
-    * safety degrades to a wasted batch, never a corrupt table).
+    * (`keepLast >= 1` enforced).
+    *
+    * Writer-vs-vacuum (`graceMs`): an IN-FLIGHT applyBatch has written
+    * its unique data dir but not yet committed — to a vacuum that dir
+    * is indistinguishable from crash debris, and sweeping it would let
+    * the writer commit a manifest pointing at deleted files (a corrupt
+    * version, not a wasted batch). So never-referenced dirs (and .tmp
+    * commit attempts) are reclaimed only once OLDER than `graceMs`
+    * (default 15 min — an applyBatch's write phase is micro-batch-
+    * sized, orders of magnitude shorter). Dirs referenced by a
+    * manifest this vacuum DROPS are known-dead (committed, then
+    * expired) and reclaim immediately regardless of age. `graceMs = 0`
+    * restores sweep-everything for offline cleanup when no writer can
+    * be live. A writer stalled LONGER than the grace mid-write remains
+    * exposed — single-writer-or-grace is the documented discipline,
+    * the same one every manifest-format vacuum (Delta, Iceberg) ships.
     *
     * Reader-vs-vacuum contract (VERDICT r7 #4) — a reader holding
     * version v while vacuum expires v FAILS CLEANLY, it never reads
@@ -309,23 +388,35 @@ object CdcStream {
     *  - readers of any KEPT version (including latest, which vacuum
     *    never touches) are unaffected: their files are never deleted,
     *    pre- and post-vacuum reads are byte-identical. */
-  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int): VacuumStats = {
+  def vacuum(spark: SparkSession, tableDir: String, keepLast: Int,
+             graceMs: Long = 15L * 60 * 1000): VacuumStats = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
     val root = new Path(tableDir)
     val f = fs(spark, root)
     if (!f.exists(root)) return VacuumStats(0, 0, 0, 0)
+    val cutoff = System.currentTimeMillis() - graceMs
     val vs = versionDirs(spark, tableDir)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     val referenced: Set[String] =
       keep.flatMap { case (_, p) => readManifest(spark, p).buckets.values }.toSet
+    // dirs the DROPPED manifests referenced: committed-then-expired, so
+    // known-dead — no grace needed (an in-flight writer's dir can never
+    // appear here; it is unreferenced by definition until its commit)
+    val deadReferenced: Set[String] =
+      drop.flatMap { case (_, p) => readManifest(spark, p).buckets.values }
+        .toSet -- referenced
 
     // 1. prune expired manifests — after this no reader can reach them
     drop.foreach { case (_, p) => f.delete(p, true) }
-    // 2. crashed-commit temp manifest dirs (never renamed => never live)
+    // 2. crashed-commit temp manifest dirs (never renamed => never
+    // live), aged past the grace — a fresh one may be a commit racing us
     val tmps = f.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-v")
+        && s.getModificationTime < cutoff)
     tmps.foreach(s => f.delete(s.getPath, true))
-    // 3. data bucket dirs no surviving manifest references
+    // 3. data bucket dirs no surviving manifest references: expired
+    // ones immediately, never-referenced ones only once aged past the
+    // grace (they may belong to an applyBatch that has not committed)
     var bucketsDeleted = 0
     var dataDirsDeleted = 0
     val dataRoot = new Path(root, "data")
@@ -333,9 +424,13 @@ object CdcStream {
       f.listStatus(dataRoot).toSeq.filter(_.isDirectory).foreach { vd =>
         val bs = f.listStatus(vd.getPath).toSeq
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
-        val (live, dead) = bs.partition(s => referenced(s.getPath.toString))
+        val (live, unref) = bs.partition(s => referenced(s.getPath.toString))
+        val dead = unref.filter(s => deadReferenced(s.getPath.toString) ||
+          s.getModificationTime < cutoff)
         dead.foreach { s => f.delete(s.getPath, true); bucketsDeleted += 1 }
-        if (live.isEmpty) { f.delete(vd.getPath, true); dataDirsDeleted += 1 }
+        if (live.isEmpty && dead.size == unref.size) {
+          f.delete(vd.getPath, true); dataDirsDeleted += 1
+        }
       }
     }
     VacuumStats(drop.size, bucketsDeleted, dataDirsDeleted, tmps.size)

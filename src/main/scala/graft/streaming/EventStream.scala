@@ -132,7 +132,10 @@ object EventStream {
       .agg(count(lit(1)).as("tot"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err"))
       .select(col("window.start").as("w_start"), col("err"), col("tot"),
-        floor(col("err") * lit(10000L) / col("tot")).cast("long").as("rate_bp"),
+        // integer `div`, not float `/`+floor: long/long is DoubleType in
+        // Spark, which breaks the "exact integer basis points" contract
+        // once err*10000 passes 2^53 (a 6h window at corpus scale)
+        expr("err * 10000L div tot").cast("long").as("rate_bp"),
         when(col("err") * lit(1000L) > col("tot") * lit(144L), 1L)
           .otherwise(0L).as("alert_fast"))
 
@@ -286,6 +289,8 @@ object EventStream {
                       flushType: String = "__flush"): DataFrame = {
     val spark = events.sparkSession
     val maxTs = events.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    require(maxTs != null,
+      "withFlushEvents: empty events input — no max ts to anchor the flush rows")
     val flushTs = new java.sql.Timestamp(maxTs.getTime + 366L * 86400000L)
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val flush = events.select(col("user_id")).distinct()

@@ -32,30 +32,45 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   *    (doc_id, dupInThisBucket) with rows processed in doc_id order for
   *    within-batch determinism.
   *  - A doc lands in maxHamming+1 buckets; the per-doc verdict is the OR
-  *    of its bucket flags — a streaming aggregation keyed by doc_id
-  *    (legal after Append-mode flatMapGroupsWithState). All of a doc's
-  *    bucket rows are produced by the same input row, hence the same
-  *    micro-batch: the verdict finalizes in that batch (drain in update
-  *    mode).
+  *    of its bucket flags. All of a doc's bucket rows are produced by
+  *    the same input row, hence the same micro-batch, so the OR needs
+  *    NO memory of other batches: it runs as a second keyed
+  *    flatMapGroupsWithState that never writes state — one shuffle of
+  *    (docId, flag) pairs, an empty state store, verdicts emitted in
+  *    the same micro-batch (drain in append mode). A streaming
+  *    groupBy(doc_id).agg(max(...)) would compute the same OR but
+  *    retain one state row PER DISTINCT DOC EVER SEEN with no
+  *    watermark to expire it — an unbounded leak that would eventually
+  *    OOM an ingest pipeline no matter what `maxPerBucket` is set to.
   *
   * Scale notes: state is sharded by bucket across executors (no global
   * structure); volume is one (docId, sig) pair per doc per band —
-  * 16 bytes × (maxHamming+1) per doc. On an unbounded crawl, bound it
-  * with `maxPerBucket` (ring-buffer eviction of the oldest signatures,
-  * trading exactness for a hard memory cap) — boilerplate-heavy buckets
-  * are the same skew hotspot the batch band join has, and cap first.
+  * 16 bytes × (maxHamming+1) per doc, and NOTHING per doc downstream
+  * (the verdict stage is stateless by construction). On an unbounded
+  * crawl, bound it with `maxPerBucket` (ring-buffer eviction of the
+  * oldest signatures, trading exactness for a hard memory cap) —
+  * boilerplate-heavy buckets are the same skew hotspot the batch band
+  * join has, and cap first.
   */
 object NearDupStream {
 
   /** docs (streaming; doc_id long, text string) →
-    * (doc_id, is_dup) — drain in "update" output mode. */
+    * (doc_id, is_dup) — drain in "append" output mode. */
   def nearDupFlags(docs: DataFrame, maxHamming: Int = 6,
                    maxPerBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63] (got $maxHamming): pigeonhole " +
+        "banding needs maxHamming+1 chunks of >= 1 bit from a 64-bit sig")
     val spark = docs.sparkSession
     import spark.implicits._
     graft.functions.SimHash64.register(spark)
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // 1L << 64 wraps to 1 (Scala shifts mod 64), so the full-width case
+    // (maxHamming = 0: ONE 64-bit chunk = exact-duplicate banding) needs
+    // the all-ones mask spelled out — (1L << 64) - 1 would collapse
+    // every signature into bucket 0
+    val mask = if (width >= 64) -1L else (1L << width) - 1
 
     val banded = docs
       .select(col("doc_id"),
@@ -64,7 +79,7 @@ object NearDupStream {
         explode(array((0 until chunks).map { c =>
           // bucket id = chunk index ⊕ that chunk's bits, packed in a long
           (shiftright(col("simhash"), c * width)
-            .bitwiseAND((1L << width) - 1) + lit(c.toLong << (width + 1)))
+            .bitwiseAND(mask) + lit(if (width >= 63) 0L else c.toLong << (width + 1)))
             .as(s"b$c")
         }: _*)).as("bucket"))
 
@@ -84,6 +99,16 @@ object NearDupStream {
       }
       .toDF("doc_id", "dup_in_bucket")
 
-    flagged.groupBy("doc_id").agg(max(col("dup_in_bucket")).as("is_dup"))
+    // per-doc OR with ZERO retained state: a doc's bucket rows all come
+    // from one input row, so they land in one micro-batch and one group
+    // invocation — state is never written, the store stays empty. (A
+    // streaming agg here would leak one state row per doc_id forever.)
+    flagged.as[(Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) { (docId, rows, _) =>
+        Iterator.single((docId, rows.exists(_._2)))
+      }
+      .toDF("doc_id", "is_dup")
   }
 }

@@ -44,7 +44,7 @@ class NearDupStreamSpec extends SparkSpec {
       .option("pathGlobFilter", "*.parquet")
       .parquet(replayDir)
     EventStream.drainToMemory(spark,
-      NearDupStream.nearDupFlags(stream, maxHamming = 6), "nds", "update")
+      NearDupStream.nearDupFlags(stream, maxHamming = 6), "nds", "append")
     val got = spark.table("nds")
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
 
@@ -74,7 +74,7 @@ class NearDupStreamSpec extends SparkSpec {
       .parquet(replayDir)
     EventStream.drainToMemory(spark,
       NearDupStream.nearDupFlags(stream, maxHamming = 6, maxPerBucket = 0),
-      "nds0", "update")
+      "nds0", "append")
     assert(spark.table("nds0").where(col("is_dup")).isEmpty)
   }
 }

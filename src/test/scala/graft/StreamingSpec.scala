@@ -488,7 +488,10 @@ class StreamingSpec extends SparkSpec {
       .flatMap(d => allFiles(new java.io.File(new java.net.URI(d).getPath)))
       .map(f => f.getPath -> f.length()).toMap
 
-    val stats = CdcStream.vacuum(spark, table, keepLast = 2)
+    // graceMs = 0: this test PLANTS fresh debris and wants it swept —
+    // the graceful default (which protects an in-flight writer's
+    // uncommitted dir) is pinned by its own test below
+    val stats = CdcStream.vacuum(spark, table, keepLast = 2, graceMs = 0L)
     assert(stats.manifestsDropped == 3, s"$stats")
     assert(stats.tmpDirsDeleted == 1, s"$stats")
     assert(stats.bucketDirsDeleted > 0, s"$stats")
@@ -597,5 +600,115 @@ class StreamingSpec extends SparkSpec {
     }
     val postData = new java.io.File(s"$table/data").listFiles().map(_.getName).toSet
     assert(postData == preData, "failed attempt must not have written data dirs")
+  }
+
+  test("CDC latest-wins holds ACROSS batches: a late batch with an older seq is a no-op") {
+    // The transport CAN reorder across micro-batches (multi-partition
+    // source without key partitioning, a backfill, a compacted feed);
+    // seq is persisted with the row exactly so this replay cannot
+    // regress the table. Two legs: a stale upsert and a stale
+    // tombstone. (A stale re-insert AFTER a newer delete is the
+    // documented tombstone-retention limit — the delete removed the
+    // row and its seq, so there is nothing left to compare against.)
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-ooo"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    def df(rows: (Long, Double, String, Long, Boolean)*) =
+      rows.toDF("k", "price", "status", "seq", "deleted")
+    // batch N: key 1 at seq 10, key 2 at seq 20, key 3 deleted at seq 30
+    CdcStream.applyBatch(spark, table,
+      df((1L, 10.0, "new", 10L, false), (2L, 20.0, "new", 20L, false),
+         (3L, 30.0, "new", 29L, false)), "k")
+    CdcStream.applyBatch(spark, table, df((3L, 0.0, "del", 30L, true)), "k")
+    // batch N+1 arrives LATE carrying older changes: a stale upsert for
+    // key 1 (seq 5 < 10), a stale TOMBSTONE for key 2 (seq 15 < 20),
+    // and a fresh update for key 2 is absent — plus a genuinely newer
+    // update for key 1 at seq 11 in the batch after, proving the table
+    // still moves forward
+    CdcStream.applyBatch(spark, table,
+      df((1L, 5.0, "stale", 5L, false), (2L, 0.0, "stale-del", 15L, true)), "k")
+    val after = CdcStream.latest(spark, table).get.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSeq
+    assert(after === Seq((1L, 10.0, "new", 10L), (2L, 20.0, "new", 20L)),
+      s"stale batch must not regress any key or resurrect a delete: $after")
+    CdcStream.applyBatch(spark, table, df((1L, 11.0, "fwd", 11L, false)), "k")
+    val fwd = CdcStream.latest(spark, table).get.where("k = 1").collect()
+      .map(r => (r.getDouble(1), r.getLong(3))).toSeq
+    assert(fwd === Seq((11.0, 11L)), s"newer changes still apply: $fwd")
+  }
+
+  test("CDC rejects schema drift and reserved column names by name") {
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-schema"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    CdcStream.applyBatch(spark, table,
+      Seq((1L, 1.0, "a", 1L, false)).toDF("k", "price", "status", "seq", "deleted"),
+      "k")
+    // a batch MISSING a payload column would silently narrow the table
+    // schema and null that column across every carried bucket — the
+    // silent direction, so it must fail loudly, naming the column
+    val narrow = intercept[IllegalArgumentException] {
+      CdcStream.applyBatch(spark, table,
+        Seq((1L, 2.0, 2L, false)).toDF("k", "price", "seq", "deleted"), "k")
+    }
+    assert(narrow.getMessage.contains("status"), narrow.getMessage)
+    // the physical partition column: a payload column named "b" would
+    // be clobbered by the bucket id and read back NULL
+    val clash = intercept[IllegalArgumentException] {
+      CdcStream.applyBatch(spark, table,
+        Seq((1L, 1.0, "x", 1L, false)).toDF("k", "price", "b", "seq", "deleted"),
+        "k")
+    }
+    assert(clash.getMessage.contains("'b'") || clash.getMessage.contains(" b "),
+      clash.getMessage)
+    val okAfter = CdcStream.latest(spark, table).get.count()
+    assert(okAfter == 1L, "rejected batches must leave the table untouched")
+  }
+
+  test("CDC graceful vacuum spares a fresh uncommitted data dir, reclaims expired ones") {
+    // The writer-vs-vacuum race: an in-flight applyBatch's written-but-
+    // uncommitted dir looks exactly like crash debris. With the default
+    // grace it must SURVIVE (else the writer commits a manifest pointing
+    // at deleted files — a corrupt version); dirs referenced by a
+    // manifest the vacuum drops are known-dead and reclaim immediately.
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-grace"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    def batch(seq: Long, ks: Seq[Long]) = ks.map(k =>
+      (k, k * 1.0, s"s$seq", seq, false))
+      .toDF("k", "price", "status", "seq", "deleted")
+    // key 0 is rewritten by EVERY commit, so its v0-/v1-era bucket
+    // copies become dead the moment those manifests drop — the
+    // immediate-reclaim leg needs at least one such bucket
+    (0L until 3L).foreach { i =>
+      CdcStream.applyBatch(spark, table, batch(i, Seq(0L, i + 10)), "k")
+    }
+    // simulate the in-flight writer: a fresh never-referenced data dir
+    // and a fresh commit attempt, both mtime=now
+    val inflight = new java.io.File(s"$table/data/v3-inflight0/b=0")
+    inflight.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(inflight.getPath, "part-w.parquet"), Array[Byte](1))
+    new java.io.File(s"$table/.tmp-v3-racing").mkdirs()
+
+    val stats = CdcStream.vacuum(spark, table, keepLast = 1) // default grace
+    assert(stats.manifestsDropped == 2, s"$stats")
+    assert(new java.io.File(s"$table/data/v3-inflight0/b=0/part-w.parquet").exists(),
+      "fresh uncommitted data dir must survive a graceful vacuum")
+    assert(new java.io.File(s"$table/.tmp-v3-racing").exists(),
+      "fresh commit attempt must survive a graceful vacuum")
+    // expired-manifest dirs went despite being fresh by mtime? No —
+    // they are old only in manifest terms; assert reclaim happened for
+    // at least the buckets only v0/v1 referenced
+    assert(stats.bucketDirsDeleted > 0,
+      s"dropped-manifest dirs reclaim immediately, no grace: $stats")
+    // and the kept version still reads
+    assert(CdcStream.latest(spark, table).get.count() > 0)
   }
 }
