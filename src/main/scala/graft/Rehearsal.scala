@@ -244,10 +244,23 @@ object Rehearsal {
     }
     val versions = graft.streaming.CdcStream.versions(spark, table)
     val live = graft.streaming.CdcStream.latest(spark, table).get.count()
+    // replay-order independence (round 11): the file source hands the 8
+    // range files to foreachBatch in NO guaranteed order (this very run
+    // shuffles them), so the final state must equal the seq-order fold
+    // of the feed computed directly — live = keys whose HIGHEST-seq
+    // change is not a tombstone. The pre-r11 unconditional merge only
+    // matched this when the replay happened to be ordered; retained
+    // tombstones + persisted seq make it hold for every interleaving.
+    val expectedLive = changes
+      .groupBy("k").agg(expr("max_by(deleted, seq)").as("d"))
+      .where(!col("d")).count()
+    assert(live == expectedLive,
+      s"cdc replay-order independence: live=$live expected=$expectedLive")
     val stats = phase("cdc vacuum") {
       graft.streaming.CdcStream.vacuum(spark, table, keepLast = 2)
     }
-    println(s"[rehearsal] cdc: versions=${versions.size} live_keys=$live vacuum=$stats")
+    println(s"[rehearsal] cdc: versions=${versions.size} live_keys=$live" +
+      s" (= seq-order fold of the feed) vacuum=$stats")
     spark.stop()
   }
 }

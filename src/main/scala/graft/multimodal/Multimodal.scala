@@ -126,7 +126,13 @@ object Multimodal {
             dataLen = math.min(sz, (bytes.length - body).toLong)
           case _ => ()
         }
-        off = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        // chunks are word-aligned; a corrupt/adversarial size field
+        // (negative after toInt, or crafted to land back on `off`) must
+        // not stall the walk — an executor task spinning forever on one
+        // malformed blob would hang the whole decode stage
+        val next = body + sz.toInt + (sz.toInt & 1)
+        if (next <= off) return None
+        off = next
       }
       if (fmt != 1 || dataOff < 0 || channels <= 0 || rate <= 0 ||
         (bits != 8 && bits != 16)) return None
@@ -204,13 +210,19 @@ object Multimodal {
   }
 
   /** Resize metadata transform (stub does the aspect-preserving math the
-    * real resampler would follow). */
+    * real resampler would follow). Applies ONLY to image rows: audio
+    * rows reuse (width, height) as (sample_rate, n_frames) — scaling
+    * those would turn a 44.1 kHz rate into garbage — and video/unknown
+    * rows carry stub dims; both pass through unchanged. */
   def resize(features: Dataset[MediaFeatures], maxDim: Int): Dataset[MediaFeatures] = {
     import features.sparkSession.implicits._
     features.map { f =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
-      f.copy(width = math.max(1, (f.width * scale).toInt),
-        height = math.max(1, (f.height * scale).toInt))
+      if (f.kind != "image") f
+      else {
+        val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+        f.copy(width = math.max(1, (f.width * scale).toInt),
+          height = math.max(1, (f.height * scale).toInt))
+      }
     }
   }
 

@@ -91,9 +91,18 @@ object BloomSkip {
   /** Distributed pruning predicate: files whose filter has ALL k probed
     * bits set. The manifest filter touches k lanes per file; a file
     * missing a probed lane row cannot contain the value (its mask for
-    * that lane is all-zero) and drops out of the k-of-k count. */
-  def candidates(index: DataFrame, v: Any,
-                 mBits: Int = 1 << 16, k: Int = 4): DataFrame = {
+    * that lane is all-zero) and drops out of the k-of-k count.
+    *
+    * (m, k) come from the manifest's OWN m_bits/k_hashes columns — the
+    * manifest is self-describing, and a caller-supplied mismatch would
+    * probe positions mod the wrong m: files genuinely containing v
+    * fail the k-of-k test and are pruned, a silent FALSE NEGATIVE (the
+    * one failure class a Bloom skip must never have). An empty index
+    * matches nothing. */
+  def candidates(index: DataFrame, v: Any): DataFrame = {
+    val meta = index.select("m_bits", "k_hashes").limit(1).collect().headOption
+    if (meta.isEmpty) return index.select("file").limit(0)
+    val (mBits, k) = (meta.get.getInt(0), meta.get.getInt(1))
     val ps = probes(v, mBits, k)
     val laneHit = ps.map { case (s, w, b) =>
       col("seed") === s && col("word") === w && (col("mask").bitwiseAND(lit(b)) =!= 0)
@@ -114,22 +123,7 @@ object BloomSkip {
     * from the recorded root. */
   def readEq(spark: SparkSession, index: DataFrame, c: String, v: Any,
              maxDriverFiles: Int = 65536,
-             tableRoot: Option[String] = None): DataFrame = {
-    val meta = index.select("root", "m_bits", "k_hashes").limit(1).collect().headOption
-    val rootOpt = meta.map(_.getString(0)).orElse(tableRoot)
-    rootOpt match {
-      case None => spark.emptyDataFrame
-      case Some(root) if meta.isEmpty =>
-        spark.read.parquet(root).where(lit(false))
-      case Some(root) =>
-        val row = meta.get
-        val files = candidates(index, v, row.getInt(1), row.getInt(2))
-          .select("file").limit(maxDriverFiles + 1)
-          .collect().map(_.getString(0)).toSeq
-        val pred = col(c) === lit(v)
-        if (files.isEmpty) spark.read.parquet(root).where(lit(false))
-        else if (files.size > maxDriverFiles) spark.read.parquet(root).where(pred)
-        else spark.read.parquet(files: _*).where(pred)
-    }
-  }
+             tableRoot: Option[String] = None): DataFrame =
+    SkipIndex.boundedPrunedRead(spark, index, candidates(index, v),
+      col(c) === lit(v), maxDriverFiles, tableRoot)
 }

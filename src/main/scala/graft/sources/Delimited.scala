@@ -28,6 +28,13 @@ object Delimited {
       .option("header", "true")
       .option("timestampFormat", tsFmt)
       .option("mode", "FAILFAST") // surface corrupt rows, don't null them
+      // the writer quotes embedded newlines into one logical record
+      // spanning physical lines; without multiLine the reader splits on
+      // physical lines and FAILFAST throws on the halves — log messages
+      // are exactly the field class that carries newlines. Costs split-
+      // ability per file (multiLine reads each file whole), the standard
+      // price of quoted-newline CSV; keep files compaction-sized.
+      .option("multiLine", "true")
       .csv(path)
 
   def writeJsonl(df: DataFrame, path: String): Unit =

@@ -71,8 +71,21 @@ object Layout {
                     buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
+    // stale-location cleanup must target the location the METASTORE
+    // would use, not a string guess: identifiers are lowercased and a
+    // db-qualified name maps to $warehouse/<db>.db/<tbl> — deleting
+    // "$warehouse/$table" verbatim misses both (mixed case, "db.tbl"),
+    // leaving the stale dir that makes saveAsTable fail with
+    // "location already exists"
     val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$table")
+    val parts = table.toLowerCase(java.util.Locale.ROOT).split("\\.")
+    val rel = parts match {
+      case Array(t)     => t
+      case Array(db, t) => s"$db.db/$t"
+      case _ => throw new IllegalArgumentException(
+        s"writeBucketed: cannot derive a location for '$table'")
+    }
+    val loc = new org.apache.hadoop.fs.Path(s"$warehouse/$rel")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(buckets, col(key))
@@ -94,16 +107,35 @@ object Layout {
               targetBytes: Long): (Int, Int) = {
     val in = new org.apache.hadoop.fs.Path(inPath)
     val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(in)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    val bytes = dataFiles.map(_.getLen).sum
+    // recursive listing: a top-level-only scan sees ZERO bytes under a
+    // partitioned layout (dt=*/...), sizing the rewrite at nOut=1 and
+    // funneling the whole dataset through one task into one file
+    // compare against the QUALIFIED root: listFiles returns qualified
+    // paths (file:/...), so an unqualified `in` would flag every file
+    // as nested
+    val inQ = fs.makeQualified(in)
+    val it = fs.listFiles(inQ, true)
+    val dataBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var partitioned = false
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet")) {
+        dataBuf += f.getLen
+        if (f.getPath.getParent != inQ) partitioned = true
+      }
+    }
+    require(!partitioned, s"compact: $inPath holds nested partition " +
+      "directories — a flat rewrite would drop the partition columns " +
+      "from the layout; compact each leaf partition instead")
+    val dataFiles = dataBuf.toSeq
+    val bytes = dataFiles.sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath).coalesce(nOut)
       .write.mode("overwrite").parquet(outPath)
     val out = new org.apache.hadoop.fs.Path(outPath)
     val outFiles = fs.listStatus(out)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (dataFiles.length, outFiles)
+    (dataFiles.size, outFiles)
   }
 
   /** Bit-interleave two 16-bit ranks into a 32-bit Z-order (Morton)
@@ -133,6 +165,12 @@ object Layout {
     val b = df.agg(
       min(col(c1)).cast("double"), max(col(c1)).cast("double"),
       min(col(c2)).cast("double"), max(col(c2)).cast("double")).collect().head
+    if (b.isNullAt(0) || b.isNullAt(2)) {
+      // empty (or all-NULL-column) input: no ranks to compute — write
+      // the empty frame instead of NPE-ing on a null aggregate
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val (lo1, hi1, lo2, hi2) =
       (b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3))
     def rank(c: String, lo: Double, hi: Double) =

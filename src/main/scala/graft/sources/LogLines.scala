@@ -45,7 +45,11 @@ object LogLines {
   }
 
   /** Render the events table as log lines (round-trip fixture: the corpus
-    * ships parquet, not raw logs — SURVEY.md §2.9). */
+    * ships parquet, not raw logs — SURVEY.md §2.9). Precondition: the
+    * rendered fields (ts, user_id, event_type, value) are non-null —
+    * concat() nulls the whole line otherwise and the text sink then
+    * fails LOUDLY on the null row (it cannot write one), so a corpus
+    * that ever grew null fields breaks the build step, not the oracle. */
   def renderEvents(events: DataFrame): DataFrame =
     events.select(concat(
       date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS"),

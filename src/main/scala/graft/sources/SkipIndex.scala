@@ -167,7 +167,21 @@ object SkipIndex {
   def readRange(spark: SparkSession, index: DataFrame, c: String,
                 lo: Column, hi: Column,
                 maxDriverFiles: Int = 65536,
-                tableRoot: Option[String] = None): DataFrame = {
+                tableRoot: Option[String] = None): DataFrame =
+    boundedPrunedRead(spark, index, candidates(index, c, lo, hi),
+      col(c).between(lo, hi), maxDriverFiles, tableRoot)
+
+  /** The bounded-driver pruned-read scaffold [[readRange]] and
+    * [[BloomSkip.readEq]] both promise — ONE implementation on purpose:
+    * the limit+1 collect bound, the schema-preserving empty frame from
+    * the recorded root (where(false) folds to an empty LocalRelation —
+    * no data IO planned), and the over-limit full-scan fallback with
+    * the exact predicate pushed down must stay behaviorally identical
+    * across both index kinds, and two hand-copies would drift. */
+  private[sources] def boundedPrunedRead(spark: SparkSession, index: DataFrame,
+                                         candidateFiles: DataFrame, pred: Column,
+                                         maxDriverFiles: Int,
+                                         tableRoot: Option[String]): DataFrame = {
     val rootOpt = index.select("root").limit(1)
       .collect().headOption.map(_.getString(0))
     rootOpt.orElse(tableRoot) match {
@@ -177,13 +191,10 @@ object SkipIndex {
         // empty result, same LocalRelation fold as the no-candidate case
         spark.read.parquet(root).where(lit(false))
       case Some(root) =>
-        val files = candidates(index, c, lo, hi)
+        val files = candidateFiles
           .select("file").limit(maxDriverFiles + 1)
           .collect().map(_.getString(0)).toSeq
-        val pred = col(c).between(lo, hi)
         if (files.isEmpty)
-          // schema-preserving empty result; where(false) folds to an
-          // empty LocalRelation — no data IO is planned
           spark.read.parquet(root).where(lit(false))
         else if (files.size > maxDriverFiles)
           spark.read.parquet(root).where(pred)

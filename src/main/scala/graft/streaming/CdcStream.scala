@@ -146,10 +146,11 @@ object CdcStream {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], c.schema)
     else spark.read.schema(c.schema).parquet(c.buckets.values.toSeq.distinct: _*)
 
-  /** The latest committed table state (None if no committed version). */
+  /** The latest committed table state (None if no committed version).
+    * Retained tombstones are filtered out; live rows carry their seq. */
   def latest(spark: SparkSession, tableDir: String): Option[DataFrame] =
     versionDirs(spark, tableDir).lastOption
-      .map { case (_, p) => readCommit(spark, readManifest(spark, p)) }
+      .map { case (_, p) => visible(readCommit(spark, readManifest(spark, p))) }
 
   /** Time travel: the table as of committed version `n`. A version
     * outside the committed set (never written, or expired by [[vacuum]])
@@ -163,7 +164,7 @@ object CdcStream {
       s"version v$n is not committed in $tableDir " +
         s"(committed: ${vd.keys.toSeq.sorted.mkString("v", ", v", "")}) — " +
         "it may have been vacuumed"))
-    readCommit(spark, readManifest(spark, p))
+    visible(readCommit(spark, readManifest(spark, p)))
   }
 
   /** Committed version numbers, ascending (spec / operational). */
@@ -187,7 +188,13 @@ object CdcStream {
     * particular moves out of the data files and reads back NULL), so
     * [[applyBatch]] rejects them by name up front. */
   private val ReservedCols =
-    Set("b", "__rn", "__p", "__b", "__bk", "__dk", "__dseq", "__m")
+    Set("b", "__rn", "__p", "__b", "__bk", "__dk", "__dseq", "__m", "__dead")
+
+  /** Hide retained tombstones from a read (old pre-tombstone commits
+    * lack the column and pass through unchanged). */
+  private def visible(df: DataFrame): DataFrame =
+    if (df.columns.contains("__dead")) df.where(!col("__dead")).drop("__dead")
+    else df
 
   /** Apply one micro-batch of changes. Batch schema: the key column,
     * payload columns, a `seq` long (change order), and a `deleted`
@@ -198,20 +205,25 @@ object CdcStream {
     * already-committed batch a no-op. Returns the new (or, on an
     * idempotent skip, existing) version number.
     *
-    * Latest-wins holds ACROSS batches, not just within one: the seq is
-    * PERSISTED with each row (last stored column), and the merge keeps
-    * whichever of base/batch carries the higher seq — a late batch
-    * replaying an older change is a no-op for that key instead of a
-    * silent regression (which unconditional batch-wins would produce
-    * the moment the transport reorders across micro-batches: a
-    * multi-partition source without key partitioning, a backfill, a
-    * compacted feed). Tombstones carry their seq too and only delete
-    * rows they are strictly newer than; ties resolve upsert-over-
-    * tombstone, matching the in-batch tie-break. Known limit (the
-    * classic tombstone-retention problem): a tombstone removes the
-    * row AND its seq, so a staler update arriving after the delete
-    * re-inserts — full protection needs tombstone retention, which
-    * this format does not carry.
+    * Latest-wins holds ACROSS batches, not just within one, for
+    * upserts AND deletes: the seq is persisted with each row, a
+    * tombstone is RETAINED as a row (hidden `__dead` flag, filtered
+    * out of [[latest]]/[[readVersion]]), and the merge keeps whichever
+    * of base/batch carries the higher seq regardless of kind — so a
+    * late batch replaying an older change OR resurrecting a deleted
+    * key is a per-key no-op, not a silent regression. This is not
+    * defensive theory: the streaming file source replays a multi-file
+    * backlog in NO guaranteed order (the 100× rehearsal's 8 range
+    * files arrive shuffled), and the pre-r11 unconditional batch-wins
+    * merge silently depended on replay order; without retained
+    * tombstones, deletes alone would still be order-dependent (drop
+    * the row and its seq, and a stale re-insert has nothing to lose
+    * to — measured: all 10 309 rehearsal deletes undone). Equal seq
+    * resolves upsert-over-tombstone, matching the in-batch tie-break.
+    * Retention cost: one flagged row per deleted key, until a
+    * compaction rewrite purges tombstones older than the feed's
+    * maximum reorder horizon (not yet needed at this corpus' delete
+    * rate; the hook is a bucket rewrite, same shape as applyBatch).
     *
     * Schema contract: reserved internal names ([[ReservedCols]]) are
     * rejected, and after the first commit the batch's (key, payload,
@@ -228,9 +240,11 @@ object CdcStream {
       "(partition column 'b' and __-prefixed scratch); rename them upstream")
     val payloadCols = batch.columns.filterNot(c =>
       c == keyCol || c == seqCol || c == deletedCol).toSeq
-    // seq rides with the row (last stored column) so later batches can
-    // compare against it — cross-batch latest-wins needs it on disk
-    val storedCols = payloadCols :+ seqCol
+    // seq and the tombstone flag ride with the row so later batches can
+    // compare against them — cross-batch latest-wins needs both on disk
+    // (the flag under the fixed internal name __dead, so reads can
+    // filter without knowing the caller's column naming)
+    val storedCols = payloadCols ++ Seq(seqCol, "__dead")
 
     val vs = versionDirs(spark, tableDir)
     // replay idempotence: the latest commit already applied this txn
@@ -242,11 +256,11 @@ object CdcStream {
     val prev = vs.lastOption.map { case (_, p) => readManifest(spark, p) }
     prev.foreach { p =>
       val stored = p.schema.fieldNames.toSet
-      if (!stored.contains(seqCol))
+      if (!stored.contains(seqCol) || !stored.contains("__dead"))
         throw new IllegalStateException(
-          s"table $tableDir was written by a pre-seq format (stored " +
-            s"columns: ${stored.toSeq.sorted.mkString(", ")}); it cannot " +
-            "take cross-batch ordered merges — rebuild it")
+          s"table $tableDir was written by a pre-tombstone-retention " +
+            s"format (stored columns: ${stored.toSeq.sorted.mkString(", ")});" +
+            " it cannot take replay-order-independent merges — rebuild it")
       val now = (keyCol +: storedCols).toSet
       require(now == stored, s"CdcStream.applyBatch: batch column set " +
         s"does not match the table's — missing ${(stored -- now).toSeq.sorted
@@ -276,10 +290,11 @@ object CdcStream {
       .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val upserts = lastChange.where(!col(deletedCol))
-        .select(col(keyCol), struct(storedCols.map(col): _*).as("__p"))
-      val tombstones = lastChange.where(col(deletedCol))
-        .select(col(keyCol).as("__dk"), col(seqCol).as("__dseq"))
+      // every winner becomes a row — tombstones too, flagged __dead, so
+      // the seq they won at stays comparable for later batches
+      val wins = lastChange.select(col(keyCol),
+        struct(payloadCols.map(col) ++ Seq(col(seqCol),
+          col(deletedCol).as("__dead")): _*).as("__p"))
 
       // the pruning set: distinct buckets of changed keys — at most
       // min(|batch|, nBuckets) ints, config-bounded driver metadata
@@ -292,26 +307,26 @@ object CdcStream {
         case (b, dir) if changed(b) => dir
       })
       val merged = if (prev.isEmpty || baseDirs.isEmpty) {
-        upserts.select(col(keyCol) +: storedCols.map(c => col("__p").getField(c).as(c)): _*)
+        wins.select(col(keyCol) +: storedCols.map(c => col("__p").getField(c).as(c)): _*)
       } else {
         val base = spark.read.schema(prev.get.schema).parquet(baseDirs.distinct: _*)
           .select(col(keyCol).as("__bk"), struct(storedCols.map(col): _*).as("__b"))
         // x169's full-outer coalesce, struct-packed to stay generic —
-        // except the winner is chosen by SEQ, not by presence: a batch
-        // row only replaces the base row it is at-least-as-new as
-        base.join(upserts, col("__bk") === col(keyCol), "full_outer")
+        // except the winner is chosen by SEQ, not by presence: higher
+        // seq wins regardless of kind (upsert or tombstone), equal seq
+        // prefers the upsert (the in-batch tie-break), equal kind
+        // prefers the batch (idempotent for exact replays)
+        base.join(wins, col("__bk") === col(keyCol), "full_outer")
           .select(coalesce(col(keyCol), col("__bk")).as(keyCol),
                   when(col("__p").isNull, col("__b"))
                     .when(col("__b").isNull, col("__p"))
-                    .when(col("__p").getField(seqCol) >= col("__b").getField(seqCol),
+                    .when(col("__p").getField(seqCol) > col("__b").getField(seqCol),
                       col("__p"))
+                    .when(col("__p").getField(seqCol) < col("__b").getField(seqCol),
+                      col("__b"))
+                    .when(!col("__p").getField("__dead") ||
+                      col("__b").getField("__dead"), col("__p"))
                     .otherwise(col("__b")).as("__m"))
-          .join(tombstones, col(keyCol) === col("__dk"), "left")
-          // delete only when the tombstone is STRICTLY newer than the
-          // surviving row (ties keep the row — upsert-over-tombstone,
-          // same as the in-batch rule); a stale tombstone is a no-op
-          .where(col("__dseq").isNull ||
-            col("__dseq") <= col("__m").getField(seqCol))
           .select(col(keyCol) +: storedCols.map(c => col("__m").getField(c).as(c)): _*)
       }
 
@@ -322,7 +337,7 @@ object CdcStream {
         .write.partitionBy("b").parquet(dataDir)
 
       // rewritten buckets = the b=<x> dirs the write actually produced
-      // (a fully-tombstoned bucket produces none and leaves the table)
+      // (tombstones are retained rows, so every changed bucket persists)
       val dd = new Path(dataDir)
       val f = fs(spark, dd)
       val written: Map[Int, String] = f.listStatus(dd).toSeq

@@ -46,10 +46,20 @@ class MultimodalSpec extends SparkSpec {
     assert(mismatched == 0)
   }
 
-  test("resize preserves aspect ratio bound") {
-    val f = Multimodal.resize(Multimodal.decodeFeatures(media), maxDim = 128)
-    val over = f.filter(x => x.width > 128 || x.height > 128).count()
-    assert(over == 0)
+  test("resize bounds image dims and leaves non-image rows untouched") {
+    val before = Multimodal.decodeFeatures(media)
+    val f = Multimodal.resize(before, maxDim = 128)
+    // images: both dims inside the bound
+    assert(f.filter(x => x.kind == "image" && (x.width > 128 || x.height > 128))
+      .count() == 0)
+    // audio reuses (width, height) as (sample_rate, n_frames) — scaling
+    // those would corrupt the rate; they must pass through bit-identical
+    val audioBefore = before.filter(_.kind == "audio")
+      .collect().map(x => (x.media_id, x.width, x.height)).toSet
+    val audioAfter = f.filter(_.kind == "audio")
+      .collect().map(x => (x.media_id, x.width, x.height)).toSet
+    assert(audioBefore.nonEmpty && audioAfter == audioBefore,
+      s"audio rows must not be resized: $audioAfter vs $audioBefore")
   }
 
   test("extracted embeddings flow into similarity search (multimodal -> ANN)") {

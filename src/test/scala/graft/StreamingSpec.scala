@@ -603,13 +603,15 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("CDC latest-wins holds ACROSS batches: a late batch with an older seq is a no-op") {
-    // The transport CAN reorder across micro-batches (multi-partition
-    // source without key partitioning, a backfill, a compacted feed);
-    // seq is persisted with the row exactly so this replay cannot
-    // regress the table. Two legs: a stale upsert and a stale
-    // tombstone. (A stale re-insert AFTER a newer delete is the
-    // documented tombstone-retention limit — the delete removed the
-    // row and its seq, so there is nothing left to compare against.)
+    // The transport CAN reorder across micro-batches — measured, not
+    // hypothetical: the streaming file source replays a multi-file
+    // backlog in no guaranteed order (the 100× rehearsal's range files
+    // arrive shuffled). seq is persisted with every row and tombstones
+    // are RETAINED as flagged rows, so this replay cannot regress the
+    // table on any of the three legs: a stale upsert, a stale
+    // tombstone, and a stale re-insert AFTER a newer delete (the leg
+    // only tombstone retention can protect — without it the delete
+    // removes the row and its seq, leaving nothing to compare against).
     import graft.streaming.CdcStream
     import spark.implicits._
     val table = "/tmp/graft-cdc-ooo"
@@ -637,6 +639,17 @@ class StreamingSpec extends SparkSpec {
     val fwd = CdcStream.latest(spark, table).get.where("k = 1").collect()
       .map(r => (r.getDouble(1), r.getLong(3))).toSeq
     assert(fwd === Seq((11.0, 11L)), s"newer changes still apply: $fwd")
+    // leg 3: key 3 was deleted at seq 30; a late batch replaying its
+    // OLD state (seq 29) must not resurrect it — the retained tombstone
+    // outranks the stale re-insert
+    CdcStream.applyBatch(spark, table, df((3L, 30.0, "stale-reinsert", 29L, false)), "k")
+    assert(CdcStream.latest(spark, table).get.where("k = 3").isEmpty,
+      "a stale re-insert must not resurrect a newer delete")
+    // ...while a genuinely newer re-insert does bring it back
+    CdcStream.applyBatch(spark, table, df((3L, 31.0, "reborn", 31L, false)), "k")
+    val reborn = CdcStream.latest(spark, table).get.where("k = 3").collect()
+      .map(r => (r.getDouble(1), r.getString(2))).toSeq
+    assert(reborn === Seq((31.0, "reborn")), s"newer re-insert applies: $reborn")
   }
 
   test("CDC rejects schema drift and reserved column names by name") {
