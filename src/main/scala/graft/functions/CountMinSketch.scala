@@ -60,7 +60,7 @@ class CountMinSketch(depth: Int, width: Int)
   }
 
   def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
-    if (y.length == 0) return if (x.length == 0) x else x
+    if (y.length == 0) return x
     val g = grid(x)
     var i = 0
     while (i < g.length) { g(i) += y(i); i += 1 }

@@ -71,14 +71,28 @@ object DamerauLevenshtein {
     while (i <= n) { d(i + 1)(1) = i; d(i + 1)(0) = inf; i += 1 }
     var j = 0
     while (j <= m) { d(1)(j + 1) = j; d(0)(j + 1) = inf; j += 1 }
-    // last row index (1-based) where each code point occurred in `a`
-    val da = new java.util.HashMap[Integer, Integer]()
+    // last row index (1-based) where each code point occurred in `a` —
+    // queried per CELL, so it must be a primitive array, not a boxed
+    // map (a HashMap getOrDefault per cell boxes O(n·m) Integers on the
+    // fuzzy-join hot path this expression exists for). Only b's code
+    // points are ever queried: map them to dense ids once (m + n boxed
+    // lookups total), then the inner loop reads ints.
+    val alpha = new java.util.HashMap[Integer, Integer]()
+    val bId = new Array[Int](m)
+    j = 0
+    while (j < m) {
+      var id: Int = alpha.getOrDefault(b(j), -1)
+      if (id == -1) { id = alpha.size(); alpha.put(b(j), id) }
+      bId(j) = id
+      j += 1
+    }
+    val da = new Array[Int](alpha.size())
     i = 1
     while (i <= n) {
       var db = 0
       j = 1
       while (j <= m) {
-        val k: Int = da.getOrDefault(b(j - 1), 0)
+        val k = da(bId(j - 1))
         val l = db
         val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         val sub = d(i)(j) + cost
@@ -88,7 +102,8 @@ object DamerauLevenshtein {
         d(i + 1)(j + 1) = math.min(math.min(sub, ins), math.min(del, trans))
         j += 1
       }
-      da.put(a(i - 1), i)
+      val aid: Int = alpha.getOrDefault(a(i - 1), -1)
+      if (aid >= 0) da(aid) = i
       i += 1
     }
     d(n + 1)(m + 1)

@@ -58,9 +58,15 @@ object UnicodeFold {
     val sb = new java.lang.StringBuilder(nfd.length)
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      // iterate by CODE POINT, not UTF-16 unit: a supplementary-plane
+      // combining mark (e.g. U+1D167, category Mn) is two surrogate
+      // chars whose per-char getType is SURROGATE — a char-wise walk
+      // would never strip it, where DuckDB's strip_accents does
+      // (probe-confirmed), splitting the dedup tier's canonical hashes
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     UTF8String.fromString(Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
   }

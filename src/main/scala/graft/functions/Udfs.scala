@@ -95,7 +95,11 @@ object Udfs {
   /** Grouped top-k as a MERGEABLE aggregate: per-group state is a
     * bounded buffer of at most `4k` (score, id) pairs (compacted to the
     * top k by (score desc, id asc) on overflow), partials combine
-    * map-side, and the shuffle carries k pairs per group.
+    * map-side, and the shuffle carries the FIXED (1 + 8k)-long buffer
+    * per group — the fill varies (k..4k live pairs plus zeroed slack),
+    * not "k pairs", because the Aggregator API serializes the whole
+    * reduce buffer and offers no pre-shuffle compaction hook; still
+    * O(k) per group, constant-factor 4-8× over the ideal.
     *
     * Measured honestly (SCALE.md §22): Spark 4's own WindowGroupLimit
     * already prunes a rank-FILTERED window map-side (a partial
@@ -163,10 +167,13 @@ object Udfs {
     import org.apache.spark.sql.functions.udf
     // scalar UDF: crude BPE-ish subword count (regex word/number/punct
     // splits then length buckets) — the token-counting heuristic a data
-    // pipeline uses when no tokenizer binary is available
+    // pipeline uses when no tokenizer binary is available. The pattern
+    // is hoisted: compiled once per executor at closure deserialization,
+    // not re-compiled per row inside the lambda
+    val subwordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r
     val tokenCount = udf { (s: String) =>
       if (s == null) 0
-      else "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(s)
+      else subwordPattern.findAllIn(s)
         .map(t => 1 + (t.length - 1) / 4).sum
     }
     spark.udf.register("subword_count", tokenCount)

@@ -98,20 +98,33 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           val l = li.next()
           val lk = lKeyGen(l).copy()
           val lt = lTsGen(l).copy()
+          // SQL comparison with NULL is never true (probe-confirmed on
+          // DuckDB's ASOF LEFT JOIN, whose semantics this node claims):
+          // a NULL left key/ts matches nothing, and a NULL right key/ts
+          // can be nobody's match. RowOrdering alone would instead sort
+          // nulls FIRST and happily consume them as candidates.
+          val lNull = lk.isNullAt(0) || lt.isNullAt(0)
           // consume right rows that are at-or-before this left row (or of
           // earlier groups); the last consumed of the same group is the
           // as-of match candidate
           var advance = true
           while (advance && rNext != null) {
-            val cmp = keyOrd.compare(rKeyGen(rNext), lk)
-            if (cmp < 0 || (cmp == 0 && tsOrd.compare(rTsGen(rNext), lt) <= 0)) {
-              rCand = rNext.copy()
-              rCandKey = rKeyGen(rCand).copy()
-              rCandTs = rTsGen(rCand).copy()
+            val rk = rKeyGen(rNext)
+            if (rk.isNullAt(0) || rTsGen(rNext).isNullAt(0)) {
+              // unusable as a candidate; nulls-first ordering puts these
+              // ahead of real rows, so skipping keeps the merge aligned
               rNext = if (ri.hasNext) ri.next() else null
-            } else advance = false
+            } else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0 || (cmp == 0 && tsOrd.compare(rTsGen(rNext), lt) <= 0)) {
+                rCand = rNext.copy()
+                rCandKey = rKeyGen(rCand).copy()
+                rCandTs = rTsGen(rCand).copy()
+                rNext = if (ri.hasNext) ri.next() else null
+              } else advance = false
+            }
           }
-          val matched = rCand != null &&
+          val matched = !lNull && rCand != null &&
             keyOrd.compare(rCandKey, lk) == 0 &&
             tsOrd.compare(rCandTs, lt) <= 0
           resultProj(joined(l, if (matched) rCand else nullRight))
@@ -149,9 +162,18 @@ object AsOf {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name)}"))
+    val (lo, ro) = (resolve(leftOn, lp), resolve(rightOn, rp))
+    val (lt, rt) = (resolve(leftTs, lp), resolve(rightTs, rp))
+    // the exec compares right-side UnsafeRows with orderings built from
+    // the LEFT side's types; a type mismatch would not error — it would
+    // compare garbage bytes and return silently wrong matches
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lo.dataType, ro.dataType, ignoreNullability = true),
+      s"as-of join key types differ: ${lo.dataType} vs ${ro.dataType}")
+    require(org.apache.spark.sql.types.DataType.equalsStructurally(
+        lt.dataType, rt.dataType, ignoreNullability = true),
+      s"as-of join timestamp types differ: ${lt.dataType} vs ${rt.dataType}")
     GraftBridge.ofRows(spark, AsOfJoin(lp, rp,
-      resolve(leftOn, lp), resolve(rightOn, rp),
-      resolve(leftTs, lp), resolve(rightTs, rp),
-      resolve(rightTieBreak, rp)))
+      lo, ro, lt, rt, resolve(rightTieBreak, rp)))
   }
 }

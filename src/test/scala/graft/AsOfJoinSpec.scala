@@ -74,4 +74,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got(0).isNullAt(1), "purchase before any click must get null")
     assert(got(1).getLong(1) == 50L)
   }
+
+  test("NULL keys and timestamps match nothing, per the ASOF LEFT JOIN contract") {
+    // SQL comparison with NULL is never true: a NULL left key/ts gets no
+    // match, and a NULL right key/ts is nobody's candidate — RowOrdering
+    // alone would sort nulls first and CONSUME them as matches
+    // (probe-confirmed against DuckDB ASOF LEFT JOIN semantics)
+    import spark.implicits._
+    val t = (s: String) => java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, Option(7L), Option(t("2024-01-05 00:00:00"))), // normal: matches
+      (2L, None, Option(t("2024-01-05 00:00:00"))),       // null key
+      (3L, Option(7L), None)                              // null ts
+    ).toDF("purchase_id", "user_id", "ts")
+    val right = Seq(
+      (50L, Option(7L), Option(t("2024-01-02 00:00:00"))), // real candidate
+      (60L, None, Option(t("2024-01-01 00:00:00"))),       // null key: unusable
+      (70L, Option(7L), None)                              // null ts: unusable
+    ).toDF("click_id", "c_user", "c_ts")
+    val got = AsOf.join(left, right, "user_id", "c_user", "ts", "c_ts", "click_id")
+      .select("purchase_id", "click_id").orderBy("purchase_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(1L -> 50L, 2L -> -1L, 3L -> -1L), s"got $got")
+  }
+
+  test("mismatched key/ts types fail at build time, not as garbage comparisons") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, 5L)).toDF("purchase_id", "user_id", "ts")
+    val rightIntKey = Seq((50L, 7, 3L)).toDF("click_id", "c_user", "c_ts")
+    val e = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightIntKey, "user_id", "c_user", "ts", "c_ts", "click_id")
+    }
+    assert(e.getMessage.contains("key types differ"), e.getMessage)
+    val rightIntTs = Seq((50L, 7L, 3)).toDF("click_id", "c_user", "c_ts")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(left, rightIntTs, "user_id", "c_user", "ts", "c_ts", "click_id")
+    }
+    assert(e2.getMessage.contains("timestamp types differ"), e2.getMessage)
+  }
 }

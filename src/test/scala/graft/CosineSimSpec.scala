@@ -60,4 +60,28 @@ class CosineSimSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
       e.getMessage.contains("array<float>"))
   }
+
+  test("unequal lengths and NULL elements yield NULL, matching the HOF edges") {
+    // zip_with pads the shorter array with NULL and aggregate propagates
+    // it; a min-length truncation would instead return a finite WRONG
+    // similarity — the hash-moving divergence the scaladoc rules out.
+    // Both eval paths are pinned: interpreted (literal fold at analysis)
+    // and codegen (through a projected column).
+    Catalog.ensure(spark, sf0001)
+    val cases = Seq(
+      // (a, b, expected-null)
+      ("array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT))",
+       "array(cast(1.0 AS FLOAT))", true),
+      ("array(cast(1.0 AS FLOAT), cast(NULL AS FLOAT))",
+       "array(cast(1.0 AS FLOAT), cast(1.0 AS FLOAT))", true),
+      ("array(cast(1.0 AS FLOAT))", "array(cast(1.0 AS FLOAT))", false))
+    cases.foreach { case (a, b, wantNull) =>
+      val lit = spark.sql(s"SELECT cosine_sim($a, $b)").collect().head
+      assert(lit.isNullAt(0) == wantNull, s"literal: $a vs $b")
+      // force the codegen path over a real column
+      val row = spark.sql(
+        s"SELECT cosine_sim($a, $b) AS s FROM embeddings LIMIT 1").collect().head
+      assert(row.isNullAt(0) == wantNull, s"codegen: $a vs $b")
+    }
+  }
 }

@@ -28,6 +28,18 @@ class FoldAccentsSpec extends SparkSpec {
     assert(UnicodeFold.fold(ascii) eq ascii)
   }
 
+  test("supplementary-plane combining marks strip too (code-point walk)") {
+    // U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is category Mn but two
+    // UTF-16 units — a char-wise walk sees SURROGATE and keeps it, where
+    // DuckDB's strip_accents removes it (probe-confirmed), splitting the
+    // dedup tier's canonical hashes between the two dialects
+    val mark = new String(Character.toChars(0x1D167))
+    assert(fold(s"a${mark}b") === "ab")
+    // and non-mark astral code points survive intact (U+1F600 emoji, So)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(fold(s"x${emoji}é") === s"x${emoji}e")
+  }
+
   test("SQL form handles NULL and participates in whole-stage codegen") {
     Catalog.ensure(spark, sf0001)
     val df = spark.sql(
