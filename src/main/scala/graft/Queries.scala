@@ -2301,7 +2301,7 @@ object Queries {
       """WITH tok AS (SELECT lower(w) AS w
         |             FROM (SELECT explode(split(text,' ')) AS w FROM documents)),
         |wd AS (SELECT w, count(*) AS c FROM tok WHERE length(w) >= 2 GROUP BY 1),
-        |e0 AS (SELECT c, regexp_replace(w, '(.)', ' $1 ') AS cs FROM wd),
+        |e0 AS (SELECT c, regexp_replace(w, '(?s)(.)', ' $1 ') AS cs FROM wd),
         |pc1 AS (SELECT element_at(s,i) AS p1, element_at(s,i+1) AS p2, c
         |        FROM (SELECT s, c, explode(sequence(1, size(s)-1)) AS i
         |              FROM (SELECT split(trim(cs),'  ') AS s, c FROM e0) WHERE size(s) >= 2)),
@@ -2334,7 +2334,7 @@ object Queries {
         |) ORDER BY rk""".stripMargin,
       """WITH tok AS (SELECT lower(unnest(string_split(text,' '))) AS w FROM documents),
         |wd AS (SELECT w, count(*) AS c FROM tok WHERE len(w) >= 2 GROUP BY 1),
-        |e0 AS (SELECT c, regexp_replace(w, '(.)', ' \1 ', 'g') AS cs FROM wd),
+        |e0 AS (SELECT c, regexp_replace(w, '(?s)(.)', ' \1 ', 'g') AS cs FROM wd),
         |pc1 AS (SELECT s[i] AS p1, s[i+1] AS p2, c
         |        FROM (SELECT s, c, unnest(generate_series(1, len(s)-1)) AS i
         |              FROM (SELECT string_split(trim(cs),'  ') AS s, c FROM e0) WHERE len(s) >= 2)),

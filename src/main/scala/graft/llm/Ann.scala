@@ -16,6 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
+  /** The nProbe best inverted lists for a query: cosine-score the
+    * driver-resident centroids, take the top. ONE copy on purpose —
+    * ivfTopK, pqTopK and ivfTopKPartitioned all need exactly this
+    * ranking and had drifted into three near-copies (one of which
+    * recomputed the query norm per centroid). */
+  private def probeLists(centroids: Array[(Int, Array[Double])],
+                         query: Seq[Double], nProbe: Int): Seq[Int] = {
+    val qn = math.sqrt(query.map(x => x * x).sum) max 1e-12
+    centroids.map { case (l, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
+      (l, c.zip(query).map { case (a, b) => a * b }.sum / (qn * cn))
+    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+  }
+
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** dot(a,b) via zip_with + aggregate (stays in whole-stage codegen). */
@@ -108,15 +122,11 @@ object Ann {
               nLists: Int = 16, nProbe: Int = 4, dim: Int = 64,
               centroids: Option[Array[(Int, Array[Double])]] = None): DataFrame = {
     val cs = centroids.getOrElse(ivfTrain(embeddings, nLists, dim))
-    val probe = cs.map { case (l, c) =>
-        val qn = math.sqrt(query.map(x => x * x).sum)
-        val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
-        (l, c.zip(query).map { case (a, b) => a * b }.sum / (qn * cn))
-      }.sortBy(-_._2).take(nProbe).map(_._1).toSet
+    val probe = probeLists(cs, query, nProbe)
     val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val assigned = ivfAssign(base, cs)
     val q = lit(query.toArray)
-    assigned.where(col("list").isin(probe.toSeq: _*))
+    assigned.where(col("list").isin(probe: _*))
       .withColumn("sim", cosine(col("e"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
@@ -269,16 +279,15 @@ object Ann {
              idx: Option[PqIndex] = None): DataFrame = {
     import embeddings.sparkSession.implicits._
     val ix = idx.getOrElse(pqTrain(embeddings, nLists, dim, m, ksub))
+    val probe = probeLists(ix.centroids, query, nProbe)
+    // query norm + query·centroid dots: the ADC score below reconstructs
+    // sim ≈ (q·c + Σ lut) / (|q|·|v|) per encoded row
     val qn = math.sqrt(query.map(x => x * x).sum) max 1e-12
     val dotQC: Map[Int, Double] = ix.centroids.map { case (l, c) =>
       l -> c.zip(query).map { case (a, b) => a * b }.sum
     }.toMap
-    val probe = ix.centroids.map { case (l, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
-      (l, dotQC(l) / (qn * cn))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSet
     val encoded = pqEncode(embeddings, ix)
-      .where(col("list").isin(probe.toSeq: _*))
+      .where(col("list").isin(probe: _*))
     val candidates =
       if (nProbe >= ix.nLists) encoded.select(col("vec_id"))
       else {
@@ -487,11 +496,7 @@ object Ann {
                          path: String, query: Seq[Double], k: Int,
                          centroids: Array[(Int, Array[Double])],
                          nProbe: Int = 4): DataFrame = {
-    val qn = math.sqrt(query.map(x => x * x).sum) max 1e-12
-    val probe = centroids.map { case (l, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum) max 1e-12
-      (l, c.zip(query).map { case (a, b) => a * b }.sum / (qn * cn))
-    }.sortBy(-_._2).take(nProbe).map(_._1).toSeq
+    val probe = probeLists(centroids, query, nProbe)
     val q = lit(query.toArray)
     spark.read.parquet(path)
       .where(col("list").isin(probe: _*))

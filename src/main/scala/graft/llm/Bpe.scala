@@ -41,8 +41,15 @@ object Bpe {
       .where(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("c"))
 
+  // (?s): '.' must match LINE TERMINATORS too — without DOTALL a word
+  // containing \n (whitespace-split keeps them) leaves the \n unwrapped,
+  // producing a corrupt multi-char "symbol" with embedded spaces that
+  // silently poisons the pair census and breaks the ' p1  p2 ' literal-
+  // replace invariant. The SQL twins carry the same flag in both
+  // dialects (Java and RE2 both honor (?s)), so the contract hash moves
+  // together or not at all.
   private def wrapChars(w: org.apache.spark.sql.Column) =
-    regexp_replace(w, "(.)", " $1 ")
+    regexp_replace(w, "(?s)(.)", " $1 ")
 
   private def symbols(cs: org.apache.spark.sql.Column) =
     split(trim(cs), "  ")
@@ -104,8 +111,13 @@ object Bpe {
       .withColumn("r", row_number().over(
         Window.orderBy(col("cnt").desc, col("a"))))
       .where(col("r") <= topSyms)
-      .select((col("r") + 10).cast("long").as("rk"), lit("sym").as("kind"),
-        col("a"), lit("").as("b"), col("cnt"))
+      // the symbol block's rank offset must clear the merge block's
+      // 1..nMerges range — a fixed +10 collides once nMerges > 10 and
+      // the terminal orderBy(rk) goes nondeterministic; max(10, n)
+      // keeps the contract entry (nMerges=3, offset 10, matching the
+      // x148 oracle's literal) bit-stable while unbounding the knob
+      .select((col("r") + math.max(10, nMerges)).cast("long").as("rk"),
+        lit("sym").as("kind"), col("a"), lit("").as("b"), col("cnt"))
     val mergeDf = merges
       .map(m => (m.step.toLong, "merge", m.p1, m.p2, m.cnt))
       .toDF("rk", "kind", "a", "b", "cnt")

@@ -30,7 +30,7 @@ object Dedup {
     * tuned for shuffle volume (4 in the bench protocol) and starved the
     * CPU-bound signature kernels to 4 of 32 cores (same fix as
     * Fingerprint; measured on x52/x53 in BENCH_r04_xops.json). */
-  private def spread(df: DataFrame): DataFrame =
+  private[llm] def spread(df: DataFrame): DataFrame =
     df.repartition(math.max(
       df.sparkSession.sessionState.conf.numShufflePartitions,
       df.sparkSession.sparkContext.defaultParallelism))

@@ -17,12 +17,10 @@ object Fingerprint {
   def fingerprints(docs: DataFrame, textCol: String = "text",
                    k: Int = 8, window: Int = 4): DataFrame = {
     graft.functions.WinnowFps.register(docs.sparkSession)
-    val par = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      docs.sparkSession.sparkContext.defaultParallelism)
-    // repartition first — single-row-group parquet otherwise pins this
-    // CPU-bound kernel to one task (see fingerprintsHof's note)
-    docs.repartition(par)
+    // spread first — single-row-group parquet otherwise pins this
+    // CPU-bound kernel to one task (see fingerprintsHof's note);
+    // Dedup.spread is the ONE copy of the parallelism sizing rule
+    Dedup.spread(docs)
       .withColumn("fps", graft.functions.WinnowFps(col(textCol), k, window))
   }
 
@@ -65,16 +63,12 @@ object Fingerprint {
         s"""array_distinct(transform(sequence(1, greatest(size(hs)-${window - 1}, 1)),
            |                         j -> array_min(slice(hs, j, $window))))""".stripMargin
     val fps = s"element_at(transform(array($hashes), hs -> $body), 1)"
-    // repartition first: single-row-group input parquet pins the scan to
-    // one task, serializing this row-local compute otherwise. Size by
-    // CLUSTER parallelism, not numShufflePartitions — the latter is
-    // tuned for shuffle volume (4 in the bench protocol) and starved
-    // this CPU-bound kernel to 4 of 32 cores (measured: the extraction
-    // dominated x55 at ~5 s of its runtime)
-    val par = math.max(
-      docs.sparkSession.sessionState.conf.numShufflePartitions,
-      docs.sparkSession.sparkContext.defaultParallelism)
-    docs.repartition(par).withColumn("fps", expr(fps))
+    // spread first: single-row-group input parquet pins the scan to
+    // one task, serializing this row-local compute otherwise — sized by
+    // cluster parallelism via Dedup.spread, the one copy of the rule
+    // (measured: under numShufflePartitions=4 the extraction dominated
+    // x55 at ~5 s of its runtime)
+    Dedup.spread(docs).withColumn("fps", expr(fps))
   }
 
   /** Containment of the smaller doc's fingerprints in the larger's (basis
@@ -165,17 +159,25 @@ object Fingerprint {
         invAll.groupBy("fp").agg(count(lit(1)).as("df"))
           .where(col("df") <= maxDf).select("fp"),
         "fp")
-    val common = inv.as("x").join(inv.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(fps.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(fps.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-      .withColumn("contain_bp",
-        floor(col("common") * lit(10000.0) / least(col("na"), col("nb"))).cast("long"))
-      .where(col("contain_bp") >= minContainBp)
-      .select(col("a"), col("b"), col("contain_bp"))
-      .orderBy(desc("contain_bp"), col("a"), col("b"))
+    try {
+      val common = inv.as("x").join(inv.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(fps.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(fps.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .withColumn("contain_bp",
+          floor(col("common") * lit(10000.0) / least(col("na"), col("nb"))).cast("long"))
+        .where(col("contain_bp") >= minContainBp)
+        .select(col("a"), col("b"), col("contain_bp"))
+        .orderBy(desc("contain_bp"), col("a"), col("b"))
+        // materialize off the persisted fps so it can be released NOW —
+        // the operator owns its persists (ADVICE r5 #4: returning a lazy
+        // plan over a cached frame leaks one cache entry per call, the
+        // cache-accumulation failure mode; same discipline as
+        // Dedup.nearDupsWithSig)
+        .localCheckpoint(true)
+    } finally fps.unpersist()
   }
 }

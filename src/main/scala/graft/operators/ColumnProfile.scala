@@ -40,6 +40,7 @@ object ColumnProfile {
 
   private def profileWith(df: DataFrame, cols: Seq[String],
                           ndv: String => Column): DataFrame = {
+    require(cols.nonEmpty, "profile: no columns given")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         ndv(c).as(s"${c}__ndv"),
@@ -49,7 +50,10 @@ object ColumnProfile {
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
-      s"'$c', `${c}__ndv`, `${c}__nulls`, `${c}__min`, `${c}__max`"
+      // the label is a SQL string literal inside selectExpr — escape
+      // embedded quotes or a name like it's breaks the parse (the agg
+      // aliases are already backtick-quoted)
+      s"'${c.replace("'", "''")}', `${c}__ndv`, `${c}__nulls`, `${c}__min`, `${c}__max`"
     }.mkString(", ")
     one.selectExpr(
         s"stack(${cols.size}, $stacked) AS (col, ndv, nulls, minv, maxv)")

@@ -44,11 +44,16 @@ object DataQuality {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // coalesce to 0: sum() over ZERO rows is NULL, and an audit of an
+    // empty table/partition — exactly the pre-promotion gate this
+    // operator exists for — must report (rule, 0, 0), not NPE on getLong
     def cnt(pred: Column): Column =
-      sum(when(pred, lit(1L)).otherwise(lit(0L)))
+      coalesce(sum(when(pred, lit(1L)).otherwise(lit(0L))), lit(0L))
 
     // One fused pass: every row-local + uniqueness rule becomes one
-    // aggregate column over the same scan.
+    // aggregate column over the same scan — and each FK rule's
+    // "checked" denominator (non-null key count) rides the same pass
+    // for free, so an FK rule costs ONE anti-join scan, not two.
     val fused: Seq[(String, Column)] = rules.collect {
       case NotNull(n, c) => n -> cnt(col(c).isNull)
       case InRange(n, c, lo, hi) =>
@@ -56,23 +61,30 @@ object DataQuality {
       case Violates(n, p) => n -> cnt(coalesce(p, lit(false)))
       case Unique(n, c) => n -> (count(col(c)) - count_distinct(col(c)))
     }
-    val fusedRows: Seq[(String, Long, Long)] =
-      if (fused.isEmpty) Nil
+    val fks = rules.collect { case fk: ForeignKey => fk }
+    val fkChecked: Seq[(String, Column)] =
+      fks.map(fk => s"__fk_${fk.name}" -> count(col(fk.col)))
+    val allAggs = fused ++ fkChecked
+    val (fusedRows, fkCheckedByName) =
+      if (allAggs.isEmpty) (Nil, Map.empty[String, Long])
       else {
-        val aggs = fused.map { case (n, c) => c.as(n) } :+ count(lit(1)).as("__n")
+        val aggs = allAggs.map { case (n, c) => c.as(n) } :+ count(lit(1)).as("__n")
         val row = df.agg(aggs.head, aggs.tail: _*).collect().head
-        val total = row.getLong(fused.size)
-        fused.zipWithIndex.map { case ((n, _), i) => (n, row.getLong(i), total) }
+        val total = row.getLong(allAggs.size)
+        val fr = fused.zipWithIndex.map { case ((n, _), i) => (n, row.getLong(i), total) }
+        val fc = fks.zipWithIndex.map { case (fk, i) =>
+          fk.name -> row.getLong(fused.size + i)
+        }.toMap
+        (fr, fc)
       }
 
     // FK rules: one anti-join each (broadcast-able dims stay broadcast;
     // Catalyst decides). Counted lazily into driver-sized rows.
-    val fkRows: Seq[(String, Long, Long)] = rules.collect {
-      case ForeignKey(n, c, dim, dc) =>
-        val keyed = df.where(col(c).isNotNull)
-        val miss = keyed.join(dim.select(col(dc)).distinct(),
-          col(c) === col(dc), "left_anti").count()
-        (n, miss, keyed.count())
+    val fkRows: Seq[(String, Long, Long)] = fks.map { fk =>
+      val miss = df.where(col(fk.col).isNotNull)
+        .join(fk.dim.select(col(fk.dimCol)).distinct(),
+          col(fk.col) === col(fk.dimCol), "left_anti").count()
+      (fk.name, miss, fkCheckedByName(fk.name))
     }
 
     (fusedRows ++ fkRows)

@@ -67,8 +67,14 @@ object IntervalJoin {
         assert_true(col(e) > col(s),
           lit(s"IntervalJoin: empty or inverted interval ($s >= $e)")),
         lit(true)))
-      val c0 = floor(col(s) / lit(bucket)).cast("long")
-      val c1 = floor((col(e) - 1) / lit(bucket)).cast("long")
+      // exact integral floor-division: Spark's `/` on longs is DOUBLE
+      // division, which rounds the operand past 2^53 — a bound on a
+      // cell boundary could land in the adjacent cell and a truly
+      // overlapping pair silently share no cell. (s - pmod(s, b)) is an
+      // exact multiple of b, so the truncating `div` is exact floor for
+      // any long, negative included.
+      val c0 = expr(s"($s - pmod($s, $bucket)) div $bucket")
+      val c1 = expr(s"(($e - 1) - pmod($e - 1, $bucket)) div $bucket")
       if (maxSpanCells <= 0)
         checked.withColumn("__cell", explode(sequence(c0, c1)))
       else {

@@ -32,6 +32,13 @@ object Sequential {
     val spark = events.sparkSession
     import spark.implicits._
     events
+      // a NULL ts or value would otherwise surface as an encoder error
+      // ("Null value appeared in non-nullable field") for the whole job
+      // — name the actual defect instead: the ordering key and delta
+      // are undefined on such a row
+      .where(coalesce(assert_true(col("ts").isNotNull && col("value").isNotNull,
+        lit("clampedRunningSum: NULL ts or value — ordering key / delta " +
+          "undefined; filter or impute upstream")), lit(true)))
       .select(col("user_id"),
         // µs since epoch: a total, timezone-free ordering key identical
         // to the oracle's ORDER BY ts
