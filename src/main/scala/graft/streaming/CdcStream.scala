@@ -220,10 +220,10 @@ object CdcStream {
     * the row and its seq, and a stale re-insert has nothing to lose
     * to — measured: all 10 309 rehearsal deletes undone). Equal seq
     * resolves upsert-over-tombstone, matching the in-batch tie-break.
-    * Retention cost: one flagged row per deleted key, until a
-    * compaction rewrite purges tombstones older than the feed's
-    * maximum reorder horizon (not yet needed at this corpus' delete
-    * rate; the hook is a bucket rewrite, same shape as applyBatch).
+    * Retention cost: one flagged row per deleted key, until
+    * [[compactTombstones]] purges tombstones older than the feed's
+    * maximum reorder horizon (a bucket-pruned rewrite committed as a
+    * normal version; see its scaladoc for the horizon contract).
     *
     * Schema contract: reserved internal names ([[ReservedCols]]) are
     * rejected, and after the first commit the batch's (key, payload,
@@ -351,6 +351,69 @@ object CdcStream {
       commit(spark, tableDir, next, Commit(schema, nb, carried ++ written), txnId)
       next
     } finally lastChange.unpersist()
+  }
+
+  /** Tombstone retention compaction — the purge leg of the
+    * replay-order-independence design. A retained tombstone exists to
+    * outrank stale changes the transport may still replay; once
+    * `belowSeq` is at or below the feed's minimum possible in-flight
+    * seq (its maximum reorder horizon), tombstones older than it can
+    * never win another comparison and are dead weight. This rewrites
+    * ONLY the buckets holding at least one purgeable tombstone
+    * (manifest-pruned, same unique-data-dir commit mechanics as
+    * [[applyBatch]]; a fully-purged bucket writes no files and leaves
+    * the table), carries every other bucket by reference, and commits
+    * a new version — visible rows are BIT-IDENTICAL before and after.
+    * The horizon is a contract, not a guess: a change older than
+    * `belowSeq` arriving AFTER the purge re-inserts its key — pick the
+    * horizon from the transport's ordering guarantee, exactly as every
+    * tombstone-retention store (Cassandra gc_grace, Delta retention)
+    * requires. Returns the new version, or the current one unchanged
+    * when nothing is purgeable. */
+  def compactTombstones(spark: SparkSession, tableDir: String,
+                        keyCol: String, belowSeq: Long,
+                        seqCol: String = "seq",
+                        txnId: Option[String] = None): Long = {
+    val vs = versionDirs(spark, tableDir)
+    require(vs.nonEmpty, s"compactTombstones: no committed version in $tableDir")
+    val alreadyApplied = for {
+      t <- txnId; (n, p) <- vs.lastOption
+      if readTxn(spark, p).contains(t)
+    } yield n
+    if (alreadyApplied.isDefined) return alreadyApplied.get
+    val (vn, vp) = vs.last
+    val prev = readManifest(spark, vp)
+    require(prev.schema.fieldNames.contains("__dead"),
+      s"table $tableDir was written by a pre-tombstone-retention format")
+    val next = vn + 1
+    val root = new Path(tableDir)
+    if (fs(spark, root).exists(new Path(root, s"v$next")))
+      throw new IllegalStateException(s"version v$next already exists in $tableDir")
+
+    val purgeable = col("__dead") && col(seqCol) < lit(belowSeq)
+    // buckets to rewrite: recomputed from the key (the layout's own
+    // bucket function), collected as ≤ nBuckets ints of driver metadata
+    val hit: Set[Int] = readCommit(spark, prev)
+      .where(purgeable)
+      .select(bucketOf(col(keyCol), prev.nBuckets).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (hit.isEmpty) return vn
+
+    val hitDirs = prev.buckets.collect { case (b, d) if hit(b) => d }.toSeq
+    val kept = spark.read.schema(prev.schema).parquet(hitDirs.distinct: _*)
+      .where(!purgeable)
+    val dataDir = s"$tableDir/data/v$next-${java.util.UUID.randomUUID().toString.take(8)}"
+    kept.withColumn("b", bucketOf(col(keyCol), prev.nBuckets))
+      .write.partitionBy("b").parquet(dataDir)
+    val dd = new Path(dataDir)
+    val f = fs(spark, dd)
+    val written: Map[Int, String] = f.listStatus(dd).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("b="))
+      .map(s => s.getPath.getName.drop(2).toInt -> s.getPath.toString).toMap
+    val carried = prev.buckets.filterNot { case (b, _) => hit(b) }
+    commit(spark, tableDir, next,
+      Commit(prev.schema, prev.nBuckets, carried ++ written), txnId)
+    next
   }
 
   /** What [[vacuum]] reclaimed (spec / operational reporting). */

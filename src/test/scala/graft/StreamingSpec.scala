@@ -682,6 +682,56 @@ class StreamingSpec extends SparkSpec {
     assert(okAfter == 1L, "rejected batches must leave the table untouched")
   }
 
+  test("CDC tombstone compaction purges only below the horizon, bit-identical visible rows") {
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-compact"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    def df(rows: (Long, Double, String, Long, Boolean)*) =
+      rows.toDF("k", "price", "status", "seq", "deleted")
+    // live keys 1,2; key 3 deleted at seq 30 (OLD, purgeable), key 4
+    // deleted at seq 90 (inside the horizon, must be retained)
+    CdcStream.applyBatch(spark, table,
+      df((1L, 10.0, "a", 10L, false), (2L, 20.0, "a", 20L, false),
+         (3L, 30.0, "a", 29L, false), (4L, 40.0, "a", 40L, false)), "k")
+    CdcStream.applyBatch(spark, table,
+      df((3L, 0.0, "d", 30L, true), (4L, 0.0, "d", 90L, true)), "k")
+    val preVisible = CdcStream.latest(spark, table).get
+      .orderBy("k").collect().map(_.toSeq).toSeq
+
+    val v = CdcStream.compactTombstones(spark, table, "k", belowSeq = 50L)
+    assert(v == 2L, s"compaction commits a new version: v$v")
+    // visible rows bit-identical
+    val postVisible = CdcStream.latest(spark, table).get
+      .orderBy("k").collect().map(_.toSeq).toSeq
+    assert(postVisible === preVisible)
+    // the purged tombstone is physically gone, the in-horizon one kept:
+    // read the new version's bucket files RAW (bypassing the visible
+    // filter) and count __dead rows by key
+    val rawDirs = CdcStream.bucketDirs(spark, table, v).values.toSeq.distinct
+    val raw = spark.read.parquet(rawDirs: _*)
+    val deadKeys = raw.where(col("__dead")).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(deadKeys === Set(4L),
+      s"seq<50 tombstone purged, seq 90 retained: $deadKeys")
+    // the horizon contract both ways: a stale change for the RETAINED
+    // tombstone's key still loses; one for the PURGED key re-inserts
+    CdcStream.applyBatch(spark, table,
+      df((4L, 41.0, "stale", 50L, false), (3L, 31.0, "stale", 29L, false)), "k")
+    val after = CdcStream.latest(spark, table).get
+      .orderBy("k").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!after.contains(4L), "in-horizon tombstone still outranks stale changes")
+    assert(after(3L) == 31.0,
+      "purged-horizon key re-inserts — the documented horizon contract")
+    // no-op when nothing is purgeable: same version back, no new commit
+    val vLast = CdcStream.versions(spark, table).last
+    val v2 = CdcStream.compactTombstones(spark, table, "k", belowSeq = 10L)
+    assert(v2 == vLast)
+    assert(CdcStream.versions(spark, table).last == vLast,
+      "a purge with no purgeable tombstones must not commit a version")
+  }
+
   test("CDC graceful vacuum spares a fresh uncommitted data dir, reclaims expired ones") {
     // The writer-vs-vacuum race: an in-flight applyBatch's written-but-
     // uncommitted dir looks exactly like crash debris. With the default
