@@ -26,16 +26,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  /** JSON string escape (minimal, for SQL text). */
-  private def esc(s: String): String = s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => "\\u%04x".format(c.toInt)
-    case c => c.toString
-  }
+  /** JSON string escape — the shared table (see [[JsonOut]]). */
+  private def esc(s: String): String = JsonOut.esc(s)
 
   /** One paired DuckDB suite pass in this container via
     * tools/rebaseline.py. None when the tool/interpreter is missing or
@@ -99,12 +91,16 @@ object Bench {
     // extension inventory instead (artifact BENCH_r04_xops.json tracks
     // the LLM-pipeline operators' cost at sf0.1).
     val prefix = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "q")
-    val names = SparkEntry.queries.keys.toSeq.filter(_.startsWith(prefix)).sorted
+    val queries = SparkEntry.queries // build the inventory map ONCE
+    val names = queries.keys.toSeq.filter(_.startsWith(prefix)).sorted
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String): Double = {
+      val f = queries(name) // lookup OUTSIDE the timed window
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).collect()
+      try f(spark, sfDir).collect()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed += name
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -149,14 +145,22 @@ object Bench {
     val duckPost = pairedPass()
     val qs = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
+    // a failed query must be LOUD, not a -1.0 silently summed into the
+    // gate total (which would understate suite_total, corrupt
+    // paired_ratio, and still exit 0 past an automated regression gate):
+    // exclude failures from the total, name them in the artifact, and
+    // exit nonzero after printing
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val paired = (duckPre, duckPost) match {
       case (Some(a), Some(b)) => Some((a + b) / 2)
       case (a, b) => a.orElse(b)
     }
     def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
     val pairedRatio = paired.map(total / _)
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","floor_ms":${"%.1f".format(floorMs)},"duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
+    val failedJs = failed.toSeq.sorted.map(n => s""""${esc(n)}"""")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

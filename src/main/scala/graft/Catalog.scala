@@ -31,8 +31,14 @@ object Catalog {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   // Last directory registered per session, to make ensure() idempotent and
-  // cheap (Verify/Bench call it once per query).
-  private val registeredDir = new TrieMap[SparkSession, String]()
+  // cheap (Verify/Bench call it once per query). WEAK keys: a strong
+  // session-keyed map pins every churned session (the fresh-sessions-
+  // over-a-shared-context test pattern, or a server embedding the
+  // library) and its state forever; the String value carries no
+  // back-reference to the key, so weak keying actually collects here.
+  // (All access goes through ensure(), which is synchronized.)
+  private val registeredDir =
+    new java.util.WeakHashMap[SparkSession, String]()
 
   /** Collision-proof /tmp cache-dir key for a source path: the sanitized
     * path for readability PLUS an md5-8 of the raw path — sanitization
@@ -55,13 +61,21 @@ object Catalog {
     * undetected; list the data files recursively (skip _SUCCESS/.crc
     * bookkeeping) and fingerprint each (relative name, size, mtime). */
   def fingerprint(path: String): String = {
+    val root = new java.io.File(path)
+    // a missing source must FAIL, not fingerprint as the constant
+    // ":0:0" (File.length/lastModified return 0 for nonexistent paths)
+    // — two different moved/missing sources would compare "identical"
+    require(root.exists(), s"fingerprint: $path does not exist")
     def walk(f: java.io.File, rel: String): Seq[String] =
-      if (f.isDirectory)
-        f.listFiles().sortBy(_.getName).toSeq
+      if (f.isDirectory) {
+        // listFiles returns NULL on an I/O or permission error
+        val children = f.listFiles()
+        require(children != null, s"fingerprint: cannot list $f")
+        children.sortBy(_.getName).toSeq
           .filterNot(c => c.getName.startsWith("_") || c.getName.startsWith("."))
           .flatMap(c => walk(c, s"$rel/${c.getName}"))
-      else Seq(s"$rel:${f.length}:${f.lastModified}")
-    walk(new java.io.File(path), "").mkString("\n")
+      } else Seq(s"$rel:${f.length}:${f.lastModified}")
+    walk(root, "").mkString("\n")
   }
 
   /** Idempotently register all tables from `dir` as temp views. */
@@ -74,7 +88,7 @@ object Catalog {
     functions.FoldAccents.register(spark)
     functions.DamerauLevenshtein.register(spark)
     functions.JaroWinkler.register(spark)
-    if (!registeredDir.get(spark).contains(dir)) {
+    if (registeredDir.get(spark) != dir) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -122,7 +136,15 @@ object Catalog {
 
   def sql(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
     ensure(spark, dir)
-    if (planCache.size > planCacheMax) planCache.clear()
+    if (planCache.size > planCacheMax) {
+      // weak keys cannot work here — the cached DataFrames back-
+      // reference their session, so the entry's VALUE would pin the
+      // weak KEY forever. Evict dead sessions' entries explicitly
+      // first; only if live entries alone still bust the cap, clear.
+      planCache.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(planCache.remove)
+      if (planCache.size > planCacheMax) planCache.clear()
+    }
     planCache.getOrElseUpdate((spark, dir, sqlText), spark.sql(sqlText))
   }
 }

@@ -34,30 +34,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
+  /** Wrong arg counts must surface as an error naming the function and
+    * its expected arity — not an IndexOutOfBoundsException from
+    * exprs(i) deep in plan construction. */
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.DeferProjectionPastTopK)
     ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
-      (exprs: Seq[Expression]) => functions.CosineSim(exprs(0), exprs(1))))
+      arity("cosine_sim", 2)(exprs => functions.CosineSim(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
-      (exprs: Seq[Expression]) => functions.SimHash64(exprs.head)))
+      arity("simhash64", 1)(exprs => functions.SimHash64(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("winnow_fps"),
       info("winnow_fps",
         "winnow_fps(text, k, w) - winnowing fingerprint set (k-gram window minima)"),
-      (exprs: Seq[Expression]) => functions.WinnowFps.fromExprs(exprs)))
+      arity("winnow_fps", 3)(exprs => functions.WinnowFps.fromExprs(exprs))))
     ext.injectFunction((
       FunctionIdentifier("fold_accents"),
       info("fold_accents", "fold_accents(s) - strip diacritics (NFD, combining marks removed)"),
-      (exprs: Seq[Expression]) => functions.FoldAccents(exprs.head)))
+      arity("fold_accents", 1)(exprs => functions.FoldAccents(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("damerau_levenshtein"),
       info("damerau_levenshtein",
         "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
-      (exprs: Seq[Expression]) => functions.DamerauLevenshtein(exprs(0), exprs(1))))
+      arity("damerau_levenshtein", 2)(exprs =>
+        functions.DamerauLevenshtein(exprs(0), exprs(1)))))
+    // jaro_winkler was MISSING here while Catalog.ensure registers it —
+    // an extensions-deployed cluster failed x241's analysis with
+    // UNRESOLVED_ROUTINE; RulesSpec now pins the parity for all six
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible variant)"),
+      arity("jaro_winkler", 2)(exprs =>
+        functions.JaroWinkler(exprs(0), exprs(1)))))
   }
 }

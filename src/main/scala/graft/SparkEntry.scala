@@ -16,14 +16,17 @@ object SparkEntry {
     spark.sql(Queries.sparkSql("q16_multiway_join"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. Lazy val,
+    * not def: a def rebuilt the full ~330-entry map on EVERY access —
+    * including inside Bench's per-rep lookups and Verify's per-query
+    * loop — for a value that never changes after class load. */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.sparkSql.map { case (name, sql) =>
       name -> ((spark: SparkSession, dir: String) => Catalog.sql(spark, dir, sql))
     } ++ Extensions.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     Queries.oracleSql ++ Extensions.oracleSql
 }

@@ -5,6 +5,8 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: graft.Verify <sfDir> <outDir> [parallel] [only=n1,n2,...]")
     val Array(sfDir, outDir) = args.take(2)
     // "parallel": skip the coalesce(1) and write the final stage's
     // partitions as-is (sorted part-file concatenation preserves the
@@ -81,15 +83,8 @@ object Verify {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // The table itself is the shared JsonOut (one copy, Bench uses it too).
+    def q(s: String): String = JsonOut.quote(s)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.isEmpty || only(k) }
       // keep the oracle list in lockstep with the skipped baselines —

@@ -115,6 +115,19 @@ class RulesSpec extends SparkSpec {
       assert(fresh.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0) != 0L)
       assert(fresh.sql("SELECT size(winnow_fps('abcdefghijklmnop', 8, 4)) AS n")
         .head().getInt(0) > 0)
+      assert(fresh.sql("SELECT damerau_levenshtein('abc','acb') AS d")
+        .head().getInt(0) == 1)
+      // the parity gap that slipped: jaro_winkler was registered by
+      // Catalog.ensure but NOT injected here, so an extensions-deployed
+      // cluster failed x241's analysis with UNRESOLVED_ROUTINE
+      assert(fresh.sql("SELECT jaro_winkler('martha','marhta') AS j")
+        .head().getDouble(0) > 0.9)
+      // wrong arity surfaces as a named error, not IndexOutOfBounds
+      val wrongArity = intercept[Exception] {
+        fresh.sql("SELECT cosine_sim(cast(array(1.0) AS ARRAY<FLOAT>))").collect()
+      }
+      assert(wrongArity.getMessage.contains("cosine_sim") &&
+        wrongArity.getMessage.contains("2"), wrongArity.getMessage)
       // optimizer rule installed in this session's SparkOptimizer (its
       // firing behavior is pinned by the q38/q32 tests above — Range
       // inputs never produce the Project-under-Sort shape it rewrites,
