@@ -256,6 +256,26 @@ object Rehearsal {
       .where(!col("d")).count()
     assert(live == expectedLive,
       s"cdc replay-order independence: live=$live expected=$expectedLive")
+    // tombstone retention compaction at 1M-key scale: the replay is
+    // fully drained, so EVERY retained tombstone is past the horizon —
+    // purge them all, assert visible rows unchanged and the raw bucket
+    // files carry zero __dead rows afterwards (the cost the stream-soak
+    // ratio note attributes to retained tombstones, reclaimed)
+    val deadBefore = 1000000L - live
+    phase("cdc compact") {
+      val v = graft.streaming.CdcStream.compactTombstones(
+        spark, table, "k", belowSeq = Long.MaxValue)
+      val liveAfter = graft.streaming.CdcStream.latest(spark, table).get.count()
+      assert(liveAfter == live,
+        s"compaction must not change visible rows: $liveAfter vs $live")
+      val rawDead = spark.read.parquet(
+          graft.streaming.CdcStream.bucketDirs(spark, table, v)
+            .values.toSeq.distinct: _*)
+        .where(col("__dead")).count()
+      assert(rawDead == 0L, s"all $deadBefore tombstones purged, found $rawDead")
+    }
+    println(s"[rehearsal] cdc compact: $deadBefore tombstones purged, " +
+      s"live rows bit-stable")
     val stats = phase("cdc vacuum") {
       graft.streaming.CdcStream.vacuum(spark, table, keepLast = 2)
     }
