@@ -143,8 +143,12 @@ object Bench {
     // paired DuckDB pass #2: immediately after — bracketing the Spark
     // suite bounds any within-run floor drift
     val duckPost = pairedPass()
-    val qs = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
-      .mkString("{", ",", "}")
+    // failed names carry the -1 sentinel internally; they are reported
+    // via "failed" ONLY — a -1 inside "queries" would be ingested as a
+    // timing by any consumer summing or plotting per-query values
+    // (ADVICE r11 #3)
+    val qs = medians.collect { case (k, v) if v >= 0 =>
+      s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
     // a failed query must be LOUD, not a -1.0 silently summed into the
     // gate total (which would understate suite_total, corrupt
     // paired_ratio, and still exit 0 past an automated regression gate):

@@ -148,10 +148,15 @@ object Graph {
       // the cache the half-steps reuse); negative weights rejected in
       // the same pass (they would break the v ≥ 0 zero-guard logic
       // and sign the scores silently with ansi=off).
+      // Per-DIRECTION Σw, not in+out combined (ADVICE r11 #2): each
+      // half-step sums score·w over one direction only, so the bound
+      // the induction needs is max(Σw by src) and max(Σw by dst)
+      // separately — an untagged union would sum both directions per
+      // node and spuriously reject a graph within the bound on each.
       val swBound = (Long.MaxValue / scale / scale).toDouble
-      ew.select(col("src").as("node"), col("w"))
-        .union(ew.select(col("dst").as("node"), col("w")))
-        .groupBy("node").agg(sum(col("w").cast("double")).as("sw"))
+      ew.select(col("src").as("node"), lit(0).as("dir"), col("w"))
+        .union(ew.select(col("dst").as("node"), lit(1).as("dir"), col("w")))
+        .groupBy("node", "dir").agg(sum(col("w").cast("double")).as("sw"))
         .agg(max(col("sw")).as("mxsw"))
         .crossJoin(ew.agg(min(col("w")).as("mnw")))
         // NULL aggregates = empty edge set: pass here so the half-step

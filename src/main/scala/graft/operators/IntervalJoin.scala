@@ -50,6 +50,13 @@ object IntervalJoin {
               b: DataFrame, bStart: String, bEnd: String, bKey: String,
               bucket: Long, maxSpanCells: Int = 0): DataFrame = {
     require(bucket > 0, "bucket width must be positive")
+    // every user-supplied name is backtick-quoted (embedded backticks
+    // doubled) before reaching a parser: unquoted, a dot parses as
+    // struct-field access, a space/hyphen breaks the parser, and a
+    // reserved word collides — both in expr() SQL text AND in
+    // functions.col(), which parses dots the same way (ADVICE r11 #4)
+    def q(n: String) = "`" + n.replace("`", "``") + "`"
+    def qc(n: String) = col(q(n))
     val shared = a.columns.toSet.intersect(b.columns.toSet)
     require(shared.isEmpty,
       s"side column names must be disjoint (alias before joining); shared: $shared")
@@ -64,7 +71,7 @@ object IntervalJoin {
       // loud per-row contract: half-open [s, e) must be non-empty, else
       // the cell sequence below runs descending (ADVICE r9 #2)
       val checked = df.where(coalesce(
-        assert_true(col(e) > col(s),
+        assert_true(qc(e) > qc(s),
           lit(s"IntervalJoin: empty or inverted interval ($s >= $e)")),
         lit(true)))
       // exact integral floor-division: Spark's `/` on longs is DOUBLE
@@ -73,8 +80,9 @@ object IntervalJoin {
       // overlapping pair silently share no cell. (s - pmod(s, b)) is an
       // exact multiple of b, so the truncating `div` is exact floor for
       // any long, negative included.
-      val c0 = expr(s"($s - pmod($s, $bucket)) div $bucket")
-      val c1 = expr(s"(($e - 1) - pmod($e - 1, $bucket)) div $bucket")
+      val (qs, qe) = (q(s), q(e))
+      val c0 = expr(s"($qs - pmod($qs, $bucket)) div $bucket")
+      val c1 = expr(s"(($qe - 1) - pmod($qe - 1, $bucket)) div $bucket")
       if (maxSpanCells <= 0)
         checked.withColumn("__cell", explode(sequence(c0, c1)))
       else {
@@ -95,7 +103,7 @@ object IntervalJoin {
         val long = checked.where(c1 - c0 >= m)
           .withColumn("__chunk",
             explode(sequence(lit(0L), floor((c1 - c0) / m).cast("long"))))
-          .repartition(col(key), col("__chunk"))
+          .repartition(qc(key), col("__chunk"))
           .withColumn("__cell", explode(sequence(
             c0 + col("__chunk") * m,
             least(c0 + (col("__chunk") + 1) * m - 1, c1))))
@@ -109,7 +117,7 @@ object IntervalJoin {
 
     ga.join(gb, "__cell")
       // exact refine: half-open overlap
-      .where(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .where(qc(aStart) < qc(bEnd) && qc(bStart) < qc(aEnd))
       .drop("__cell")
       // a pair sharing k cells matched k times
       .dropDuplicates(aKey, bKey)

@@ -506,7 +506,17 @@ object CdcStream {
         val dead = unref.filter(s => deadReferenced(s.getPath.toString) ||
           s.getModificationTime < cutoff)
         dead.foreach { s => f.delete(s.getPath, true); bucketsDeleted += 1 }
-        if (live.isEmpty && dead.size == unref.size) {
+        // A dir with ZERO b= children is not vacuously reclaimable
+        // (ADVICE r11 #1): during an in-flight applyBatch's write phase
+        // the unique version dir holds only `_temporary`, so bs is
+        // empty and `live.isEmpty && dead.size == unref.size` is 0==0 —
+        // deleting it would kill the in-flight batch mid-write, the
+        // exact race the grace exists to prevent. An empty dir is
+        // deletable only once the DIR ITSELF has aged past the grace
+        // (crash debris); a dir whose b= children were all just
+        // confirmed dead is deletable on their evidence.
+        if (live.isEmpty && dead.size == unref.size &&
+            (bs.nonEmpty || vd.getModificationTime < cutoff)) {
           f.delete(vd.getPath, true); dataDirsDeleted += 1
         }
       }

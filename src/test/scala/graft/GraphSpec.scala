@@ -183,6 +183,20 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("HITS guard bounds each direction separately, not in+out combined") {
+    // ADVICE r11 #2: swBound with scale=10^6 is 2^63/10^12 ≈ 9223.37.
+    // A node with Σw = 5000 out AND 5000 in is within the bound in
+    // EACH direction (each half-step sums one direction only), but an
+    // untagged union-then-sum sees 10000 > 9223 and spuriously
+    // rejects. The per-direction guard must let this graph through —
+    // and the run must produce finite scores.
+    val edges = Seq((1L, 2L, 5000L), (2L, 1L, 5000L)).toDF("src", "dst", "w")
+    val nodes = Seq(1L, 2L).toDF("node")
+    val rows = Graph.hits(edges, nodes, iters = 2).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(1) >= 0L && r.getLong(2) >= 0L))
+  }
+
   test("HITS rejects negative edge weights by name") {
     // a negative weight breaks the v >= 0 induction the zero-guard and
     // the overflow bound both rest on, and with ansi=off it would just

@@ -41,6 +41,27 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Set(2L)) // [0,10) touches [10,20) only at the open end
   }
 
+  test("quoting-hostile column names (dots, hyphens, keywords) still join") {
+    // ADVICE r11 #4: the cell bounds are built via expr() SQL text; an
+    // unquoted name with a dot parses as field access, a hyphen breaks
+    // the parser, and a reserved word collides — all must behave
+    // exactly like plain names once backtick-quoted.
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 30L, 35L))
+      .toDF("a key", "a.start", "end") // space, dot, reserved word
+    val b = Seq((7L, 5L, 12L), (8L, 100L, 120L))
+      .toDF("b-key", "b`s", "b.end") // hyphen, embedded backtick, dot
+    Seq(0, 2).foreach { cap =>
+      val got = operators.IntervalJoin
+        .overlap(a, "a.start", "end", "a key",
+                 b, "b`s", "b.end", "b-key", 4L, maxSpanCells = cap)
+        .select(org.apache.spark.sql.functions.col("`a key`"),
+                org.apache.spark.sql.functions.col("`b-key`"))
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 7L)), s"cap=$cap")
+    }
+  }
+
   test("maxSpanCells splitting: bit-identical at span >> bucket") {
     import spark.implicits._
     val r = new Random(43)

@@ -759,6 +759,19 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(inflight.getPath, "part-w.parquet"), Array[Byte](1))
     new java.io.File(s"$table/.tmp-v3-racing").mkdirs()
+    // ADVICE r11 #1: EARLIER in the write phase the in-flight dir has
+    // no b= child yet — only Spark's _temporary staging dir. The
+    // zero-bucket dir must not be vacuously "all buckets dead" (0==0)
+    // and reclaimed regardless of age.
+    val inflightEarly =
+      new java.io.File(s"$table/data/v4-inflight1/_temporary/0")
+    inflightEarly.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      inflightEarly.getPath, "part-w.parquet.inprogress"), Array[Byte](1))
+    // contrast leg: an AGED empty version dir IS crash debris and goes
+    val agedEmpty = new java.io.File(s"$table/data/v5-crashed2")
+    agedEmpty.mkdirs()
+    agedEmpty.setLastModified(System.currentTimeMillis() - 24L * 3600 * 1000)
 
     val stats = CdcStream.vacuum(spark, table, keepLast = 1) // default grace
     assert(stats.manifestsDropped == 2, s"$stats")
@@ -766,6 +779,10 @@ class StreamingSpec extends SparkSpec {
       "fresh uncommitted data dir must survive a graceful vacuum")
     assert(new java.io.File(s"$table/.tmp-v3-racing").exists(),
       "fresh commit attempt must survive a graceful vacuum")
+    assert(inflightEarly.exists(),
+      "a fresh zero-bucket (write-phase) dir must survive a graceful vacuum")
+    assert(!agedEmpty.exists(),
+      "an empty version dir aged past the grace is crash debris and must go")
     // expired-manifest dirs went despite being fresh by mtime? No —
     // they are old only in manifest terms; assert reclaim happened for
     // at least the buckets only v0/v1 referenced
