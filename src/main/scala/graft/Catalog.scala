@@ -85,6 +85,7 @@ object Catalog {
     functions.CosineSim.register(spark)
     functions.SimHash64.register(spark)
     functions.WinnowFps.register(spark)
+    functions.WinnowFpsMd5.register(spark)
     functions.FoldAccents.register(spark)
     functions.DamerauLevenshtein.register(spark)
     functions.JaroWinkler.register(spark)

@@ -62,6 +62,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fps(text, k, w) - winnowing fingerprint set (k-gram window minima)"),
       arity("winnow_fps", 3)(exprs => functions.WinnowFps.fromExprs(exprs))))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fps_md5"),
+      info("winnow_fps_md5",
+        "winnow_fps_md5(text, k, w) - portable-family winnowing fingerprints (md5-prefix k-gram hashes, full windows only)"),
+      arity("winnow_fps_md5", 3)(exprs => functions.WinnowFpsMd5.fromExprs(exprs))))
+    ext.injectFunction((
       FunctionIdentifier("fold_accents"),
       info("fold_accents", "fold_accents(s) - strip diacritics (NFD, combining marks removed)"),
       arity("fold_accents", 1)(exprs => functions.FoldAccents(exprs.head))))

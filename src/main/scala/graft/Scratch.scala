@@ -165,6 +165,44 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("winnow")) {
+      // where x55's cost lives: native vs HOF extraction, then the
+      // inverted-index self-join + pair count on the same fingerprints
+      t("extract native md5 (cold)")(Fingerprint.fingerprintsPortable(docs)
+        .select(sum(size(col("fps")))).head())
+      t("extract HOF md5 (cold)")(Fingerprint.fingerprintsPortableHof(docs)
+        .select(sum(size(col("fps")))).head())
+      t("extract native md5 (warm)")(Fingerprint.fingerprintsPortable(docs)
+        .select(sum(size(col("fps")))).head())
+      t("extract HOF md5 (warm)")(Fingerprint.fingerprintsPortableHof(docs)
+        .select(sum(size(col("fps")))).head())
+      t("inv self-join + paircount")({
+        val fps = Fingerprint.fingerprintsPortable(docs)
+          .select(col("doc_id"), col("fps")).persist()
+        val inv = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+        val n = inv.as("x").join(inv.as("y"),
+            col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id"), col("y.doc_id"))
+          .agg(count(lit(1))).count()
+        fps.unpersist(); n
+      })
+      t("containmentPortable full")(
+        Fingerprint.containmentPortable(docs, 5000L).count())
+      t("df distribution")({
+        val inv = Fingerprint.fingerprintsPortable(docs)
+          .select(col("doc_id"), explode(col("fps")).as("fp"))
+        val df = inv.groupBy("fp").agg(count(lit(1)).as("df"))
+        df.select(
+          count(lit(1)).as("distinct_fps"),
+          max("df").as("max_df"),
+          sum(expr("df*(df-1)/2")).as("sum_pairs"),
+          sum(expr("CASE WHEN df >= 100 THEN df*(df-1)/2 ELSE 0 END")).as("pairs_df100"),
+          sum(expr("CASE WHEN df >= 1000 THEN df*(df-1)/2 ELSE 0 END")).as("pairs_df1000"),
+          sum(expr("CASE WHEN df = 1 THEN 1 ELSE 0 END")).as("singletons"))
+          .head()
+      })
+      spark.stop(); return
+    }
     if (args.contains("ccreuse")) {
       // Does exchange reuse dedup ConnectedComponents' within-round
       // double reference of `prop` (the round-11 HITS lesson: RaiseError

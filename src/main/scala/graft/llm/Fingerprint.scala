@@ -94,7 +94,14 @@ object Fingerprint {
     *     prefilter is a wash at this scale (12.8 vs 12.3 s pre-
     *     parallelism) — at 100 TB, add exactly x80's agg-based df ≥ 2
     *     prefilter before this join so only repeated fingerprints are
-    *     shuffled; here the plain reused-exchange self-join wins. */
+    *     shuffled.
+    *  3. Round 12: the pair count itself is adaptive — see the kernel
+    *     notes on [[invertedPairs]]/[[densePairs]] and SCALE.md §30. On
+    *     a corpus whose fingerprint dictionary is broadcast-sized (the
+    *     bench corpus: 5 000 docs, 6 579 distinct fps, 94.9 M-row
+    *     expansion) the identical exact result is computed as bitset
+    *     AND+popcount with no shuffle at all (8.28 s → 1.39 s; the §17
+    *     10× replica point 246.6 s → 17.2 s). */
   def containment(docs: DataFrame, minContainBp: Long = 5000L,
                   maxDf: Int = Int.MaxValue): DataFrame =
     containmentFrom(fingerprints(docs), minContainBp, maxDf)
@@ -129,9 +136,26 @@ object Fingerprint {
     * only — a doc with fewer than `window` k-gram positions yields no
     * fingerprints, exactly as the x80 twin's `i >= window` row filter.
     * (The production [[fingerprints]] keeps its partial-window fallback
-    * for tiny docs; the two differ only below `k + window - 1` chars.) */
+    * for tiny docs; the two differ only below `k + window - 1` chars.)
+    *
+    * One fused codegen'd loop per row (functions.WinnowFpsMd5 — same
+    * md5-prefix/substr semantics as [[fingerprintsPortableHof]], which
+    * LlmOpsSpec holds bit-identical). The HOF form paid a substring
+    * copy + md5 hex render + base-16 parse per CHARACTER position and
+    * dominated x55's bench cost. */
   def fingerprintsPortable(docs: DataFrame, textCol: String = "text",
-                           k: Int = 8, window: Int = 4): DataFrame =
+                           k: Int = 8, window: Int = 4): DataFrame = {
+    graft.functions.WinnowFpsMd5.register(docs.sparkSession)
+    Dedup.spread(docs)
+      .withColumn("fps", graft.functions.WinnowFpsMd5(col(textCol), k, window))
+  }
+
+  /** The original HOF composition of [[fingerprintsPortable]] — kept as
+    * the executable specification the native md5 expression is
+    * equivalence-tested against (LlmOpsSpec
+    * "winnow_fps_md5 native == HOF"). */
+  def fingerprintsPortableHof(docs: DataFrame, textCol: String = "text",
+                              k: Int = 8, window: Int = 4): DataFrame =
     fingerprintsHofWith(docs, textCol, k, window,
       HashFamily.Portable, fullWindowsOnly = true)
 
@@ -146,8 +170,19 @@ object Fingerprint {
     * full set sizes) — the x119 bounded-degradation semantic; audit what
     * was dropped with [[droppedFingerprints]]. Default = no cap, which is
     * the x55 oracle contract. */
+  /** Test seam: run [[containmentPortable]] with the pair-count kernel
+    * pinned to one side, so LlmOpsSpec can hold dense == inverted on the
+    * same corpus without depending on what the gate would choose. */
+  private[graft] def containmentPortableVia(docs: DataFrame,
+                                            minContainBp: Long,
+                                            maxDf: Int,
+                                            dense: Boolean): DataFrame =
+    containmentFrom(fingerprintsPortable(docs), minContainBp, maxDf,
+      pathOverride = Some(dense))
+
   private def containmentFrom(withFps: DataFrame, minContainBp: Long,
-                              maxDf: Int = Int.MaxValue): DataFrame = {
+                              maxDf: Int = Int.MaxValue,
+                              pathOverride: Option[Boolean] = None): DataFrame = {
     val fps = withFps.select(col("doc_id"),
       size(col("fps")).as("n"), col("fps"))
       .where(col("n") > 0)
@@ -160,24 +195,174 @@ object Fingerprint {
           .where(col("df") <= maxDf).select("fp"),
         "fp")
     try {
-      val common = inv.as("x").join(inv.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("common"))
-      common
-        .join(fps.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(fps.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .withColumn("contain_bp",
-          floor(col("common") * lit(10000.0) / least(col("na"), col("nb"))).cast("long"))
-        .where(col("contain_bp") >= minContainBp)
-        .select(col("a"), col("b"), col("contain_bp"))
-        .orderBy(desc("contain_bp"), col("a"), col("b"))
-        // materialize off the persisted fps so it can be released NOW —
-        // the operator owns its persists (ADVICE r5 #4: returning a lazy
-        // plan over a cached frame leaks one cache entry per call, the
-        // cache-accumulation failure mode; same discipline as
-        // Dedup.nearDupsWithSig)
-        .localCheckpoint(true)
+      if (pathOverride.getOrElse(useDense(fps, inv, minContainBp)))
+        densePairs(fps, inv, minContainBp)
+      else invertedPairs(fps, inv, minContainBp)
     } finally fps.unpersist()
+  }
+
+  // --- exact pair-count kernels (identical output, adaptive choice) ----
+  //
+  // The inverted-index self-join pays Σ_fp C(df,2) shuffled rows — exact
+  // and scale-safe (keys only, never text), but on a boilerplate-heavy
+  // corpus the expansion is brutal: the sf0.1 documents table yields
+  // 5 000 docs, just 6 579 DISTINCT fingerprints, and a 94.9 M-row
+  // expansion that collapses to 11.7 M distinct pairs — ~6 s of x55's
+  // bench cost against ~1 s of everything else. When the corpus is that
+  // dense, the EXACT result is cheaper as a dense-bitset kernel: map
+  // fingerprints to dense bit positions, give each doc a (F/64+1)-word
+  // bitset, and AND+popcount all doc pairs — D²/2 · words long-ops with
+  // no shuffle at all (sf0.1: 12.5 M pairs × 104 words ≈ 1.3 G word-ops,
+  // well under a second across 32 threads). This is also the natural
+  // INNER kernel at 100 TB: after LSH bucketing, within-bucket exact
+  // verification is exactly a small-D dense problem.
+  //
+  // The choice is gated on exact, cheap statistics (never a guess):
+  //  1. collected volume Σn·8 + D·24 must fit DenseCollectBudget — the
+  //     per-doc fp lists are pulled to the driver to build the bitsets
+  //     (same bounded-collect discipline as Ann's centroid/codebook
+  //     training: index METADATA may ride the driver, corpus data never
+  //     does — and a corpus over budget is by definition not small);
+  //  2. broadcast bitset volume D·words·8 must fit DenseBitsBudget;
+  //  3. predicted dense work D²/2·words must beat the inverted
+  //     expansion: ≤ DenseWorkPerShuffledRow·ΣC(df,2) + DenseWorkFloor.
+  //     Measured calibration (sf0.1, 16 threads): the inverted path
+  //     moved ~1 M expanded rows/s/core (~1 µs/row — shuffle write/read
+  //     + hash-agg per row) vs ~1 ns/word-op dense, so the honest
+  //     equivalence constant is ~1 000 word-ops per shuffled row;
+  //     200 is kept deliberately conservative.
+  // A corpus failing any gate (100 TB: D and F both huge) takes the
+  // inverted path unchanged, with the documented maxDf cap as the
+  // quadratic guard. Dense is also skipped when minContainBp < 1: the
+  // inverted join never emits pairs sharing ZERO fingerprints, so the
+  // dense kernel filters common > 0 to match — but at minContainBp = 0
+  // the two shapes would then still agree only because of that filter,
+  // and the gate keeps the definitional path authoritative there.
+  private val DenseCollectBudget = 64L << 20
+  private val DenseBitsBudget = 256L << 20
+  private val DenseWorkPerShuffledRow = 200L
+  private val DenseWorkFloor = 2000000000L
+
+  private def useDense(fps: DataFrame, inv: DataFrame,
+                       minContainBp: Long): Boolean = {
+    if (minContainBp < 1) return false
+    val pre = fps.agg(count(lit(1)), sum(col("n"))).head()
+    val d = pre.getLong(0)
+    val sumN = if (pre.isNullAt(1)) 0L else pre.getLong(1)
+    if (d < 2 || sumN * 8 + d * 24 > DenseCollectBudget) return false
+    // small corpus by the collect gate ⇒ the df stats pass is cheap
+    val st = inv.groupBy("fp").agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)), sum(expr("df*(df-1)"))).head()
+    val f = st.getLong(0)
+    val sumPairs = (if (st.isNullAt(1)) 0L else st.getLong(1)) / 2
+    if (f == 0) return false
+    val words = f / 64 + 1
+    d * words * 8 <= DenseBitsBudget &&
+      (d * d / 2) * words <= DenseWorkPerShuffledRow * sumPairs + DenseWorkFloor
+  }
+
+  /** The inverted-index pair count (the scale path): shuffle (fp →
+    * doc_id) only, Σ C(df,2) expanded rows, hash-agg per (a,b). */
+  private def invertedPairs(fps: DataFrame, inv: DataFrame,
+                            minContainBp: Long): DataFrame = {
+    val common = inv.as("x").join(inv.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(fps.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(fps.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .withColumn("contain_bp",
+        floor(col("common") * lit(10000.0) / least(col("na"), col("nb"))).cast("long"))
+      .where(col("contain_bp") >= minContainBp)
+      .select(col("a"), col("b"), col("contain_bp"))
+      .orderBy(desc("contain_bp"), col("a"), col("b"))
+      // materialize off the persisted fps so it can be released NOW —
+      // the operator owns its persists (ADVICE r5 #4: returning a lazy
+      // plan over a cached frame leaks one cache entry per call, the
+      // cache-accumulation failure mode; same discipline as
+      // Dedup.nearDupsWithSig)
+      .localCheckpoint(true)
+  }
+
+  /** The dense-bitset pair count (the small-dictionary path): bit-for-bit
+    * the same output as [[invertedPairs]] (LlmOpsSpec holds the two
+    * identical), computed as AND+popcount over broadcast per-doc bitsets.
+    * `inv` (the possibly df-capped inverted index) defines each doc's
+    * countable fingerprints; `fps.n` keeps the FULL set size as the
+    * denominator, exactly as the capped inverted form does. */
+  private def densePairs(fps: DataFrame, inv: DataFrame,
+                         minContainBp: Long): DataFrame = {
+    val spark = fps.sparkSession
+    val rows = inv.groupBy("doc_id").agg(collect_list(col("fp")).as("fs"))
+      .join(fps.select(col("doc_id"), col("n")), "doc_id")
+      .select(col("doc_id"), col("n"), col("fs"))
+      .collect()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("contain_bp",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (rows.length < 2)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // sorted dictionary → dense bit positions (determinism for debugging;
+    // popcounts are invariant to the id assignment)
+    val dictSet = new java.util.TreeSet[java.lang.Long]()
+    rows.foreach(_.getSeq[Long](2).foreach(v => dictSet.add(v)))
+    val dict = {
+      val a = new Array[Long](dictSet.size)
+      val it = dictSet.iterator(); var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
+    val words = dict.length / 64 + 1
+    val sorted = rows.sortBy(_.getLong(0)) // index order == doc_id order ⇒ a < b
+    val ids = sorted.map(_.getLong(0))
+    val ns = sorted.map(_.getInt(1))
+    val bits = sorted.map { r =>
+      val w = new Array[Long](words)
+      r.getSeq[Long](2).foreach { v =>
+        val ix = java.util.Arrays.binarySearch(dict, v)
+        w(ix >> 6) |= 1L << (ix & 63)
+      }
+      w
+    }
+    val dCount = ids.length
+    val bc = spark.sparkContext.broadcast((ids, ns, bits))
+    // many small index chunks bound the triangular imbalance
+    val parts = math.min(dCount, spark.sparkContext.defaultParallelism * 8)
+    val out = spark.sparkContext.parallelize(0 until dCount, parts)
+      .mapPartitions { it =>
+        val (ids, ns, bits) = bc.value
+        val n = ids.length
+        it.flatMap { i =>
+          val bi = bits(i); val ni = ns(i); val ai = ids(i)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[
+            org.apache.spark.sql.Row]
+          var j = i + 1
+          while (j < n) {
+            val bj = bits(j)
+            var c = 0; var w = 0
+            while (w < bi.length) {
+              c += java.lang.Long.bitCount(bi(w) & bj(w)); w += 1
+            }
+            if (c > 0) {
+              val bp = math.floor(c * 10000.0 / math.min(ni, ns(j))).toLong
+              if (bp >= minContainBp)
+                buf += org.apache.spark.sql.Row(ai, ids(j), bp)
+            }
+            j += 1
+          }
+          buf.iterator
+        }
+      }
+    val res = spark.createDataFrame(out, schema)
+      .orderBy(desc("contain_bp"), col("a"), col("b"))
+      .localCheckpoint(true) // materialize before releasing the broadcast
+    bc.destroy()
+    res
   }
 }

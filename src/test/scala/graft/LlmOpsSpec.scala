@@ -266,6 +266,71 @@ class LlmOpsSpec extends SparkSpec {
     assert(ne == he)
   }
 
+  test("winnow_fps_md5 native expression == portable HOF, bit-identical") {
+    def fps(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("doc_id", "fps").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = fps(Fingerprint.fingerprintsPortable(docs))
+    val hof = fps(Fingerprint.fingerprintsPortableHof(docs))
+    assert(native.keySet == hof.keySet)
+    // same md5-prefix hashes, same full-window minima, same
+    // first-occurrence dedup order — and the full-windows-only boundary
+    native.foreach { case (id, v) => assert(v == hof(id), s"doc $id") }
+    import spark.implicits._
+    // boundary ladder around k + window - 1 = 11 chars, plus multi-byte
+    // text where char positions != byte positions (2-byte é, 3-byte 中,
+    // 4-byte/astral 😀) — the byte-walk must track code points exactly
+    // as substr() does
+    val edge = Seq(
+      (1L, ""), (2L, "ab"), (3L, "abcdefgh"), (4L, "abcdefghij"),
+      (5L, "abcdefghijk"), (6L, "abcdefghijkl"),
+      (7L, "cafécafécafé"), (8L, "中文的文字符号中文的文字"),
+      (9L, "a😀b😀c😀d😀e😀f😀g😀"), (10L, "añéíóúü日本語テキスト")
+    ).toDF("doc_id", "text")
+    val ne = fps(Fingerprint.fingerprintsPortable(edge))
+    val he = fps(Fingerprint.fingerprintsPortableHof(edge))
+    assert(ne == he)
+    // sub-window docs yield the empty set on both paths (x80 twin rule)
+    assert(ne(4L).isEmpty && ne(5L).nonEmpty)
+  }
+
+  test("containment dense-bitset kernel == inverted-index kernel, exactly") {
+    import graft.llm.Fingerprint
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the real corpus, at a threshold low enough to emit many pairs
+    for (bp <- Seq(1L, 5000L, 9000L)) {
+      val dense = rows(Fingerprint.containmentPortableVia(
+        docs, bp, Int.MaxValue, dense = true))
+      val inverted = rows(Fingerprint.containmentPortableVia(
+        docs, bp, Int.MaxValue, dense = false))
+      assert(dense == inverted, s"minContainBp=$bp")
+      assert(dense.nonEmpty || bp > 5000L)
+    }
+    // the df-cap interplay: capped counts, FULL-set denominators — both
+    // kernels must degrade identically (the §17 replica corpus shape)
+    import spark.implicits._
+    val base = docs.orderBy("doc_id").limit(10).select("doc_id", "text")
+    val replicated = (0 until 5).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    for (cap <- Seq(3, 4, Int.MaxValue)) {
+      val dense = rows(Fingerprint.containmentPortableVia(
+        replicated, 1L, cap, dense = true))
+      val inverted = rows(Fingerprint.containmentPortableVia(
+        replicated, 1L, cap, dense = false))
+      assert(dense == inverted, s"maxDf=$cap")
+    }
+    // degenerate inputs: empty corpus and a single doc take the dense
+    // path's early exits without error
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Fingerprint.containmentPortableVia(
+      empty, 1L, Int.MaxValue, dense = true).count() == 0)
+    val one = Seq((1L, "abcdefghijklmnop")).toDF("doc_id", "text")
+    assert(Fingerprint.containmentPortableVia(
+      one, 1L, Int.MaxValue, dense = true).count() == 0)
+  }
+
   test("fingerprint: doc fully contained in a concatenation scores 10000") {
     import spark.implicits._
     val two = docs.orderBy("doc_id").limit(2).collect()

@@ -115,6 +115,15 @@ class RulesSpec extends SparkSpec {
       assert(fresh.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0) != 0L)
       assert(fresh.sql("SELECT size(winnow_fps('abcdefghijklmnop', 8, 4)) AS n")
         .head().getInt(0) > 0)
+      // the md5-prefix portable twin must resolve here too, and agree
+      // with the SQL form it replaces (first window of 'abcdefghijklmnop')
+      assert(fresh.sql(
+        """SELECT winnow_fps_md5('abcdefghijk', 8, 4)[0] =
+          |       least(cast(conv(substr(md5(substr('abcdefghijk',1,8)),1,8),16,10) AS BIGINT),
+          |             cast(conv(substr(md5(substr('abcdefghijk',2,8)),1,8),16,10) AS BIGINT),
+          |             cast(conv(substr(md5(substr('abcdefghijk',3,8)),1,8),16,10) AS BIGINT),
+          |             cast(conv(substr(md5(substr('abcdefghijk',4,8)),1,8),16,10) AS BIGINT)) AS ok
+          |""".stripMargin).head().getBoolean(0))
       assert(fresh.sql("SELECT damerau_levenshtein('abc','acb') AS d")
         .head().getInt(0) == 1)
       // the parity gap that slipped: jaro_winkler was registered by
