@@ -129,7 +129,10 @@ object WinnowFps {
       case other => throw new IllegalArgumentException(
         s"winnow_fps $what must be an integer literal, got $other")
     }
-    WinnowFps(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+    val (k, w) = (intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+    require(k >= 1 && w >= 1,
+      s"winnow_fps requires k >= 1 and window >= 1, got k=$k window=$w")
+    WinnowFps(exprs(0), k, w)
   }
 
   /** Register as a SQL function on the session (idempotent). */

@@ -127,16 +127,22 @@ case class WinnowFpsMd5(child: Expression, k: Int, window: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String]
-    val nH = math.max(s.numChars() - (k - 1), 1)
+    val n = s.numChars()
+    val nH = math.max(n - (k - 1), 1)
     if (nH < window)
       return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
-    // nH >= window ⇒ numChars >= k + window - 1 ⇒ every gram is k full
-    // chars; the two pointers below always sit on code-point boundaries
+    // Under the contract default (window > 1) nH >= window forces
+    // n >= k + window - 1, so every gram is k full chars. window = 1
+    // admits n < k (down to the empty string): position 1's gram is the
+    // whole (short) string, exactly substr(text, 1, k)'s clamp — hence
+    // the min(k, n) first walk. The advancing loop below only runs when
+    // nH > 1, which implies n >= k + 1, so it never clamps.
     val b = s.getBytes
     val hs = new Array[Long](nH)
     var end = 0
     var c = 0
-    while (c < k) { end += UTF8String.numBytesForFirstByte(b(end)); c += 1 }
+    val k0 = math.min(k, n)
+    while (c < k0) { end += UTF8String.numBytesForFirstByte(b(end)); c += 1 }
     hs(0) = Md5Prefix32.hash(b, 0, end)
     var start = 0
     var i = 1
@@ -191,7 +197,9 @@ case class WinnowFpsMd5(child: Expression, k: Int, window: Int)
          |  byte[] $b = $s.getBytes();
          |  long[] $hs = new long[$nH];
          |  int $end = 0;
-         |  for (int $c = 0; $c < $k; $c++) {
+         |  // min(k, numChars): window = 1 admits strings shorter than k,
+         |  // where position 1's gram is the whole string (substr's clamp)
+         |  for (int $c = java.lang.Math.min($k, $s.numChars()); $c > 0; $c--) {
          |    $end += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte($b[$end]);
          |  }
          |  $hs[0] = graft.functions.Md5Prefix32.hash($b, 0, $end);
@@ -242,7 +250,10 @@ object WinnowFpsMd5 {
       case other => throw new IllegalArgumentException(
         s"winnow_fps_md5 $what must be an integer literal, got $other")
     }
-    WinnowFpsMd5(exprs(0), intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+    val (k, w) = (intLit(exprs(1), "k"), intLit(exprs(2), "window"))
+    require(k >= 1 && w >= 1,
+      s"winnow_fps_md5 requires k >= 1 and window >= 1, got k=$k window=$w")
+    WinnowFpsMd5(exprs(0), k, w)
   }
 
   /** Register as a SQL function on the session (idempotent). */

@@ -35,6 +35,53 @@ object PureProps extends Properties("graft.pure") {
       a.flatten.toSeq == b.flatten.toSeq && a.flatten.toSeq != c.flatten.toSeq
     }
 
+  // WinnowFpsMd5's fused byte-walk vs an independent code-point
+  // reference (java.lang.String code points → substring → UTF-8 bytes →
+  // MessageDigest) — a genuinely different path to the same definition,
+  // pinning the two-pointer boundary tracking on arbitrary mixes of
+  // 1/2/3/4-byte code points and the window=1 short-string clamp.
+  private def refWinnowMd5(s: String, k: Int, window: Int): Seq[Long] = {
+    val cps = s.codePoints().toArray
+    val nH = math.max(cps.length - (k - 1), 1)
+    if (nH < window) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (0 until nH).map { i =>
+      val sub = new String(cps, i, math.min(k, math.max(cps.length - i, 0)))
+      val d = md.digest(sub.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+    }
+    (0 to nH - window).map(j => hs.slice(j, j + window).min).distinct
+  }
+
+  property("WinnowFpsMd5 byte-walk == code-point reference") = {
+    val cpGen = Gen.oneOf("a", "Z", "9", " ", "é", "ß", "中", "語", "😀", "🚀")
+    val strGen = Gen.listOf(cpGen).map(_.mkString)
+    val kGen = Gen.chooseNum(1, 8)
+    val wGen = Gen.chooseNum(1, 4)
+    Prop.forAll(strGen, kGen, wGen) { (s, k, w) =>
+      val expr = graft.functions.WinnowFpsMd5(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s),
+          org.apache.spark.sql.types.StringType), k, w)
+      val got = expr.eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+      got == refWinnowMd5(s, k, w)
+    }
+  }
+
+  property("Md5Prefix32.hash == MessageDigest reference on byte ranges") =
+    Prop.forAll(bytesGen, Gen.chooseNum(0, 8)) { (b, off0) =>
+      val off = math.min(off0, b.length)
+      val len = b.length - off
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(java.util.Arrays.copyOfRange(b, off, b.length))
+      val expect = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      graft.functions.Md5Prefix32.hash(b, off, len) == expect
+    }
+
   property("log pattern accepts well-formed lines") = {
     val levels = Gen.oneOf("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")
     val comp = Gen.alphaNumStr.suchThat(_.nonEmpty)
