@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fps_md5(text, k, w) - portable-family winnowing fingerprints (md5-prefix k-gram hashes, full windows only)"),
       arity("winnow_fps_md5", 3)(exprs => functions.WinnowFpsMd5.fromExprs(exprs))))
     ext.injectFunction((
+      FunctionIdentifier("affine_minsig"),
+      info("affine_minsig",
+        "affine_minsig(hvs, n) - n-element MinHash signature: min of (hv*a_i+b_i) mod 2^31-1 over the hash array, perms from the canonical table"),
+      arity("affine_minsig", 2)(exprs => functions.AffineMinSig.fromExprs(exprs))))
+    ext.injectFunction((
       FunctionIdentifier("fold_accents"),
       info("fold_accents", "fold_accents(s) - strip diacritics (NFD, combining marks removed)"),
       arity("fold_accents", 1)(exprs => functions.FoldAccents(exprs.head))))

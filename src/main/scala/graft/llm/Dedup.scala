@@ -68,14 +68,39 @@ object Dedup {
     * VERDICT r9 #7): hash every shingle once under `family`, then
     * element i = min over shingles of (a_i·hv + b_i) mod 2³¹−1. Only
     * the content hash differs between the production and portable
-    * twins — this is where that difference is confined. */
+    * twins — this is where that difference is confined.
+    *
+    * Round 12: the reduction itself is the fused native
+    * [[graft.functions.AffineMinSig]] when a session is available and
+    * `perms` is the canonical [[portablePerms]] table (every repo call
+    * site) — Spark runs HOF lambda bodies interpreted per element, so
+    * the composition below paid numHashes × |shingles| boxed closure
+    * dispatches per row (~1.7 s per sf0.1 corpus pass, Scratch
+    * sigkernel). The HOF form remains the executable specification
+    * ([[affineSignatureHof]], LlmOpsSpec holds the two bit-identical,
+    * nulls included). */
   def affineSignature(shs: Column, perms: Seq[(Long, Long)],
                       family: HashFamily): Column =
     Cols.bind(transform(shs, s => family.hash31(s))) { hvs =>
-      array(perms.map { case (a, b) =>
-        array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
-      }: _*)
+      org.apache.spark.sql.SparkSession.getActiveSession match {
+        case Some(s) if perms == portablePerms(perms.length) =>
+          graft.functions.AffineMinSig.register(s)
+          graft.functions.AffineMinSig(hvs, perms.length)
+        case _ => minSigHof(hvs, perms)
+      }
     }
+
+  /** The original HOF composition of [[affineSignature]] — kept as the
+    * executable specification the native expression is equivalence-
+    * tested against (LlmOpsSpec "affine_minsig native == HOF"). */
+  private[graft] def affineSignatureHof(shs: Column, perms: Seq[(Long, Long)],
+                                        family: HashFamily): Column =
+    Cols.bind(transform(shs, s => family.hash31(s)))(minSigHof(_, perms))
+
+  private def minSigHof(hvs: Column, perms: Seq[(Long, Long)]): Column =
+    array(perms.map { case (a, b) =>
+      array_min(transform(hvs, hv => (hv * a + b) % 2147483647L))
+    }: _*)
 
   // ---------------------------------------------------------------------
   // Portable (oracle-reproducible) hash family.

@@ -294,6 +294,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(ne(4L).isEmpty && ne(5L).nonEmpty)
   }
 
+  test("affine_minsig native == HOF signature, bit-identical, both families") {
+    import graft.llm.{Dedup, HashFamily}
+    val perms = Dedup.portablePerms(64)
+    val sets = Dedup.shingleSets(docs)
+    for (family <- Seq(HashFamily.Production, HashFamily.Portable)) {
+      val native = sets.select(col("doc_id"),
+        Dedup.affineSignature(col("shs"), perms, family).as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val hof = sets.select(col("doc_id"),
+        Dedup.affineSignatureHof(col("shs"), perms, family).as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native.keySet == hof.keySet)
+      native.foreach { case (id, v) => assert(v == hof(id), s"$family doc $id") }
+    }
+    // null ladder parity: NULL array -> 64 null slots (the HOF shape),
+    // empty array -> 64 null slots, null ELEMENTS skipped as array_min does
+    graft.functions.AffineMinSig.register(spark)
+    val edge = spark.sql(
+      """SELECT affine_minsig(cast(null AS ARRAY<BIGINT>), 8) AS a,
+        |       affine_minsig(cast(array() AS ARRAY<BIGINT>), 8) AS b,
+        |       affine_minsig(array(cast(null AS BIGINT), cast(5 AS BIGINT)), 8) AS c,
+        |       affine_minsig(array(cast(5 AS BIGINT)), 8) AS d""".stripMargin).head()
+    assert(edge.getSeq[Any](0).forall(_ == null))
+    assert(edge.getSeq[Any](1).forall(_ == null))
+    assert(edge.getSeq[Long](2) == edge.getSeq[Long](3),
+      "null elements must be skipped, not poison the min")
+  }
+
   test("containment dense-bitset kernel == inverted-index kernel, exactly") {
     import graft.llm.Fingerprint
     def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =

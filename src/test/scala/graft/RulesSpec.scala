@@ -115,6 +115,14 @@ class RulesSpec extends SparkSpec {
       assert(fresh.sql("SELECT simhash64(array('a','b')) AS h").head().getLong(0) != 0L)
       assert(fresh.sql("SELECT size(winnow_fps('abcdefghijklmnop', 8, 4)) AS n")
         .head().getInt(0) > 0)
+      // the fused MinHash reduction must resolve here too, with the
+      // HOF null ladder: NULL input -> array of n NULLs, never NULL
+      assert(fresh.sql(
+        """SELECT affine_minsig(array(cast(7 AS BIGINT)), 4) AS s""")
+        .head().getSeq[Long](0).length == 4)
+      assert(fresh.sql(
+        """SELECT size(affine_minsig(cast(null AS ARRAY<BIGINT>), 4)) AS n""")
+        .head().getInt(0) == 4)
       // the md5-prefix portable twin must resolve here too, and agree
       // with the SQL form it replaces (first window of 'abcdefghijklmnop')
       assert(fresh.sql(
