@@ -82,6 +82,33 @@ object PureProps extends Properties("graft.pure") {
       graft.functions.Md5Prefix32.hash(b, off, len) == expect
     }
 
+  property("AffineMinSig eval == affine reference, nulls skipped") = {
+    val elemGen = Gen.oneOf(
+      Gen.const(null.asInstanceOf[java.lang.Long]),
+      Gen.chooseNum(0L, (1L << 32) - 1).map(java.lang.Long.valueOf))
+    val arrGen = Gen.listOf(elemGen)
+    val nGen = Gen.chooseNum(1, 64)
+    Prop.forAll(arrGen, nGen) { (xs, n) =>
+      val expr = graft.functions.AffineMinSig(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          xs, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true)), n)
+      val got = {
+        val a = expr.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until a.numElements()).map(i =>
+          if (a.isNullAt(i)) None else Some(a.getLong(i)))
+      }
+      val perms = graft.llm.Dedup.portablePerms(n)
+      val vals = xs.filter(_ != null).map(_.longValue())
+      val expect = perms.map { case (a, b) =>
+        if (vals.isEmpty) None
+        else Some(vals.map(hv => (hv * a + b) % 2147483647L).min)
+      }
+      got == expect
+    }
+  }
+
   property("log pattern accepts well-formed lines") = {
     val levels = Gen.oneOf("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")
     val comp = Gen.alphaNumStr.suchThat(_.nonEmpty)
