@@ -86,6 +86,7 @@ object Catalog {
     functions.SimHash64.register(spark)
     functions.WinnowFps.register(spark)
     functions.WinnowFpsMd5.register(spark)
+    functions.Md5Prefix32Expr.register(spark)
     functions.AffineMinSig.register(spark)
     functions.FoldAccents.register(spark)
     functions.DamerauLevenshtein.register(spark)

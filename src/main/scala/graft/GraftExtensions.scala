@@ -67,6 +67,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "winnow_fps_md5(text, k, w) - portable-family winnowing fingerprints (md5-prefix k-gram hashes, full windows only)"),
       arity("winnow_fps_md5", 3)(exprs => functions.WinnowFpsMd5.fromExprs(exprs))))
     ext.injectFunction((
+      FunctionIdentifier("md5_prefix32"),
+      info("md5_prefix32",
+        "md5_prefix32(s) - first 8 hex chars of md5 as BIGINT (the portable-family content hash, fused)"),
+      arity("md5_prefix32", 1)(exprs => functions.Md5Prefix32Expr(exprs.head))))
+    ext.injectFunction((
       FunctionIdentifier("affine_minsig"),
       info("affine_minsig",
         "affine_minsig(hvs, n) - n-element MinHash signature: min of (hv*a_i+b_i) mod 2^31-1 over the hash array, perms from the canonical table"),

@@ -89,6 +89,11 @@ object Rehearsal {
       s" events=" + spark.read.parquet(s"$out/events.parquet").count())
 
     // ---- x177 pipeline census over 500k docs (100 replicas each) ----
+    // `onlycdc`: re-measure the CDC tail in isolation (phase timings
+    // here swing with container I/O; an isolated re-run separates a
+    // code regression from environment before anyone chases one)
+    if (args.contains("onlycdc")) { cdcPhases(spark, out); return }
+
     val census = phase("x177 census") {
       SparkEntry.queries("x177_pipeline_census")(spark, out)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
@@ -209,11 +214,15 @@ object Rehearsal {
       s"quantile ladder at 100x: non-monotone quantiles ${ql._3}")
     println(s"[rehearsal] quantile(10M) flagged_approx n=${ql._2} q=${ql._3}")
 
-    // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
-    // Change stream derived from the 100× events: ~1/10 of keys collide
-    // across batches (updates), ~1% tombstones, seq = event id. 64
-    // buckets: each micro-batch rewrites only buckets containing its
-    // keys; the table never rewrites whole.
+    cdcPhases(spark, out)
+  }
+
+  // ---- streaming CDC apply: 8-batch replay of 10M change rows -----
+  // Change stream derived from the 100× events: ~1/10 of keys collide
+  // across batches (updates), ~1% tombstones, seq = event id. 64
+  // buckets: each micro-batch rewrites only buckets containing its
+  // keys; the table never rewrites whole.
+  private def cdcPhases(spark: SparkSession, out: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val table = s"$out/cdc-table"
     val replay = s"$out/cdc-replay"

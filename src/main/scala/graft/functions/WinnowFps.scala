@@ -138,5 +138,9 @@ object WinnowFps {
   /** Register as a SQL function on the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps", fromExprs, "scala_udf")
+      "winnow_fps",
+      exprs => { require(exprs.length == 3,
+        s"winnow_fps expects 3 arguments, got ${exprs.length}")
+        fromExprs(exprs) },
+      "scala_udf")
 }

@@ -259,5 +259,9 @@ object WinnowFpsMd5 {
   /** Register as a SQL function on the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_fps_md5", fromExprs, "scala_udf")
+      "winnow_fps_md5",
+      exprs => { require(exprs.length == 3,
+        s"winnow_fps_md5 expects 3 arguments, got ${exprs.length}")
+        fromExprs(exprs) },
+      "scala_udf")
 }

@@ -218,13 +218,22 @@ object Fingerprint {
   // verification is exactly a small-D dense problem.
   //
   // The choice is gated on exact, cheap statistics (never a guess):
-  //  1. collected volume Σn·8 + D·24 must fit DenseCollectBudget — the
-  //     per-doc fp lists are pulled to the driver to build the bitsets
-  //     (same bounded-collect discipline as Ann's centroid/codebook
-  //     training: index METADATA may ride the driver, corpus data never
-  //     does — and a corpus over budget is by definition not small);
-  //  2. broadcast bitset volume D·words·8 must fit DenseBitsBudget;
-  //  3. predicted dense work D²/2·words must beat the inverted
+  //  1. collected volume, priced at its BOXED cost — collect() of
+  //     array<bigint> rows materializes boxed Longs inside Row Seqs, so
+  //     the estimate is 32 B per fingerprint instance + 64 B per doc
+  //     row, not 8 B per long — must fit the collect budget: the lesser
+  //     of 256 MB and maxMemory/8, so a small-heap driver refuses the
+  //     dense path that a 3 GiB+ one takes (same bounded-collect
+  //     discipline as Ann's centroid/codebook training: index METADATA
+  //     may ride the driver, corpus data never does). The pinned 3 GiB
+  //     §20 protocol measured the 10× point (≈180 MB boxed transient)
+  //     completing with ≤ 109 MB post-GC heap;
+  //  2. broadcast bitset volume D·words·8 (primitive, exact) must fit
+  //     the same lesser-of bound;
+  //  3. ΣC(df,2) = 0 → inverted: no fingerprint is shared, the join
+  //     emits nothing near-free, and the dense scan would pay its full
+  //     D²/2 popcount sweep to produce provably zero rows;
+  //  4. predicted dense work D²/2·words must beat the inverted
   //     expansion: ≤ DenseWorkPerShuffledRow·ΣC(df,2) + DenseWorkFloor.
   //     Measured calibration (sf0.1, 16 threads): the inverted path
   //     moved ~1 M expanded rows/s/core (~1 µs/row — shuffle write/read
@@ -238,26 +247,31 @@ object Fingerprint {
   // dense kernel filters common > 0 to match — but at minContainBp = 0
   // the two shapes would then still agree only because of that filter,
   // and the gate keeps the definitional path authoritative there.
-  private val DenseCollectBudget = 64L << 20
-  private val DenseBitsBudget = 256L << 20
+  private val DenseCollectBudget = 256L << 20
+  private val DenseBoxedBytesPerFp = 32L
+  private val DenseBoxedBytesPerDoc = 64L
   private val DenseWorkPerShuffledRow = 200L
   private val DenseWorkFloor = 2000000000L
 
   private def useDense(fps: DataFrame, inv: DataFrame,
                        minContainBp: Long): Boolean = {
     if (minContainBp < 1) return false
+    val budget = math.min(DenseCollectBudget,
+      Runtime.getRuntime.maxMemory / 8)
     val pre = fps.agg(count(lit(1)), sum(col("n"))).head()
     val d = pre.getLong(0)
     val sumN = if (pre.isNullAt(1)) 0L else pre.getLong(1)
-    if (d < 2 || sumN * 8 + d * 24 > DenseCollectBudget) return false
+    if (d < 2 ||
+        sumN * DenseBoxedBytesPerFp + d * DenseBoxedBytesPerDoc > budget)
+      return false
     // small corpus by the collect gate ⇒ the df stats pass is cheap
     val st = inv.groupBy("fp").agg(count(lit(1)).as("df"))
       .agg(count(lit(1)), sum(expr("df*(df-1)"))).head()
     val f = st.getLong(0)
     val sumPairs = (if (st.isNullAt(1)) 0L else st.getLong(1)) / 2
-    if (f == 0) return false
+    if (f == 0 || sumPairs == 0) return false
     val words = f / 64 + 1
-    d * words * 8 <= DenseBitsBudget &&
+    d * words * 8 <= budget &&
       (d * d / 2) * words <= DenseWorkPerShuffledRow * sumPairs + DenseWorkFloor
   }
 
