@@ -171,6 +171,31 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("sibling session via Catalog.ensure resolves every native function") {
+    // the round-12 review scenario: a Column built while one session is
+    // active, analyzed on a DIFFERENT session. Catalog.ensure is the
+    // repo's session-prep entry point — after it runs on the sibling,
+    // all natives must resolve there by name, so plans built against
+    // either session analyze on either (the jaro_winkler parity lesson
+    // extended to the fused round-12 trio).
+    val s2 = spark.newSession()
+    Catalog.ensure(s2, sf0001)
+    val r = s2.sql(
+      """SELECT md5_prefix32('abc') = cast(conv(substr(md5('abc'),1,8),16,10) AS BIGINT) AS a,
+        |       size(winnow_fps_md5('abcdefghijk', 8, 4)) AS b,
+        |       size(affine_minsig(array(cast(7 AS BIGINT)), 4)) AS c,
+        |       size(winnow_fps('abcdefghijklmnop', 8, 4)) AS d""".stripMargin).head()
+    assert(r.getBoolean(0) && r.getInt(1) == 1 && r.getInt(2) == 4 && r.getInt(3) > 0)
+    // and the operator entry points themselves work against the sibling
+    // (hash31/affineSignature register on the ACTIVE session; the
+    // DataFrame belongs to s2 — resolution must hold via s2's registry)
+    val docs2 = Catalog.load(s2, sf0001, "documents").limit(20)
+    assert(graft.llm.Fingerprint.containmentPortable(docs2, 1L).count() >= 0)
+    assert(graft.llm.Dedup.minHashSignature(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " "), 8) != null)
+  }
+
   test("rewritten q38 equals the un-rewritten result") {
     import org.apache.spark.sql.functions.expr
     // Same query through the DataFrame API without the rule's SQL path:
