@@ -203,6 +203,43 @@ object Scratch {
       })
       spark.stop(); return
     }
+    if (args.contains("winnowdiverse")) {
+      // The §30 gate claim, measured instead of reasoned: a 10× corpus
+      // whose replicas are TEXT-MUTATED (every 'e' substituted with a
+      // replica-distinct consonant, so most k-grams differ across
+      // replicas while within-replica boilerplate structure survives)
+      // grows the fingerprint dictionary ~an order of magnitude. The
+      // gate must re-decide from the measured stats — whichever kernel
+      // it picks is correct by the spec-held equality; what this mode
+      // records is WHICH one, the stats that drove it, and the honest
+      // cost. (Contrast: the exact-replica 10× corpus keeps F at 6 579
+      // and stays dense at 17 s.)
+      val subs = "bcdfghjklm"
+      val diverse = (0 until 10).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          translate(col("text"), "e", subs(r).toString).as("text"))
+      }.reduce(_ unionByName _).repartition(32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      println(s"[scratch] diverse 10x docs: ${diverse.count()}")
+      val inv = Fingerprint.fingerprintsPortable(diverse)
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val st = inv.groupBy("fp").agg(count(lit(1)).as("df"))
+        .agg(count(lit(1)).as("F"), sum(expr("df*(df-1)")).as("p2"),
+          max("df").as("maxdf")).head()
+      println(f"[scratch] diverse 10x stats: F=${st.getLong(0)}%,d " +
+        f"sumPairs=${st.getLong(1) / 2}%,d maxDf=${st.getLong(2)}%,d")
+      spark.catalog.clearCache()
+      println(s"[scratch] diverse 10x gate picks dense: " +
+        Fingerprint.wouldUseDensePortable(diverse, 5000L))
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = Fingerprint.containmentPortable(diverse, minContainBp = 5000L).count()
+      println(f"[scratch] diverse 10x containment (single pass): " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.1f s  $n%,d pairs")
+      diverse.unpersist()
+      spark.stop(); return
+    }
     if (args.contains("ccreuse")) {
       // Does exchange reuse dedup ConnectedComponents' within-round
       // double reference of `prop` (the round-11 HITS lesson: RaiseError

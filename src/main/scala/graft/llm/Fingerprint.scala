@@ -187,13 +187,7 @@ object Fingerprint {
       size(col("fps")).as("n"), col("fps"))
       .where(col("n") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val invAll = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
-    val inv =
-      if (maxDf == Int.MaxValue) invAll
-      else invAll.join(
-        invAll.groupBy("fp").agg(count(lit(1)).as("df"))
-          .where(col("df") <= maxDf).select("fp"),
-        "fp")
+    val inv = cappedInv(fps, maxDf)
     try {
       if (pathOverride.getOrElse(useDense(fps, inv, minContainBp)))
         densePairs(fps, inv, minContainBp)
@@ -252,6 +246,29 @@ object Fingerprint {
   private val DenseBoxedBytesPerDoc = 64L
   private val DenseWorkPerShuffledRow = 200L
   private val DenseWorkFloor = 2000000000L
+
+  /** The df-capped inverted index over a fingerprint frame — shared by
+    * the kernel chooser and both pair-count paths. */
+  private def cappedInv(fps: DataFrame, maxDf: Int): DataFrame = {
+    val invAll = fps.select(col("doc_id"), explode(col("fps")).as("fp"))
+    if (maxDf == Int.MaxValue) invAll
+    else invAll.join(
+      invAll.groupBy("fp").agg(count(lit(1)).as("df"))
+        .where(col("df") <= maxDf).select("fp"),
+      "fp")
+  }
+
+  /** The gate's decision for `docs` under the portable family,
+    * recomputed from the same statistics [[containmentPortable]] would
+    * use — a diagnostic surface for soak modes that record WHICH kernel
+    * a corpus takes (Scratch winnowdiverse); no mutable state. */
+  private[graft] def wouldUseDensePortable(docs: DataFrame,
+                                           minContainBp: Long,
+                                           maxDf: Int = Int.MaxValue): Boolean = {
+    val fps = fingerprintsPortable(docs).select(col("doc_id"),
+      size(col("fps")).as("n"), col("fps")).where(col("n") > 0)
+    useDense(fps, cappedInv(fps, maxDf), minContainBp)
+  }
 
   private def useDense(fps: DataFrame, inv: DataFrame,
                        minContainBp: Long): Boolean = {
