@@ -123,11 +123,12 @@ case class AffineMinSig(child: Expression, numHashes: Int)
 }
 
 object AffineMinSig {
-  /** Column-DSL form — resolves through the registry, so call
-    * [[register]] on the session first. */
+  /** Column-DSL form. Wraps the expression DIRECTLY — no registry
+    * lookup, so the Column analyzes on ANY session, prepped or not
+    * (ADVICE r12 #1; the SQL name stays registered for the SQL dialect). */
   def apply(hvs: Column, numHashes: Int): Column =
-    org.apache.spark.sql.functions.call_function(
-      "affine_minsig", hvs, org.apache.spark.sql.functions.lit(numHashes))
+    org.apache.spark.sql.GraftBridge.column(
+      AffineMinSig(org.apache.spark.sql.GraftBridge.expr(hvs), numHashes))
 
   /** Expression builder: numHashes must be an integer literal in
     * 1..1024 (the perm table is generated, not listed — an absurd width

@@ -76,8 +76,15 @@ case class Md5Prefix32Expr(child: Expression) extends UnaryExpression {
 }
 
 object Md5Prefix32Expr {
+  /** Column-DSL form. Wraps the expression DIRECTLY (no registry lookup):
+    * call_function resolves by NAME at analysis time against the
+    * DataFrame's OWN session, so a Column built while a prepped session
+    * was active failed on a sibling that never ran Catalog.ensure /
+    * GraftExtensions (ADVICE r12 #1). Direct wrapping is session-
+    * independent — the SQL name stays registered for the SQL dialect. */
   def apply(c: Column): Column =
-    org.apache.spark.sql.functions.call_function("md5_prefix32", c)
+    org.apache.spark.sql.GraftBridge.column(
+      Md5Prefix32Expr(org.apache.spark.sql.GraftBridge.expr(c)))
 
   /** Register as a SQL function on the session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -82,12 +82,13 @@ object Dedup {
   def affineSignature(shs: Column, perms: Seq[(Long, Long)],
                       family: HashFamily): Column =
     Cols.bind(transform(shs, s => family.hash31(s))) { hvs =>
-      org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(s) if perms == portablePerms(perms.length) =>
-          graft.functions.AffineMinSig.register(s)
-          graft.functions.AffineMinSig(hvs, perms.length)
-        case _ => minSigHof(hvs, perms)
-      }
+      // reference equality suffices: portablePerms memoizes, so the
+      // canonical table for a given width is one shared instance
+      // (ADVICE r12 #2) — and the native is wrapped directly, no
+      // session registry involved (ADVICE r12 #1)
+      if (perms eq portablePerms(perms.length))
+        graft.functions.AffineMinSig(hvs, perms.length)
+      else minSigHof(hvs, perms)
     }
 
   /** The original HOF composition of [[affineSignature]] — kept as the
@@ -125,14 +126,25 @@ object Dedup {
   /** Affine permutation constants — consecutive primes from two fixed
     * seeds, generated (not listed) so the Scala operators and the
     * DuckDB oracle SQL interpolate the IDENTICAL values from one source
-    * of truth. */
-  def portablePerms(n: Int): Seq[(Long, Long)] = {
-    def isPrime(x: Long): Boolean =
-      x > 1 && !(2L to math.sqrt(x.toDouble).toLong).exists(x % _ == 0)
-    def primesFrom(start: Long): Iterator[Long] =
-      Iterator.iterate(start)(_ + 1).filter(isPrime)
-    primesFrom(1299721L).zip(primesFrom(104729L)).take(n).toSeq
-  }
+    * of truth. Memoized per width (ADVICE r12 #2: the trial-division
+    * generation from 1.3M ran on every affineSignature call and again
+    * per AffineMinSig expression instance); the cache also makes the
+    * returned Seq a single shared instance per width, so the native-
+    * kernel gate above is a reference comparison. */
+  def portablePerms(n: Int): Seq[(Long, Long)] =
+    permCache.computeIfAbsent(n, genPerms)
+
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[(Long, Long)]]()
+
+  private val genPerms: java.util.function.Function[Int, Seq[(Long, Long)]] =
+    (n: Int) => {
+      def isPrime(x: Long): Boolean =
+        x > 1 && !(2L to math.sqrt(x.toDouble).toLong).exists(x % _ == 0)
+      def primesFrom(start: Long): Iterator[Long] =
+        Iterator.iterate(start)(_ + 1).filter(isPrime)
+      primesFrom(1299721L).zip(primesFrom(104729L)).take(n).toSeq
+    }
 
   /** MinHash signature under the portable family: element i =
     * min over shingles of (a_i * md5Hash32(s) + b_i) mod (2^31-1).

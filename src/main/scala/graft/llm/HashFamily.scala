@@ -54,21 +54,14 @@ object HashFamily {
   case object Portable extends HashFamily {
     /** 32-bit md5-prefix hash both engines evaluate identically
       * (Spark: conv(substr(md5(s),1,8),16,10); DuckDB: '0x'||… cast).
-      * When a session is on the calling thread (every repo code path —
-      * operators build Columns from a live DataFrame), this routes
-      * through the fused native `md5_prefix32` (no hex render/parse,
-      * and ONE interpreted call instead of four inside HOF lambdas,
-      * which Spark evaluates per element without codegen); the SQL
-      * composition below is the definitional fallback, bit-identical
-      * by Md5Prefix32Spec. */
-    def hash31(c: Column): Column =
-      org.apache.spark.sql.SparkSession.getActiveSession match {
-        case Some(s) =>
-          graft.functions.Md5Prefix32Expr.register(s)
-          graft.functions.Md5Prefix32Expr(c)
-        case None =>
-          conv(substr(md5(c), lit(1), lit(8)), 16, 10).cast("long")
-      }
+      * Routes through the fused native `md5_prefix32` (no hex
+      * render/parse, and ONE interpreted call instead of four inside
+      * HOF lambdas, which Spark evaluates per element without codegen),
+      * wrapped DIRECTLY as an expression — no registry lookup, so the
+      * Column analyzes on ANY session regardless of which was active at
+      * build time (ADVICE r12 #1). `sqlHash` below is the definitional
+      * SQL composition, bit-identical by Md5Prefix32Spec. */
+    def hash31(c: Column): Column = graft.functions.Md5Prefix32Expr(c)
     def tokenHash(c: Column): Column = hash31(c)
     def sqlHash(s: String): String =
       s"cast(conv(substr(md5($s),1,8),16,10) AS BIGINT)"

@@ -64,6 +64,27 @@ object CdcStream {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Newest modification time anywhere under `p` (the dir itself, every
+    * descendant dir, every file — `_temporary` trees included). Vacuum's
+    * liveness signal for version dirs with no committed buckets: a dir
+    * inode's own mtime only moves on direct-child create/delete, so an
+    * in-flight write phase longer than the grace looked stale by the
+    * inode alone (ADVICE r12 #3); task attempt files under `_temporary`
+    * keep progressing mtimes. Only called on zero-`b=` dirs (in-flight
+    * or crash debris), so the recursion walks a handful of entries. */
+  private def newestMtimeUnder(f: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Long = {
+    val self = f.getFileStatus(p).getModificationTime
+    val kids =
+      try f.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => // racing writer
+        return self }
+    kids.foldLeft(self) { (m, s) =>
+      math.max(m, if (s.isDirectory) newestMtimeUnder(f, s.getPath)
+                  else s.getModificationTime)
+    }
+  }
+
   /** Committed versions only: a v* directory is a commit iff the
     * atomic rename landed its manifest (ADVICE r5: presence of the
     * directory alone is NOT commit evidence). */
@@ -512,11 +533,16 @@ object CdcStream {
         // empty and `live.isEmpty && dead.size == unref.size` is 0==0 —
         // deleting it would kill the in-flight batch mid-write, the
         // exact race the grace exists to prevent. An empty dir is
-        // deletable only once the DIR ITSELF has aged past the grace
-        // (crash debris); a dir whose b= children were all just
-        // confirmed dead is deletable on their evidence.
+        // deletable only once the NEWEST mtime anywhere under it
+        // (including `_temporary` contents) has aged past the grace
+        // (ADVICE r12 #3: the dir inode's own mtime only records the
+        // last direct-child creation, so a write phase outliving the
+        // grace window was still reclaimed mid-write; task files keep
+        // progressing mtimes, so a live writer stays fresh). A dir
+        // whose b= children were all just confirmed dead is deletable
+        // on their evidence.
         if (live.isEmpty && dead.size == unref.size &&
-            (bs.nonEmpty || vd.getModificationTime < cutoff)) {
+            (bs.nonEmpty || newestMtimeUnder(f, vd.getPath) < cutoff)) {
           f.delete(vd.getPath, true); dataDirsDeleted += 1
         }
       }

@@ -15,6 +15,13 @@ object GraftBridge {
 
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Expression → Column, session-independently: call_function resolves
+    * by NAME at analysis time against the DataFrame's own session, so a
+    * Column built from it fails on a session never prepped by
+    * Catalog.ensure/GraftExtensions (ADVICE r12 #1). Wrapping the
+    * expression directly removes the registry from the path entirely. */
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
   def plan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].logicalPlan
 }

@@ -196,6 +196,34 @@ class RulesSpec extends SparkSpec {
         org.apache.spark.sql.functions.col("text"), " "), 8) != null)
   }
 
+  test("fused-native Column DSL analyzes on a VIRGIN session (no prep at all)") {
+    // ADVICE r12 #1, closed structurally: the Column-DSL forms of the
+    // fused natives (md5_prefix32 via hash31, affine_minsig via
+    // affineSignature) now wrap their expressions DIRECTLY
+    // (GraftBridge.column) instead of call_function, which resolved by
+    // NAME at analysis time against the DataFrame's own session — so a
+    // Column built while a prepped session was active failed on a
+    // sibling that never ran Catalog.ensure or GraftExtensions. A
+    // virgin newSession has a fresh, unprepped functionRegistry: the
+    // strongest form of the scenario.
+    import org.apache.spark.sql.functions.{col, expr, split}
+    val s3 = spark.newSession() // fresh registry, deliberately NOT prepped
+    import s3.implicits._
+    val df = Seq("abc", "hello world of documents", "").toDF("text")
+    val rows = df.select(
+      graft.llm.HashFamily.Portable.hash31(col("text")).as("h"),
+      expr("cast(conv(substr(md5(text),1,8),16,10) AS BIGINT)").as("e"),
+      graft.llm.Dedup.affineSignature(split(col("text"), " "),
+        graft.llm.Dedup.portablePerms(4), graft.llm.HashFamily.Portable)
+        .as("sig")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "fused hash != SQL composition")
+      assert(r.getSeq[Long](2).length == 4)
+    }
+    // and portablePerms is one shared instance per width (ADVICE r12 #2)
+    assert(graft.llm.Dedup.portablePerms(4) eq graft.llm.Dedup.portablePerms(4))
+  }
+
   test("rewritten q38 equals the un-rewritten result") {
     import org.apache.spark.sql.functions.expr
     // Same query through the DataFrame API without the rule's SQL path:

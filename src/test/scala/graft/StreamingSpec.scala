@@ -578,6 +578,46 @@ class StreamingSpec extends SparkSpec {
       "survivor handle must read byte-identical rows after vacuum")
   }
 
+  test("CDC vacuum: in-flight write phase outliving the grace survives; stale debris still swept") {
+    // ADVICE r12 #3 / VERDICT r12 #8: an applyBatch whose WRITE PHASE is
+    // longer than graceMs holds only `_temporary` under its unique
+    // data/v* dir. The dir inode's mtime is its creation time — once
+    // past the grace it looked like crash debris, and the r11 fix
+    // (age the dir inode) still reclaimed it mid-write, just past the
+    // grace horizon. Liveness now comes from the NEWEST mtime anywhere
+    // under the dir: a live writer's task files keep progressing.
+    import graft.streaming.CdcStream
+    import spark.implicits._
+    val table = "/tmp/graft-cdc-vacuum-inflight"
+    val t = new java.io.File(table)
+    if (t.exists()) new scala.reflect.io.Directory(t).deleteRecursively()
+    CdcStream.applyBatch(spark, table,
+      Seq((1L, 1.0, "a", 1L, false))
+        .toDF("k", "price", "status", "seq", "deleted"), "k")
+    // simulate the in-flight batch: unique uncommitted dir, only
+    // _temporary under it; every DIR inode aged an hour (creation), the
+    // task file fresh (the write is still progressing right now)
+    val inflight = new java.io.File(s"$table/data/v1-deadbeef")
+    val task = new java.io.File(inflight, "_temporary/0/attempt_0/part-00000")
+    assert(task.getParentFile.mkdirs())
+    java.nio.file.Files.write(task.toPath, "partial".getBytes)
+    val old = System.currentTimeMillis() - 3600L * 1000
+    Seq(inflight, new java.io.File(inflight, "_temporary"),
+        new java.io.File(inflight, "_temporary/0"),
+        new java.io.File(inflight, "_temporary/0/attempt_0"))
+      .foreach(d => assert(d.setLastModified(old)))
+    CdcStream.vacuum(spark, table, keepLast = 1, graceMs = 15L * 60 * 1000)
+    assert(inflight.exists(),
+      "in-flight dir with fresh _temporary contents must survive vacuum")
+    // the crashed-writer variant of the SAME tree — whole tree stale —
+    // is still reclaimed (the r11 crash-debris guarantee is not lost)
+    assert(task.setLastModified(old))
+    val swept = CdcStream.vacuum(spark, table, keepLast = 1,
+      graceMs = 15L * 60 * 1000)
+    assert(!inflight.exists(), "fully-stale debris must still be swept")
+    assert(swept.dataDirsDeleted >= 1, s"sweep must be counted: $swept")
+  }
+
   test("CDC txn replay is a no-op; pre-write version check fails fast") {
     import graft.streaming.CdcStream
     import spark.implicits._
