@@ -17,8 +17,9 @@ import graft.llm.{Ann, Dedup, Fingerprint}
   *    DuckDB oracle and sits under the full rows+schema+hash gate
   *    (VERDICT r5 #1). The partial-probe production configs (the
   *    default parameters) stay recall-spec'd in LlmOpsSpec;
-  *  - x56 (HLL sketch) is the one genuinely engine-specific estimator
-  *    left rows-only, error-bound-spec'd instead.
+  *  - x56 (distinct-count sketch) joined the dual-mode family in r13:
+  *    sparse-exact ≤ k ⇒ full hash gate at contract SFs; the HLL
+  *    register regime stays error-bound-spec'd (InvariantsSpec).
   */
 object Extensions {
 
@@ -191,14 +192,18 @@ object Extensions {
         .orderBy("doc_id")
     },
 
-    // HLL++ sketch distinct counts (the 100 TB path for q08-style
-    // distincts: mergeable fixed-size state instead of an exact expand).
+    // Dual-mode distinct-count sketch (the 100 TB path for q08-style
+    // distincts: mergeable bounded state instead of an exact expand).
+    // Promoted from rows-only in r13 (VERDICT r12 #4): the native
+    // HllDistinct aggregator is SPARSE-EXACT while distinct users ≤ k,
+    // so at every contract SF the output equals a plain COUNT(DISTINCT)
+    // — full hash gate, flag computed identically by the oracle from
+    // its own count. Over capacity the HLL register estimate applies
+    // (σ ≈ 1.04/√4096; InvariantsSpec asserts the 5σ envelope and
+    // merge-order invariance on a >k corpus).
     "x56_approx_distinct" -> { (s, dir) =>
-      import org.apache.spark.sql.functions._
-      Catalog.load(s, dir, "events")
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("u_approx"))
-        .orderBy("event_type")
+      graft.operators.Sketches.distinctCount(
+        Catalog.load(s, dir, "events"), "event_type", "user_id", 262144)
     },
 
     // Two-pass scalable global windows (operators.GlobalWindow.ranks):
@@ -816,6 +821,15 @@ object Extensions {
         |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rk
         |  FROM events GROUP BY user_id) t
         |WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
+    // x56: in the sparse-exact regime (distinct users ≤ k) the sketch's
+    // count IS the exact distinct count, and the flag is the same pure
+    // function of the data on both engines.
+    "x56_approx_distinct" ->
+      """SELECT event_type, cast(count(DISTINCT user_id) AS BIGINT) AS u_cnt,
+        |       cast(CASE WHEN count(DISTINCT user_id) <= 262144
+        |                 THEN 1 ELSE 0 END AS BIGINT) AS exact
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // x301: in the identity-row-injective regime the CMS point estimate
     // must equal the exact per-user multiset count.

@@ -72,6 +72,22 @@ object Sketches {
       .orderBy("rk")
   }
 
+  /** Grouped distinct counts (x56 shape, promoted to dual-mode in r13):
+    * `exact` = 1 iff the group's distinct `vCol` count ≤ k — the sketch
+    * never leaves its sparse regime and the reported count IS the exact
+    * COUNT(DISTINCT) a plain SQL oracle computes, flag included. Over
+    * capacity the classic HLL bound applies (σ ≈ 1.04/√2^p, linear
+    * counting below 2.5·2^p). The shuffle carries ≤ max(k, 2^p+1) longs
+    * per group either way — never the group's rows. */
+  def distinctCount(in: DataFrame, gCol: String, vCol: String,
+                    k: Int, p: Int = 12): DataFrame = {
+    val sk = udaf(new graft.functions.HllDistinct(k, p))
+    in.groupBy(col(gCol))
+      .agg(sk(col(vCol)).as("s"))
+      .select(col(gCol), col("s._1").as("u_cnt"), col("s._2").as("exact"))
+      .orderBy(gCol)
+  }
+
   /** CMS point estimates (x301 shape) for a probe set: one depth×width
     * grid aggregated over `events`, broadcast to the probe rows, read
     * in place via `element_at` (the r9 boxing postmortem — never pass

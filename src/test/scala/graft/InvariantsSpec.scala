@@ -106,6 +106,37 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("HllDistinct: sparse regime exact at the k boundary; dense inside 5σ, merge-order invariant") {
+    // x56's dual-mode contract (VERDICT r12 #4, the x261/x266/x301
+    // pattern): exact = 1 ⟺ distinct ≤ k, structurally. At the knife
+    // edge: exactly k distinct stays sparse-exact; k+1 densifies.
+    import spark.implicits._
+    val k = 64
+    def run(n: Int, parts: Int) = {
+      val df = spark.range(0, n * 3, 1, parts)
+        .select((col("id") % n).as("v"), lit("g").as("g"))
+      graft.operators.Sketches.distinctCount(df, "g", "v", k, p = 12)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    }
+    assert(run(k, 4) == (k.toLong, 1L), "k distinct must stay sparse-exact")
+    val (cntOver, flagOver) = run(k + 1, 4)
+    assert(flagOver == 0L, "k+1 distinct must leave the exact regime")
+    // dense regime: 50k distinct >> k, estimate inside 5σ of truth
+    // (σ = 1.04/√4096 ≈ 1.63% — the never-flakes margin the HLL spec
+    // above uses), and bit-identical across partitionings (merge-order
+    // invariance of max-registers)
+    val n = 50000
+    val a = run(n, 3)
+    val b = run(n, 17)
+    assert(a == b, s"estimate must be merge-order invariant: $a vs $b")
+    assert(a._2 == 0L)
+    assert(math.abs(a._1 - n).toDouble / n < 5 * 1.04 / math.sqrt(4096.0),
+      s"dense estimate ${a._1} outside 5σ of $n")
+    // k+1 sits deep in linear-counting territory: still within 5σ-ish
+    // absolute slack for tiny cardinalities (LC is near-exact there)
+    assert(math.abs(cntOver - (k + 1)) <= 3, s"LC estimate $cntOver far from ${k + 1}")
+  }
+
   test("percentile_approx stays inside the GK rank-error bound vs exact") {
     // the sketch-tier quantile (mergeable, fixed-size state — the 100 TB
     // replacement for exact percentile sorts, and what GlobalWindow's

@@ -495,16 +495,19 @@ class LlmOpsSpec extends SparkSpec {
       "pruned probe must keep the LUT scoring stage")
   }
 
-  test("hll approx distinct within rsd bound of exact q08") {
+  test("x56 dual-mode distinct: sparse-exact regime equals exact q08, flagged exact=1") {
+    // promoted in r13 (VERDICT r12 #4): at contract SFs distinct users
+    // per type ≤ k = 262144, so the sketch never leaves its sparse
+    // regime — counts EQUAL q08's exact distinct, flag is 1 everywhere.
+    // The over-capacity HLL regime is spec'd in InvariantsSpec.
     val exact = SparkEntry.queries("q08_distinct_users")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = SparkEntry.queries("x56_approx_distinct")(spark, sf0001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    approx.foreach { case (k, a) =>
-      val e = exact(k)
-      assert(math.abs(a - e).toDouble / e < 0.1,
-        s"$k: approx $a vs exact $e exceeds 10% (rsd 2% sketch)")
+    val sk = SparkEntry.queries("x56_approx_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sk.keySet == exact.keySet)
+    sk.foreach { case (k, (cnt, flag)) =>
+      assert(flag == 1L, s"$k: contract corpus must sit in the exact regime")
+      assert(cnt == exact(k), s"$k: sparse-exact count $cnt != exact ${exact(k)}")
     }
   }
 
