@@ -331,6 +331,25 @@ object Extensions {
         .orderBy("uid", "level")
     },
 
+    // Multimodal perceptual-hash near-dup (VERDICT r12 #3): aHash +
+    // dHash 32-bit signatures (functions/PerceptualHash32, codegen'd,
+    // portable integer kernel — quantize to basis points first, every
+    // bit a strict integer compare) over the embeddings table's 64-d
+    // vectors read as 8×8 luminance grids, Hamming-banded through the
+    // SAME pigeonhole machinery as the x53 text path. The DuckDB twin
+    // recomputes both signatures bit-for-bit from the same parquet
+    // (the x53/x79 policy), so the full pipeline — quantize, two
+    // perceptual hashes, banding, radius verify, dhash annotation —
+    // sits under the hash gate. Radius 7 over 32 bits = 4-bit bands
+    // (contract config; production 64-bit sigs give the x53 8-bit
+    // shape). Real-image decode→hash behavior (brightness invariance,
+    // perturbation locality) is spec'd in MultimodalSpec on actual
+    // PNGs through the javax.imageio path.
+    "x329_phash_neardup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.perceptualNearDups(
+        Catalog.load(s, dir, "embeddings"), "vec_id", "embedding",
+        maxHamming = 7)),
+
     // Iterative BPE trainer (llm.Bpe): same contract as the unrolled
     // x148 SQL — one oracle text, two Spark plans — but the loop
     // materializes the encoded dict per step (lineage-truncated), so
@@ -720,6 +739,33 @@ object Extensions {
     // x327: same policy for HITS — the persist-once iterative operator
     // shares x326's unrolled oracle verbatim.
     "x327_hits_native" -> Queries.oracleSql("x326_hits_hubs"),
+
+    // x329: both perceptual hashes recomputed bit-for-bit in DuckDB —
+    // quantize (round-half-away ×10000, the x267/x270 parity pattern),
+    // aHash bit j = (64·q[j+1] > Σq) integer-exact mean test, dHash
+    // bit j = (q[2j+1] > q[2j+2]) disjoint adjacent pairs, banding on
+    // the same 4-bit chunks (pigeonhole for Hamming ≤ 7 over 32 bits).
+    "x329_phash_neardup" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding,
+        |               e -> cast(round(cast(e AS DOUBLE)*10000) AS BIGINT)) AS g
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, g, cast(list_sum(g) AS BIGINT) AS sm FROM q),
+        |sig AS (SELECT vec_id,
+        |          cast(sum(CASE WHEN 64*g[j+1] > sm
+        |                        THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ha,
+        |          cast(sum(CASE WHEN g[2*j+1] > g[2*j+2]
+        |                        THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS hd
+        |        FROM s CROSS JOIN (SELECT unnest(generate_series(0,31)) AS j) b(j)
+        |        GROUP BY vec_id, g, sm),
+        |chunks AS (SELECT vec_id, ha, hd, c, (ha >> (4*c)) & 15 AS ck
+        |           FROM sig CROSS JOIN (SELECT unnest(generate_series(0,7)) AS c) cs(c)),
+        |pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+        |                 cast(bit_count(xor(x.ha, y.ha)) AS INT) AS ham_a,
+        |                 cast(bit_count(xor(x.hd, y.hd)) AS INT) AS ham_d
+        |          FROM chunks x JOIN chunks y
+        |            ON x.c = y.c AND x.ck = y.ck AND x.vec_id < y.vec_id)
+        |SELECT a, b, ham_a, ham_d FROM pairs WHERE ham_a <= 7 ORDER BY a, b""".stripMargin,
 
     // x328: the round-trip oracle — the Spark side reads rendered text
     // files; the oracle computes the identical rollup straight from

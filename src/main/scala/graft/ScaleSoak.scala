@@ -453,6 +453,39 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r13tier")) {
+      // Round-13 tier at 10×: the perceptual-hash near-dup (x329) and
+      // the promoted dual-mode distinct sketch (x56). The 10× corpus
+      // replicates every embedding 10× under shifted ids, so each
+      // original's replicas form Hamming-0 cliques — the worst-case
+      // duplication profile for the banding join (45 intra-clique
+      // pairs per original before any cross pair).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x329_phash_neardup", "x56_approx_distinct").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      // x56 at 10×: the replicated corpus multiplies ROWS, not distinct
+      // users, so it must still sit in the sparse-exact regime — every
+      // group flagged exact, counts equal countDistinct
+      val rows = SparkEntry.queries("x56_approx_distinct")(spark, out).collect()
+      assert(rows.forall(_.getLong(2) == 1L),
+        s"x56 at 10x: expected all groups sparse-exact")
+      println(s"[soak] x56 at 10x: ${rows.length} groups, all exact=1")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row

@@ -317,10 +317,11 @@ object Dedup {
       .orderBy(col("hd"), col("a"), col("b"))
 
   /** Pigeonhole-banded Hamming-radius pairs over any (doc_id, simhash)
-    * signature table — shared by the 64-bit production path and the
-    * 32-bit portable path. */
-  private def hammingPairs(sigs: DataFrame, sigBits: Int,
-                           maxHamming: Int): DataFrame = {
+    * signature table — shared by the 64-bit production path, the
+    * 32-bit portable path, and the perceptual-hash near-dup
+    * ([[graft.multimodal.Multimodal.perceptualNearDups]], r13). */
+  private[graft] def hammingPairs(sigs: DataFrame, sigBits: Int,
+                                  maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < sigBits,
       s"maxHamming must be in [0, ${sigBits - 1}] (got $maxHamming)")
     val chunks = maxHamming + 1

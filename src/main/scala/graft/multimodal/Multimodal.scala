@@ -226,6 +226,47 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hashes (aHash + dHash, 32-bit portable integer kernel —
+    * [[graft.functions.PerceptualHash32]]) of a grid-vector column:
+    * one row per id, two signatures, computed in the scan's partitions.
+    * Works on any row-major luminance grid `array<float>` — the 4×4
+    * decode embedding or the embeddings table's 8×8 vectors. */
+  def perceptualHashes(vecs: org.apache.spark.sql.DataFrame,
+                       idCol: String, embCol: String): org.apache.spark.sql.DataFrame =
+    vecs.select(col(idCol).as("id"),
+      graft.functions.AHash32(col(embCol)).as("ahash"),
+      graft.functions.DHash32(col(embCol)).as("dhash"))
+
+  /** Multimodal near-dup (VERDICT r12 #3): pairs within `maxHamming` on
+    * the aHash signature, pigeonhole-banded through the SAME machinery
+    * as the SimHash text path ([[graft.llm.Dedup.hammingPairs]]) —
+    * (maxHamming+1) disjoint chunks, candidates = chunk-equality join,
+    * never the full cross product. dHash distance rides along per pair
+    * (a second, gradient-based view of the same images: equal-aHash
+    * different-dHash pairs are brightness-rebalanced, not identical).
+    *
+    * Scale shape: one 2-long-signature row per image leaves the decode
+    * stage (blobs never shuffle); the banding join fan-out is
+    * (maxHamming+1) ints per image; the dhash annotation joins touch
+    * only surviving pairs. The default radius 7 over 32 bits gives
+    * 4-bit bands — the contract/corpus config; a production 64-bit
+    * signature at the same radius gives 8-bit bands (the x53 shape). */
+  def perceptualNearDups(vecs: org.apache.spark.sql.DataFrame,
+                         idCol: String, embCol: String,
+                         maxHamming: Int = 7): org.apache.spark.sql.DataFrame = {
+    val sigs = perceptualHashes(vecs, idCol, embCol)
+    val pairs = graft.llm.Dedup.hammingPairs(
+      sigs.select(col("id").as("doc_id"), col("ahash").as("simhash")),
+      sigBits = 32, maxHamming = maxHamming)
+    val d = sigs.select(col("id"), col("dhash"))
+    pairs
+      .join(d.select(col("id").as("a"), col("dhash").as("da")), "a")
+      .join(d.select(col("id").as("b"), col("dhash").as("db")), "b")
+      .select(col("a"), col("b"), col("hd").cast("int").as("ham_a"),
+        bit_count(col("da").bitwiseXOR(col("db"))).cast("int").as("ham_d"))
+      .orderBy("a", "b")
+  }
+
   case class Frame(media_id: Long, frame_no: Int, offset_bytes: Long,
                    frame_hash: Long)
 

@@ -263,6 +263,66 @@ class MultimodalSpec extends SparkSpec {
       s"full-probe IVF over decoded features must equal brute force:\n$ivf\n$exact")
   }
 
+  test("perceptual near-dup: banded pairs equal exact Hamming pairs (pigeonhole recall 1)") {
+    // x329's structural claim: Hamming ≤ 7 over 32 bits means at least
+    // one of 8 disjoint 4-bit chunks matches exactly, so the banded
+    // join loses NOTHING vs the full cross product — recall is 1 by
+    // pigeonhole, verified here against brute force on the sf0.001
+    // embeddings (the contract corpus).
+    val vecs = Catalog.load(spark, sf0001, "embeddings")
+    val got = Multimodal.perceptualNearDups(vecs, "vec_id", "embedding", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val sigs = Multimodal.perceptualHashes(vecs, "vec_id", "embedding")
+    val brute = sigs.as("x").join(sigs.as("y"),
+        col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("int").as("ha"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).cast("int").as("hd"))
+      .where(col("ha") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(got.nonEmpty, "contract corpus must produce near-dup pairs")
+    assert(got == brute,
+      s"banded pairs must equal exact Hamming pairs: missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("perceptual hashes over real PNGs: brightness twin collides, different layout far") {
+    // the perceptual property that makes aHash/dHash NEAR-dup hashes
+    // rather than content hashes: uniform brightness scaling preserves
+    // which cells sit above the mean and the sign of adjacent-cell
+    // gradients, so the twin lands within a couple of bits; a
+    // different luminance LAYOUT (gradient rotated 90°) flips about
+    // half the cells. Exercised through the REAL javax.imageio decode.
+    import spark.implicits._
+    def encode(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val base = encode(64, 64, (x, _) => grey(32 + x * 3))        // horizontal ramp
+    val bright = encode(64, 64, (x, _) => grey((32 + x * 3) * 4 / 5)) // 0.8× brightness
+    val rotated = encode(64, 64, (_, y) => grey(32 + y * 3))     // vertical ramp
+    val feats = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRow(1L, "image", base, Map()),
+      Multimodal.MediaRow(2L, "image", bright, Map()),
+      Multimodal.MediaRow(3L, "image", rotated, Map())).toDS()).toDF()
+    val h = Multimodal.perceptualHashes(feats, "media_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val hamBrightA = ham(h(1L)._1, h(2L)._1)
+    val hamRotA = ham(h(1L)._1, h(3L)._1)
+    assert(hamBrightA <= 2, s"brightness twin aHash distance $hamBrightA")
+    assert(hamRotA >= 6, s"rotated layout aHash distance $hamRotA (expected far)")
+    assert(hamRotA > hamBrightA)
+    val hamBrightD = ham(h(1L)._2, h(2L)._2)
+    val hamRotD = ham(h(1L)._2, h(3L)._2)
+    assert(hamBrightD <= 2, s"brightness twin dHash distance $hamBrightD")
+    assert(hamBrightD <= hamRotD)
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()
