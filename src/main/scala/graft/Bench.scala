@@ -29,29 +29,6 @@ object Bench {
   /** JSON string escape — the shared table (see [[JsonOut]]). */
   private def esc(s: String): String = JsonOut.esc(s)
 
-  /** One paired DuckDB suite pass in this container via
-    * tools/rebaseline.py. None when the tool/interpreter is missing or
-    * fails — benching proceeds, the artifact records null. */
-  private def duckdbSuite(sfDir: String, names: Seq[String]): Option[Double] =
-    try {
-      val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
-      val script = Seq("tools/rebaseline.py", "/root/repo/tools/rebaseline.py")
-        .map(new java.io.File(_)).find(_.isFile)
-      if (sqls.isEmpty || script.isEmpty) return None
-      val tmp = java.io.File.createTempFile("graft-rebaseline", ".json")
-      tmp.deleteOnExit()
-      val w = new java.io.PrintWriter(tmp, "UTF-8")
-      try w.write(sqls.map { case (n, q) => s""""${esc(n)}":"${esc(q)}"""" }
-        .mkString("{", ",", "}"))
-      finally w.close()
-      import scala.sys.process._
-      val out = new StringBuilder
-      val cmd = Seq("python3", script.get.getPath, sfDir, tmp.getPath)
-      val rc = cmd ! ProcessLogger(l => out.append(l), System.err.println)
-      if (rc != 0) return None
-      """"duckdb_total"\s*:\s*([0-9.]+)""".r
-        .findFirstMatchIn(out.toString).map(_.group(1).toDouble)
-    } catch { case scala.util.control.NonFatal(_) => None }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,11 +105,11 @@ object Bench {
     floorOnce() // warm the floor job's own codegen
     val floorMs = Seq.fill(5)(floorOnce()).sorted.apply(2) * 1000.0
     // paired DuckDB pass #1: immediately before the timed Spark suite.
-    // Only the BASELINE.md q-suite is paired — the extension set's
-    // oracles include deliberately-quadratic baselines (x48/x49) that
-    // are not part of any gate ratio.
-    def pairedPass(): Option[Double] =
-      if (prefix == "q") duckdbSuite(sfDir, names) else None
+    // EVERY set pairs with the q-suite control (VERDICT r12 #1): for
+    // prefix=q that is the apples-to-apples gate pair; for the
+    // extension set it is a same-process drift control (the x-oracles
+    // themselves are not pair-able — see PairedControl's scaladoc).
+    def pairedPass(): Option[Double] = PairedControl.qControl(sfDir)
     val duckPre = pairedPass()
     val medians = names.map { n =>
       once(n) // re-populate this name's cache entries after the clear
@@ -163,7 +140,7 @@ object Bench {
     val pairedRatio = paired.map(total / _)
     val failedJs = failed.toSeq.sorted.map(n => s""""${esc(n)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs}""")
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

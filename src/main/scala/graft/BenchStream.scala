@@ -171,6 +171,12 @@ object BenchStream {
         s"${known.toSeq.sorted.mkString(",")})")
     }
     val subset = wanted.isDefined
+    // paired DuckDB control pass #1 (VERDICT r12 #1): the q-suite
+    // oracles timed in THIS process immediately before the timed
+    // drains — a drift control, not an engine comparison (DuckDB has
+    // no streaming; see PairedControl's scaladoc). Bracketing bounds
+    // within-run floor movement exactly as the main suite's pair does.
+    val duckPre = PairedControl.qControl(sfDir)
     val medians = ops
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .map { case (name, f) =>
@@ -178,12 +184,19 @@ object BenchStream {
       val ts = Seq(once(f), once(f), once(f)).sorted
       name -> ts(1)
     }
+    val duckPost = PairedControl.qControl(sfDir)
     val js = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
+    val paired = (duckPre, duckPost) match {
+      case (Some(a), Some(b)) => Some((a + b) / 2)
+      case (a, b) => a.orElse(b)
+    }
+    def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
+    val pairedRatio = paired.map(total / _)
     // subset runs get their own metric name for the same reason
     val metric = if (subset) "stream_subset_total" else "stream_suite_total"
-    println(s"""{"metric":"$metric","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir"}""")
+    println(s"""{"metric":"$metric","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir","paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
     spark.stop()
   }
 }

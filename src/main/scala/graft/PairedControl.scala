@@ -1,0 +1,58 @@
+package graft
+
+/** Same-container DuckDB control passes for every bench artifact
+  * (VERDICT r7 #1, extended to the stream/xops artifacts per VERDICT
+  * r12 #1): the container floor drifts between rounds (measured ±30%),
+  * so every timed suite brackets itself with a co-measured DuckDB pass
+  * — drift moves numerator and denominator together and the paired
+  * ratio stays attributable at a glance.
+  *
+  * The control is ALWAYS the BASELINE.md q-suite oracles, for every
+  * suite:
+  *  - for the q bench it IS the gate pair (apples-to-apples engine
+  *    ratio);
+  *  - for the xops/stream benches it is a DRIFT CONTROL, not an engine
+  *    comparison: the x-oracles themselves are unusable as a control —
+  *    one DuckDB pass over all 281 at sf0.1 exceeded 10 minutes when
+  *    measured (r13), dominated by the deliberately-quadratic spec
+  *    baselines (the x48/x49 class, quadratic by design so the oracle
+  *    stays declarative) — and a control only needs to be stable,
+  *    cheap, and co-measured, which the ~1.2 s q-suite is. The
+  *    artifact names its control so the ratio can never be misread as
+  *    an engine comparison.
+  */
+object PairedControl {
+
+  val ControlName = "duckdb-q-suite"
+
+  /** One DuckDB pass over `names`' oracle SQL via tools/rebaseline.py
+    * (in-memory DB, warm-up pass, median-of-3 per query — the
+    * BASELINE.md protocol). None when the tool/interpreter is missing
+    * or fails — benching proceeds, the artifact records null. */
+  def duckdbSuite(sfDir: String, names: Seq[String]): Option[Double] =
+    try {
+      val sqls = names.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      val script = Seq("tools/rebaseline.py", "/root/repo/tools/rebaseline.py")
+        .map(new java.io.File(_)).find(_.isFile)
+      if (sqls.isEmpty || script.isEmpty) return None
+      val tmp = java.io.File.createTempFile("graft-rebaseline", ".json")
+      tmp.deleteOnExit()
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try w.write(sqls.map { case (n, q) =>
+        s""""${JsonOut.esc(n)}":"${JsonOut.esc(q)}"""" }
+        .mkString("{", ",", "}"))
+      finally w.close()
+      import scala.sys.process._
+      val out = new StringBuilder
+      val cmd = Seq("python3", script.get.getPath, sfDir, tmp.getPath)
+      val rc = cmd ! ProcessLogger(l => out.append(l), System.err.println)
+      if (rc != 0) return None
+      """"duckdb_total"\s*:\s*([0-9.]+)""".r
+        .findFirstMatchIn(out.toString).map(_.group(1).toDouble)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The q-suite control pass (the one every artifact pairs with). */
+  def qControl(sfDir: String): Option[Double] =
+    duckdbSuite(sfDir,
+      SparkEntry.queries.keys.toSeq.filter(_.startsWith("q")).sorted)
+}

@@ -94,6 +94,53 @@ object Rehearsal {
     // code regression from environment before anyone chases one)
     if (args.contains("onlycdc")) { cdcPhases(spark, out); return }
 
+    // `minhash`: the x52/x74/x118 family at 100× with PER-STAGE timings
+    // (VERDICT r12 #6) — where does the AffineMinSig kernel win land
+    // end-to-end, and does the banding-join shuffle become the
+    // bottleneck? The 100×-replica corpus is the worst duplication
+    // profile the banding join can face: every original's 100 replicas
+    // share ALL 16 bands, so the candidate set is ≥ 4950 pairs per
+    // original BEFORE any true near-dup cross pair — the shape x177
+    // survives only by exact-dedup first. Stages are persisted and
+    // counted separately so each timing covers one stage's work.
+    if (args.contains("minhash")) {
+      import graft.llm.{Dedup, HashFamily}
+      val docs = spark.read.parquet(s"$out/documents.parquet")
+      val sets = Dedup.shingleSets(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = phase("shingles") { sets.count() }
+      val perms = Dedup.portablePerms(64)
+      // signature kernel, fused native vs retained HOF spec — the same
+      // rows, same persisted shingles, reduced to one max so timing is
+      // all kernel, no collect
+      def sigPass(c: org.apache.spark.sql.Column): Long = sets
+        .select(xxhash64(c).as("h"))
+        .agg(max("h")).head().getLong(0)
+      phase("sig native") { sigPass(
+        Dedup.affineMinHashSignature(col("shs"), perms)) }
+      phase("sig hof") { sigPass(
+        Dedup.affineSignatureHof(col("shs"), perms, HashFamily.Portable)) }
+      val cands = Dedup.candidatePairsFromSig(sets,
+          Dedup.affineMinHashSignature(col("shs"), perms),
+          numBands = 16, rowsPerBand = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nc = phase("banding join") { cands.count() }
+      val np = phase("verify join") {
+        cands
+          .join(sets.select(col("doc_id").as("a"), col("shs").as("sa"),
+            col("n").as("na")), "a")
+          .join(sets.select(col("doc_id").as("b"), col("shs").as("sb"),
+            col("n").as("nb")), "b")
+          .withColumn("c", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("jac_bp", floor(col("c") * lit(10000.0) /
+            (col("na") + col("nb") - col("c"))).cast("long"))
+          .where(col("jac_bp") >= 5000L).count()
+      }
+      cands.unpersist(); sets.unpersist()
+      println(s"[rehearsal] minhash 100x: docs=$nd candidates=$nc pairs=$np")
+      spark.stop(); return
+    }
+
     val census = phase("x177 census") {
       SparkEntry.queries("x177_pipeline_census")(spark, out)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq

@@ -172,9 +172,10 @@ object Dedup {
 
   /** Banding over an arbitrary signature expression — the hash family
     * (production xxhash64 vs portable md5-affine) is the caller's
-    * choice; the candidate-generation machinery is shared. */
-  private def candidatePairsFromSig(sets: DataFrame, sigCol: Column,
-                                    numBands: Int, rowsPerBand: Int): DataFrame = {
+    * choice; the candidate-generation machinery is shared.
+    * private[graft]: the 100× rehearsal times this stage in isolation. */
+  private[graft] def candidatePairsFromSig(sets: DataFrame, sigCol: Column,
+                                           numBands: Int, rowsPerBand: Int): DataFrame = {
     val sig = sets.withColumn("sig", sigCol)
     // let-bind sig: the banding lambda must slice a computed signature,
     // not recompute it per band

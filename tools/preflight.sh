@@ -60,4 +60,17 @@ cat > PREFLIGHT.json <<EOF
 EOF
 echo "[preflight] green=$green  ($tests_line; $oracle_line; leaks=$leak_hits)"
 cat PREFLIGHT.json
+
+# --commit: land the artifact as its own commit immediately, so the
+# committed PREFLIGHT.json's git_head is always the parent of the
+# commit that carries it (VERDICT r12 #2 — the r12 run was recorded
+# only in prose because the rewritten artifact never got committed at
+# the HEAD it described). The round-end preflight should run with this
+# flag; the commit happens whether green or red (a red preflight is a
+# result, not something to hide).
+if [ "${1:-}" = "--commit" ]; then
+  git add PREFLIGHT.json
+  git commit -q -m "Preflight at $(git rev-parse --short HEAD): green=$green ($tests_line; $oracle_line; leaks=$leak_hits)" -- PREFLIGHT.json
+  echo "[preflight] committed PREFLIGHT.json ($(git rev-parse --short HEAD))"
+fi
 [ "$green" = true ]
