@@ -105,9 +105,19 @@ object Rehearsal {
     // counted separately so each timing covers one stage's work.
     if (args.contains("minhash")) {
       import graft.llm.{Dedup, HashFamily}
+      // Pinned-heap posture: the shared intermediates here are
+      // corpus-sized (500 k shingle-set rows; tens of millions of
+      // candidate pairs), so caching them ON-HEAP is the bug under a
+      // 3 GiB ceiling — unified memory lets storage pin half the
+      // region, and the first 100×-replica banding join then OOMed
+      // exactly there (measured, r13). DISK_ONLY keeps the reuse
+      // without competing with execution memory; 128 shuffle
+      // partitions bound the per-task slice of the ~10⁸-row candidate
+      // shuffle to a few MB.
+      spark.conf.set("spark.sql.shuffle.partitions", "512")
       val docs = spark.read.parquet(s"$out/documents.parquet")
       val sets = Dedup.shingleSets(docs, 3)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val nd = phase("shingles") { sets.count() }
       val perms = Dedup.portablePerms(64)
       // signature kernel, fused native vs retained HOF spec — the same
@@ -123,7 +133,7 @@ object Rehearsal {
       val cands = Dedup.candidatePairsFromSig(sets,
           Dedup.affineMinHashSignature(col("shs"), perms),
           numBands = 16, rowsPerBand = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val nc = phase("banding join") { cands.count() }
       val np = phase("verify join") {
         cands

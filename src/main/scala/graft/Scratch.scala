@@ -9,8 +9,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[16]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "16"))
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -37,6 +38,53 @@ object Scratch {
         t("production first")(Dedup.minHashNearDups(docs, 64, 4, 5000L).count())
         t("portable second")(Dedup.minHashNearDupsPortable(docs).count())
       }
+      spark.stop(); return
+    }
+    if (args.contains("bandplan")) {
+      // print the banding-join physical plan over `dir` (no execution
+      // of the join itself) — used to diagnose the 100× rehearsal OOM
+      val sets = Dedup.shingleSets(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[scratch] sets rows=${sets.count()}")
+      val cands = Dedup.candidatePairsFromSig(sets,
+        Dedup.affineMinHashSignature(col("shs"), Dedup.portablePerms(64)),
+        numBands = 16, rowsPerBand = 4)
+      println(cands.queryExecution.executedPlan.toString.take(6000))
+      spark.stop(); return
+    }
+    if (args.contains("bandjoin")) {
+      // the banding join ALONE on a fresh JVM — separates "intrinsic
+      // stage footprint" from "leaked consumers from earlier phases"
+      // when diagnosing the 100× rehearsal OOM
+      val sets = Dedup.shingleSets(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[scratch] sets rows=${sets.count()}")
+      t("banding join") {
+        Dedup.candidatePairsFromSig(sets,
+          Dedup.affineMinHashSignature(col("shs"), Dedup.portablePerms(64)),
+          numBands = 16, rowsPerBand = 4).count()
+      }
+      spark.stop(); return
+    }
+    if (args.contains("bandstats")) {
+      // Σ C(bucket, 2) over the (band, key) buckets — the banding
+      // join's exact output row count (pre-distinct), computed with one
+      // aggregate and NO join: sizing evidence for the 100× rehearsal
+      val sets = Dedup.shingleSets(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      println(s"[scratch] sets rows=${sets.count()}")
+      val sig = Dedup.affineMinHashSignature(col("shs"), Dedup.portablePerms(64))
+      val bands = sets.withColumn("sig", sig).select(col("doc_id"),
+        explode(graft.llm.Cols.bind(col("sig")) { g =>
+          transform(sequence(lit(0), lit(15)),
+            b => struct(b.as("band"),
+              xxhash64(b, slice(g, b * 4 + 1, lit(4))).as("key")))
+        }).as("bk"))
+        .select(col("bk.band"), col("bk.key"))
+      val st = bands.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n*(n-1)/2")).as("pairs"), max("n").as("maxBucket"),
+          count(lit(1)).as("buckets")).head()
+      println(s"[scratch] band buckets=${st.getLong(2)} maxBucket=${st.getLong(1)} joinRows=${st.get(0)}")
       spark.stop(); return
     }
     if (args.contains("sigkernel")) {

@@ -188,11 +188,23 @@ object Dedup {
               .as("key")))
       }).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
-    // pairs sharing any band bucket; distinct before the expensive verify
+    // pairs sharing any band bucket; distinct before the expensive verify.
+    // The dedup runs AFTER an explicit (a, b) exchange, not map-side: a
+    // pair repeats only across DIFFERENT bands, and the join stage is
+    // partitioned by (band, key), so those repeats land in different
+    // partitions — a partial (map-side) distinct dedups ~nothing while
+    // its hash map competes with the join buffers and the shuffle
+    // writer inside one task allowance. Measured at the 100×-replica
+    // corpus (SCALE.md §34): the partial-agg shape OOMed the pinned
+    // 3 GiB heap with a 32-byte refusal in ShuffleExternalSorter at
+    // every cores/heap ratio tried; this shape completes. Cost: the raw
+    // pair stream (≤ numBands× the distinct pairs, 16 B rows) rides the
+    // exchange — sequential shuffle IO traded for bounded task memory.
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .repartition(col("a"), col("b"))
       .distinct()
   }
 
