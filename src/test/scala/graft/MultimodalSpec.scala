@@ -323,6 +323,54 @@ class MultimodalSpec extends SparkSpec {
     assert(hamBrightD <= hamRotD)
   }
 
+  test("perceptual hashes over real WAV audio: loudness twin collides, different rhythm far") {
+    // the same perceptual machinery applies to the audio modality: the
+    // decode embedding is RMS energy over 16 time segments, so aHash =
+    // "which segments are louder than the track's mean" and dHash =
+    // "energy gradient between adjacent segments" — loudness scaling
+    // (×0.8 gain) preserves both, a different temporal ENVELOPE flips
+    // them. Exercised through the real RIFF/PCM parse.
+    import spark.implicits._
+    def wav(samples: Array[Double]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bos = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(bos)
+      def le16(v: Int) = { o.write(v & 255); o.write((v >> 8) & 255) }
+      def le32(v: Int) = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+      o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+      o.writeBytes("fmt "); le32(16); le16(1); le16(1); le32(8000)
+      le32(16000); le16(2); le16(16)
+      o.writeBytes("data"); le32(dataLen)
+      samples.foreach(s => le16(math.round(s * 32767).toInt & 0xffff))
+      bos.toByteArray
+    }
+    val n = 8000
+    // amplitude alternates per 16th-track segment (loud on even
+    // segments) — a rhythm the disjoint-pair dHash sees directly,
+    // since each bit compares segment 2j against 2j+1
+    def env(i: Int, loudOnEven: Boolean): Double = {
+      val seg = math.min(15, i * 16 / n)
+      val loud = (seg % 2 == 0) == loudOnEven
+      (if (loud) 0.8 else 0.05) * math.sin(2 * math.Pi * 440 * i / 8000)
+    }
+    val base = Array.tabulate(n)(env(_, loudOnEven = true))
+    val softer = base.map(_ * 0.8)   // same rhythm, lower gain
+    val swapped = Array.tabulate(n)(env(_, loudOnEven = false))
+    val feats = Multimodal.decodeFeatures(Seq(
+      Multimodal.MediaRow(1L, "audio", wav(base), Map()),
+      Multimodal.MediaRow(2L, "audio", wav(softer), Map()),
+      Multimodal.MediaRow(3L, "audio", wav(swapped), Map())).toDS()).toDF()
+    val h = Multimodal.perceptualHashes(feats, "media_id", "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L)._1, h(2L)._1) == 0,
+      "gain-scaled audio must share the aHash exactly (mean test is scale-free)")
+    assert(ham(h(1L)._1, h(3L)._1) >= 8,
+      s"inverted envelope aHash distance ${ham(h(1L)._1, h(3L)._1)}")
+    assert(ham(h(1L)._2, h(2L)._2) <= 1)
+    assert(ham(h(1L)._2, h(2L)._2) < ham(h(1L)._2, h(3L)._2))
+  }
+
   test("frame sampling yields every stride-th frame for video rows") {
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
     val videos = media.filter(_.kind == "video").count()
