@@ -66,6 +66,37 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("bandab")) {
+      // A/B the reduce-side candidate dedup against the old map-side
+      // shape in ONE JVM, alternating reps — quantifies what the 100×
+      // OOM fix costs at sf0.1 where the partial agg was harmless
+      val sets = Dedup.shingleSets(docs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sets.count()
+      val sig = Dedup.affineMinHashSignature(col("shs"), Dedup.portablePerms(64))
+      def newShape() = Dedup.candidatePairsFromSig(sets, sig, 16, 4).count()
+      def oldShape() = {
+        val s2 = sets.withColumn("sig", sig)
+        val bands = s2.select(col("doc_id"),
+          explode(graft.llm.Cols.bind(col("sig")) { g =>
+            transform(sequence(lit(0), lit(15)),
+              b => struct(b.as("band"),
+                xxhash64(b, slice(g, b * 4 + 1, lit(4))).as("key")))
+          }).as("bk"))
+          .select(col("doc_id"), col("bk.band"), col("bk.key"))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+          .distinct().count()
+      }
+      newShape(); oldShape() // warm both
+      (1 to 3).foreach { i =>
+        t(s"new (reduce-side) $i")(newShape())
+        t(s"old (map-side) $i")(oldShape())
+      }
+      spark.stop(); return
+    }
     if (args.contains("bandstats")) {
       // Σ C(bucket, 2) over the (band, key) buckets — the banding
       // join's exact output row count (pre-distinct), computed with one
