@@ -43,7 +43,16 @@ object PerceptualHash32 {
     (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
   }
 
-  def aHash(arr: ArrayData): Long = {
+  /** Width-parametric kernels: `width` = 32 is the PORTABLE config
+    * (DuckDB BIGINT shifts are only defined below the sign bit —
+    * measured: `1::BIGINT << 63` raises Out of Range); `width` = 64 is
+    * the PRODUCTION config (JVM-only, spec-held like SimHash64's
+    * production path), using all 64 grid cells for aHash and up to 128
+    * for dHash. By construction the 64-bit signature EXTENDS the
+    * 32-bit one: bits 0..31 are computed by the identical formula, so
+    * `sig64 & 0xFFFFFFFF == sig32` on any input (pinned in
+    * MultimodalSpec — the two configs can never drift apart). */
+  def aHashW(arr: ArrayData, width: Int): Long = {
     val n = arr.numElements()
     var sum = 0L
     var i = 0
@@ -51,7 +60,7 @@ object PerceptualHash32 {
       sum += (if (arr.isNullAt(i)) 0L else quantBp(arr.getFloat(i)))
       i += 1
     }
-    val k = math.min(n, 32)
+    val k = math.min(n, width)
     var sig = 0L
     var j = 0
     while (j < k) {
@@ -62,9 +71,9 @@ object PerceptualHash32 {
     sig
   }
 
-  def dHash(arr: ArrayData): Long = {
+  def dHashW(arr: ArrayData, width: Int): Long = {
     val n = arr.numElements()
-    val k = math.min(n / 2, 32)
+    val k = math.min(n / 2, width)
     var sig = 0L
     var j = 0
     while (j < k) {
@@ -75,6 +84,9 @@ object PerceptualHash32 {
     }
     sig
   }
+
+  def aHash(arr: ArrayData): Long = aHashW(arr, 32)
+  def dHash(arr: ArrayData): Long = dHashW(arr, 32)
 }
 
 abstract class PerceptualHash32Base extends UnaryExpression {
@@ -110,6 +122,33 @@ case class DHash32(child: Expression) extends PerceptualHash32Base {
     copy(child = newChild)
 }
 
+/** PRODUCTION 64-bit average hash (all 64 grid cells; JVM-only —
+  * spec-held, never oracle-declared, per the measured DuckDB shift
+  * bound). Low 32 bits ≡ [[AHash32]] by construction. */
+case class AHash64(child: Expression) extends PerceptualHash32Base {
+  override def prettyName: String = "ahash64"
+  override def nullSafeEval(input: Any): Any =
+    PerceptualHash32.aHashW(input.asInstanceOf[ArrayData], 64)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PerceptualHash32.aHashW($c, 64);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** PRODUCTION 64-bit difference hash (up to 128 grid cells in disjoint
+  * adjacent pairs). Low 32 bits ≡ [[DHash32]] by construction. */
+case class DHash64(child: Expression) extends PerceptualHash32Base {
+  override def prettyName: String = "dhash64"
+  override def nullSafeEval(input: Any): Any =
+    PerceptualHash32.dHashW(input.asInstanceOf[ArrayData], 64)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PerceptualHash32.dHashW($c, 64);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object AHash32 {
   /** Direct expression wrap — session-independent (ADVICE r12 #1). */
   def apply(c: Column): Column =
@@ -122,4 +161,16 @@ object DHash32 {
   def apply(c: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
       DHash32(org.apache.spark.sql.GraftBridge.expr(c)))
+}
+
+object AHash64 {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      AHash64(org.apache.spark.sql.GraftBridge.expr(c)))
+}
+
+object DHash64 {
+  def apply(c: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      DHash64(org.apache.spark.sql.GraftBridge.expr(c)))
 }

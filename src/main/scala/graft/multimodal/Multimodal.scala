@@ -232,10 +232,16 @@ object Multimodal {
     * Works on any row-major luminance grid `array<float>` — the 4×4
     * decode embedding or the embeddings table's 8×8 vectors. */
   def perceptualHashes(vecs: org.apache.spark.sql.DataFrame,
-                       idCol: String, embCol: String): org.apache.spark.sql.DataFrame =
-    vecs.select(col(idCol).as("id"),
-      graft.functions.AHash32(col(embCol)).as("ahash"),
-      graft.functions.DHash32(col(embCol)).as("dhash"))
+                       idCol: String, embCol: String,
+                       bits: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(bits == 32 || bits == 64, s"perceptual hash width must be 32 or 64, got $bits")
+    val (a, d) =
+      if (bits == 32)
+        (graft.functions.AHash32(col(embCol)), graft.functions.DHash32(col(embCol)))
+      else
+        (graft.functions.AHash64(col(embCol)), graft.functions.DHash64(col(embCol)))
+    vecs.select(col(idCol).as("id"), a.as("ahash"), d.as("dhash"))
+  }
 
   /** Multimodal near-dup (VERDICT r12 #3): pairs within `maxHamming` on
     * the aHash signature, pigeonhole-banded through the SAME machinery
@@ -249,15 +255,19 @@ object Multimodal {
     * stage (blobs never shuffle); the banding join fan-out is
     * (maxHamming+1) ints per image; the dhash annotation joins touch
     * only surviving pairs. The default radius 7 over 32 bits gives
-    * 4-bit bands — the contract/corpus config; a production 64-bit
-    * signature at the same radius gives 8-bit bands (the x53 shape). */
+    * 4-bit bands — the contract/corpus config (portable: DuckDB
+    * reproduces the bits); `bits = 64` is the production config at the
+    * same radius — 8-bit bands, 256 buckets per chunk, the x53 shape —
+    * JVM-only and spec-held (MultimodalSpec pins sig64's low half ≡
+    * sig32 and banded ≡ brute force under the 64-bit config). */
   def perceptualNearDups(vecs: org.apache.spark.sql.DataFrame,
                          idCol: String, embCol: String,
-                         maxHamming: Int = 7): org.apache.spark.sql.DataFrame = {
-    val sigs = perceptualHashes(vecs, idCol, embCol)
+                         maxHamming: Int = 7,
+                         bits: Int = 32): org.apache.spark.sql.DataFrame = {
+    val sigs = perceptualHashes(vecs, idCol, embCol, bits)
     val pairs = graft.llm.Dedup.hammingPairs(
       sigs.select(col("id").as("doc_id"), col("ahash").as("simhash")),
-      sigBits = 32, maxHamming = maxHamming)
+      sigBits = bits, maxHamming = maxHamming)
     val d = sigs.select(col("id"), col("dhash"))
     pairs
       .join(d.select(col("id").as("a"), col("dhash").as("da")), "a")

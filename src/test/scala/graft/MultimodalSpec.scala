@@ -285,6 +285,39 @@ class MultimodalSpec extends SparkSpec {
       s"banded pairs must equal exact Hamming pairs: missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("production 64-bit perceptual config: low half == portable sig; banding still exact") {
+    // the scale path implemented, not just documented: bits=64 uses all
+    // 64 grid cells (8-bit pigeonhole bands, 256 buckets/chunk — the
+    // x53 shape). Two structural pins: (1) the 64-bit signature EXTENDS
+    // the portable 32-bit one (identical formula on bits 0..31), so the
+    // two configs can never drift; (2) pigeonhole recall stays 1 under
+    // the production config.
+    val vecs = Catalog.load(spark, sf0001, "embeddings")
+    val s32 = Multimodal.perceptualHashes(vecs, "vec_id", "embedding", bits = 32)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val s64 = Multimodal.perceptualHashes(vecs, "vec_id", "embedding", bits = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s32.keySet == s64.keySet && s32.nonEmpty)
+    s32.foreach { case (id, (a32, d32)) =>
+      val (a64, d64) = s64(id)
+      assert((a64 & 0xFFFFFFFFL) == a32, s"vec $id: aHash64 low half != aHash32")
+      assert((d64 & 0xFFFFFFFFL) == d32, s"vec $id: dHash64 low half != dHash32")
+    }
+    // the upper 32 bits actually carry signal (cells 32..63 participate)
+    assert(s64.values.exists(_._1 >>> 32 != 0), "aHash64 upper half unused")
+    val got = Multimodal.perceptualNearDups(vecs, "vec_id", "embedding",
+        maxHamming = 7, bits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Multimodal.perceptualHashes(vecs, "vec_id", "embedding", bits = 64)
+    val brute = sigs.as("x").join(sigs.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        bit_count(col("x.ahash").bitwiseXOR(col("y.ahash"))).cast("int").as("ha"))
+      .where(col("ha") <= 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"64-bit banding must equal brute force: missing=${brute -- got} extra=${got -- brute}")
+  }
+
   test("perceptual hashes over real PNGs: brightness twin collides, different layout far") {
     // the perceptual property that makes aHash/dHash NEAR-dup hashes
     // rather than content hashes: uniform brightness scaling preserves
