@@ -350,6 +350,20 @@ object Extensions {
         Catalog.load(s, dir, "embeddings"), "vec_id", "embedding",
         maxHamming = 7)),
 
+    // Incremental perceptual near-dup (r13): the x118 daily-increment
+    // shape for images — every 10th vector plays the fresh batch, the
+    // rest the standing corpus; banding join restricted to new×corpus,
+    // best corpus match per new image at Hamming ≤ 7 on aHash. Oracle
+    // brute-forces the same integers in DuckDB (the candidate set is
+    // tiny there), so banding + best-match selection sit under the
+    // hash gate.
+    "x330_phash_incremental" -> { (s, dir) =>
+      val vecs = Catalog.load(s, dir, "embeddings")
+      graft.multimodal.Multimodal.perceptualMatchNew(
+        vecs.where("vec_id % 10 != 0"), vecs.where("vec_id % 10 = 0"),
+        "vec_id", "embedding", maxHamming = 7)
+    },
+
     // Iterative BPE trainer (llm.Bpe): same contract as the unrolled
     // x148 SQL — one oracle text, two Spark plans — but the loop
     // materializes the encoded dict per step (lineage-truncated), so
@@ -766,6 +780,33 @@ object Extensions {
         |          FROM chunks x JOIN chunks y
         |            ON x.c = y.c AND x.ck = y.ck AND x.vec_id < y.vec_id)
         |SELECT a, b, ham_a, ham_d FROM pairs WHERE ham_a <= 7 ORDER BY a, b""".stripMargin,
+
+    // x330: same signature construction as x329; the oracle brute-forces
+    // the new×corpus Hamming predicate (no banding needed at oracle
+    // scale) and picks the same (ham_a, match_id) minimum per new image.
+    "x330_phash_incremental" ->
+      """WITH q AS (SELECT vec_id,
+        |             list_transform(embedding,
+        |               e -> cast(round(cast(e AS DOUBLE)*10000) AS BIGINT)) AS g
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, g, cast(list_sum(g) AS BIGINT) AS sm FROM q),
+        |sig AS (SELECT vec_id,
+        |          cast(sum(CASE WHEN 64*g[j+1] > sm
+        |                        THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ha,
+        |          cast(sum(CASE WHEN g[2*j+1] > g[2*j+2]
+        |                        THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS hd
+        |        FROM s CROSS JOIN (SELECT unnest(generate_series(0,31)) AS j) b(j)
+        |        GROUP BY vec_id, g, sm),
+        |cand AS (SELECT f.vec_id AS new_id, c.vec_id AS match_id,
+        |                cast(bit_count(xor(f.ha, c.ha)) AS INT) AS ham_a,
+        |                cast(bit_count(xor(f.hd, c.hd)) AS INT) AS ham_d
+        |         FROM (SELECT * FROM sig WHERE vec_id % 10 = 0) f
+        |         JOIN (SELECT * FROM sig WHERE vec_id % 10 != 0) c
+        |           ON bit_count(xor(f.ha, c.ha)) <= 7)
+        |SELECT new_id, match_id, ham_a, ham_d FROM (
+        |  SELECT cand.*, row_number() OVER (PARTITION BY new_id
+        |           ORDER BY ham_a, match_id) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY new_id""".stripMargin,
 
     // x328: the round-trip oracle — the Spark side reads rendered text
     // files; the oracle computes the identical rollup straight from

@@ -277,6 +277,50 @@ object Multimodal {
       .orderBy("a", "b")
   }
 
+  /** Incremental perceptual near-dup (the x118 daily-increment shape
+    * applied to images, r13): match a FRESH batch of grid vectors
+    * against the standing corpus — banding join restricted to
+    * new × corpus, so per-day rework is O(batch × collisions), never
+    * O(corpus²) — and report the single best corpus match per new
+    * image (min Hamming on aHash, corpus-id tie-break, dHash distance
+    * annotated). The candidate dedup runs reduce-side of an explicit
+    * new_id exchange (the §34 lesson). At 100 TB the corpus side's
+    * banded signatures are a materialized table keyed by (chunk, key);
+    * a daily batch joins against it without re-hashing the corpus. */
+  def perceptualMatchNew(corpus: org.apache.spark.sql.DataFrame,
+                         fresh: org.apache.spark.sql.DataFrame,
+                         idCol: String, embCol: String,
+                         maxHamming: Int = 7,
+                         bits: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(maxHamming >= 0 && maxHamming < bits)
+    val chunks = maxHamming + 1
+    val width = bits / chunks
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def banded(df: org.apache.spark.sql.DataFrame) =
+      perceptualHashes(df, idCol, embCol, bits)
+        .select(col("id"), col("ahash"), col("dhash"),
+          explode(array((0 until chunks).map(c => struct(
+            lit(c).as("chunk"),
+            shiftright(col("ahash"), c * width).bitwiseAND(mask)
+              .as("key"))): _*)).as("ck"))
+        .select(col("id"), col("ahash"), col("dhash"),
+          col("ck.chunk"), col("ck.key"))
+    val cand = banded(fresh).as("f").join(banded(corpus).as("c"),
+        col("f.chunk") === col("c.chunk") && col("f.key") === col("c.key"))
+      .select(col("f.id").as("new_id"), col("c.id").as("match_id"),
+        bit_count(col("f.ahash").bitwiseXOR(col("c.ahash"))).as("ham_a"),
+        bit_count(col("f.dhash").bitwiseXOR(col("c.dhash"))).as("ham_d"))
+      .where(col("ham_a") <= maxHamming)
+      .repartition(col("new_id"))
+      .distinct()
+    cand.groupBy("new_id")
+      .agg(min(struct(col("ham_a"), col("match_id"), col("ham_d"))).as("m"))
+      .select(col("new_id"), col("m.match_id").as("match_id"),
+        col("m.ham_a").cast("int").as("ham_a"),
+        col("m.ham_d").cast("int").as("ham_d"))
+      .orderBy("new_id")
+  }
+
   case class Frame(media_id: Long, frame_no: Int, offset_bytes: Long,
                    frame_hash: Long)
 

@@ -318,6 +318,28 @@ class MultimodalSpec extends SparkSpec {
       s"64-bit banding must equal brute force: missing=${brute -- got} extra=${got -- brute}")
   }
 
+  test("incremental perceptual match == full pair set restricted to new×corpus, minimized") {
+    // x330's structural claim: the incremental operator returns, for
+    // every fresh image with at least one corpus match within the
+    // radius, exactly the (ham_a, match_id)-minimal pair from the FULL
+    // near-dup pair set restricted to cross-group pairs — no pair
+    // invented, none lost, the minimum picked deterministically.
+    val vecs = Catalog.load(spark, sf0001, "embeddings")
+    val full = Multimodal.perceptualNearDups(vecs, "vec_id", "embedding", maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val isNew = (id: Long) => id % 10 == 0
+    val expected = full.flatMap { case (a, b, h) =>
+      (if (isNew(a) && !isNew(b)) Seq(a -> (h, b)) else Nil) ++
+      (if (isNew(b) && !isNew(a)) Seq(b -> (h, a)) else Nil)
+    }.groupBy(_._1).map { case (nid, xs) => nid -> xs.map(_._2).min }
+    val got = Multimodal.perceptualMatchNew(
+        vecs.where("vec_id % 10 != 0"), vecs.where("vec_id % 10 = 0"),
+        "vec_id", "embedding", maxHamming = 7)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getLong(1))).toMap
+    assert(got.nonEmpty && got == expected,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+  }
+
   test("perceptual hashes over real PNGs: brightness twin collides, different layout far") {
     // the perceptual property that makes aHash/dHash NEAR-dup hashes
     // rather than content hashes: uniform brightness scaling preserves
