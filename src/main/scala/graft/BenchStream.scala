@@ -78,6 +78,12 @@ object BenchStream {
     writeReplay(events, eventsDir, 4, "event_id")
     val eventsSchema = events.schema
 
+    val vecs = Catalog.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val vecsDir = replayDir("vecs")
+    writeReplay(vecs, vecsDir, 4, "vec_id")
+    val vecsSchema = vecs.schema
+
     // change stream derived from orders: ~1/8 of keys collide across
     // batches (updates), ~1% tombstones, seq = the order key
     val changes = Catalog.load(spark, sfDir, "orders").select(
@@ -113,6 +119,12 @@ object BenchStream {
       "neardup" -> { () =>
         drain(graft.streaming.NearDupStream
           .nearDupFlags(fileStream(docsDir, docsSchema), maxHamming = 6), "append")
+      },
+      "phash_neardup" -> { () =>
+        drain(graft.streaming.NearDupStream.phashNearDupFlags(
+          fileStream(vecsDir, vecsSchema)
+            .select(col("vec_id").as("media_id"), col("embedding")),
+          maxHamming = 15), "append")
       },
       "funnel" -> { () =>
         drain(graft.streaming.EventStream

@@ -58,23 +58,45 @@ object NearDupStream {
     * (doc_id, is_dup) — drain in "append" output mode. */
   def nearDupFlags(docs: DataFrame, maxHamming: Int = 6,
                    maxPerBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 63,
-      s"maxHamming must be in [0, 63] (got $maxHamming): pigeonhole " +
-        "banding needs maxHamming+1 chunks of >= 1 bit from a 64-bit sig")
-    val spark = docs.sparkSession
+    graft.functions.SimHash64.register(docs.sparkSession)
+    sigNearDupFlags(
+      docs.select(col("doc_id"),
+        graft.functions.SimHash64(split(col("text"), " ")).as("simhash")),
+      sigBits = 64, maxHamming = maxHamming, maxPerBucket = maxPerBucket)
+  }
+
+  /** The multimodal front (r13): streaming grid vectors (`media_id`,
+    * `embedding array<float>`) flagged against the accumulated corpus
+    * by 64-bit perceptual aHash — continuous image-ingest dedup through
+    * the SAME bucket-state machinery as the text path. Pair with
+    * [[graft.multimodal.Multimodal.decodeFeatures]] upstream to start
+    * from raw blobs (mapPartitions decode works on streaming Datasets). */
+  def phashNearDupFlags(vecs: DataFrame, maxHamming: Int = 7,
+                        maxPerBucket: Int = Int.MaxValue): DataFrame =
+    sigNearDupFlags(
+      vecs.select(col("media_id").as("doc_id"),
+        graft.functions.AHash64(col("embedding")).as("simhash")),
+      sigBits = 64, maxHamming = maxHamming, maxPerBucket = maxPerBucket)
+
+  /** The generic core, shared by the text (SimHash64) and multimodal
+    * (AHash64) fronts: any streaming (doc_id, simhash) table, pigeonhole-
+    * banded greedy keep-first flagging with per-bucket signature state. */
+  def sigNearDupFlags(sigs: DataFrame, sigBits: Int, maxHamming: Int,
+                      maxPerBucket: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      s"maxHamming must be in [0, ${sigBits - 1}] (got $maxHamming): " +
+        "pigeonhole banding needs maxHamming+1 chunks of >= 1 bit")
+    val spark = sigs.sparkSession
     import spark.implicits._
-    graft.functions.SimHash64.register(spark)
     val chunks = maxHamming + 1
-    val width = 64 / chunks
+    val width = sigBits / chunks
     // 1L << 64 wraps to 1 (Scala shifts mod 64), so the full-width case
     // (maxHamming = 0: ONE 64-bit chunk = exact-duplicate banding) needs
     // the all-ones mask spelled out — (1L << 64) - 1 would collapse
     // every signature into bucket 0
     val mask = if (width >= 64) -1L else (1L << width) - 1
 
-    val banded = docs
-      .select(col("doc_id"),
-        graft.functions.SimHash64(split(col("text"), " ")).as("simhash"))
+    val banded = sigs
       .select(col("doc_id"), col("simhash"),
         explode(array((0 until chunks).map { c =>
           // bucket id = chunk index ⊕ that chunk's bits, packed in a long
