@@ -91,6 +91,7 @@ object Catalog {
     functions.FoldAccents.register(spark)
     functions.DamerauLevenshtein.register(spark)
     functions.JaroWinkler.register(spark)
+    functions.PerceptualHash32.register(spark)
     if (registeredDir.get(spark) != dir) {
       // Required to read the ns-precision events.ts column; the other
       // tables use ms timestamps and are unaffected by this flag.

@@ -90,6 +90,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // an extensions-deployed cluster failed x241's analysis with
     // UNRESOLVED_ROUTINE; RulesSpec now pins the parity for all six
     ext.injectFunction((
+      FunctionIdentifier("ahash32"),
+      info("ahash32",
+        "ahash32(grid) - portable 32-bit average hash of a float luminance grid (bp-quantized integer mean test)"),
+      arity("ahash32", 1)(exprs => functions.AHash32(exprs.head))))
+    ext.injectFunction((
+      FunctionIdentifier("dhash32"),
+      info("dhash32",
+        "dhash32(grid) - portable 32-bit difference hash (disjoint adjacent-cell gradients, bp-quantized)"),
+      arity("dhash32", 1)(exprs => functions.DHash32(exprs.head))))
+    ext.injectFunction((
+      FunctionIdentifier("ahash64"),
+      info("ahash64",
+        "ahash64(grid) - production 64-bit average hash (all grid cells; low half == ahash32)"),
+      arity("ahash64", 1)(exprs => functions.AHash64(exprs.head))))
+    ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      info("dhash64",
+        "dhash64(grid) - production 64-bit difference hash (low half == dhash32)"),
+      arity("dhash64", 1)(exprs => functions.DHash64(exprs.head))))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-compatible variant)"),

@@ -87,6 +87,23 @@ object PerceptualHash32 {
 
   def aHash(arr: ArrayData): Long = aHashW(arr, 32)
   def dHash(arr: ArrayData): Long = dHashW(arr, 32)
+
+  /** Register the four SQL names on the session (idempotent) — the
+    * Column DSL wraps expressions directly and never needs this; the
+    * SQL dialect and cross-session expr() callers do. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    def reg(name: String, build: Expression => Expression): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name,
+        exprs => { require(exprs.length == 1,
+          s"$name expects 1 argument, got ${exprs.length}")
+          build(exprs.head) },
+        "scala_udf")
+    reg("ahash32", AHash32(_))
+    reg("dhash32", DHash32(_))
+    reg("ahash64", AHash64(_))
+    reg("dhash64", DHash64(_))
+  }
 }
 
 abstract class PerceptualHash32Base extends UnaryExpression {

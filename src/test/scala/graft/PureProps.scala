@@ -117,4 +117,22 @@ object PureProps extends Properties("graft.pure") {
       line.matches(graft.sources.LogLines.pattern)
     }
   }
+
+  property("PerceptualHash32.quantBp == Spark round() semantics (HALF_UP on DOUBLE)") = {
+    // the x329/x330 portability claim in one line: the fused kernel's
+    // quantization must equal cast(round(cast(e AS DOUBLE)*10000) AS
+    // BIGINT) exactly — BigDecimal HALF_UP (away from zero on .5),
+    // which Math.round gets WRONG for negative halves. Floats across
+    // magnitudes and signs, plus the exact half boundaries.
+    val floatGen = Gen.oneOf(
+      Gen.chooseNum(-10f, 10f),
+      Gen.chooseNum(-1e6f, 1e6f),
+      Gen.chooseNum(-32768, 32767).map(i => i / 20000.0f), // lands on .x5 halves
+      Gen.oneOf(0.00005f, -0.00005f, 0.00015f, -0.00015f, 0f, -0f))
+    Prop.forAll(floatGen) { f =>
+      val expect = new java.math.BigDecimal(f.toDouble * 10000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+      graft.functions.PerceptualHash32.quantBp(f) == expect
+    }
+  }
 }

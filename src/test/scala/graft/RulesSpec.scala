@@ -139,6 +139,21 @@ class RulesSpec extends SparkSpec {
       // cluster failed x241's analysis with UNRESOLVED_ROUTINE
       assert(fresh.sql("SELECT jaro_winkler('martha','marhta') AS j")
         .head().getDouble(0) > 0.9)
+      // the perceptual-hash quartet (r13): resolve in bare SQL, 64-bit
+      // low half == 32-bit by construction
+      assert(fresh.sql(
+        """SELECT ahash32(cast(array(1.0, 5.0, 1.0, 5.0) AS ARRAY<FLOAT>)) AS a""")
+        .head().getLong(0) == 10L) // cells 2,4 above mean -> bits 1,3
+      assert(fresh.sql(
+        """SELECT dhash32(cast(array(5.0, 1.0, 1.0, 5.0) AS ARRAY<FLOAT>)) AS d""")
+        .head().getLong(0) == 1L) // pair 1: 5>1; pair 2: 1<5
+      assert(fresh.sql(
+        """SELECT ahash64(cast(array(1.0, 5.0, 1.0, 5.0) AS ARRAY<FLOAT>)) =
+          |       ahash32(cast(array(1.0, 5.0, 1.0, 5.0) AS ARRAY<FLOAT>)) AS ok"""
+          .stripMargin).head().getBoolean(0))
+      assert(fresh.sql(
+        """SELECT dhash64(cast(array(5.0, 1.0, 1.0, 5.0) AS ARRAY<FLOAT>)) AS d""")
+        .head().getLong(0) == 1L)
       // wrong arity surfaces as a named error, not IndexOutOfBounds
       val wrongArity = intercept[Exception] {
         fresh.sql("SELECT cosine_sim(cast(array(1.0) AS ARRAY<FLOAT>))").collect()
