@@ -364,6 +364,39 @@ object Extensions {
         "vec_id", "embedding", maxHamming = 7)
     },
 
+    // Multimodal pipeline census (r13): the x177 staged-composition
+    // pattern for the image modality — exact dedup on the quantized
+    // grid (identical images collapse before any pair join forms, the
+    // §34-measured ordering), perceptual near-dup pairs over the
+    // survivors, transitive closure to duplicate groups, canonical
+    // survivors. One row per stage; the DuckDB oracle recomputes the
+    // whole chain declaratively (recursive-CTE closure, the x111
+    // pattern), putting the stage COMPOSITION under the hash gate.
+    "x331_phash_census" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val vecs = Catalog.load(s, dir, "embeddings")
+      val q = vecs.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 10000).cast("long")).as("g"))
+      val exact = Dedup.exactKeepFirst(q, col("g"), "vec_id")
+      val pairs = graft.multimodal.Multimodal
+        .perceptualNearDups(exact, "vec_id", "embedding", maxHamming = 7)
+        .localCheckpoint(true) // closure + counts reuse the pair list
+      val cc = graft.operators.ConnectedComponents.run(pairs.select("a", "b"))
+      def cnt(stage: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(stage).as("stage"), col("n"))
+      val surv = exact.agg(count(lit(1)).as("ne")).crossJoin(
+          cc.agg(count(lit(1)).as("m"), countDistinct(col("label")).as("grp")))
+        .select(lit("5_survivors").as("stage"), (col("ne") - col("m") + col("grp")).as("n"))
+      cnt("1_total", vecs)
+        .unionAll(cnt("2_exact_survivors", exact))
+        .unionAll(cnt("3_neardup_pairs", pairs))
+        .unionAll(cc.agg(countDistinct(col("label")).as("n"))
+          .select(lit("4_dup_groups").as("stage"), col("n")))
+        .unionAll(surv)
+        .orderBy("stage")
+    },
+
     // Iterative BPE trainer (llm.Bpe): same contract as the unrolled
     // x148 SQL — one oracle text, two Spark plans — but the loop
     // materializes the encoded dict per step (lineage-truncated), so
@@ -807,6 +840,43 @@ object Extensions {
         |  SELECT cand.*, row_number() OVER (PARTITION BY new_id
         |           ORDER BY ham_a, match_id) AS rn FROM cand)
         |WHERE rn = 1 ORDER BY new_id""".stripMargin,
+
+    // x331: the staged composition recomputed declaratively — exact
+    // dedup by grouping on the quantized grid, brute-force perceptual
+    // pairs over survivors, recursive-CTE transitive closure (the x111
+    // pattern), survivor arithmetic ne − members + groups.
+    "x331_phash_census" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id,
+        |        list_transform(embedding,
+        |          e -> cast(round(cast(e AS DOUBLE)*10000) AS BIGINT)) AS g
+        |      FROM embeddings),
+        |ex AS (SELECT min(vec_id) AS vec_id, g FROM q GROUP BY g),
+        |s AS (SELECT vec_id, g, cast(list_sum(g) AS BIGINT) AS sm FROM ex),
+        |sig AS (SELECT vec_id,
+        |          cast(sum(CASE WHEN 64*g[j+1] > sm
+        |                        THEN (cast(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS ha
+        |        FROM s CROSS JOIN (SELECT unnest(generate_series(0,31)) AS j) b(j)
+        |        GROUP BY vec_id, g, sm),
+        |pairs AS (SELECT x.vec_id AS a, y.vec_id AS b FROM sig x JOIN sig y
+        |          ON x.vec_id < y.vec_id AND bit_count(xor(x.ha, y.ha)) <= 7),
+        |nodes AS (SELECT DISTINCT v FROM (SELECT a AS v FROM pairs
+        |                                  UNION ALL SELECT b FROM pairs)),
+        |e2 AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT v, v FROM nodes
+        |  UNION
+        |  SELECT e2.a, reach.r FROM e2 JOIN reach ON e2.b = reach.id),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT stage, n FROM (
+        |  SELECT '1_total' AS stage, cast(count(*) AS BIGINT) AS n FROM embeddings
+        |  UNION ALL SELECT '2_exact_survivors', cast(count(*) AS BIGINT) FROM ex
+        |  UNION ALL SELECT '3_neardup_pairs', cast(count(*) AS BIGINT) FROM pairs
+        |  UNION ALL SELECT '4_dup_groups', cast(count(DISTINCT label) AS BIGINT) FROM lab
+        |  UNION ALL SELECT '5_survivors',
+        |    cast((SELECT count(*) FROM ex) - (SELECT count(*) FROM lab)
+        |         + (SELECT count(DISTINCT label) FROM lab) AS BIGINT)
+        |) ORDER BY stage""".stripMargin,
 
     // x328: the round-trip oracle — the Spark side reads rendered text
     // files; the oracle computes the identical rollup straight from

@@ -471,7 +471,7 @@ object ScaleSoak {
       def runN(dir: String, name: String): (Double, Long) =
         med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
       Seq("x329_phash_neardup", "x330_phash_incremental",
-          "x56_approx_distinct").foreach { n =>
+          "x331_phash_census", "x56_approx_distinct").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-24s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
