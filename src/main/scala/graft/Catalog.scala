@@ -138,8 +138,23 @@ object Catalog {
   private val planCacheMax = 512
   private val planCache = new TrieMap[(SparkSession, String, String), DataFrame]()
 
+  /** Plan-cache kill switch. The cache exists to amortize ANALYSIS of
+    * the 300+ big SQL texts across Verify/driver passes — but a reused
+    * DataFrame also reuses its RDD lineage, and Spark SKIPS already-
+    * computed shuffle map stages on resubmission (the DAGScheduler's
+    * map-output check), so a timing loop over the memoized object
+    * measures ONLY THE FINAL STAGE after rep 1. Discovered r13 from an
+    * impossibility: x74's 9.6M-row pipeline "ran" in 50 ms memoized vs
+    * 3.8 s fresh. Bench disables the cache for every timed set
+    * (SCALE.md §36); Verify keeps it (correctness, not timing). The
+    * env form (`SPARK_GRAFT_PLANCACHE=off`) exists for ad-hoc runs. */
+  @volatile var planCacheEnabled: Boolean = true
+  private def cacheOff: Boolean =
+    !planCacheEnabled || sys.env.get("SPARK_GRAFT_PLANCACHE").contains("off")
+
   def sql(spark: SparkSession, dir: String, sqlText: String): DataFrame = {
     ensure(spark, dir)
+    if (cacheOff) return spark.sql(sqlText)
     if (planCache.size > planCacheMax) {
       // weak keys cannot work here — the cached DataFrames back-
       // reference their session, so the entry's VALUE would pin the

@@ -47,6 +47,9 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // timed soak reps must re-execute whole plans, not reuse the
+    // memoized DataFrame's shuffle outputs (SCALE.md §36)
+    Catalog.planCacheEnabled = false
     val sf = "/root/testdata/sf0.1"
 
     if (args.contains("full")) {

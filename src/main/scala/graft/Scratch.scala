@@ -319,6 +319,46 @@ object Scratch {
       diverse.unpersist()
       spark.stop(); return
     }
+    if (args.contains("planshare")) {
+      // split fresh-plan query cost into Catalyst (analyze+optimize+
+      // physical planning, driver-side) vs execution — the honest-bench
+      // follow-up (SCALE.md §36): what IS the per-rep planning floor?
+      Catalog.ensure(spark, dir)
+      Seq("q39_json_extract", "q25_ranking", "q16_multiway_join",
+          "q02_project_filter", "q01_count").foreach { name =>
+        val sql = Queries.sparkSql(name)
+        spark.sql(sql).collect() // warm: codegen, footers
+        def planOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(sql).queryExecution.executedPlan // forces planning
+          (System.nanoTime() - t0) / 1e9
+        }
+        def fullOnce(): Double = {
+          val t0 = System.nanoTime()
+          spark.sql(sql).collect()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val p = Seq.fill(3)(planOnce()).sorted.apply(1)
+        val f = Seq.fill(3)(fullOnce()).sorted.apply(1)
+        println(f"[scratch] $name%-22s plan ${p * 1000}%7.1f ms   full ${f * 1000}%7.1f ms   plan share ${p / f * 100}%5.1f%%")
+      }
+      spark.stop(); return
+    }
+    if (args.contains("x111parts")) {
+      // decompose x111's cost after the CC fast path: pair SQL alone,
+      // the probe+union-find, the full entry
+      Catalog.ensure(spark, dir)
+      val pairsSql = Queries.sparkSql("x74_minhash_sql")
+      def pairs() = spark.sql(pairsSql).select(col("a"), col("b"))
+      t("pairs sql count")(pairs().count())
+      t("pairs sql count 2")(pairs().count())
+      t("cc run (fast path)")(operators.ConnectedComponents.run(pairs()).count())
+      t("cc run 2")(operators.ConnectedComponents.run(pairs()).count())
+      t("withSizes")(operators.ConnectedComponents.withSizes(pairs()).count())
+      t("x111 full")(SparkEntry.queries("x111_neardup_clusters")(spark, dir).collect().length)
+      t("x111 full 2")(SparkEntry.queries("x111_neardup_clusters")(spark, dir).collect().length)
+      spark.stop(); return
+    }
     if (args.contains("ccreuse")) {
       // Does exchange reuse dedup ConnectedComponents' within-round
       // double reference of `prop` (the round-11 HITS lesson: RaiseError

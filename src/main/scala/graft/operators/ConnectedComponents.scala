@@ -41,14 +41,68 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge budget for the driver union-find fast path: 65 536 edges ≈
+    * 4 MB boxed on the driver — the same "index-sized metadata may ride
+    * the driver, corpus data never does" ceiling the skip-index
+    * manifests and the x55 dense gate use. Near-dup pair graphs are
+    * SPARSE relative to the corpus (pairs, not rows), so in practice
+    * the dedup pipelines' closure runs here; anything larger takes the
+    * distributed pointer-jumping loop unchanged. */
+  val SmallGraphEdgeBudget: Int = 65536
+
   /** @param edges two-column DataFrame of undirected edges (each pair
     *              listed once in either orientation; self-loops and
-    *              duplicates are tolerated)
+    *              duplicates are tolerated; BIGINT vertex ids)
     * @return (id, label) for every vertex incident to an edge, where
     *         label = the minimum vertex id in its component
-    */
-  def run(edges: DataFrame, maxIters: Int = 50): DataFrame =
-    runWithIters(edges, maxIters)._1
+    *
+    * Small graphs (≤ `smallGraphBudget` edges, probed with ONE
+    * limit-scan so the small case never computes the edge pipeline
+    * twice) close on the driver with path-compressed union-find —
+    * identical labels, none of the per-round job+checkpoint overhead
+    * that made the closure the fixed cost of x111/x177/x331 at bench
+    * scale (r13: ~1-4 s per op of pure scheduling). Larger graphs fall
+    * through to [[runWithIters]], paying only the aborted limit-scan. */
+  def run(edges: DataFrame, maxIters: Int = 50,
+          smallGraphBudget: Int = SmallGraphEdgeBudget): DataFrame = {
+    val e = edges.toDF("s", "d")
+      .select(col("s").cast("long").as("s"), col("d").cast("long").as("d"))
+    val probe = e.limit(smallGraphBudget + 1).collect()
+    if (probe.length > smallGraphBudget) runWithIters(edges, maxIters)._1
+    else {
+      // union-by-min with path compression: a root only ever decreases,
+      // so every tree's root IS its component's minimum vertex id —
+      // exactly the distributed loop's fixpoint label
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path-halve as we walk
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      probe.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        // register isolated/self-loop vertices so they emit a row
+        parent.putIfAbsent(a, find(a)); parent.putIfAbsent(b, find(b))
+      }
+      val ids = new java.util.TreeSet[java.lang.Long]()
+      probe.foreach { r => ids.add(r.getLong(0)); ids.add(r.getLong(1)) }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](ids.size)
+      ids.forEach(id => out += ((id.longValue(), find(id.longValue()))))
+      val spark = edges.sparkSession
+      import spark.implicits._
+      out.toSeq.toDF("id", "label")
+    }
+  }
 
   /** [[run]] plus the number of label-propagation rounds executed until
     * the Σlabel fixpoint — what ScaleSoak asserts stays O(log) in the

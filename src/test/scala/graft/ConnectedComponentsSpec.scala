@@ -26,7 +26,10 @@ class ConnectedComponentsSpec extends SparkSpec {
     // convergence-confirming one).
     val n = 64
     val edges = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("a", "b")
-    val got = ConnectedComponents.run(edges, maxIters = 14)
+    // smallGraphBudget = 0 forces the DISTRIBUTED loop — this test pins
+    // the pointer-jump convergence bound, which the r13 driver
+    // union-find fast path would otherwise bypass at this size
+    val got = ConnectedComponents.run(edges, maxIters = 14, smallGraphBudget = 0)
     assert(got.where(col("label") =!= 0L).isEmpty,
       "all 64 path vertices must reach label 0 within 14 fused rounds")
     assert(got.count() === n.toLong)
@@ -42,6 +45,23 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("empty edge list yields empty labeling") {
     val edges = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(ConnectedComponents.run(edges).isEmpty)
+  }
+
+  test("driver union-find fast path == distributed pointer jumping (same labels)") {
+    // the r13 small-graph gate must be invisible in the output: both
+    // paths land on the identical (id, component-min label) fixpoint,
+    // on the real pair graph and on a synthetic multi-component mix of
+    // chains, cliques, self-loops, and duplicate orientations
+    val pairs = Catalog.sql(spark, sf0001, Queries.sparkSql("x74_minhash_sql"))
+      .select(col("a"), col("b")).localCheckpoint(true)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(canon(ConnectedComponents.run(pairs)) ==
+      canon(ConnectedComponents.run(pairs, smallGraphBudget = 0)))
+    val synth = (Seq((5L, 9L), (9L, 5L), (7L, 7L), (20L, 21L), (21L, 22L)) ++
+      (0 until 30).map(i => (100L + i, 100L + (i + 1) % 30))).toDF("a", "b")
+    assert(canon(ConnectedComponents.run(synth)) ==
+      canon(ConnectedComponents.run(synth, smallGraphBudget = 0)))
   }
 
   test("x111 clusters refine the x74 pair list transitively (sf0.001)") {
