@@ -111,9 +111,11 @@ object Rehearsal {
       // 3 GiB ceiling — unified memory lets storage pin half the
       // region, and the first 100×-replica banding join then OOMed
       // exactly there (measured, r13). DISK_ONLY keeps the reuse
-      // without competing with execution memory; 128 shuffle
+      // without competing with execution memory; 512 shuffle
       // partitions bound the per-task slice of the ~10⁸-row candidate
-      // shuffle to a few MB.
+      // shuffle to a few MB (~1.6 GB of 16-byte pair keys / 512 ≈
+      // 3 MB/task — ADVICE r13 #2: this comment previously said 128
+      // while the config below said 512).
       spark.conf.set("spark.sql.shuffle.partitions", "512")
       val docs = spark.read.parquet(s"$out/documents.parquet")
       val sets = Dedup.shingleSets(docs, 3)

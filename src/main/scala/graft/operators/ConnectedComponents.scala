@@ -52,7 +52,14 @@ object ConnectedComponents {
 
   /** @param edges two-column DataFrame of undirected edges (each pair
     *              listed once in either orientation; self-loops and
-    *              duplicates are tolerated; BIGINT vertex ids)
+    *              duplicates are tolerated; BIGINT vertex ids). Rows
+    *              with a NULL endpoint are DROPPED before labeling — a
+    *              null vertex id identifies nothing, so it can neither
+    *              connect components nor emit a label row (ADVICE r13
+    *              #4: the driver fast path read endpoints with getLong,
+    *              which NPE'd on null where the distributed path's join
+    *              semantics silently dropped the same row; both paths
+    *              now share one explicit filter).
     * @return (id, label) for every vertex incident to an edge, where
     *         label = the minimum vertex id in its component
     *
@@ -67,8 +74,9 @@ object ConnectedComponents {
           smallGraphBudget: Int = SmallGraphEdgeBudget): DataFrame = {
     val e = edges.toDF("s", "d")
       .select(col("s").cast("long").as("s"), col("d").cast("long").as("d"))
+      .where(col("s").isNotNull && col("d").isNotNull)
     val probe = e.limit(smallGraphBudget + 1).collect()
-    if (probe.length > smallGraphBudget) runWithIters(edges, maxIters)._1
+    if (probe.length > smallGraphBudget) runWithIters(e, maxIters)._1
     else {
       // union-by-min with path compression: a root only ever decreases,
       // so every tree's root IS its component's minimum vertex id —
@@ -108,7 +116,11 @@ object ConnectedComponents {
     * the Σlabel fixpoint — what ScaleSoak asserts stays O(log) in the
     * largest component's diameter at the 10× point. */
   def runWithIters(edges: DataFrame, maxIters: Int = 50): (DataFrame, Int) = {
+    // Same null contract as [[run]] for direct callers: a null endpoint
+    // row is dropped, never propagated into the label lattice (null
+    // would poison min("label") groups under SQL null-last semantics).
     val e = edges.toDF("s", "d")
+      .where(col("s").isNotNull && col("d").isNotNull)
     // Both orientations, so "neighbors of v" is one equi-join on s.
     val und = e.union(e.select(col("d"), col("s"))).localCheckpoint(true)
 

@@ -74,11 +74,20 @@ object CdcStream {
     * or crash debris), so the recursion walks a handful of entries. */
   private def newestMtimeUnder(f: org.apache.hadoop.fs.FileSystem,
                                p: Path): Long = {
-    val self = f.getFileStatus(p).getModificationTime
+    // EVERY stat in this walk can lose a race with a writer committing
+    // or cleaning its `_temporary` tree between our list and stat
+    // (ADVICE r13 #1: catching FNF around listStatus alone still let
+    // the initial getFileStatus and each child's recursive stat abort
+    // the whole vacuum pass). A vanished entry means the tree is
+    // actively changing RIGHT NOW — report "fresh as of this instant"
+    // (Long.MaxValue) so the dir is conservatively kept alive and the
+    // next vacuum pass re-evaluates it, instead of crashing.
+    val self =
+      try f.getFileStatus(p).getModificationTime
+      catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
     val kids =
       try f.listStatus(p)
-      catch { case _: java.io.FileNotFoundException => // racing writer
-        return self }
+      catch { case _: java.io.FileNotFoundException => return Long.MaxValue }
     kids.foldLeft(self) { (m, s) =>
       math.max(m, if (s.isDirectory) newestMtimeUnder(f, s.getPath)
                   else s.getModificationTime)

@@ -47,6 +47,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(ConnectedComponents.run(edges).isEmpty)
   }
 
+  test("null-endpoint edges are dropped, not NPE'd, on both paths (ADVICE r13 #4)") {
+    // (1,2) is a real edge; (3,null) and (null,4) must vanish entirely —
+    // the null side identifies nothing, and the non-null side is not
+    // "incident to an edge" once its only edge is dropped
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), None),
+      (None, Some(4L))).toDF("a", "b")
+    val want = Seq((1L, 1L), (2L, 1L))
+    assert(ConnectedComponents.run(edges)
+      .orderBy("id").as[(Long, Long)].collect().toSeq === want)
+    assert(ConnectedComponents.run(edges, smallGraphBudget = 0)
+      .orderBy("id").as[(Long, Long)].collect().toSeq === want)
+  }
+
   test("driver union-find fast path == distributed pointer jumping (same labels)") {
     // the r13 small-graph gate must be invisible in the output: both
     // paths land on the identical (id, component-min label) fixpoint,

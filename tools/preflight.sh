@@ -70,7 +70,13 @@ cat PREFLIGHT.json
 # result, not something to hide).
 if [ "${1:-}" = "--commit" ]; then
   git add PREFLIGHT.json
-  git commit -q -m "Preflight at $(git rev-parse --short HEAD): green=$green ($tests_line; $oracle_line; leaks=$leak_hits)" -- PREFLIGHT.json
-  echo "[preflight] committed PREFLIGHT.json ($(git rev-parse --short HEAD))"
+  # Guard the success message on the commit actually landing (ADVICE r13
+  # #3: an unchanged PREFLIGHT.json makes `git commit` fail, and the
+  # unconditional echo then claimed a commit that never happened).
+  if git commit -q -m "Preflight at $(git rev-parse --short HEAD): green=$green ($tests_line; $oracle_line; leaks=$leak_hits)" -- PREFLIGHT.json; then
+    echo "[preflight] committed PREFLIGHT.json ($(git rev-parse --short HEAD))"
+  else
+    echo "[preflight] PREFLIGHT.json unchanged — nothing to commit"
+  fi
 fi
 [ "$green" = true ]
