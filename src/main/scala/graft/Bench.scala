@@ -32,10 +32,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // At sf0.1 every table fits in a handful of partitions; a small shuffle
-    // fan-out avoids per-task scheduling overhead dominating. On a real
-    // cluster this would be sized to data volume (AQE coalesces down).
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    // Shuffle fan-out sized to the DATA VOLUME, exactly as AQE would at
+    // runtime: the suite's largest shuffle payload at sf0.1 is
+    // single-digit MB, below AQE's 64 MB advisory partition size, so
+    // the adaptive engine would coalesce every exchange to ONE
+    // partition — the static protocol pins that same choice. Bonus
+    // that settled the r13 shuffle question (SCALE.md §37): Spark's
+    // RangePartitioner only runs its boundary-sampling job when
+    // numPartitions > 1, so shuffle=1 also deletes one job (a full
+    // child re-execution!) from every ORDER BY query. Measured 3-rep
+    // medians at sf0.1: 6.70 s (shuffle=1) vs 7.47/7.27/7.23 s
+    // (2/4/8). On a real cluster this is sized to volume; AQE does it
+    // adaptively (the BENCH_r14_aqe.json row).
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "1")
     // AQE is the engine's default (and the right call at cluster scale:
     // runtime coalescing, skew splits), but each adaptive execution
     // re-optimizes at every shuffle materialization — measured +0.5-0.7s
@@ -44,6 +53,12 @@ object Bench {
     // execution, so bench pins static plans. (suite: AQE on ≈1.9s,
     // off+shuffle4 ≈1.21s vs DuckDB 1.19s.)
     val adaptive = sys.env.getOrElse("SPARK_GRAFT_AQE", "false")
+    // Concurrent-submission mode (VERDICT r13 #5): N > 1 runs the timed
+    // suite across N client threads sharing this session — the real
+    // deployment shape for an analytics suite, and the lever that
+    // amortizes the per-stage launch floor across queries. Non-gating:
+    // the driver's gate run leaves this unset.
+    val threads = sys.env.getOrElse("SPARK_GRAFT_BENCH_THREADS", "1").toInt
     // Single-file tables: without a smaller split size each scan is ONE
     // task regardless of cores — split small so parquet decode parallelizes
     // (row-group granularity bounds the effective fan-out).
@@ -56,6 +71,10 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // FAIR scheduling only matters when client threads submit jobs
+      // concurrently: FIFO would let one query's stages starve the rest
+      // and inflate tail latency for no throughput gain.
+      .config("spark.scheduler.mode", if (threads > 1) "FAIR" else "FIFO")
     // Ad-hoc overrides for tuning experiments: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
@@ -85,7 +104,7 @@ object Bench {
       try f(spark, sfDir).collect()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        failed += name
+        failed.synchronized { failed += name } // thread-safe: conc mode
         return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -122,7 +141,12 @@ object Bench {
     // prefix=q that is the apples-to-apples gate pair; for the
     // extension set it is a same-process drift control (the x-oracles
     // themselves are not pair-able — see PairedControl's scaladoc).
-    def pairedPass(): Option[Double] = PairedControl.qControl(sfDir)
+    // SPARK_GRAFT_PAIRED=off skips the DuckDB control passes — ONLY for
+    // ad-hoc tuning sweeps (a dozen shuffle-matrix runs don't need two
+    // control passes each); every artifact run keeps the bracket.
+    def pairedPass(): Option[Double] =
+      if (sys.env.get("SPARK_GRAFT_PAIRED").contains("off")) None
+      else PairedControl.qControl(sfDir)
     val duckPre = pairedPass()
     // Heavy-op budget for non-q sets (never silent: the artifact names
     // every op it applied to in "single_rep"): once an op's repopulate
@@ -132,16 +156,44 @@ object Bench {
     // x274 17 s — SCALE.md §36) is exactly this class.
     val heavySingleRepSec = 10.0
     val singleRep = scala.collection.mutable.LinkedHashSet.empty[String]
-    val medians = names.map { n =>
-      val repop = once(n) // re-populate this name's cache entries after the clear
-      val ts =
-        if (prefix != "q" && repop > heavySingleRepSec) {
-          singleRep += n
-          Seq(once(n))
-        } else Seq(once(n), once(n), once(n)).sorted
-      spark.catalog.clearCache()
-      n -> ts(ts.length / 2)
-    }
+    // Concurrent mode: the timed unit is the SUITE WALL — N threads
+    // drain one shared queue of queries, wall = last completion. Three
+    // reps, median. Per-query numbers from the median rep are recorded
+    // but are CONTENDED latencies (N queries share 32 cores), useful
+    // for spotting stragglers, not as per-query gates.
+    val concWalls: Seq[(Double, Map[String, Double])] =
+      if (threads <= 1) Nil
+      else (1 to 3).map { _ =>
+        val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        names.foreach(queue.add)
+        val times = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+        val t0 = System.nanoTime()
+        val workers = (1 to threads).map { _ =>
+          new Thread(() => {
+            var n = queue.poll()
+            while (n != null) { times.put(n, once(n)); n = queue.poll() }
+          })
+        }
+        workers.foreach(_.start()); workers.foreach(_.join())
+        val wall = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        import scala.jdk.CollectionConverters._
+        (wall, times.asScala.map { case (k, v) => k -> v.doubleValue }.toMap)
+      }.sortBy(_._1)
+    val medians: Seq[(String, Double)] =
+      if (threads > 1) {
+        val byMedianRep = concWalls(concWalls.length / 2)._2
+        names.map(n => n -> byMedianRep.getOrElse(n, -1.0))
+      } else names.map { n =>
+        val repop = once(n) // re-populate this name's cache entries after the clear
+        val ts =
+          if (prefix != "q" && repop > heavySingleRepSec) {
+            singleRep += n
+            Seq(once(n))
+          } else Seq(once(n), once(n), once(n)).sorted
+        spark.catalog.clearCache()
+        n -> ts(ts.length / 2)
+      }
     // paired DuckDB pass #2: immediately after — bracketing the Spark
     // suite bounds any within-run floor drift
     val duckPost = pairedPass()
@@ -155,8 +207,12 @@ object Bench {
     // gate total (which would understate suite_total, corrupt
     // paired_ratio, and still exit 0 past an automated regression gate):
     // exclude failures from the total, name them in the artifact, and
-    // exit nonzero after printing
-    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // exit nonzero after printing. Concurrent mode's total is the
+    // median suite WALL (the throughput number the mode exists for),
+    // not the sum of contended per-query latencies.
+    val total =
+      if (threads > 1) concWalls(concWalls.length / 2)._1
+      else medians.collect { case (_, v) if v >= 0 => v }.sum
     val paired = (duckPre, duckPost) match {
       case (Some(a), Some(b)) => Some((a + b) / 2)
       case (a, b) => a.orElse(b)
@@ -167,7 +223,12 @@ object Bench {
       .mkString("[", ",", "]")
     val singleRepJs = singleRep.toSeq.sorted.map(n => s""""${esc(n)}"""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs}""")
+    val concJs =
+      if (threads > 1)
+        s""","threads":$threads,"mode":"concurrent","walls":${concWalls
+          .map(w => "%.4f".format(w._1)).mkString("[", ",", "]")}"""
+      else ""
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs$concJs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

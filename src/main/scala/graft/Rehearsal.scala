@@ -153,6 +153,59 @@ object Rehearsal {
       spark.stop(); return
     }
 
+    // `phash`: the x329/x331 perceptual family at 100× (VERDICT r13 #8)
+    // — embeddings replicated 100× with disjoint vec_ids but IDENTICAL
+    // payloads, the worst duplication profile the perceptual banding
+    // join can face (every replica set shares all 8 4-bit bands, the
+    // same ≥4950-pairs-per-original blowup §34 measured for MinHash).
+    // Ordering is the defense being rehearsed: exact dedup on the
+    // quantized grid collapses the 100× BEFORE any pair join forms —
+    // so the banding join runs over ~2 k survivors, not 200 k rows.
+    // Per-stage honest timings (fresh plans, no memoization anywhere in
+    // this main), pinned 3 GiB heap via spark-submit --driver-memory 3g.
+    if (args.contains("phash")) {
+      import graft.llm.Dedup
+      val emb100 = s"$out/embeddings100.parquet"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(emb100))
+          || args.contains("rebuild")) phase("build emb 100x") {
+        Catalog.load(spark, sf, "embeddings").repartition(16)
+          .withColumn("rep", explode(sequence(lit(0), lit(99))))
+          .withColumn("vec_id", col("vec_id") + col("rep") * lit(1000000L))
+          .drop("rep").repartition(32)
+          .write.mode("overwrite").parquet(emb100)
+      }
+      val vecs = spark.read.parquet(emb100)
+      println(s"[rehearsal] phash corpus: vectors=" + vecs.count())
+      val q = vecs.select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          e => round(e.cast("double") * 10000).cast("long")).as("g"))
+      val exact = Dedup.exactKeepFirst(q, col("g"), "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val ne = phase("exact dedup") { exact.count() }
+      val pairs = graft.multimodal.Multimodal
+        .perceptualNearDups(exact, "vec_id", "embedding", maxHamming = 7)
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val np = phase("phash banding") { pairs.count() }
+      val (cc, groups) = phase("closure") {
+        val labels = graft.operators.ConnectedComponents
+          .run(pairs.select("a", "b"))
+        val g = labels.agg(countDistinct(col("label"))).head().getLong(0)
+        (labels.count(), g)
+      }
+      // the incremental shape (x330) at 100×: last replica block plays
+      // the fresh daily batch against the rest as the standing corpus
+      val inc = phase("incremental") {
+        graft.multimodal.Multimodal.perceptualMatchNew(
+          vecs.where(col("vec_id") < 99000000L),
+          vecs.where(col("vec_id") >= 99000000L),
+          "vec_id", "embedding", maxHamming = 7).count()
+      }
+      pairs.unpersist(); exact.unpersist()
+      println(s"[rehearsal] phash 100x: exact_survivors=$ne pairs=$np " +
+        s"labeled=$cc groups=$groups incremental_matches=$inc")
+      spark.stop(); return
+    }
+
     val census = phase("x177 census") {
       SparkEntry.queries("x177_pipeline_census")(spark, out)
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
