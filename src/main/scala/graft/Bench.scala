@@ -80,6 +80,17 @@ object Bench {
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Executed-stage accounting for the floor-adjusted gate (BASELINE.md
+    // "Gate" section; SCALE.md §37): the artifact carries every term of
+    // `suite ≤ 2 × (paired + total_stages × stage_ms)` co-measured in
+    // the same process — suite and paired already were; stage counts
+    // come from this listener, stage_ms from StageCounter's 2-stage
+    // probe below. Sequential q-suite runs only: in concurrent mode the
+    // interleaving makes per-query attribution meaningless, and for
+    // x-sets the paired control is a drift control, not an engine pair.
+    val stageCounter = new StageCounter
+    val countStages = threads <= 1
+    if (countStages) spark.sparkContext.addSparkListener(stageCounter)
     // Timed runs must execute the WHOLE plan every rep: the memoized
     // DataFrame's RDD lineage lets Spark skip already-computed shuffle
     // map stages on resubmission, which silently turned per-query
@@ -136,6 +147,10 @@ object Bench {
     }
     floorOnce() // warm the floor job's own codegen
     val floorMs = Seq.fill(5)(floorOnce()).sorted.apply(2) * 1000.0
+    // per-stage engine constant (2-stage zero-data SQL probe): the gate
+    // bound's co-measured constant — see StageCounter's scaladoc for why
+    // this, not floor_ms, prices a real stage boundary
+    val stageMs = StageCounter.stageMs(spark)
     // paired DuckDB pass #1: immediately before the timed Spark suite.
     // EVERY set pairs with the q-suite control (VERDICT r12 #1): for
     // prefix=q that is the apples-to-apples gate pair; for the
@@ -156,6 +171,7 @@ object Bench {
     // x274 17 s — SCALE.md §36) is exactly this class.
     val heavySingleRepSec = 10.0
     val singleRep = scala.collection.mutable.LinkedHashSet.empty[String]
+    var totalStages = 0 // per-suite-execution executed stages (sequential mode)
     // Concurrent mode: the timed unit is the SUITE WALL — N threads
     // drain one shared queue of queries, wall = last completion. Three
     // reps, median. Per-query numbers from the median rep are recorded
@@ -184,15 +200,31 @@ object Bench {
       if (threads > 1) {
         val byMedianRep = concWalls(concWalls.length / 2)._2
         names.map(n => n -> byMedianRep.getOrElse(n, -1.0))
-      } else names.map { n =>
-        val repop = once(n) // re-populate this name's cache entries after the clear
-        val ts =
-          if (prefix != "q" && repop > heavySingleRepSec) {
-            singleRep += n
-            Seq(once(n))
-          } else Seq(once(n), once(n), once(n)).sorted
-        spark.catalog.clearCache()
-        n -> ts(ts.length / 2)
+      } else {
+        if (countStages) stageCounter.quiesce()
+        names.map { n =>
+          val s0 = if (countStages) stageCounter.snapshot._1 else 0
+          val repop = once(n) // re-populate this name's cache entries after the clear
+          val ts =
+            if (prefix != "q" && repop > heavySingleRepSec) {
+              singleRep += n
+              Seq(once(n))
+            } else Seq(once(n), once(n), once(n)).sorted
+          spark.catalog.clearCache()
+          if (countStages) {
+            // stages are plan-determined (AQE off ⇒ static), so the
+            // count across the repop + timed reps must divide evenly;
+            // a remainder means some rep executed a different plan —
+            // flag it rather than averaging it away
+            val execs = 1 + ts.length
+            val delta = stageCounter.quiesce()._1 - s0
+            if (delta % execs != 0)
+              System.err.println(
+                s"[bench] $n stage count not rep-stable: $delta/$execs")
+            totalStages += delta / execs
+          }
+          n -> ts(ts.length / 2)
+        }
       }
     // paired DuckDB pass #2: immediately after — bracketing the Spark
     // suite bounds any within-run floor drift
@@ -228,7 +260,17 @@ object Bench {
         s""","threads":$threads,"mode":"concurrent","walls":${concWalls
           .map(w => "%.4f".format(w._1)).mkString("[", ",", "]")}"""
       else ""
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs$concJs}""")
+    // Floor-adjusted gate (BASELINE.md "Gate"): suite ≤ 2 × (paired
+    // DuckDB + total_stages × stage_ms). Emitted only where it is
+    // defined: the sequential q-suite with a live paired control.
+    val gateJs =
+      if (countStages && prefix == "q") {
+        val bound = paired.map(p => 2.0 * (p + totalStages * stageMs / 1000.0))
+        s""","total_stages":$totalStages,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
+      } else if (countStages)
+        s""","total_stages":$totalStages,"stage_ms":${"%.1f".format(stageMs)}"""
+      else ""
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -15,7 +15,9 @@ import org.apache.spark.sql.SparkSession
   * inputs for BASELINE.md's floor-adjusted bound.
   *
   * Protocol: identical session config to [[Bench]] (AQE off,
-  * shuffle=4, 4 MB splits, plan cache off), one warm pass, then
+  * shuffle=1 — the §37 protocol default, overridable via
+  * SPARK_GRAFT_SHUFFLE for the matrix runs — 4 MB splits, plan cache
+  * off), one warm pass, then
   * median-of-3 wall with stage/task/exec-time counters taken from the
   * LAST rep (plans are static with AQE off, so counts are identical
   * across reps — asserted for stages across the three reps).
@@ -64,7 +66,7 @@ object StageAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-stage-audit")
