@@ -262,9 +262,11 @@ object Bench {
       else ""
     // Floor-adjusted gate (BASELINE.md "Gate"): suite ≤ 2 × (paired
     // DuckDB + total_stages × stage_ms). Emitted only where it is
-    // defined: the sequential q-suite with a live paired control.
+    // defined: the sequential q-suite with a live paired control, under
+    // the static protocol — AQE runs are non-gating companions (their
+    // stage counts are runtime-adaptive, not the contract's).
     val gateJs =
-      if (countStages && prefix == "q") {
+      if (countStages && prefix == "q" && adaptive == "false") {
         val bound = paired.map(p => 2.0 * (p + totalStages * stageMs / 1000.0))
         s""","total_stages":$totalStages,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
       } else if (countStages)
