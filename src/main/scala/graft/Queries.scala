@@ -6876,7 +6876,188 @@ object Queries {
         |h2 AS (SELECT node, cast((v * 1000000) // (SELECT max(v) FROM h2r) AS BIGINT) AS h FROM h2r)
         |SELECT h2.node AS nationkey, nat.n_name AS nation, h2.h AS hub_micro, a2.a AS auth_micro
         |FROM h2 JOIN a2 ON a2.node = h2.node JOIN nation nat ON nat.n_nationkey = h2.node
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin),
+
+    // Exact-substring dedup APPLY (r14 — the rewrite half of Lee et al.,
+    // completing x147's measurement half): shared 8-token windows are
+    // owned by their lowest doc_id (keep-first); every other occurrence
+    // merges into disjoint spans (x147's island machinery verbatim) and
+    // the covered tokens are CUT, emitting the cleaned text itself —
+    // kept tokens rebuilt in position order (array_sort on (j, tok)
+    // structs / string_agg ORDER BY — the only order-guaranteed string
+    // aggregation each dialect has). Scale shape: windows hash-agg to
+    // find owners (keys shuffle, never text), span explode is linear in
+    // covered tokens, the rebuild is one per-doc agg; nothing quadratic.
+    // Docs with nothing to remove are excluded (their "cleaned" is the
+    // identity — the spec asserts that invariant instead of shipping it).
+    q("x332_substring_dedup_apply",
+      """WITH t AS (SELECT doc_id, split(text,' ') AS w FROM documents WHERE size(split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, i, md5(concat_ws(' ', slice(w, i, 8))) AS h
+        |         FROM (SELECT doc_id, w, explode(sequence(1, size(w)-7)) AS i FROM t)),
+        |own AS (SELECT h, min(doc_id) AS keeper FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT w.doc_id, w.i AS s, w.i + 8 AS e FROM wins w JOIN own o ON w.h = o.h WHERE w.doc_id > o.keeper),
+        |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dup),
+        |isl AS (SELECT doc_id, s, e, sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g FROM m),
+        |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g),
+        |cov AS (SELECT DISTINCT doc_id, explode(sequence(s, e-1)) AS j FROM mg),
+        |tokpos AS (SELECT doc_id, j, element_at(w, cast(j AS INT)) AS tok
+        |           FROM (SELECT doc_id, w, explode(sequence(1, size(w))) AS j FROM t)
+        |           WHERE doc_id IN (SELECT doc_id FROM mg)),
+        |kept AS (SELECT tp.doc_id, tp.j, tp.tok FROM tokpos tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.j = tp.j)),
+        |agg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_kept,
+        |          array_join(transform(array_sort(collect_list(struct(j, tok))), x -> x.tok), ' ') AS cleaned
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, cast(size(w) AS BIGINT) AS n_tok FROM t WHERE doc_id IN (SELECT doc_id FROM mg))
+        |SELECT tt.doc_id, tt.n_tok, coalesce(a.n_kept, 0) AS n_kept,
+        |       tt.n_tok - coalesce(a.n_kept, 0) AS n_removed,
+        |       coalesce(a.cleaned, '') AS cleaned
+        |FROM tot tt LEFT JOIN agg a ON a.doc_id = tt.doc_id
+        |ORDER BY n_removed DESC, tt.doc_id LIMIT 15""".stripMargin,
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 8),
+        |wins AS (SELECT doc_id, i, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i FROM t)),
+        |own AS (SELECT h, min(doc_id) AS keeper FROM wins GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |dup AS (SELECT w.doc_id, w.i AS s, w.i + 8 AS e FROM wins w JOIN own o ON w.h = o.h WHERE w.doc_id > o.keeper),
+        |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe FROM dup),
+        |isl AS (SELECT doc_id, s, e, sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g FROM m),
+        |mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl GROUP BY doc_id, g),
+        |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(s, e-1)) AS j FROM mg),
+        |tokpos AS (SELECT doc_id, j, w[j] AS tok
+        |           FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS j FROM t)
+        |           WHERE doc_id IN (SELECT doc_id FROM mg)),
+        |kept AS (SELECT tp.doc_id, tp.j, tp.tok FROM tokpos tp
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = tp.doc_id AND c.j = tp.j)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY j) AS cleaned
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok FROM t WHERE doc_id IN (SELECT doc_id FROM mg))
+        |SELECT tt.doc_id, tt.n_tok, coalesce(a.n_kept, 0) AS n_kept,
+        |       tt.n_tok - coalesce(a.n_kept, 0) AS n_removed,
+        |       coalesce(a.cleaned, '') AS cleaned
+        |FROM tot tt LEFT JOIN agg a ON a.doc_id = tt.doc_id
+        |ORDER BY n_removed DESC, tt.doc_id LIMIT 15""".stripMargin),
+
+    // One Lloyd k-means step over the embedding corpus (r14): the
+    // TRAINING half the frozen-anchor entries (x117 assignment, x119
+    // SemDeDup, x259 silhouette) all presuppose. Entirely in quantized
+    // integer arithmetic so both engines agree bit-for-bit: dims
+    // quantized to 1e-4 units, distances are exact BIGINT squared-L2,
+    // the centroid update is an integer mean computed on +10000-shifted
+    // values (non-negative ⇒ floor division and truncating division
+    // coincide, the cross-engine `div` vs `//` trap). Initial centroids
+    // = the 8 lowest vec_ids; output per cluster: membership before and
+    // after the update, movers, and exact inertia — the numbers a
+    // training loop's convergence check reads. Scale shape: the
+    // distance fan-out is a broadcast-sized join on dim (8 centroids ×
+    // 64 dims), assignments and update are hash aggs keyed by vec_id /
+    // (cid, dim); per-iteration cost is linear in points × dims × k.
+    // The iterative production form would persist c1 per round (the
+    // x140 policy); one declared step keeps the oracle closed-form.
+    q("x333_kmeans_step",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i AS dim, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM d WHERE vec_id < 8),
+        |pts AS (SELECT vec_id, dim, val FROM d WHERE vec_id >= 8),
+        |d0 AS (SELECT p.vec_id, c.cid, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cid, dist FROM
+        |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cid, p.dim,
+        |         cast(cast(sum(p.val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id GROUP BY 1, 2),
+        |d1 AS (SELECT p.vec_id, c.cid, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, dist FROM
+        |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |s0 AS (SELECT cid, cast(count(*) AS BIGINT) AS n0, cast(sum(dist) AS BIGINT) AS inertia0 FROM a0 GROUP BY 1),
+        |s1 AS (SELECT cid, cast(count(*) AS BIGINT) AS n1, cast(sum(dist) AS BIGINT) AS inertia1 FROM a1 GROUP BY 1),
+        |mv AS (SELECT a0.cid, cast(count(*) FILTER (WHERE a0.cid <> a1.cid) AS BIGINT) AS moved_out
+        |       FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id GROUP BY 1)
+        |SELECT k.cid AS cluster_id, coalesce(s0.n0, 0) AS n0, coalesce(s1.n1, 0) AS n1,
+        |       coalesce(mv.moved_out, 0) AS moved_out,
+        |       coalesce(s0.inertia0, 0) AS inertia0, coalesce(s1.inertia1, 0) AS inertia1
+        |FROM (SELECT DISTINCT vec_id AS cid FROM embeddings WHERE vec_id < 8) k
+        |LEFT JOIN s0 ON s0.cid = k.cid LEFT JOIN s1 ON s1.cid = k.cid LEFT JOIN mv ON mv.cid = k.cid
+        |ORDER BY 1""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i AS dim, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM d WHERE vec_id < 8),
+        |pts AS (SELECT vec_id, dim, val FROM d WHERE vec_id >= 8),
+        |d0 AS (SELECT p.vec_id, c.cid, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cid, dist FROM
+        |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.cid, p.dim,
+        |         CAST(CAST(sum(p.val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id GROUP BY 1, 2),
+        |d1 AS (SELECT p.vec_id, c.cid, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.dim = c.dim GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid, dist FROM
+        |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |s0 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n0, CAST(sum(dist) AS BIGINT) AS inertia0 FROM a0 GROUP BY 1),
+        |s1 AS (SELECT cid, CAST(count(*) AS BIGINT) AS n1, CAST(sum(dist) AS BIGINT) AS inertia1 FROM a1 GROUP BY 1),
+        |mv AS (SELECT a0.cid, CAST(count(*) FILTER (WHERE a0.cid <> a1.cid) AS BIGINT) AS moved_out
+        |       FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id GROUP BY 1)
+        |SELECT k.cid AS cluster_id, coalesce(s0.n0, 0) AS n0, coalesce(s1.n1, 0) AS n1,
+        |       coalesce(mv.moved_out, 0) AS moved_out,
+        |       coalesce(s0.inertia0, 0) AS inertia0, coalesce(s1.inertia1, 0) AS inertia1
+        |FROM (SELECT DISTINCT vec_id AS cid FROM embeddings WHERE vec_id < 8) k
+        |LEFT JOIN s0 ON s0.cid = k.cid LEFT JOIN s1 ON s1.cid = k.cid LEFT JOIN mv ON mv.cid = k.cid
+        |ORDER BY 1""".stripMargin),
+
+    // Registrable-domain rollup (r14): the crawl-frontier census —
+    // extract the registrable domain (eTLD+1) from a host by LONGEST
+    // matching suffix against an embedded public-suffix mini-list, then
+    // roll up URL and distinct-host counts per domain. The operator
+    // shape is the longest-suffix-match JOIN (try the 2-label suffix,
+    // fall back to 1-label — LEFT JOIN per level against the broadcast
+    // suffix list; IN-subqueries inside a projected CASE are not
+    // portable, joins are). URLs are synthesized deterministically from
+    // customer (x132's precedent — the corpus ships no URL column):
+    // optional www, a nation subdomain, the segment as the registrable
+    // label, and a nation-keyed TLD mix that exercises multi-label
+    // suffixes ('co.uk' must beat 'uk'). At crawl scale the suffix list
+    // broadcasts and the rollup is one hash agg on the domain key.
+    q("x334_registrable_domain",
+      """WITH u AS (SELECT c_custkey,
+        |             concat(CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |                    'n', cast(c_nationkey AS STRING), '.',
+        |                    lower(replace(c_mktsegment, ' ', '')), '.',
+        |                    CASE cast(c_nationkey % 4 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org.au' ELSE 'io' END) AS host
+        |           FROM customer),
+        |psl AS (SELECT explode(array('co.uk','org.au','com','org','io','net','uk','au')) AS sfx),
+        |lab AS (SELECT c_custkey, host, split(host, '\\.') AS l, size(split(host, '\\.')) AS n FROM u),
+        |cand AS (SELECT c_custkey, host, l, n,
+        |           concat_ws('.', slice(l, n-1, 2)) AS s2, element_at(l, n) AS s1 FROM lab),
+        |reg AS (SELECT c.c_custkey, c.host,
+        |          CASE WHEN p2.sfx IS NOT NULL THEN concat(element_at(c.l, c.n-2), '.', c.s2)
+        |               WHEN p1.sfx IS NOT NULL THEN concat(element_at(c.l, c.n-1), '.', c.s1)
+        |               ELSE c.host END AS reg_dom
+        |        FROM cand c LEFT JOIN psl p2 ON c.s2 = p2.sfx LEFT JOIN psl p1 ON c.s1 = p1.sfx)
+        |SELECT reg_dom, cast(count(*) AS BIGINT) AS n_urls, cast(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM reg GROUP BY 1 ORDER BY n_urls DESC, reg_dom""".stripMargin,
+      """WITH u AS (SELECT c_custkey,
+        |             concat(CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |                    'n', CAST(c_nationkey AS VARCHAR), '.',
+        |                    lower(replace(c_mktsegment, ' ', '')), '.',
+        |                    CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org.au' ELSE 'io' END) AS host
+        |           FROM customer),
+        |psl AS (SELECT unnest(['co.uk','org.au','com','org','io','net','uk','au']) AS sfx),
+        |lab AS (SELECT c_custkey, host, string_split(host, '.') AS l, len(string_split(host, '.')) AS n FROM u),
+        |cand AS (SELECT c_custkey, host, l, n,
+        |           array_to_string(l[n-1:n], '.') AS s2, l[n] AS s1 FROM lab),
+        |reg AS (SELECT c.c_custkey, c.host,
+        |          CASE WHEN p2.sfx IS NOT NULL THEN concat(c.l[c.n-2], '.', c.s2)
+        |               WHEN p1.sfx IS NOT NULL THEN concat(c.l[c.n-1], '.', c.s1)
+        |               ELSE c.host END AS reg_dom
+        |        FROM cand c LEFT JOIN psl p2 ON c.s2 = p2.sfx LEFT JOIN psl p1 ON c.s1 = p1.sfx)
+        |SELECT reg_dom, CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM reg GROUP BY 1 ORDER BY n_urls DESC, reg_dom""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

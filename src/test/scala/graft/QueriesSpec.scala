@@ -107,6 +107,51 @@ class QueriesSpec extends SparkSpec {
     assert(r.getLong(0) == 17L && math.abs(r.getDouble(1) - 0.3345) < 1e-9)
   }
 
+  // round-14 additions (counts oracle-verified vs DuckDB at all three
+  // SFs when the queries were authored)
+  val expectedRowsR14: Map[String, Long] = Map(
+    "x332_substring_dedup_apply" -> 15, "x333_kmeans_step" -> 8,
+    "x334_registrable_domain" -> 20)
+
+  expectedRowsR14.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("x332 substring-dedup apply: spans are >= one 8-token window and counts balance") {
+    val rows = SparkEntry.queries("x332_substring_dedup_apply")(spark, sf0001)
+      .collect()
+    rows.foreach { r =>
+      val (nTok, nKept, nRemoved) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKept + nRemoved == nTok, s"doc ${r.getLong(0)}: token counts must balance")
+      assert(nRemoved >= 8, s"doc ${r.getLong(0)}: a removed span is at least one window")
+      // cleaned text is a subsequence of the original: token multiset bounded
+      val cleaned = r.getString(4)
+      val kept = if (cleaned.isEmpty) 0 else cleaned.split(" ").length
+      assert(kept == nKept, s"doc ${r.getLong(0)}: cleaned text must carry exactly n_kept tokens")
+    }
+  }
+
+  test("x333 kmeans step: both assignment passes conserve the 492 points") {
+    import org.apache.spark.sql.functions.sum
+    val r = SparkEntry.queries("x333_kmeans_step")(spark, sf0001)
+      .agg(sum("n0"), sum("n1"), sum("moved_out")).collect().head
+    assert(r.getLong(0) == 492L && r.getLong(1) == 492L)
+    assert(r.getLong(2) > 0L, "a first Lloyd step from raw-point centroids must move someone")
+  }
+
+  test("x334 registrable domains: longest suffix wins and urls conserve") {
+    import org.apache.spark.sql.functions.sum
+    val rows = SparkEntry.queries("x334_registrable_domain")(spark, sf0001).collect()
+    val doms = rows.map(_.getString(0))
+    // every registrable domain = one label + a known suffix; the
+    // multi-label suffixes must appear (i.e. 'co.uk' beat 'uk')
+    assert(doms.forall(d => d.matches("[a-z0-9]+\\.(co\\.uk|org\\.au|com|io)")))
+    assert(doms.exists(_.endsWith(".co.uk")) && doms.exists(_.endsWith(".org.au")))
+    assert(rows.map(_.getLong(1)).sum == 150L, "every customer URL lands in exactly one domain")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
