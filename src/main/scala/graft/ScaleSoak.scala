@@ -490,6 +490,46 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r14tier")) {
+      // Round-14 tier at 10×: the substring-dedup APPLY (x332 — the 10×
+      // doc replicas make every window cross-doc-shared, so all
+      // non-keeper replicas rewrite to empty: the worst removal
+      // profile), the Lloyd step (x333 — 10× points through the same
+      // 8-centroid fan-out; cost must scale ~linearly in points), and
+      // the registrable-domain rollup (x334 — 10× URLs into the same
+      // ~20 domain groups; the suffix joins stay broadcast-shaped).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x332_substring_dedup_apply", "x333_kmeans_step",
+          "x334_registrable_domain").foreach { n =>
+        val (t1, n1) = runN(sf, n)
+        val (t10, n10) = runN(out, n)
+        println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+          f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+      }
+      // x333 at 10×: conservation must hold at every scale — both
+      // assignment passes carry all (10× − 8) non-centroid points
+      val km = SparkEntry.queries("x333_kmeans_step")(spark, out).collect()
+      val (tot0, tot1) = (km.map(_.getLong(1)).sum, km.map(_.getLong(2)).sum)
+      assert(tot0 == tot1,
+        s"x333 at 10x: assignment passes must conserve points ($tot0 vs $tot1)")
+      println(s"[soak] x333 at 10x: ${km.length} clusters, $tot0 points conserved")
+      // x334 at 10×: same domain groups, 10× the URLs — the rollup key
+      // space must not grow with the corpus
+      val rd = SparkEntry.queries("x334_registrable_domain")(spark, out).collect()
+      println(s"[soak] x334 at 10x: ${rd.length} domains, " +
+        s"${rd.map(_.getLong(1)).sum} urls")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
