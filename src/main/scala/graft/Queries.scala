@@ -7057,7 +7057,91 @@ object Queries {
         |               ELSE c.host END AS reg_dom
         |        FROM cand c LEFT JOIN psl p2 ON c.s2 = p2.sfx LEFT JOIN psl p1 ON c.s1 = p1.sfx)
         |SELECT reg_dom, CAST(count(*) AS BIGINT) AS n_urls, CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
-        |FROM reg GROUP BY 1 ORDER BY n_urls DESC, reg_dom""".stripMargin)
+        |FROM reg GROUP BY 1 ORDER BY n_urls DESC, reg_dom""".stripMargin),
+
+    // Markup stripping, oracle-gated round-trip (r14 — x328's
+    // render→parse pattern applied to HTML): the corpus ships plain
+    // text, so each engine renders deterministic markup (every 5th
+    // token bolded, every 11th italicized, a paragraph break every 7 —
+    // IDENTICAL positions in both dialects: Spark's transform lambda
+    // index is 0-based, DuckDB's list_transform is 1-based, so the
+    // Spark side tests i+1), strips it with the tag regex + whitespace
+    // collapse every HTML-ingest pipeline runs, and compares the
+    // recovery against the original text EXACTLY. Output is the
+    // per-source roundtrip census; a single regex/entity defect in
+    // either engine's strip chain is a hash mismatch. Per-row HOFs +
+    // regexes, codegen end-to-end, no shuffle beyond the 20-group agg.
+    q("x335_markup_strip",
+      """WITH t AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |html AS (SELECT doc_id, source,
+        |           concat('<p>', array_join(transform(w, (x, i) ->
+        |             CASE WHEN (i+1) % 5 = 0 THEN concat('<b>', x, '</b>')
+        |                  WHEN (i+1) % 11 = 0 THEN concat('<i>', x, '</i>')
+        |                  WHEN (i+1) % 7 = 0 THEN concat('</p><p>', x)
+        |                  ELSE x END), ' '), '</p>') AS markup
+        |         FROM t),
+        |strip AS (SELECT doc_id, source,
+        |            trim(regexp_replace(regexp_replace(markup, '<[^>]+>', ' '), ' +', ' ')) AS recovered
+        |          FROM html),
+        |chk AS (SELECT s.doc_id, s.source,
+        |          CASE WHEN s.recovered = d.text THEN 1 ELSE 0 END AS ok
+        |        FROM strip s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT source, cast(count(*) AS BIGINT) AS n_docs, cast(sum(ok) AS BIGINT) AS n_roundtrip_ok
+        |FROM chk GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |html AS (SELECT doc_id, source,
+        |           concat('<p>', array_to_string(list_transform(w, (x, i) ->
+        |             CASE WHEN i % 5 = 0 THEN concat('<b>', x, '</b>')
+        |                  WHEN i % 11 = 0 THEN concat('<i>', x, '</i>')
+        |                  WHEN i % 7 = 0 THEN concat('</p><p>', x)
+        |                  ELSE x END), ' '), '</p>') AS markup
+        |         FROM t),
+        |strip AS (SELECT doc_id, source,
+        |            trim(regexp_replace(regexp_replace(markup, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS recovered
+        |          FROM html),
+        |chk AS (SELECT s.doc_id, s.source,
+        |          CASE WHEN s.recovered = d.text THEN 1 ELSE 0 END AS ok
+        |        FROM strip s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(ok) AS BIGINT) AS n_roundtrip_ok
+        |FROM chk GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // N-gram novelty vs a reference corpus (r14): the "how much of this
+    // doc is NEW against what we already have" number that gates
+    // incremental corpus ingestion — per-doc fraction of token 3-grams
+    // absent from the reference source's distinct 3-gram set (src0 as
+    // reference), in basis points. Duplicate grams within a doc count
+    // individually (token-coverage semantics, like x147). Scale shape:
+    // the reference set is a distinct hash-agg (gram keys shuffle,
+    // never text) and the membership probe is one LEFT JOIN on the
+    // gram hash — at 100 TB the reference side is the smaller relation
+    // and bloom-prunes the probe (the x242 skip-source machinery).
+    q("x336_ngram_novelty",
+      """WITH t AS (SELECT doc_id, source, split(text,' ') AS w FROM documents WHERE size(split(text,' ')) >= 3),
+        |grams AS (SELECT doc_id, source, md5(concat_ws(' ', slice(w, i, 3))) AS g
+        |          FROM (SELECT doc_id, source, w, explode(sequence(1, size(w)-2)) AS i FROM t)),
+        |ref AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |nov AS (SELECT gr.doc_id, gr.source,
+        |          cast(count(*) AS BIGINT) AS n_grams,
+        |          cast(count(*) FILTER (WHERE r.g IS NULL) AS BIGINT) AS n_novel
+        |        FROM grams gr LEFT JOIN ref r ON gr.g = r.g
+        |        WHERE gr.source <> 'src0'
+        |        GROUP BY 1, 2)
+        |SELECT doc_id, source, n_grams, n_novel,
+        |       cast((n_novel * 10000) div n_grams AS BIGINT) AS novelty_bp
+        |FROM nov ORDER BY novelty_bp DESC, doc_id LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |grams AS (SELECT doc_id, source, md5(array_to_string(w[i:i+2], ' ')) AS g
+        |          FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w)-2)) AS i FROM t)),
+        |ref AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+        |nov AS (SELECT gr.doc_id, gr.source,
+        |          CAST(count(*) AS BIGINT) AS n_grams,
+        |          CAST(count(*) FILTER (WHERE r.g IS NULL) AS BIGINT) AS n_novel
+        |        FROM grams gr LEFT JOIN ref r ON gr.g = r.g
+        |        WHERE gr.source <> 'src0'
+        |        GROUP BY 1, 2)
+        |SELECT doc_id, source, n_grams, n_novel,
+        |       CAST((n_novel * 10000) // n_grams AS BIGINT) AS novelty_bp
+        |FROM nov ORDER BY novelty_bp DESC, doc_id LIMIT 20""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

@@ -111,7 +111,8 @@ class QueriesSpec extends SparkSpec {
   // SFs when the queries were authored)
   val expectedRowsR14: Map[String, Long] = Map(
     "x332_substring_dedup_apply" -> 15, "x333_kmeans_step" -> 8,
-    "x334_registrable_domain" -> 20)
+    "x334_registrable_domain" -> 20, "x335_markup_strip" -> 20,
+    "x336_ngram_novelty" -> 20)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -150,6 +151,25 @@ class QueriesSpec extends SparkSpec {
     assert(doms.forall(d => d.matches("[a-z0-9]+\\.(co\\.uk|org\\.au|com|io)")))
     assert(doms.exists(_.endsWith(".co.uk")) && doms.exists(_.endsWith(".org.au")))
     assert(rows.map(_.getLong(1)).sum == 150L, "every customer URL lands in exactly one domain")
+  }
+
+  test("x335 markup strip: every rendered doc round-trips exactly") {
+    val rows = SparkEntry.queries("x335_markup_strip")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"source ${r.getString(0)}: strip chain must recover the original text")
+    }
+    assert(rows.map(_.getLong(1)).sum == 500L)
+  }
+
+  test("x336 ngram novelty: basis points bounded and novel never exceeds total") {
+    val rows = SparkEntry.queries("x336_ngram_novelty")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "n_novel <= n_grams")
+      val bp = r.getLong(4)
+      assert(bp >= 0L && bp <= 10000L)
+      assert(!r.getString(1).equals("src0"), "reference source must be excluded")
+    }
   }
 
   test("entry returns rows") {
