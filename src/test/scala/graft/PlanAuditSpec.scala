@@ -58,6 +58,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial+final sketch agg:\n$p")
   }
 
+  test("x333: centroid fan-out joins broadcast (512-row side never shuffles the points)") {
+    val p = physical("x333_kmeans_step")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected the 8-centroid × 64-dim sides to broadcast in both distance passes:\n$p")
+  }
+
+  test("x336: reference gram set broadcasts into the novelty probe") {
+    val p = physical("x336_ngram_novelty")
+    // executedPlan.toString renders as "BroadcastHashJoin [g], [g],
+    // LeftOuter, BuildRight" — match the pieces, not one literal
+    assert("BroadcastHashJoin .*LeftOuter, BuildRight".r.findFirstIn(p).isDefined,
+      s"expected the distinct reference-gram side to broadcast:\n$p")
+  }
+
   test("q43: cosine runs as the native expression, not HOF fallback") {
     val p = physical("q43_cosine_topk")
     assert(p.contains("cosine_sim"), s"native expression missing:\n$p")
