@@ -7141,7 +7141,75 @@ object Queries {
         |        GROUP BY 1, 2)
         |SELECT doc_id, source, n_grams, n_novel,
         |       CAST((n_novel * 10000) // n_grams AS BIGINT) AS novelty_bp
-        |FROM nov ORDER BY novelty_bp DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM nov ORDER BY novelty_bp DESC, doc_id LIMIT 20""".stripMargin),
+
+    // Incremental EXACT dedup across snapshots (r14): the daily-ingest
+    // classification the near-dup incrementals (x118 text, x330 images)
+    // presuppose ran first — a fresh batch (src19) against the standing
+    // corpus on x47's normalized token-set key, each new doc classified
+    // dup_of_corpus / dup_within_batch / unique. The within-batch rule
+    // is keep-first by doc_id, computed as a window rank (a correlated
+    // EXISTS inside a projected CASE is not portable; rn > 1 is).
+    // Scale shape: corpus side is DISTINCT keys only (the standing
+    // corpus ships as a materialized key table in production), batch
+    // side one window over the day's data — O(batch), never O(corpus).
+    q("x337_incremental_exact_dedup",
+      """WITH k AS (SELECT doc_id, source,
+        |             md5(concat_ws(' ', array_sort(array_distinct(split(text,' '))))) AS kk
+        |           FROM documents),
+        |corpus AS (SELECT DISTINCT kk FROM k WHERE source <> 'src19'),
+        |batch AS (SELECT doc_id, kk,
+        |            row_number() OVER (PARTITION BY kk ORDER BY doc_id) AS rn
+        |          FROM k WHERE source = 'src19'),
+        |cls AS (SELECT b.doc_id,
+        |          CASE WHEN c.kk IS NOT NULL THEN 'dup_of_corpus'
+        |               WHEN b.rn > 1 THEN 'dup_within_batch'
+        |               ELSE 'unique' END AS class
+        |        FROM batch b LEFT JOIN corpus c ON b.kk = c.kk)
+        |SELECT class, cast(count(*) AS BIGINT) AS n, cast(min(doc_id) AS BIGINT) AS first_doc
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT doc_id, source,
+        |             md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS kk
+        |           FROM documents),
+        |corpus AS (SELECT DISTINCT kk FROM k WHERE source <> 'src19'),
+        |batch AS (SELECT doc_id, kk,
+        |            row_number() OVER (PARTITION BY kk ORDER BY doc_id) AS rn
+        |          FROM k WHERE source = 'src19'),
+        |cls AS (SELECT b.doc_id,
+        |          CASE WHEN c.kk IS NOT NULL THEN 'dup_of_corpus'
+        |               WHEN b.rn > 1 THEN 'dup_within_batch'
+        |               ELSE 'unique' END AS class
+        |        FROM batch b LEFT JOIN corpus c ON b.kk = c.kk)
+        |SELECT class, CAST(count(*) AS BIGINT) AS n, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Per-source Zipf slope (r14): the rank-frequency exponent of each
+    // source's token distribution — the Heaps'-law sibling (x319) on
+    // the frequency axis, the one-number "does this source look like
+    // natural language" screen. x321's log-log OLS discipline verbatim:
+    // regr_slope over ln(count) vs ln(rank), rank total-ordered by
+    // (count DESC, word), rounded 4dp with the +0e0 sign stabilizer.
+    // Scale shape: one token census shuffle keyed (source, word), one
+    // window, one agg — vocabulary-sized state, not corpus-sized.
+    q("x338_zipf_slope",
+      """WITH tok AS (SELECT source, lower(w) AS w
+        |             FROM (SELECT source, explode(split(text,' ')) AS w FROM documents)),
+        |cnt AS (SELECT source, w, cast(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, w, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        |      FROM cnt)
+        |SELECT source, cast(count(*) AS BIGINT) AS vocab,
+        |       round(regr_slope(ln(c * 1e0), ln(rnk * 1e0)), 4) + 0e0 AS zipf_beta
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH tok AS (SELECT source, lower(w) AS w
+        |             FROM (SELECT source, unnest(string_split(text,' ')) AS w FROM documents)),
+        |cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT source, w, c,
+        |        row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+        |      FROM cnt)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |       round(regr_slope(ln(c * 1e0), ln(rnk * 1e0)), 4) + 0e0 AS zipf_beta
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** name → Spark SQL, insertion-ordered. */

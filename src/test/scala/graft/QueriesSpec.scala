@@ -112,7 +112,8 @@ class QueriesSpec extends SparkSpec {
   val expectedRowsR14: Map[String, Long] = Map(
     "x332_substring_dedup_apply" -> 15, "x333_kmeans_step" -> 8,
     "x334_registrable_domain" -> 20, "x335_markup_strip" -> 20,
-    "x336_ngram_novelty" -> 20)
+    "x336_ngram_novelty" -> 20, "x337_incremental_exact_dedup" -> 2,
+    "x338_zipf_slope" -> 20)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -169,6 +170,23 @@ class QueriesSpec extends SparkSpec {
       val bp = r.getLong(4)
       assert(bp >= 0L && bp <= 10000L)
       assert(!r.getString(1).equals("src0"), "reference source must be excluded")
+    }
+  }
+
+  test("x337 incremental exact dedup: classes partition the batch") {
+    val rows = SparkEntry.queries("x337_incremental_exact_dedup")(spark, sf0001)
+      .collect()
+    val classes = rows.map(_.getString(0)).toSet
+    assert(classes.subsetOf(Set("dup_of_corpus", "dup_within_batch", "unique")))
+    assert(rows.map(_.getLong(1)).sum == 25L, "every src19 doc lands in exactly one class")
+  }
+
+  test("x338 zipf slope: every source's rank-frequency slope is negative") {
+    val rows = SparkEntry.queries("x338_zipf_slope")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0,
+        s"source ${r.getString(0)}: frequency must fall with rank")
+      assert(r.getLong(1) <= 31L, "vocab bounded by the corpus vocabulary")
     }
   }
 
