@@ -754,6 +754,20 @@ object Extensions {
           (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
           (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("cents"))
         .orderBy("event_type", "day")
+    },
+
+    // Persist-once exact-substring dedup APPLY (r14): x332's declared
+    // CTE chain tokenizes the corpus three times and hashes the windows
+    // twice (Spark inlines CTEs); llm.SubstringDedup materializes both
+    // once and returns the FULL cleaned corpus — the production "write
+    // the deduped corpus back out" surface. The entry applies x332's
+    // diagnostic selection (top-15 by removal) so it shares x332's
+    // oracle verbatim — declared-vs-native bit-equality is the check.
+    "x339_substring_dedup_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.llm.SubstringDedup.cleanedDocs(
+          Catalog.load(s, dir, "documents"), window = 8)
+        .orderBy(desc("n_removed"), col("doc_id")).limit(15)
     }
   )
 
@@ -1302,6 +1316,12 @@ object Extensions {
         |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id
         |                FROM events WHERE event_type='click' GROUP BY 1,2) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
-        |ORDER BY p.event_id""".stripMargin
+        |ORDER BY p.event_id""".stripMargin,
+
+    // x339: the persist-once apply shares the declared form's oracle
+    // verbatim (the x327/x149/x161 policy) — same keep-first ownership,
+    // same island merge, same top-15 diagnostic selection.
+    "x339_substring_dedup_native" ->
+      Queries.oracleSql("x332_substring_dedup_apply")
   )
 }

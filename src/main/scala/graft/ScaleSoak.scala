@@ -511,7 +511,7 @@ object ScaleSoak {
       Seq("x332_substring_dedup_apply", "x333_kmeans_step",
           "x334_registrable_domain", "x335_markup_strip",
           "x336_ngram_novelty", "x337_incremental_exact_dedup",
-          "x338_zipf_slope").foreach { n =>
+          "x338_zipf_slope", "x339_substring_dedup_native").foreach { n =>
         val (t1, n1) = runN(sf, n)
         val (t10, n10) = runN(out, n)
         println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +

@@ -1,0 +1,112 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact-substring dedup APPLY — the production twin of the declared
+  * x332 entry (the x136/x140/x327 policy: iterative/persist-once native
+  * sharing the declared form's DuckDB oracle verbatim).
+  *
+  * Semantics (identical to x332, bit-for-bit): every `window`-token
+  * span shared by ≥ 2 docs is owned by its lowest doc_id (keep-first);
+  * every other occurrence merges into disjoint spans and the covered
+  * tokens are cut, emitting the cleaned text rebuilt in position order.
+  *
+  * Why a native form exists: the production consumer is "write the
+  * deduped corpus back out", and the declared entry can only ship a
+  * deterministic top-15 diagnostic slice (the oracle must hash a
+  * bounded result) — this operator returns the FULL cleaned corpus as
+  * a composable DataFrame. A persist-once rewrite of the CTE
+  * re-derivations was the original premise and was MEASURED INTO
+  * REVERSE at 10× (see `persistWindows` below): unlike the x140/x327
+  * graph cases, the re-derived subtrees here are one codegen'd
+  * split+md5 pass, cheaper to recompute than to cache.
+  *
+  * Scale shape: window hashes shuffle (never text) for ownership; span
+  * merge is one per-doc window cascade; coverage explode is linear in
+  * covered tokens; the rebuild is one per-doc aggregation. Nothing
+  * quadratic, no driver state.
+  */
+object SubstringDedup {
+
+  /** Cleaned corpus: one row per document that had at least one span
+    * removed — (doc_id, n_tok, n_kept, n_removed, cleaned). Documents
+    * with nothing to remove are absent (their cleaned text is the
+    * identity; emitting the whole corpus would just copy it).
+    *
+    * `persistWindows` — MEASURED OFF by default (SCALE.md §40): both
+    * persist variants LOST to plain recomputation at 10× (tokens+windows
+    * persisted: 5.81 s; windows only: 7.41 s; no persist ≈ the declared
+    * form's 4.1 s). The re-derivations the x136/x140 policy usually
+    * removes are codegen-cheap here (split + md5 over one pass), while
+    * a cache barrier both pays the materialization write and breaks
+    * whole-stage fusion around it. The knob stays for upstreams where
+    * `docs` is itself expensive (a filtered join, a decoded column) —
+    * there the recompute is no longer a cheap split and the trade
+    * flips back. */
+  def cleanedDocs(docs: DataFrame, window: Int = 8,
+                  persistWindows: Boolean = false): DataFrame = {
+    // 1-based positions throughout, mirroring the declared SQL exactly
+    // (slice/sequence are 1-based in SQL; posexplode is 0-based, +1).
+    val t = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= window)
+    val winsRaw = t
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(1), size(col("w")) - (window - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("w"), col("i"), lit(window)))).as("h"))
+    val wins =
+      if (persistWindows) winsRaw.persist(StorageLevel.MEMORY_AND_DISK)
+      else winsRaw
+
+    val own = wins.groupBy("h")
+      .agg(min("doc_id").as("keeper"),
+        countDistinct("doc_id").as("nd"))
+      .where(col("nd") >= 2)
+      .select("h", "keeper")
+
+    val dup = wins.join(own, "h")
+      .where(col("doc_id") > col("keeper"))
+      .select(col("doc_id"), col("i").as("s"),
+        (col("i") + window).as("e"))
+
+    // classic island merge: a span starts a new group when it begins
+    // past the running max end of everything before it
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val merged = dup
+      .withColumn("pe", max("e").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("g", sum(when(col("pe").isNull || col("s") > col("pe"), 1)
+        .otherwise(0)).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "g")
+      .agg(min("s").as("s"), max("e").as("e"))
+
+    val cov = merged
+      .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("j"))
+      .distinct()
+
+    // semi joins, not distinct+inner: the dedup the semi join does for
+    // free would otherwise cost an aggregation exchange, twice
+    val affected = merged.select("doc_id")
+    val tokpos = t.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(col("w")).as(Seq("j0", "tok")))
+      .select(col("doc_id"), (col("j0") + 1).as("j"), col("tok"))
+
+    val kept = tokpos.join(cov, Seq("doc_id", "j"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
+          (x: Column) => x.getField("tok")), " ").as("cleaned"))
+
+    t.join(affected, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+}

@@ -113,7 +113,7 @@ class QueriesSpec extends SparkSpec {
     "x332_substring_dedup_apply" -> 15, "x333_kmeans_step" -> 8,
     "x334_registrable_domain" -> 20, "x335_markup_strip" -> 20,
     "x336_ngram_novelty" -> 20, "x337_incremental_exact_dedup" -> 2,
-    "x338_zipf_slope" -> 20)
+    "x338_zipf_slope" -> 20, "x339_substring_dedup_native" -> 15)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -188,6 +188,14 @@ class QueriesSpec extends SparkSpec {
         s"source ${r.getString(0)}: frequency must fall with rank")
       assert(r.getLong(1) <= 31L, "vocab bounded by the corpus vocabulary")
     }
+  }
+
+  test("x339 native substring-dedup apply equals the declared x332 form row-for-row") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+    assert(rows("x339_substring_dedup_native") == rows("x332_substring_dedup_apply"))
   }
 
   test("entry returns rows") {
