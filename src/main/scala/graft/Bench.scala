@@ -29,6 +29,21 @@ object Bench {
   /** JSON string escape — the shared table (see [[JsonOut]]). */
   private def esc(s: String): String = JsonOut.esc(s)
 
+  /** The PROTOCOL's executed-stage count for the 46-query gate suite
+    * (shuffle=1, AQE off — BASELINE.md "Gate", cross-checked against
+    * STAGE_AUDIT_r14.json and pinned across every r14 closing run).
+    * FROZEN into the gate bound rather than fed from the run under
+    * test: pricing the bound by the live count let a plan regression
+    * that ADDS stages (a lost broadcast, a duplicated exchange) inflate
+    * its own allowance by 2×stage_ms per extra stage while costing the
+    * suite only ~1× — the gate partially self-excused exactly the
+    * regression class it exists to catch (ADVICE r14 #1). The measured
+    * count still ships in the artifact (`total_stages`) next to this
+    * constant (`protocol_stages`) and a `stage_drift` flag; a drifted
+    * count is a loud plan-shape change to explain in SCALE.md, never a
+    * silent re-pricing of the bound. */
+  val ProtocolStages = 134
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -172,6 +187,11 @@ object Bench {
     val heavySingleRepSec = 10.0
     val singleRep = scala.collection.mutable.LinkedHashSet.empty[String]
     var totalStages = 0 // per-suite-execution executed stages (sequential mode)
+    // Queries whose stage count was NOT rep-stable (delta % execs != 0).
+    // Carried into the artifact, not just stderr: a gate built from a
+    // flagged-invalid count must say so where consumers read it
+    // (ADVICE r14 #4).
+    val stageUnstable = scala.collection.mutable.LinkedHashSet.empty[String]
     // Concurrent mode: the timed unit is the SUITE WALL — N threads
     // drain one shared queue of queries, wall = last completion. Three
     // reps, median. Per-query numbers from the median rep are recorded
@@ -218,9 +238,11 @@ object Bench {
             // flag it rather than averaging it away
             val execs = 1 + ts.length
             val delta = stageCounter.quiesce()._1 - s0
-            if (delta % execs != 0)
+            if (delta % execs != 0) {
               System.err.println(
                 s"[bench] $n stage count not rep-stable: $delta/$execs")
+              stageUnstable += n
+            }
             totalStages += delta / execs
           }
           n -> ts(ts.length / 2)
@@ -261,16 +283,24 @@ object Bench {
           .map(w => "%.4f".format(w._1)).mkString("[", ",", "]")}"""
       else ""
     // Floor-adjusted gate (BASELINE.md "Gate"): suite ≤ 2 × (paired
-    // DuckDB + total_stages × stage_ms). Emitted only where it is
-    // defined: the sequential q-suite with a live paired control, under
-    // the static protocol — AQE runs are non-gating companions (their
-    // stage counts are runtime-adaptive, not the contract's).
+    // DuckDB + PROTOCOL stages × stage_ms). The stage count in the
+    // bound is the FROZEN protocol constant, not the run's own measured
+    // count (ADVICE r14 #1 — see ProtocolStages). Emitted only where it
+    // is defined: the sequential q-suite with a live paired control,
+    // under the static protocol — AQE runs are non-gating companions
+    // (their stage counts are runtime-adaptive, not the contract's).
+    val stableJs =
+      s""","stage_count_stable":${stageUnstable.isEmpty},"stage_unstable":${
+        stageUnstable.toSeq.sorted.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")}"""
     val gateJs =
       if (countStages && prefix == "q" && adaptive == "false") {
-        val bound = paired.map(p => 2.0 * (p + totalStages * stageMs / 1000.0))
-        s""","total_stages":$totalStages,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
+        val drift = totalStages != ProtocolStages
+        if (drift) System.err.println(
+          s"[bench] stage-count DRIFT: measured $totalStages vs protocol $ProtocolStages — explain the plan change in SCALE.md")
+        val bound = paired.map(p => 2.0 * (p + ProtocolStages * stageMs / 1000.0))
+        s""","total_stages":$totalStages,"protocol_stages":$ProtocolStages,"stage_drift":$drift$stableJs,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
       } else if (countStages)
-        s""","total_stages":$totalStages,"stage_ms":${"%.1f".format(stageMs)}"""
+        s""","total_stages":$totalStages$stableJs,"stage_ms":${"%.1f".format(stageMs)}"""
       else ""
     println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
     spark.stop()

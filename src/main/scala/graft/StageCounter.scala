@@ -79,8 +79,32 @@ object StageCounter {
       spark.sql(probeSql).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    once() // warm the probe's own codegen
-    val ts = Seq.fill(reps)(once()).sorted
-    ts(ts.length / 2) / 2.0 * 1000.0
+    // The divisor is MEASURED, not assumed: the probe is designed as a
+    // 2-stage query (scan → exchange), but under AQE or a changed
+    // shuffle config its executed-stage count can differ, silently
+    // mispricing stage_ms and hence the gate bound (ADVICE r14 #3).
+    // Count the probe's own stages with the same listener the suite
+    // uses and divide by the observed per-rep count; an unstable or
+    // zero delta falls back to the design constant 2, loudly.
+    val probeCounter = new StageCounter
+    spark.sparkContext.addSparkListener(probeCounter)
+    try {
+      once() // warm the probe's own codegen
+      probeCounter.quiesce()
+      val s0 = probeCounter.snapshot._1
+      val ts = Seq.fill(reps)(once()).sorted
+      val delta = probeCounter.quiesce()._1 - s0
+      val perRep =
+        if (delta > 0 && delta % reps == 0) delta / reps
+        else {
+          System.err.println(
+            s"[stage-probe] stage delta $delta not divisible by $reps reps — falling back to design count 2")
+          2
+        }
+      if (perRep != 2)
+        System.err.println(
+          s"[stage-probe] probe executed $perRep stages/rep (design: 2) — stage_ms normalized by the measured count")
+      ts(ts.length / 2) / perRep * 1000.0
+    } finally spark.sparkContext.removeSparkListener(probeCounter)
   }
 }

@@ -45,9 +45,27 @@ object SubstringDedup {
     * whole-stage fusion around it. The knob stays for upstreams where
     * `docs` is itself expensive (a filtered join, a decoded column) —
     * there the recompute is no longer a cheap split and the trade
-    * flips back. */
+    * flips back.
+    *
+    * CACHE LIFETIME (ADVICE r14 #2): with `persistWindows = true` the
+    * MEMORY_AND_DISK entry for the window frame outlives the returned
+    * DataFrame's consumption — Spark has no consume-once cache, so it
+    * stays until the session ends or the caller releases it. Callers
+    * who persist should use [[cleanedDocsWithRelease]] and invoke the
+    * release thunk after the result's LAST action; this plain overload
+    * keeps the entry alive deliberately (the repeated-apply session
+    * shape, where the next call wants the warm windows). */
   def cleanedDocs(docs: DataFrame, window: Int = 8,
-                  persistWindows: Boolean = false): DataFrame = {
+                  persistWindows: Boolean = false): DataFrame =
+    cleanedDocsWithRelease(docs, window, persistWindows)._1
+
+  /** [[cleanedDocs]] plus the cache-release hook: the returned thunk
+    * unpersists the window frame (no-op when `persistWindows` was
+    * false). Call it after the cleaned frame's last action — releasing
+    * earlier recomputes, never corrupts (Spark caching is a
+    * materialization hint, not a correctness dependency). */
+  def cleanedDocsWithRelease(docs: DataFrame, window: Int = 8,
+                             persistWindows: Boolean = false): (DataFrame, () => Unit) = {
     // 1-based positions throughout, mirroring the declared SQL exactly
     // (slice/sequence are 1-based in SQL; posexplode is 0-based, +1).
     val t = docs
@@ -101,12 +119,13 @@ object SubstringDedup {
         array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
           (x: Column) => x.getField("tok")), " ").as("cleaned"))
 
-    t.join(affected, Seq("doc_id"), "left_semi")
+    val out = t.join(affected, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tok"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
+    (out, () => if (persistWindows) { wins.unpersist(); () })
   }
 }

@@ -38,6 +38,27 @@ class InvariantsSpec extends SparkSpec {
     }
   }
 
+  test("x333/x340 integer-arithmetic premises hold on the corpus (dims=64, components ≥ -1)") {
+    // The k-means entries' cross-engine div/floor equivalence rests on
+    // two data premises nothing else asserted (ADVICE r14 #5): the
+    // +10000 shift keeps every quantized component sum non-negative
+    // (floor division == truncating division only there), which needs
+    // every embedding component ≥ -1.0 at the 1e-4 quantization; and
+    // the distance fan-out hardcodes sequence(1, 64), which needs every
+    // embedding to carry exactly 64 dims. Out-of-contract embeddings
+    // must fail HERE, not as a silent cross-engine hash divergence.
+    Catalog.ensure(spark, sf0001)
+    val r = spark.sql(
+      """SELECT min(size(embedding)) AS dmin, max(size(embedding)) AS dmax,
+        |       min(comp) AS cmin
+        |FROM (SELECT embedding, explode(embedding) AS comp FROM embeddings)"""
+        .stripMargin).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64,
+      s"x333/x340 hardcode 64 dims; corpus has [${r.getInt(0)}, ${r.getInt(1)}]")
+    assert(r.getFloat(2) >= -1.0f,
+      s"quantization shift +10000 needs components ≥ -1.0; corpus min ${r.getFloat(2)}")
+  }
+
   test("declared queries are invariant to shuffle width (determinism)") {
     // the riskiest ordering/accumulation queries, executed under different
     // shuffle fan-out — results must be identical row-for-row

@@ -198,6 +198,23 @@ class QueriesSpec extends SparkSpec {
     assert(rows("x339_substring_dedup_native") == rows("x332_substring_dedup_apply"))
   }
 
+  test("x339 persistWindows release hook drops the window cache (ADVICE r14 #2)") {
+    import org.apache.spark.sql.functions._
+    val docs = Catalog.load(spark, sf0001, "documents")
+    val base = spark.sparkContext.getPersistentRDDs.size
+    val (df, release) =
+      llm.SubstringDedup.cleanedDocsWithRelease(docs, 8, persistWindows = true)
+    val out = df.orderBy(desc("n_removed"), col("doc_id")).limit(15).collect()
+    assert(out.nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.size > base,
+      "window frame must be cached while the result is being consumed")
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == base,
+      "release() must drop the window cache entry")
+    // the no-persist path's hook is a no-op, never an error
+    llm.SubstringDedup.cleanedDocsWithRelease(docs, 8)._2.apply()
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
