@@ -768,6 +768,19 @@ object Extensions {
       graft.llm.SubstringDedup.cleanedDocs(
           Catalog.load(s, dir, "documents"), window = 8)
         .orderBy(desc("n_removed"), col("doc_id")).limit(15)
+    },
+
+    // Iterative k-means training loop (r15): llm.KMeans runs the x340
+    // rounds with driver-held centroids (k × dims — index-sized, the
+    // IVF/BPE ceiling), a once-repartitioned persisted point table
+    // (zero corpus shuffle per round — PlanAuditSpec pins the shape),
+    // and per-round assignment persistence with convergence stop. The
+    // entry fixes 3 rounds with the stop disabled so it lands exactly
+    // on x340's closed-form oracle — declared-vs-native bit-equality
+    // is the check (the x148/x149 policy).
+    "x341_kmeans_native" -> { (s, dir) =>
+      graft.llm.KMeans.train(Catalog.load(s, dir, "embeddings"),
+        k = 8, dims = 64, maxIters = 3, stopWhenStable = false).summary
     }
   )
 
@@ -1322,6 +1335,12 @@ object Extensions {
     // verbatim (the x327/x149/x161 policy) — same keep-first ownership,
     // same island merge, same top-15 diagnostic selection.
     "x339_substring_dedup_native" ->
-      Queries.oracleSql("x332_substring_dedup_apply")
+      Queries.oracleSql("x332_substring_dedup_apply"),
+
+    // x341: the iterative training loop lands exactly where the
+    // unrolled 3-round form lands — one oracle text, two Spark plans
+    // (the x140/x327/x149 policy).
+    "x341_kmeans_native" ->
+      Queries.oracleSql("x340_kmeans_train3")
   )
 }

@@ -7209,8 +7209,79 @@ object Queries {
         |      FROM cnt)
         |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
         |       round(regr_slope(ln(c * 1e0), ln(rnk * 1e0)), 4) + 0e0 AS zipf_beta
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // k-means TRAINING, 3 Lloyd rounds unrolled (r15) — the iterative
+    // half x333's single step presupposed, under the x148_bpe_train3
+    // precedent (fixed round count keeps the oracle closed-form).
+    // Generated dual-dialect by kmeansTrain3 (see its scaladoc for the
+    // round semantics and the scale story); the production loop with
+    // driver-held centroids, persisted assignments, and a convergence
+    // stop is llm/KMeans.scala (x341, same oracle).
+    q("x340_kmeans_train3", kmeansTrain3(sparkDialect = true),
+      kmeansTrain3(sparkDialect = false))
   )
+
+  /** Dual-dialect generator for the x340 unrolled 3-round k-means
+    * train (one text template, two dialects — the divergence surface
+    * between the engine SQL and the oracle SQL is exactly the dialect
+    * token table below, so the three structurally-identical round
+    * blocks can never drift apart the way hand-copied SQL can; x329's
+    * permValues interpolation is the precedent for generated contract
+    * text). Semantics per round r (x333's arithmetic verbatim):
+    * c_r = integer-mean centroids from assignment a_{r-1}
+    * (a_0 = assignment under the k-lowest-vec_id initial centroids),
+    * a_r = nearest-centroid reassignment under c_r (ties → lowest cid),
+    * s_r = per-cluster census (n, exact BIGINT inertia) of a_r.
+    * Output: (rk, cluster_id, n, inertia) — one block per round, the
+    * convergence trace a training loop reads. The iterative scale form
+    * is llm/KMeans.scala (x341, same oracle — the x148/x149 policy). */
+  private def kmeansTrain3(sparkDialect: Boolean): String = {
+    val div = if (sparkDialect) "div" else "//"
+    val qv =
+      if (sparkDialect)
+        "transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))"
+      else
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT))"
+    val dimRows =
+      if (sparkDialect)
+        "SELECT vec_id, i AS dim, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)"
+      else
+        "SELECT vec_id, i AS dim, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)"
+    def round(r: Int) =
+      s"""c$r AS (SELECT a.cid, p.dim,
+         |         cast(cast(sum(p.val + 10000) AS BIGINT) $div count(*) AS BIGINT) - 10000 AS cval
+         |       FROM a${r - 1} a JOIN pts p ON p.vec_id = a.vec_id GROUP BY 1, 2),
+         |d$r AS (SELECT p.vec_id, c.cid, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+         |       FROM pts p JOIN c$r c ON p.dim = c.dim GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cid, dist FROM
+         |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d$r)
+         |       WHERE rn = 1),
+         |s$r AS (SELECT cid, cast(count(*) AS BIGINT) AS n, cast(sum(dist) AS BIGINT) AS inertia FROM a$r GROUP BY 1)"""
+    def sel(r: Int) =
+      s"""SELECT cast($r AS BIGINT) AS rk, k.cid AS cluster_id,
+         |         coalesce(s$r.n, cast(0 AS BIGINT)) AS n,
+         |         coalesce(s$r.inertia, cast(0 AS BIGINT)) AS inertia
+         |  FROM k LEFT JOIN s$r ON s$r.cid = k.cid"""
+    s"""WITH q AS (SELECT vec_id, $qv AS qv FROM embeddings),
+       |d AS ($dimRows),
+       |c0 AS (SELECT vec_id AS cid, dim, val AS cval FROM d WHERE vec_id < 8),
+       |pts AS (SELECT vec_id, dim, val FROM d WHERE vec_id >= 8),
+       |d0 AS (SELECT p.vec_id, c.cid, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+       |       FROM pts p JOIN c0 c ON p.dim = c.dim GROUP BY 1, 2),
+       |a0 AS (SELECT vec_id, cid, dist FROM
+       |       (SELECT vec_id, cid, dist, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d0)
+       |       WHERE rn = 1),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)},
+       |k AS (SELECT DISTINCT vec_id AS cid FROM embeddings WHERE vec_id < 8)
+       |SELECT * FROM (
+       |${sel(1)}
+       |  UNION ALL ${sel(2)}
+       |  UNION ALL ${sel(3)}
+       |) ORDER BY rk, cluster_id""".stripMargin
+  }
 
   /** name → Spark SQL, insertion-ordered. */
   val sparkSql: ListMap[String, String] =

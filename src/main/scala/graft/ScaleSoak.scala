@@ -532,6 +532,48 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r15tier")) {
+      // Round-15 tier at 10×: the k-means training pair (x340 unrolled,
+      // x341 iterative — 3 rounds over 10× the points through the same
+      // 8×64 broadcast fan-out; the native's per-round cost must stay
+      // linear in points and its driver state centroid-sized), plus the
+      // x332/x339 re-measurement that adjudicates VERDICT r14 #3's open
+      // row (the native's rebuild is now range-based — SCALE.md §41).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x340_kmeans_train3", "x341_kmeans_native",
+          "x332_substring_dedup_apply", "x339_substring_dedup_native")
+        .foreach { n =>
+          val (t1, n1) = runN(sf, n)
+          val (t10, n10) = runN(out, n)
+          println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+            f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+        }
+      // x341 at 10×: every round's census must conserve the point set,
+      // and the iterative loop must land exactly on the unrolled form
+      val pts10 = Catalog.load(spark, out, "embeddings")
+        .where(org.apache.spark.sql.functions.col("vec_id") >= 8).count()
+      val tr = SparkEntry.queries("x341_kmeans_native")(spark, out).collect()
+      tr.groupBy(_.getLong(0)).foreach { case (rk, rows) =>
+        assert(rows.map(_.getLong(2)).sum == pts10,
+          s"x341 at 10x: round $rk loses points")
+      }
+      val decl = SparkEntry.queries("x340_kmeans_train3")(spark, out).collect()
+      assert(tr.map(_.toString).toSeq == decl.map(_.toString).toSeq,
+        "x341 at 10x: iterative loop must equal the unrolled form")
+      println(s"[soak] x340/x341 at 10x: ${tr.length} census rows, " +
+        s"$pts10 points conserved every round, declared == native")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row

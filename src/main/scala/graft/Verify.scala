@@ -24,8 +24,13 @@ object Verify {
     // per-task hash state fits execution memory — the same knob a real
     // cluster turns (observed: x80 at the 10x corpus needs ~256).
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // SPARK_GRAFT_MASTER: the multi-JVM validation knob (VERDICT r14
+    // #1) — `local-cluster[2,16,4096]` runs the SAME dump with real
+    // executor processes, exercising cross-JVM serialization of every
+    // native expression/aggregator buffer (launch via spark-submit so
+    // the packaged jar reaches the executor classpaths; SCALE.md §41).
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

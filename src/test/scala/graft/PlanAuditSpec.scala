@@ -64,6 +64,28 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the 8-centroid × 64-dim sides to broadcast in both distance passes:\n$p")
   }
 
+  test("x341: a k-means round broadcasts centroids and moves zero corpus bytes through new shuffles") {
+    // The training loop's per-round plan (llm.KMeans.assignTo over the
+    // once-repartitioned point table): the centroid side must broadcast
+    // (k × dims rows), and BOTH aggregations must reuse the vec_id
+    // clustering — the ONLY exchange in the whole assignment plan is
+    // the one the upfront repartition itself introduces. A second
+    // Exchange here means a round started shuffling the corpus, the
+    // exact regression the driver-held-centroid design exists to
+    // prevent.
+    Catalog.ensure(spark, sf0001)
+    val emb = Catalog.load(spark, sf0001, "embeddings")
+    val pts = llm.KMeans.quantizedPoints(emb, 8, 64)
+      .repartition(org.apache.spark.sql.functions.col("vec_id"))
+    val cent = (0L until 8L).flatMap(c => (1 to 64).map(d => (c, d, 0L)))
+    val p = llm.KMeans.assignTo(spark, pts, cent)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"centroid side did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"centroid join must never shuffle the points:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected ONLY the upfront repartition exchange — a round must not re-shuffle the corpus:\n$p")
+  }
+
   test("x336: reference gram set broadcasts into the novelty probe") {
     val p = physical("x336_ngram_novelty")
     // executedPlan.toString renders as "BroadcastHashJoin [g], [g],

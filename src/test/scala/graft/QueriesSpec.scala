@@ -198,6 +198,30 @@ class QueriesSpec extends SparkSpec {
     assert(rows("x339_substring_dedup_native") == rows("x332_substring_dedup_apply"))
   }
 
+  test("x341 native k-means training loop equals the unrolled x340 form row-for-row") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val declared = rows("x340_kmeans_train3")
+    assert(declared.size == 24, "3 rounds × 8 clusters")
+    assert(rows("x341_kmeans_native") == declared)
+  }
+
+  test("x341 k-means: convergence stop halts on a zero-mover round and is a true fixpoint") {
+    val emb = Catalog.load(spark, sf0001, "embeddings")
+    val t = llm.KMeans.train(emb, k = 8, dims = 64, maxIters = 50,
+      stopWhenStable = true)
+    assert(t.converged, "sf0.001 must reach the Lloyd fixpoint within 50 rounds")
+    assert(t.rounds.last.moved == 0L)
+    assert(t.rounds.dropRight(1).forall(_.moved > 0L),
+      "the stop fires on the FIRST stable round, not later")
+    // every round conserves the point set
+    val nPts = emb.where(org.apache.spark.sql.functions.col("vec_id") >= 8).count()
+    t.summary.collect().groupBy(_.getLong(0)).foreach { case (rk, rows) =>
+      assert(rows.map(_.getLong(2)).sum == nPts, s"round $rk loses points")
+    }
+  }
+
   test("x339 persistWindows release hook drops the window cache (ADVICE r14 #2)") {
     import org.apache.spark.sql.functions._
     val docs = Catalog.load(spark, sf0001, "documents")
