@@ -40,6 +40,68 @@ object Scratch {
       }
       spark.stop(); return
     }
+    if (args.contains("subdedup")) {
+      // x339 10×-residual decomposition (VERDICT r14 #3): where does
+      // the native's wall go — window ownership (shared with the
+      // declared form) or the rebuild? Each timing is a fresh plan.
+      import org.apache.spark.sql.expressions.Window
+      val window = 8
+      val tt = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= window)
+      def winsOf() = tt
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), size(col("w")) - (window - 1))).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(concat_ws(" ", slice(col("w"), col("i"), lit(window)))).as("h"))
+      t("wins census")(winsOf().count())
+      def ownOf() = winsOf().groupBy("h")
+        .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= 2).select("h", "keeper")
+      t("ownership agg")(ownOf().count())
+      def mergedOf() = {
+        val dup = winsOf().join(ownOf(), "h")
+          .where(col("doc_id") > col("keeper"))
+          .select(col("doc_id"), col("i").as("s"), (col("i") + window).as("e"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("s")
+        dup
+          .withColumn("pe", max("e").over(
+            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("g", sum(when(col("pe").isNull || col("s") > col("pe"), 1)
+            .otherwise(0)).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("doc_id", "g")
+          .agg(min("s").as("s"), max("e").as("e"))
+      }
+      t("islands (dup+merge)")(mergedOf().count())
+      t("full native top15")(SubstringDedup.cleanedDocs(docs, window)
+        .orderBy(desc("n_removed"), col("doc_id")).limit(15).collect().length)
+      t("declared x332 top15")(
+        SparkEntry.queries("x332_substring_dedup_apply")(spark, dir)
+          .collect().length)
+      // paired ALTERNATING reps: this container's wall drifts several ×
+      // within minutes (r15 measured 7× swings on identical plans), so
+      // an A-then-B comparison mostly measures the drift — interleave
+      // the two forms and compare medians so every drift regime prices
+      // both.
+      Catalog.planCacheEnabled = false
+      def rep(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (na, de) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      (1 to 5).foreach { i =>
+        de += rep(SparkEntry.queries("x332_substring_dedup_apply")(spark, dir)
+          .collect())
+        na += rep(SubstringDedup.cleanedDocs(docs, window)
+          .orderBy(desc("n_removed"), col("doc_id")).limit(15).collect())
+      }
+      def medOf(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"[scratch] paired x5: declared med ${medOf(de.result())}%6.2f s " +
+        f"${de.result().map(x => f"$x%.2f").mkString("[", " ", "]")}  " +
+        f"native med ${medOf(na.result())}%6.2f s " +
+        f"${na.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
+      spark.stop(); return
+    }
     if (args.contains("bandplan")) {
       // print the banding-join physical plan over `dir` (no execution
       // of the join itself) — used to diagnose the 100× rehearsal OOM

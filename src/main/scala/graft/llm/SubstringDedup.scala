@@ -102,30 +102,42 @@ object SubstringDedup {
       .groupBy("doc_id", "g")
       .agg(min("s").as("s"), max("e").as("e"))
 
-    val cov = merged
-      .select(col("doc_id"), explode(sequence(col("s"), col("e") - 1)).as("j"))
-      .distinct()
+    // Range-based rebuild (r15, closing VERDICT r14 #3's open row): the
+    // r14 assembly rebuilt by token — explode the covered positions
+    // (rows ∝ covered tokens), re-tokenize every affected doc (rows ∝
+    // its tokens), anti-join the two, then re-SORT the survivors back
+    // into a string. But the merged islands already ARE the coverage,
+    // as disjoint ordered ranges — so rebuild by RANGE instead: collect
+    // each doc's spans (rows ∝ spans, orders of magnitude below
+    // tokens), join the affected docs' token arrays once, and cut the
+    // kept text as the concatenation of inter-span slices via
+    // zip_with/flatten HOFs — one codegen pass per doc, no coverage
+    // explode, no anti-join exchange, no per-token struct sort.
+    // Measured under the paired-alternating protocol (SCALE.md §41 —
+    // this container drifts several × within minutes, so the two forms
+    // are interleaved rep-for-rep and compared by median): native vs
+    // declared 1.47 vs 1.81 s at sf0.1, 3.19 vs 4.49 s at 10× — from
+    // 31% slower than the declared form (the r14 open row) to 19-29%
+    // FASTER.
+    val spanList = merged
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("sp"))
 
-    // semi joins, not distinct+inner: the dedup the semi join does for
-    // free would otherwise cost an aggregation exchange, twice
-    val affected = merged.select("doc_id")
-    val tokpos = t.join(affected, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), posexplode(col("w")).as(Seq("j0", "tok")))
-      .select(col("doc_id"), (col("j0") + 1).as("j"), col("tok"))
-
-    val kept = tokpos.join(cov, Seq("doc_id", "j"), "left_anti")
-    val rebuilt = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("j"), col("tok")))),
-          (x: Column) => x.getField("tok")), " ").as("cleaned"))
-
-    val out = t.join(affected, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("cleaned"), lit("")).as("cleaned"))
+    // disjoint sorted spans [s, e) ⇒ kept gaps are [1, s1-1],
+    // [e1, s2-1], …, [ek, n]; zero-length gaps slice to empty
+    val out = t.join(spanList, "doc_id") // inner ≡ semi: only affected docs carry spans
+      .withColumn("starts",
+        array_prepend(transform(col("sp"), (x: Column) => x.getField("e")), lit(1)))
+      .withColumn("ends",
+        array_append(transform(col("sp"), (x: Column) => x.getField("s") - 1),
+          size(col("w"))))
+      .withColumn("kept", flatten(zip_with(col("starts"), col("ends"),
+        (a: Column, b: Column) =>
+          slice(col("w"), a, greatest(b - a + lit(1), lit(0))))))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("cleaned"))
     (out, () => if (persistWindows) { wins.unpersist(); () })
   }
 }
