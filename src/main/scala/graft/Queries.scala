@@ -7219,7 +7219,220 @@ object Queries {
     // driver-held centroids, persisted assignments, and a convergence
     // stop is llm/KMeans.scala (x341, same oracle).
     q("x340_kmeans_train3", kmeansTrain3(sparkDialect = true),
-      kmeansTrain3(sparkDialect = false))
+      kmeansTrain3(sparkDialect = false)),
+
+    // Product-quantization codebook training (r15): ONE Lloyd round for
+    // all 8 sub-space quantizers in ONE pass — the codebook-build half
+    // x103's IVF-PQ index presupposes (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI 2011). The 64-dim
+    // vectors split into 8 contiguous 8-dim sub-spaces; each sub-space
+    // trains k=4 codes independently, but the plan is a single grouped
+    // job: distances fan out through one broadcast-sized join on
+    // (sub, j) — the full codebook is 8×4×8 = 256 rows — and both
+    // assignment/update aggs are hash aggs keyed by (vec_id, sub) /
+    // (sub, code, j). x333's integer arithmetic verbatim (premises
+    // spec-asserted); per (sub, code): members before/after, movers,
+    // exact inertia.
+    q("x342_pq_codebook_train",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |s AS (SELECT vec_id, cast((i-1) div 8 AS BIGINT) AS sub, cast((i-1) % 8 + 1 AS BIGINT) AS j, val FROM d),
+        |c0 AS (SELECT sub, vec_id AS code, j, val AS cval FROM s WHERE vec_id < 4),
+        |pts AS (SELECT vec_id, sub, j, val FROM s WHERE vec_id >= 4),
+        |d0 AS (SELECT p.vec_id, p.sub, c.code, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.code, p.j,
+        |         cast(cast(sum(p.val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub GROUP BY 1, 2, 3),
+        |d1 AS (SELECT p.vec_id, p.sub, c.code, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |s0 AS (SELECT sub, code, cast(count(*) AS BIGINT) AS n0, cast(sum(dist) AS BIGINT) AS inertia0 FROM a0 GROUP BY 1, 2),
+        |s1 AS (SELECT sub, code, cast(count(*) AS BIGINT) AS n1, cast(sum(dist) AS BIGINT) AS inertia1 FROM a1 GROUP BY 1, 2),
+        |mv AS (SELECT a0.sub, a0.code, cast(count(*) FILTER (WHERE a0.code <> a1.code) AS BIGINT) AS moved_out
+        |       FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id AND a0.sub = a1.sub GROUP BY 1, 2),
+        |k AS (SELECT cast(sb AS BIGINT) AS sub, code
+        |      FROM (SELECT explode(sequence(0, 7)) AS sb)
+        |      CROSS JOIN (SELECT DISTINCT vec_id AS code FROM embeddings WHERE vec_id < 4))
+        |SELECT k.sub AS subspace, k.code AS code,
+        |       coalesce(s0.n0, cast(0 AS BIGINT)) AS n0, coalesce(s1.n1, cast(0 AS BIGINT)) AS n1,
+        |       coalesce(mv.moved_out, cast(0 AS BIGINT)) AS moved_out,
+        |       coalesce(s0.inertia0, cast(0 AS BIGINT)) AS inertia0, coalesce(s1.inertia1, cast(0 AS BIGINT)) AS inertia1
+        |FROM k LEFT JOIN s0 ON s0.sub = k.sub AND s0.code = k.code
+        |       LEFT JOIN s1 ON s1.sub = k.sub AND s1.code = k.code
+        |       LEFT JOIN mv ON mv.sub = k.sub AND mv.code = k.code
+        |ORDER BY subspace, code""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |s AS (SELECT vec_id, CAST((i-1) // 8 AS BIGINT) AS sub, CAST((i-1) % 8 + 1 AS BIGINT) AS j, val FROM d),
+        |c0 AS (SELECT sub, vec_id AS code, j, val AS cval FROM s WHERE vec_id < 4),
+        |pts AS (SELECT vec_id, sub, j, val FROM s WHERE vec_id >= 4),
+        |d0 AS (SELECT p.vec_id, p.sub, c.code, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.code, p.j,
+        |         CAST(CAST(sum(p.val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub GROUP BY 1, 2, 3),
+        |d1 AS (SELECT p.vec_id, p.sub, c.code, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |s0 AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n0, CAST(sum(dist) AS BIGINT) AS inertia0 FROM a0 GROUP BY 1, 2),
+        |s1 AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n1, CAST(sum(dist) AS BIGINT) AS inertia1 FROM a1 GROUP BY 1, 2),
+        |mv AS (SELECT a0.sub, a0.code, CAST(count(*) FILTER (WHERE a0.code <> a1.code) AS BIGINT) AS moved_out
+        |       FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id AND a0.sub = a1.sub GROUP BY 1, 2),
+        |k AS (SELECT CAST(sb AS BIGINT) AS sub, code
+        |      FROM (SELECT unnest(generate_series(0, 7)) AS sb)
+        |      CROSS JOIN (SELECT DISTINCT vec_id AS code FROM embeddings WHERE vec_id < 4))
+        |SELECT k.sub AS subspace, k.code AS code,
+        |       coalesce(s0.n0, CAST(0 AS BIGINT)) AS n0, coalesce(s1.n1, CAST(0 AS BIGINT)) AS n1,
+        |       coalesce(mv.moved_out, CAST(0 AS BIGINT)) AS moved_out,
+        |       coalesce(s0.inertia0, CAST(0 AS BIGINT)) AS inertia0, coalesce(s1.inertia1, CAST(0 AS BIGINT)) AS inertia1
+        |FROM k LEFT JOIN s0 ON s0.sub = k.sub AND s0.code = k.code
+        |       LEFT JOIN s1 ON s1.sub = k.sub AND s1.code = k.code
+        |       LEFT JOIN mv ON mv.sub = k.sub AND mv.code = k.code
+        |ORDER BY subspace, code""".stripMargin),
+
+    // Paragraph-level dedup census (r15): the CCNet discipline
+    // (Wenzek et al., LREC 2020) — dedup at PARAGRAPH granularity,
+    // where boilerplate actually repeats, instead of whole-doc. Every
+    // paragraph occurrence after the global first (ordered by (doc_id,
+    // position) — deterministic keep-first) counts as removed; per
+    // source: paragraphs, removed, removal rate in bp. Scale shape:
+    // paragraph hashes shuffle (never text), one window over the hash
+    // groups, one rollup — the same keys-not-payload discipline as
+    // x47/x332. Dialect delta: Spark split() takes a regex ('\\. '),
+    // DuckDB string_split a literal ('. ').
+    q("x343_paragraph_dedup",
+      """WITH par AS (SELECT doc_id, source, i, trim(element_at(ps, i)) AS p
+        |             FROM (SELECT doc_id, source, ps, explode(sequence(1, size(ps))) AS i
+        |                   FROM (SELECT doc_id, source, split(text, '\\. ') AS ps FROM documents))),
+        |np AS (SELECT doc_id, source, i, md5(lower(p)) AS h FROM par WHERE p <> ''),
+        |r AS (SELECT source, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM np),
+        |per AS (SELECT source, cast(count(*) AS BIGINT) AS n_par,
+        |          cast(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        |        FROM r GROUP BY 1)
+        |SELECT source, n_par, n_removed,
+        |       cast(n_removed * 10000 div n_par AS BIGINT) AS removed_bp
+        |FROM per ORDER BY source""".stripMargin,
+      """WITH par AS (SELECT doc_id, source, i, trim(ps[i]) AS p
+        |             FROM (SELECT doc_id, source, ps, unnest(generate_series(1, len(ps))) AS i
+        |                   FROM (SELECT doc_id, source, string_split(text, '. ') AS ps FROM documents))),
+        |np AS (SELECT doc_id, source, i, md5(lower(p)) AS h FROM par WHERE p <> ''),
+        |r AS (SELECT source, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM np),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_par,
+        |          CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        |        FROM r GROUP BY 1)
+        |SELECT source, n_par, n_removed,
+        |       CAST(n_removed * 10000 // n_par AS BIGINT) AS removed_bp
+        |FROM per ORDER BY source""".stripMargin),
+
+    // Domain-level split leakage (r15): x298's leakage question asked
+    // at x334's granularity — a row-level content-hash split (x106's
+    // discipline) scatters URLS of the same registrable domain across
+    // train and test, which leaks site-level style/content even when no
+    // document is shared. Census: every eTLD+1 domain present in BOTH
+    // splits, with counts and the test-side share. The fix a real
+    // pipeline applies — split by hash(domain), not hash(row) — is what
+    // this census motivates; at crawl scale it is one hash agg over the
+    // domain key after the broadcast suffix joins.
+    q("x344_domain_split_leakage",
+      """WITH u AS (SELECT c_custkey,
+        |             concat(CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |                    'n', cast(c_nationkey AS STRING), '.',
+        |                    lower(replace(c_mktsegment, ' ', '')), '.',
+        |                    CASE cast(c_nationkey % 4 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org.au' ELSE 'io' END) AS host
+        |           FROM customer),
+        |sp AS (SELECT c_custkey, host,
+        |         CASE WHEN cast(conv(substr(md5(cast(c_custkey AS STRING)),1,8),16,10) AS BIGINT) % 100 < 90
+        |              THEN 'train' ELSE 'test' END AS split
+        |       FROM u),
+        |psl AS (SELECT explode(array('co.uk','org.au','com','org','io','net','uk','au')) AS sfx),
+        |lab AS (SELECT c_custkey, host, split, split(host, '\\.') AS l, size(split(host, '\\.')) AS n FROM sp),
+        |cand AS (SELECT c_custkey, host, split, l, n,
+        |           concat_ws('.', slice(l, n-1, 2)) AS s2, element_at(l, n) AS s1 FROM lab),
+        |reg AS (SELECT c.c_custkey, c.split,
+        |          CASE WHEN p2.sfx IS NOT NULL THEN concat(element_at(c.l, c.n-2), '.', c.s2)
+        |               WHEN p1.sfx IS NOT NULL THEN concat(element_at(c.l, c.n-1), '.', c.s1)
+        |               ELSE c.host END AS reg_dom
+        |        FROM cand c LEFT JOIN psl p2 ON c.s2 = p2.sfx LEFT JOIN psl p1 ON c.s1 = p1.sfx),
+        |agg AS (SELECT reg_dom,
+        |          cast(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+        |          cast(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test
+        |        FROM reg GROUP BY 1)
+        |SELECT reg_dom, n_train, n_test,
+        |       cast(n_test * 10000 div (n_train + n_test) AS BIGINT) AS test_share_bp
+        |FROM agg WHERE n_train > 0 AND n_test > 0
+        |ORDER BY n_test DESC, reg_dom""".stripMargin,
+      """WITH u AS (SELECT c_custkey,
+        |             concat(CASE WHEN c_custkey % 3 = 0 THEN 'www.' ELSE '' END,
+        |                    'n', CAST(c_nationkey AS VARCHAR), '.',
+        |                    lower(replace(c_mktsegment, ' ', '')), '.',
+        |                    CASE CAST(c_nationkey % 4 AS INT) WHEN 0 THEN 'co.uk' WHEN 1 THEN 'com' WHEN 2 THEN 'org.au' ELSE 'io' END) AS host
+        |           FROM customer),
+        |sp AS (SELECT c_custkey, host,
+        |         CASE WHEN CAST(('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1,8)) AS BIGINT) % 100 < 90
+        |              THEN 'train' ELSE 'test' END AS split
+        |       FROM u),
+        |psl AS (SELECT unnest(['co.uk','org.au','com','org','io','net','uk','au']) AS sfx),
+        |lab AS (SELECT c_custkey, host, split, string_split(host, '.') AS l, len(string_split(host, '.')) AS n FROM sp),
+        |cand AS (SELECT c_custkey, host, split, l, n,
+        |           array_to_string(l[n-1:n], '.') AS s2, l[n] AS s1 FROM lab),
+        |reg AS (SELECT c.c_custkey, c.split,
+        |          CASE WHEN p2.sfx IS NOT NULL THEN concat(c.l[c.n-2], '.', c.s2)
+        |               WHEN p1.sfx IS NOT NULL THEN concat(c.l[c.n-1], '.', c.s1)
+        |               ELSE c.host END AS reg_dom
+        |        FROM cand c LEFT JOIN psl p2 ON c.s2 = p2.sfx LEFT JOIN psl p1 ON c.s1 = p1.sfx),
+        |agg AS (SELECT reg_dom,
+        |          CAST(count(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_train,
+        |          CAST(count(*) FILTER (WHERE split = 'test') AS BIGINT) AS n_test
+        |        FROM reg GROUP BY 1)
+        |SELECT reg_dom, n_train, n_test,
+        |       CAST(n_test * 10000 // (n_train + n_test) AS BIGINT) AS test_share_bp
+        |FROM agg WHERE n_train > 0 AND n_test > 0
+        |ORDER BY n_test DESC, reg_dom""".stripMargin),
+
+    // Matryoshka embedding fidelity (r15): how much of each vector's
+    // energy the first k dims carry — cos(v, v[1..k] zero-padded) =
+    // ‖v[1..k]‖ / ‖v‖ — for k ∈ {8, 16, 32, 64}. The
+    // truncate-the-embeddings storage decision (Kusupati et al.,
+    // "Matryoshka Representation Learning", NeurIPS 2022) priced on the
+    // corpus: at 100 TB, keeping 16 of 64 dims is a 4× index-size cut
+    // IF fidelity holds. Arithmetic: quantized integer squares (exact
+    // sums, no FP order sensitivity); the only float op is one
+    // sqrt(exact/exact) per (vec, k), rounded to bp; the per-k mean is
+    // integer division of exact sums.
+    q("x345_matryoshka_fidelity",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS v FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |n AS (SELECT vec_id, k, cast(sum(v*v) FILTER (WHERE i <= k) AS BIGINT) AS pk, cast(sum(v*v) AS BIGINT) AS nf
+        |      FROM d CROSS JOIN (SELECT explode(array(8, 16, 32, 64)) AS k) GROUP BY 1, 2),
+        |f AS (SELECT vec_id, k, cast(round(sqrt(cast(pk AS DOUBLE) / cast(nf AS DOUBLE)) * 10000) AS BIGINT) AS fid_bp
+        |      FROM n WHERE nf > 0)
+        |SELECT cast(k AS BIGINT) AS prefix_dims,
+        |       cast(cast(sum(fid_bp) AS BIGINT) div count(*) AS BIGINT) AS mean_fid_bp,
+        |       cast(min(fid_bp) AS BIGINT) AS min_fid_bp,
+        |       cast(count(*) AS BIGINT) AS n_vecs
+        |FROM f GROUP BY k ORDER BY prefix_dims""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS v FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |n AS (SELECT vec_id, k, CAST(sum(v*v) FILTER (WHERE i <= k) AS BIGINT) AS pk, CAST(sum(v*v) AS BIGINT) AS nf
+        |      FROM d CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS k) ks GROUP BY 1, 2),
+        |f AS (SELECT vec_id, k, CAST(round(sqrt(CAST(pk AS DOUBLE) / CAST(nf AS DOUBLE)) * 10000) AS BIGINT) AS fid_bp
+        |      FROM n WHERE nf > 0)
+        |SELECT CAST(k AS BIGINT) AS prefix_dims,
+        |       CAST(CAST(sum(fid_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_fid_bp,
+        |       CAST(min(fid_bp) AS BIGINT) AS min_fid_bp,
+        |       CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM f GROUP BY k ORDER BY prefix_dims""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

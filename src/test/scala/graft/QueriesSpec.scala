@@ -113,7 +113,10 @@ class QueriesSpec extends SparkSpec {
     "x332_substring_dedup_apply" -> 15, "x333_kmeans_step" -> 8,
     "x334_registrable_domain" -> 20, "x335_markup_strip" -> 20,
     "x336_ngram_novelty" -> 20, "x337_incremental_exact_dedup" -> 2,
-    "x338_zipf_slope" -> 20, "x339_substring_dedup_native" -> 15)
+    "x338_zipf_slope" -> 20, "x339_substring_dedup_native" -> 15,
+    "x340_kmeans_train3" -> 24, "x341_kmeans_native" -> 24,
+    "x342_pq_codebook_train" -> 32, "x343_paragraph_dedup" -> 20,
+    "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -196,6 +199,43 @@ class QueriesSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
         .toSeq
     assert(rows("x339_substring_dedup_native") == rows("x332_substring_dedup_apply"))
+  }
+
+  test("x342 PQ codebooks: every sub-space conserves its point set across the round") {
+    val rows = SparkEntry.queries("x342_pq_codebook_train")(spark, sf0001).collect()
+    assert(rows.length == 32, "8 sub-spaces × 4 codes")
+    val nPts = Catalog.load(spark, sf0001, "embeddings")
+      .where(org.apache.spark.sql.functions.col("vec_id") >= 4).count()
+    rows.groupBy(_.getLong(0)).foreach { case (sub, rs) =>
+      assert(rs.map(_.getLong(2)).sum == nPts, s"sub-space $sub loses points in a0")
+      assert(rs.map(_.getLong(3)).sum == nPts, s"sub-space $sub loses points in a1")
+    }
+  }
+
+  test("x343 paragraph dedup: removal rates are well-formed per source") {
+    val rows = SparkEntry.queries("x343_paragraph_dedup")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: removed > total")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 10000)
+    }
+  }
+
+  test("x344 domain split leakage: every reported domain really straddles the split") {
+    val rows = SparkEntry.queries("x344_domain_split_leakage")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "a row-level hash split must leak at domain level")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+      assert(r.getLong(3) > 0 && r.getLong(3) < 10000)
+    }
+  }
+
+  test("x345 matryoshka fidelity: monotone in prefix length, exact at 64 dims") {
+    val rows = SparkEntry.queries("x345_matryoshka_fidelity")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L, 64L))
+    val means = rows.map(_.getLong(1)).toSeq
+    assert(means == means.sorted, s"fidelity must grow with prefix dims: $means")
+    assert(rows.last.getLong(1) == 10000L && rows.last.getLong(2) == 10000L,
+      "the full prefix is the whole vector")
   }
 
   test("x341 native k-means training loop equals the unrolled x340 form row-for-row") {
