@@ -781,6 +781,19 @@ object Extensions {
     "x341_kmeans_native" -> { (s, dir) =>
       graft.llm.KMeans.train(Catalog.load(s, dir, "embeddings"),
         k = 8, dims = 64, maxIters = 3, stopWhenStable = false).summary
+    },
+
+    // Full-corpus paragraph-dedup apply (r15): llm.ParagraphDedup keeps
+    // text out of the ownership shuffle (the window ranks (doc_id, i,
+    // h) only; text joins back once for survivors of affected docs) and
+    // returns every rewritten document. The entry applies x346's
+    // diagnostic selection (top-15 by paragraphs removed) so it shares
+    // x346's oracle verbatim — declared-vs-native bit-equality is the
+    // check (the x339 pattern, one granularity up).
+    "x347_paragraph_dedup_native" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      graft.llm.ParagraphDedup.cleanedDocs(Catalog.load(s, dir, "documents"))
+        .orderBy(desc("n_removed"), col("doc_id")).limit(15)
     }
   )
 
@@ -1341,6 +1354,11 @@ object Extensions {
     // unrolled 3-round form lands — one oracle text, two Spark plans
     // (the x140/x327/x149 policy).
     "x341_kmeans_native" ->
-      Queries.oracleSql("x340_kmeans_train3")
+      Queries.oracleSql("x340_kmeans_train3"),
+
+    // x347: the full-corpus paragraph-dedup apply shares the declared
+    // slice's oracle verbatim (the x339 pattern).
+    "x347_paragraph_dedup_native" ->
+      Queries.oracleSql("x346_paragraph_dedup_apply")
   )
 }

@@ -7400,6 +7400,45 @@ object Queries {
         |FROM agg WHERE n_train > 0 AND n_test > 0
         |ORDER BY n_test DESC, reg_dom""".stripMargin),
 
+    // Paragraph-dedup APPLY (r15): x343's census tells you HOW MUCH
+    // repeats; this emits the rewritten documents — every paragraph
+    // occurrence after the global first (by (doc_id, position)) is cut
+    // and the survivors are rejoined in position order (the CCNet
+    // rewrite half, mirroring the x332/x339 substring pair one
+    // granularity up). Bounded diagnostic slice: top-15 docs by
+    // paragraphs removed; the full-corpus surface is the x347 native
+    // (llm/ParagraphDedup, same oracle).
+    q("x346_paragraph_dedup_apply",
+      """WITH par AS (SELECT doc_id, i, trim(element_at(ps, i)) AS p
+        |             FROM (SELECT doc_id, ps, explode(sequence(1, size(ps))) AS i
+        |                   FROM (SELECT doc_id, split(text, '\\. ') AS ps FROM documents))),
+        |np AS (SELECT doc_id, i, p, md5(lower(p)) AS h FROM par WHERE p <> ''),
+        |r AS (SELECT doc_id, i, p, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM np),
+        |tot AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n_par,
+        |          cast(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        |        FROM r GROUP BY 1),
+        |reb AS (SELECT doc_id,
+        |          array_join(transform(array_sort(collect_list(struct(i, p))), x -> x.p), '. ') AS cleaned
+        |        FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_par, t.n_par - t.n_removed AS n_kept, t.n_removed,
+        |       coalesce(rb.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN reb rb ON rb.doc_id = t.doc_id
+        |ORDER BY t.n_removed DESC, t.doc_id LIMIT 15""".stripMargin,
+      """WITH par AS (SELECT doc_id, i, trim(ps[i]) AS p
+        |             FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i
+        |                   FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM documents))),
+        |np AS (SELECT doc_id, i, p, md5(lower(p)) AS h FROM par WHERE p <> ''),
+        |r AS (SELECT doc_id, i, p, row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn FROM np),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_par,
+        |          CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+        |        FROM r GROUP BY 1),
+        |reb AS (SELECT doc_id, string_agg(p, '. ' ORDER BY i) AS cleaned
+        |        FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_par, t.n_par - t.n_removed AS n_kept, t.n_removed,
+        |       coalesce(rb.cleaned, '') AS cleaned
+        |FROM tot t LEFT JOIN reb rb ON rb.doc_id = t.doc_id
+        |ORDER BY t.n_removed DESC, t.doc_id LIMIT 15""".stripMargin),
+
     // Matryoshka embedding fidelity (r15): how much of each vector's
     // energy the first k dims carry — cos(v, v[1..k] zero-padded) =
     // ‖v[1..k]‖ / ‖v‖ — for k ∈ {8, 16, 32, 64}. The

@@ -116,7 +116,8 @@ class QueriesSpec extends SparkSpec {
     "x338_zipf_slope" -> 20, "x339_substring_dedup_native" -> 15,
     "x340_kmeans_train3" -> 24, "x341_kmeans_native" -> 24,
     "x342_pq_codebook_train" -> 32, "x343_paragraph_dedup" -> 20,
-    "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4)
+    "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4,
+    "x346_paragraph_dedup_apply" -> 15, "x347_paragraph_dedup_native" -> 15)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -236,6 +237,30 @@ class QueriesSpec extends SparkSpec {
     assert(means == means.sorted, s"fidelity must grow with prefix dims: $means")
     assert(rows.last.getLong(1) == 10000L && rows.last.getLong(2) == 10000L,
       "the full prefix is the whole vector")
+  }
+
+  test("x347 native paragraph-dedup apply equals the declared x346 form row-for-row") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+        .toSeq
+    assert(rows("x347_paragraph_dedup_native") == rows("x346_paragraph_dedup_apply"))
+  }
+
+  test("x346/x347 rebuild is the canonical rejoin round-trip on untouched docs") {
+    import org.apache.spark.sql.functions._
+    // at sf0.001 no paragraph repeats, so every emitted doc is untouched
+    // and its cleaned text must equal the trim-split-rejoin of the source
+    val docs = Catalog.load(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = SparkEntry.queries("x347_paragraph_dedup_native")(spark, sf0001).collect()
+    out.foreach { r =>
+      assert(r.getLong(3) == 0L, "sf0.001 has no repeated paragraphs")
+      val expected = docs(r.getLong(0)).split("\\. ").map(_.trim)
+        .filter(_.nonEmpty).mkString(". ")
+      assert(r.getString(4) == expected, s"doc ${r.getLong(0)} round-trip broke")
+    }
   }
 
   test("x341 native k-means training loop equals the unrolled x340 form row-for-row") {
