@@ -26,7 +26,8 @@ import org.apache.spark.sql.streaming.Trigger
   * VERDICT r6 #3: a state-expiry regression here must move a number),
   * contamination (stateless stream-static semi-join), trending
   * (watermarked window x type counts — the agg half of windowed
-  * top-k), CDC apply (bucket-pruned copy-on-write merge sink).
+  * top-k), mini-batch k-means (foreachBatch driver-held cluster fold,
+  * r15), CDC apply (bucket-pruned copy-on-write merge sink).
   */
 object BenchStream {
 
@@ -145,6 +146,11 @@ object BenchStream {
       "burn_rate" -> { () =>
         drain(graft.streaming.EventStream
           .burnRate6h(fileStream(eventsDir, eventsSchema)), "update")
+      },
+      "minibatch_kmeans" -> { () =>
+        // fresh model per drain: the timing covers seed + 4 folds
+        graft.streaming.KMeansStream.drain(spark,
+          fileStream(vecsDir, vecsSchema)); ()
       },
       "cdc_apply" -> { () =>
         val table = replayDir(s"cdc-table-$rep")

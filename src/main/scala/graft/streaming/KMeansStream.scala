@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming mini-batch k-means — the ingest-time twin of the x340/x341
+  * batch training pair (the §2.9 streaming set's clustering entry, next
+  * to NearDupStream's ingest-time dedup). A `foreachBatch` sink folds
+  * each arriving micro-batch of embeddings into driver-held cluster
+  * state and emits a per-batch drift row — the "is today's crawl
+  * drifting off the corpus clusters" monitor.
+  *
+  * Update rule — the batched cumulative-mean variant of the mini-batch
+  * rule (Sculley, "Web-Scale K-Means Clustering", WWW 2010): each point
+  * is counted exactly once, under the centroid set current when its
+  * batch ARRIVED, and every centroid is the integer mean of all points
+  * ever assigned to it:
+  *
+  *   assign(batch_t, c_{t-1}) → fold (Σ shifted vals, n) per (cid, dim)
+  *   c_t(cid, dim) = cumSum(cid, dim) div cumN(cid) − 10000
+  *
+  * Arithmetic is x333/x340's quantized-integer discipline verbatim, so
+  * the fold is exactly reproducible: replaying the same ordered batches
+  * through a fresh instance lands bit-identical centroids
+  * (KMeansStreamSpec pins stream-replay ≡ direct sequential fold).
+  *
+  * Scale shape: the distributed work per batch is one broadcast join
+  * (centroids are k × dims rows) + two hash aggs over the BATCH — cost
+  * O(batch), never O(corpus). Driver state is the cumulative (cid, dim)
+  * sum/count table: k × dims longs — the same index-sized ceiling as
+  * the batch loop's driver-held centroids; nothing grows with stream
+  * length. Seeds = the k lowest vec_ids of the FIRST batch (the batch
+  * pair's lowest-id convention), deterministic on an ordered replay.
+  */
+final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
+
+  /** Per-batch drift row: points folded, exact BIGINT inertia of the
+    * batch under the pre-update centroids, and how many centroid
+    * components the update moved (the drift signal). */
+  final case class BatchStat(batchId: Long, n: Long, inertia: Long,
+                             movedComponents: Long)
+
+  private var cumSum = scala.collection.mutable.Map.empty[(Long, Int), Long]
+  private var cumN = scala.collection.mutable.Map.empty[Long, Long]
+  private var cent: Seq[(Long, Int, Long)] = Nil
+  private val statsB = Seq.newBuilder[BatchStat]
+
+  def centroids: Seq[(Long, Int, Long)] = cent
+  def stats: Seq[BatchStat] = statsB.result()
+
+  private def quantized(batch: DataFrame): DataFrame = batch
+    .select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))").as("qv"))
+    .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "val")))
+    .select(col("vec_id"), (col("d0") + 1).as("dim"), col("val"))
+
+  /** Fold one micro-batch; returns its drift row (n = 0 for an empty
+    * batch — state untouched). Thread-safe under Structured Streaming's
+    * serial foreachBatch contract (one invocation at a time). */
+  def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): BatchStat = {
+    import spark.implicits._
+    val q = quantized(batch)
+    val seeding = cent.isEmpty
+    val pts =
+      if (!seeding) q
+      else {
+        // first batch: the k lowest vec_ids seed the centroids, the rest
+        // of the batch are the first folded points
+        val seedIds = batch.select("vec_id").as[Long].collect().sorted.take(k)
+        require(seedIds.length == k, s"first batch carries ${seedIds.length} < $k vectors")
+        cent = q.where(col("vec_id").isInCollection(seedIds.toSeq))
+          .select(col("vec_id"), col("dim"), col("val"))
+          .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+        q.where(!col("vec_id").isInCollection(seedIds.toSeq))
+      }
+    val assign = graft.llm.KMeans.assignTo(spark, pts, cent)
+    // one distributed pass: per (cid, dim) shifted sums ride the same
+    // join; counts and inertia come from the assignment frame
+    val folds = pts.join(assign.select("vec_id", "cid"), "vec_id")
+      .groupBy("cid", "dim")
+      .agg(sum(col("val") + lit(10000L)).as("s"), count(lit(1)).as("n"))
+      .as[(Long, Int, Long, Long)].collect()
+    val agg = assign.agg(count(lit(1)), coalesce(sum("dist"), lit(0L)))
+      .as[(Long, Long)].head()
+    folds.foreach { case (cid, dim, s, _) =>
+      cumSum.updateWith((cid, dim))(prev => Some(prev.getOrElse(0L) + s))
+    }
+    folds.groupBy(_._1).foreach { case (cid, rows) =>
+      cumN.updateWith(cid)(prev => Some(prev.getOrElse(0L) + rows.head._4))
+    }
+    val next = cent.map { case (cid, dim, old) =>
+      val n = cumN.getOrElse(cid, 0L)
+      val v = if (n == 0L) old
+              else Math.floorDiv(cumSum.getOrElse((cid, dim), 0L), n) - 10000L
+      (cid, dim, v)
+    }
+    val moved = next.zip(cent).count { case (a, b) => a._3 != b._3 }
+    cent = next
+    val stat = BatchStat(batchId, agg._1, agg._2, moved.toLong)
+    statsB += stat
+    stat
+  }
+}
+
+object KMeansStream {
+
+  /** Drain a bounded embedding stream through a fresh model; returns it
+    * with all batches folded. The caller's `writeStream.foreachBatch`
+    * shape, packaged for the bench/spec replays. */
+  def drain(spark: SparkSession, vecs: DataFrame, k: Int = 8,
+            dims: Int = 64): MiniBatchKMeans = {
+    val model = new MiniBatchKMeans(k, dims)
+    val q = vecs.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) { model.applyBatch(spark, b, id) }; ()
+      }.start()
+    q.awaitTermination()
+    model
+  }
+}
