@@ -7439,6 +7439,79 @@ object Queries {
         |FROM tot t LEFT JOIN reb rb ON rb.doc_id = t.doc_id
         |ORDER BY t.n_removed DESC, t.doc_id LIMIT 15""".stripMargin),
 
+    // Dedup savings forecast (r15): what exact dedup BUYS, per source —
+    // x47's keep-first applied as an accounting pass: docs and
+    // whitespace tokens each source contributes before vs after global
+    // keep-first on the normalized token-set key, and the saved share
+    // in bp. The budget row a dedup decision reads before paying for
+    // the rewrite (keepers are GLOBAL: a source whose docs lose to a
+    // lower doc_id elsewhere books the saving here). One key census +
+    // one window + one source rollup — keys shuffle, never text.
+    q("x348_dedup_savings",
+      """WITH k AS (SELECT doc_id, source, size(split(text,' ')) AS n,
+        |             md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key
+        |           FROM documents),
+        |r AS (SELECT source, n, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM k)
+        |SELECT source, cast(count(*) AS BIGINT) AS docs,
+        |       cast(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS keepers,
+        |       cast(sum(n) AS BIGINT) AS toks,
+        |       cast(coalesce(sum(n) FILTER (WHERE rn = 1), 0) AS BIGINT) AS toks_kept,
+        |       cast((sum(n) - coalesce(sum(n) FILTER (WHERE rn = 1), 0)) * 10000 div sum(n) AS BIGINT) AS saved_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT doc_id, source, len(string_split(text,' ')) AS n,
+        |             md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key
+        |           FROM documents),
+        |r AS (SELECT source, n, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM k)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS keepers,
+        |       CAST(sum(n) AS BIGINT) AS toks,
+        |       CAST(coalesce(sum(n) FILTER (WHERE rn = 1), 0) AS BIGINT) AS toks_kept,
+        |       CAST((sum(n) - coalesce(sum(n) FILTER (WHERE rn = 1), 0)) * 10000 // sum(n) AS BIGINT) AS saved_bp
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Quality × duplication interaction (r15): are duplicated documents
+    // LOW-quality documents? x50's composite quality score deciled
+    // (global ntile — census scale; GlobalWindow.ranks is the x100
+    // scale tier), each doc flagged dup iff its x47 normalized key
+    // appears more than once, dup share per decile in bp. The screen
+    // that decides whether quality filtering and dedup are redundant
+    // passes or independent ones.
+    q("x349_quality_dup_deciles",
+      """WITH k AS (SELECT doc_id, split(text,' ') AS w,
+        |             md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key
+        |           FROM documents),
+        |q AS (SELECT doc_id, key,
+        |        cast(floor((0.4*(size(array_distinct(w))/cast(size(w) AS DOUBLE))
+        |              + 0.3*(1.0 - size(filter(w, x -> x IN ('a','the')))/cast(size(w) AS DOUBLE))
+        |              + 0.3*least(size(w)/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |      FROM k),
+        |d AS (SELECT key, count(*) AS cnt FROM q GROUP BY 1),
+        |j AS (SELECT q.doc_id, q.quality_bp, CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS is_dup,
+        |        cast(ntile(10) OVER (ORDER BY q.quality_bp, q.doc_id) AS BIGINT) AS decile
+        |      FROM q JOIN d ON q.key = d.key)
+        |SELECT decile, cast(count(*) AS BIGINT) AS docs,
+        |       cast(sum(is_dup) AS BIGINT) AS dup_docs,
+        |       cast(sum(is_dup) * 10000 div count(*) AS BIGINT) AS dup_bp,
+        |       cast(min(quality_bp) AS BIGINT) AS q_min, cast(max(quality_bp) AS BIGINT) AS q_max
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT doc_id, string_split(text,' ') AS w,
+        |             md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key
+        |           FROM documents),
+        |q AS (SELECT doc_id, key,
+        |        CAST(floor((0.4*(len(list_distinct(w))/CAST(len(w) AS DOUBLE))
+        |              + 0.3*(1.0 - len(list_filter(w, x -> x IN ('a','the')))/CAST(len(w) AS DOUBLE))
+        |              + 0.3*least(len(w)/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |      FROM k),
+        |d AS (SELECT key, count(*) AS cnt FROM q GROUP BY 1),
+        |j AS (SELECT q.doc_id, q.quality_bp, CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS is_dup,
+        |        CAST(ntile(10) OVER (ORDER BY q.quality_bp, q.doc_id) AS BIGINT) AS decile
+        |      FROM q JOIN d ON q.key = d.key)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(is_dup) AS BIGINT) AS dup_docs,
+        |       CAST(sum(is_dup) * 10000 // count(*) AS BIGINT) AS dup_bp,
+        |       CAST(min(quality_bp) AS BIGINT) AS q_min, CAST(max(quality_bp) AS BIGINT) AS q_max
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Matryoshka embedding fidelity (r15): how much of each vector's
     // energy the first k dims carry — cos(v, v[1..k] zero-padded) =
     // ‖v[1..k]‖ / ‖v‖ — for k ∈ {8, 16, 32, 64}. The

@@ -553,7 +553,8 @@ object ScaleSoak {
           "x332_substring_dedup_apply", "x339_substring_dedup_native",
           "x342_pq_codebook_train", "x343_paragraph_dedup",
           "x344_domain_split_leakage", "x345_matryoshka_fidelity",
-          "x346_paragraph_dedup_apply", "x347_paragraph_dedup_native")
+          "x346_paragraph_dedup_apply", "x347_paragraph_dedup_native",
+          "x348_dedup_savings", "x349_quality_dup_deciles")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)

@@ -86,6 +86,12 @@ class PlanAuditSpec extends SparkSpec {
       s"expected ONLY the upfront repartition exchange — a round must not re-shuffle the corpus:\n$p")
   }
 
+  test("x342: the PQ codebook (256 rows) broadcasts into both distance passes") {
+    val p = physical("x342_pq_codebook_train")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected the sub-space codebook sides to broadcast in both distance passes:\n$p")
+  }
+
   test("x336: reference gram set broadcasts into the novelty probe") {
     val p = physical("x336_ngram_novelty")
     // executedPlan.toString renders as "BroadcastHashJoin [g], [g],

@@ -117,7 +117,8 @@ class QueriesSpec extends SparkSpec {
     "x340_kmeans_train3" -> 24, "x341_kmeans_native" -> 24,
     "x342_pq_codebook_train" -> 32, "x343_paragraph_dedup" -> 20,
     "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4,
-    "x346_paragraph_dedup_apply" -> 15, "x347_paragraph_dedup_native" -> 15)
+    "x346_paragraph_dedup_apply" -> 15, "x347_paragraph_dedup_native" -> 15,
+    "x348_dedup_savings" -> 20, "x349_quality_dup_deciles" -> 10)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -260,6 +261,28 @@ class QueriesSpec extends SparkSpec {
       val expected = docs(r.getLong(0)).split("\\. ").map(_.trim)
         .filter(_.nonEmpty).mkString(". ")
       assert(r.getString(4) == expected, s"doc ${r.getLong(0)} round-trip broke")
+    }
+  }
+
+  test("x348 dedup savings reconcile with the x47 drop list") {
+    val rows = SparkEntry.queries("x348_dedup_savings")(spark, sf0001).collect()
+    val dropped = SparkEntry.queries("x47_dedup_keep_first")(spark, sf0001).count()
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum == dropped,
+      "per-source (docs - keepers) must sum to exactly x47's dropped docs")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3), "kept tokens cannot exceed total")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 10000)
+    }
+  }
+
+  test("x349 quality deciles: partition the corpus, well-formed dup shares") {
+    val rows = SparkEntry.queries("x349_quality_dup_deciles")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val nDocs = Catalog.load(spark, sf0001, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "deciles must partition the corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000)
+      assert(r.getLong(4) <= r.getLong(5), "decile min quality <= max")
     }
   }
 
