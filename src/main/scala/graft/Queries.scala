@@ -7512,6 +7512,66 @@ object Queries {
         |       CAST(min(quality_bp) AS BIGINT) AS q_min, CAST(max(quality_bp) AS BIGINT) AS q_max
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Token-budgeted mixture build (r15): the selection pass that turns
+    // a mixture RECIPE into a corpus — a global token budget (half the
+    // corpus here) split across sources by deterministic weights
+    // (x109's parity-of-source-suffix trick), each source filled
+    // greedily in quality order (x50's composite score, ties by doc_id)
+    // until its allocation is exhausted. Output per source: weight,
+    // allocated budget, docs/tokens actually taken, fill rate in bp —
+    // under-filled rows are the "this source cannot honor its weight"
+    // signal a mixture designer rebalances on. The cumulative window is
+    // per-source partitioned (scales); integer arithmetic throughout.
+    q("x350_budgeted_mixture",
+      """WITH t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source, split(text,' ') AS w FROM documents)),
+        |q AS (SELECT doc_id, source, cast(size(w) AS BIGINT) AS n,
+        |        cast(floor((0.4*(size(array_distinct(w))/cast(size(w) AS DOUBLE))
+        |              + 0.3*(1.0 - size(filter(w, x -> x IN ('a','the')))/cast(size(w) AS DOUBLE))
+        |              + 0.3*least(size(w)/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |      FROM t),
+        |tot AS (SELECT cast(sum(n) div 2 AS BIGINT) AS budget FROM q),
+        |w AS (SELECT source,
+        |        CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+        |             THEN cast(750 AS BIGINT) ELSE cast(250 AS BIGINT) END AS w_bp
+        |      FROM (SELECT DISTINCT source FROM q)),
+        |sw AS (SELECT source, w_bp,
+        |         cast(w_bp * (SELECT budget FROM tot) div (SELECT sum(w_bp) FROM w) AS BIGINT) AS src_budget
+        |       FROM w),
+        |r AS (SELECT source, n,
+        |        sum(n) OVER (PARTITION BY source ORDER BY quality_bp DESC, doc_id) AS cum
+        |      FROM q)
+        |SELECT r.source, sw.w_bp, sw.src_budget,
+        |       cast(count(*) FILTER (WHERE r.cum <= sw.src_budget) AS BIGINT) AS docs_taken,
+        |       cast(coalesce(sum(r.n) FILTER (WHERE r.cum <= sw.src_budget), 0) AS BIGINT) AS toks_taken,
+        |       cast(coalesce(sum(r.n) FILTER (WHERE r.cum <= sw.src_budget), 0) * 10000 div sw.src_budget AS BIGINT) AS fill_bp
+        |FROM r JOIN sw ON r.source = sw.source
+        |GROUP BY r.source, sw.w_bp, sw.src_budget
+        |ORDER BY r.source""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, w FROM (SELECT doc_id, source, string_split(text,' ') AS w FROM documents)),
+        |q AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n,
+        |        CAST(floor((0.4*(len(list_distinct(w))/CAST(len(w) AS DOUBLE))
+        |              + 0.3*(1.0 - len(list_filter(w, x -> x IN ('a','the')))/CAST(len(w) AS DOUBLE))
+        |              + 0.3*least(len(w)/100.0, 1.0))*10000.0) AS BIGINT) AS quality_bp
+        |      FROM t),
+        |tot AS (SELECT CAST(sum(n) // 2 AS BIGINT) AS budget FROM q),
+        |w AS (SELECT source,
+        |        CASE WHEN right(source, 1) IN ('0','2','4','6','8')
+        |             THEN CAST(750 AS BIGINT) ELSE CAST(250 AS BIGINT) END AS w_bp
+        |      FROM (SELECT DISTINCT source FROM q)),
+        |sw AS (SELECT source, w_bp,
+        |         CAST(w_bp * (SELECT budget FROM tot) // (SELECT sum(w_bp) FROM w) AS BIGINT) AS src_budget
+        |       FROM w),
+        |r AS (SELECT source, n,
+        |        sum(n) OVER (PARTITION BY source ORDER BY quality_bp DESC, doc_id) AS cum
+        |      FROM q)
+        |SELECT r.source, sw.w_bp, sw.src_budget,
+        |       CAST(count(*) FILTER (WHERE r.cum <= sw.src_budget) AS BIGINT) AS docs_taken,
+        |       CAST(coalesce(sum(r.n) FILTER (WHERE r.cum <= sw.src_budget), 0) AS BIGINT) AS toks_taken,
+        |       CAST(coalesce(sum(r.n) FILTER (WHERE r.cum <= sw.src_budget), 0) * 10000 // sw.src_budget AS BIGINT) AS fill_bp
+        |FROM r JOIN sw ON r.source = sw.source
+        |GROUP BY r.source, sw.w_bp, sw.src_budget
+        |ORDER BY r.source""".stripMargin),
+
     // Matryoshka embedding fidelity (r15): how much of each vector's
     // energy the first k dims carry — cos(v, v[1..k] zero-padded) =
     // ‖v[1..k]‖ / ‖v‖ — for k ∈ {8, 16, 32, 64}. The

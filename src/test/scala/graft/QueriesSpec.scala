@@ -118,7 +118,8 @@ class QueriesSpec extends SparkSpec {
     "x342_pq_codebook_train" -> 32, "x343_paragraph_dedup" -> 20,
     "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4,
     "x346_paragraph_dedup_apply" -> 15, "x347_paragraph_dedup_native" -> 15,
-    "x348_dedup_savings" -> 20, "x349_quality_dup_deciles" -> 10)
+    "x348_dedup_savings" -> 20, "x349_quality_dup_deciles" -> 10,
+    "x350_budgeted_mixture" -> 20)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -284,6 +285,19 @@ class QueriesSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= 10000)
       assert(r.getLong(4) <= r.getLong(5), "decile min quality <= max")
     }
+  }
+
+  test("x350 budgeted mixture: allocations respected, fill never overshoots") {
+    val rows = SparkEntry.queries("x350_budgeted_mixture")(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2),
+        s"${r.getString(0)}: tokens taken exceed the source allocation")
+      assert(r.getLong(5) <= 10000L, "fill rate cannot overshoot the budget")
+    }
+    // weights follow the parity rule and allocations follow the weights
+    val hi = rows.filter(_.getLong(1) == 750L).map(_.getLong(2)).min
+    val lo = rows.filter(_.getLong(1) == 250L).map(_.getLong(2)).max
+    assert(hi > lo, "a 750bp source must out-allocate every 250bp source")
   }
 
   test("x341 native k-means training loop equals the unrolled x340 form row-for-row") {
