@@ -7572,6 +7572,57 @@ object Queries {
         |GROUP BY r.source, sw.w_bp, sw.src_budget
         |ORDER BY r.source""".stripMargin),
 
+    // Hard-negative mining (r15): for each query vector, the corpus
+    // vectors in the similar-but-not-duplicate cosine band
+    // [0.15, 0.95) — the contrastive-training data miner (a retrieval
+    // embedding trains on exactly these; >0.95 is x119's SemDeDup
+    // duplicate regime, near-0 is uninformative). Per query: band size
+    // + the 3 HARDEST negatives (highest cosine inside the band, ties
+    // by vec_id). Arithmetic: exact integer dot products and norms on
+    // the quantized grid (one broadcast-sized query side — 8 × 64
+    // rows — so the corpus never self-joins; cost is linear in corpus
+    // × queries), one sqrt per (query, vec) rounded to bp at the end
+    // (x345's discipline).
+    q("x351_hard_negatives",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |nrm AS (SELECT vec_id, cast(sum(val*val) AS BIGINT) AS n2 FROM d GROUP BY 1),
+        |dots AS (SELECT p.vec_id, c.qid, cast(sum(p.val * c.qval) AS BIGINT) AS dot
+        |         FROM (SELECT vec_id, i, val FROM d WHERE vec_id >= 8) p
+        |         JOIN (SELECT vec_id AS qid, i, val AS qval FROM d WHERE vec_id < 8) c ON p.i = c.i
+        |         GROUP BY 1, 2),
+        |cosb AS (SELECT dt.qid, dt.vec_id,
+        |           cast(round(dt.dot / (sqrt(cast(nc.n2 AS DOUBLE)) * sqrt(cast(nq.n2 AS DOUBLE))) * 10000) AS BIGINT) AS cos_bp
+        |         FROM dots dt JOIN nrm nc ON nc.vec_id = dt.vec_id JOIN nrm nq ON nq.vec_id = dt.qid),
+        |band AS (SELECT * FROM cosb WHERE cos_bp >= 1500 AND cos_bp < 9500),
+        |cnt AS (SELECT qid, cast(count(*) AS BIGINT) AS n_band FROM band GROUP BY 1),
+        |top AS (SELECT qid, vec_id, cos_bp,
+        |          row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vec_id) AS rn
+        |        FROM band)
+        |SELECT t.qid AS query_id, cast(t.rn AS BIGINT) AS rnk,
+        |       t.vec_id AS negative_id, t.cos_bp, c.n_band
+        |FROM top t JOIN cnt c ON c.qid = t.qid
+        |WHERE t.rn <= 3 ORDER BY query_id, rnk""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |nrm AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS n2 FROM d GROUP BY 1),
+        |dots AS (SELECT p.vec_id, c.qid, CAST(sum(p.val * c.qval) AS BIGINT) AS dot
+        |         FROM (SELECT vec_id, i, val FROM d WHERE vec_id >= 8) p
+        |         JOIN (SELECT vec_id AS qid, i, val AS qval FROM d WHERE vec_id < 8) c ON p.i = c.i
+        |         GROUP BY 1, 2),
+        |cosb AS (SELECT dt.qid, dt.vec_id,
+        |           CAST(round(dt.dot / (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nq.n2 AS DOUBLE))) * 10000) AS BIGINT) AS cos_bp
+        |         FROM dots dt JOIN nrm nc ON nc.vec_id = dt.vec_id JOIN nrm nq ON nq.vec_id = dt.qid),
+        |band AS (SELECT * FROM cosb WHERE cos_bp >= 1500 AND cos_bp < 9500),
+        |cnt AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_band FROM band GROUP BY 1),
+        |top AS (SELECT qid, vec_id, cos_bp,
+        |          row_number() OVER (PARTITION BY qid ORDER BY cos_bp DESC, vec_id) AS rn
+        |        FROM band)
+        |SELECT t.qid AS query_id, CAST(t.rn AS BIGINT) AS rnk,
+        |       t.vec_id AS negative_id, t.cos_bp, c.n_band
+        |FROM top t JOIN cnt c ON c.qid = t.qid
+        |WHERE t.rn <= 3 ORDER BY query_id, rnk""".stripMargin),
+
     // Matryoshka embedding fidelity (r15): how much of each vector's
     // energy the first k dims carry — cos(v, v[1..k] zero-padded) =
     // ‖v[1..k]‖ / ‖v‖ — for k ∈ {8, 16, 32, 64}. The

@@ -555,7 +555,7 @@ object ScaleSoak {
           "x344_domain_split_leakage", "x345_matryoshka_fidelity",
           "x346_paragraph_dedup_apply", "x347_paragraph_dedup_native",
           "x348_dedup_savings", "x349_quality_dup_deciles",
-          "x350_budgeted_mixture")
+          "x350_budgeted_mixture", "x351_hard_negatives")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)

@@ -119,7 +119,7 @@ class QueriesSpec extends SparkSpec {
     "x344_domain_split_leakage" -> 12, "x345_matryoshka_fidelity" -> 4,
     "x346_paragraph_dedup_apply" -> 15, "x347_paragraph_dedup_native" -> 15,
     "x348_dedup_savings" -> 20, "x349_quality_dup_deciles" -> 10,
-    "x350_budgeted_mixture" -> 20)
+    "x350_budgeted_mixture" -> 20, "x351_hard_negatives" -> 24)
 
   expectedRowsR14.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -298,6 +298,17 @@ class QueriesSpec extends SparkSpec {
     val hi = rows.filter(_.getLong(1) == 750L).map(_.getLong(2)).min
     val lo = rows.filter(_.getLong(1) == 250L).map(_.getLong(2)).max
     assert(hi > lo, "a 750bp source must out-allocate every 250bp source")
+  }
+
+  test("x351 hard negatives: in-band, hardest-first, band counts cover the picks") {
+    val rows = SparkEntry.queries("x351_hard_negatives")(spark, sf0001).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      val cs = rs.sortBy(_.getLong(1)).map(_.getLong(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"query $qid: picks must be hardest-first")
+      cs.foreach(c => assert(c >= 1500L && c < 9500L, s"query $qid: out of band"))
+      assert(rs.head.getLong(4) >= 3L, s"query $qid: band smaller than the picks")
+    }
   }
 
   test("x341 native k-means training loop equals the unrolled x340 form row-for-row") {
