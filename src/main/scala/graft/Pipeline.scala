@@ -50,19 +50,27 @@ object Pipeline {
     * scheduling BETWEEN concurrent queries — under FAIR mode the
     * default pool alone would queue jobs FIFO inside itself).
     *
-    * Semantics: tasks run exactly once each, attributed by name in the
-    * returned map; the first task failure is rethrown after all
-    * workers stop (no silent partial results). Results are identical
-    * to a sequential run — concurrency changes scheduling, never
-    * plans (ConcurrencySpec asserts output equality).
+    * Semantics: task names must be unique (rejected upfront — a
+    * duplicate would silently overwrite a result in the returned map);
+    * each task starts at most once. On the FIRST failure the workers
+    * stop claiming queued tasks (already-running ones finish their
+    * attempt), completed results are discarded, and that first failure
+    * is rethrown — so side-effecting tasks should be idempotent or
+    * retried whole. Results (null included) are identical to a
+    * sequential run — concurrency changes scheduling, never plans
+    * (ConcurrencySpec asserts output equality).
     */
   def concurrent[A](spark: SparkSession,
                     tasks: Seq[(String, SparkSession => A)],
                     threads: Int): Map[String, A] = {
     require(threads >= 1, s"threads must be >= 1, got $threads")
-    val queue = new java.util.concurrent.ConcurrentLinkedQueue[(String, SparkSession => A)]()
-    tasks.foreach(queue.add)
-    val out = new java.util.concurrent.ConcurrentHashMap[String, A]()
+    val dup = tasks.map(_._1).groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    require(dup.isEmpty, s"duplicate task names: ${dup.toSeq.sorted.mkString(", ")}")
+    val queue = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    tasks.indices.foreach(i => queue.add(i))
+    // index-slotted results: no concurrent-map value restrictions, so a
+    // task may legitimately return null
+    val out = new Array[Any](tasks.length)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val workers = (1 to threads).map { i =>
       new Thread(() => {
@@ -70,7 +78,7 @@ object Pipeline {
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"graft-conc-$i")
         var t = queue.poll()
         while (t != null && err.get() == null) {
-          try out.put(t._1, t._2(spark))
+          try out(t) = tasks(t)._2(spark)
           catch { case e: Throwable => err.compareAndSet(null, e) }
           t = queue.poll()
         }
@@ -79,8 +87,7 @@ object Pipeline {
     workers.foreach(_.start())
     workers.foreach(_.join())
     if (err.get() != null) throw err.get()
-    import scala.jdk.CollectionConverters._
-    out.asScala.toMap
+    tasks.indices.map(i => tasks(i)._1 -> out(i).asInstanceOf[A]).toMap
   }
 
   def main(args: Array[String]): Unit = {

@@ -66,15 +66,23 @@ object KMeans {
   final case class Train(summary: DataFrame, assignments: DataFrame,
                          rounds: Seq[Round], converged: Boolean)
 
+  /** THE quantized long-format projection (vec_id, dim, val), 1-based
+    * dims, truncated to the first `dims` components — the single source
+    * of the x333 quantization every consumer (the training loop, its
+    * seeds, and the streaming twin) shares, so the grid cannot drift
+    * apart from the oracle copy-by-copy. `dims` is honored by slicing
+    * (review r15: it was previously accepted and silently ignored). */
+  private[graft] def quantizedLong(emb: DataFrame, dims: Int): DataFrame =
+    emb.select(col("vec_id"),
+        expr(s"transform(slice(embedding, 1, $dims), x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))").as("qv"))
+      .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "val")))
+      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("val"))
+
   /** Quantized long-format points (vec_id, dim, val), 1-based dims —
     * the pre-shuffle form both per-round consumers share. Public so the
     * plan-shape spec audits exactly what the loop runs. */
   def quantizedPoints(emb: DataFrame, k: Int, dims: Int): DataFrame =
-    emb.select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))").as("qv"))
-      .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "val")))
-      .select(col("vec_id"), (col("d0") + 1).as("dim"), col("val"))
-      .where(col("vec_id") >= k)
+    quantizedLong(emb, dims).where(col("vec_id") >= k)
 
   /** Nearest-centroid assignment of `pts` against a driver-held
     * centroid table — one broadcast join, two aggregations that reuse
@@ -93,6 +101,16 @@ object KMeans {
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
   }
 
+  /** EMPTY-CLUSTER SEMANTICS (review r15, deliberate): a cluster that
+    * captures zero points in some round DROPS OUT of the centroid table
+    * for every later round — the update aggregation emits no (cid, dim)
+    * rows for it, exactly as the declared x340 SQL's `c_r` CTE does,
+    * and the oracle binds this operator to that behavior (its census
+    * keeps reporting the cluster with n = 0). The STREAMING twin
+    * diverges here by design: its cumulative state retains an empty
+    * centroid at its last position (a stream cannot re-derive "the SQL
+    * would have dropped it" without corpus history). Neither case
+    * occurs on the contract corpus (conservation is spec-asserted). */
   def train(emb: DataFrame, k: Int = 8, dims: Int = 64, maxIters: Int = 3,
             stopWhenStable: Boolean = true): Train = {
     val spark = emb.sparkSession
@@ -100,56 +118,62 @@ object KMeans {
     val pts = quantizedPoints(emb, k, dims)
       .repartition(col("vec_id")) // the ONE corpus shuffle, amortized over all rounds
       .persist()
-    // initial centroids: the k lowest vec_ids, driver-held (k × dims)
-    var cent: Seq[(Long, Int, Long)] =
-      emb.select(col("vec_id"),
-          expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))").as("qv"))
-        .where(col("vec_id") < k)
-        .select(col("vec_id").as("cid"), posexplode(col("qv")).as(Seq("d0", "cval")))
-        .select(col("cid"), (col("d0") + 1).as("dim"), col("cval"))
-        .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
-    val clusterIds = cent.map(_._1).distinct.sorted
+    // a failure mid-training must not strand cache entries in the
+    // long-lived session (the phantom-regression class Bench/Scratch
+    // document): every persisted handle is released on EVERY exit path
+    var assign: DataFrame = null
+    try {
+      // initial centroids: the k lowest vec_ids, driver-held (k × dims)
+      var cent: Seq[(Long, Int, Long)] =
+        quantizedLong(emb, dims).where(col("vec_id") < k)
+          .select(col("vec_id").as("cid"), col("dim"), col("val"))
+          .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+      val clusterIds = cent.map(_._1).distinct.sorted
 
-    var assign = assignTo(spark, pts, cent).persist()
-    assign.count()
-    val trace = Seq.newBuilder[Round]
-    // (rk, cluster_id) -> (n, inertia), accumulated driver-side (k rows/round)
-    val census = Seq.newBuilder[(Long, Long, Long, Long)]
-    var r = 0
-    var converged = false
-    while (r < maxIters && !converged) {
-      r += 1
-      // centroid update from the previous assignment: co-partitioned
-      // join (both sides clustered by vec_id), then the round's only
-      // exchange — the (cid, dim)-keyed merge of partial means
-      cent = pts.join(assign.select("vec_id", "cid"), "vec_id")
-        .groupBy("cid", "dim")
-        .agg(expr("cast(cast(sum(val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000").as("cval"))
-        .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
-      val next = assignTo(spark, pts, cent).persist()
-      next.count()
-      val moved = next.as("a").join(assign.as("b"), "vec_id")
-        .where(col("a.cid") =!= col("b.cid")).count()
-      val stats = next.groupBy("cid")
-        .agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
-        .as[(Long, Long, Long)].collect().map(s => s._1 -> (s._2, s._3)).toMap
-      clusterIds.foreach { cid =>
-        val (n, in) = stats.getOrElse(cid, (0L, 0L))
-        census += ((r.toLong, cid, n, in))
+      assign = assignTo(spark, pts, cent).persist()
+      assign.count()
+      val trace = Seq.newBuilder[Round]
+      // (rk, cluster_id) -> (n, inertia), accumulated driver-side (k rows/round)
+      val census = Seq.newBuilder[(Long, Long, Long, Long)]
+      var r = 0
+      var converged = false
+      while (r < maxIters && !converged) {
+        r += 1
+        // centroid update from the previous assignment: co-partitioned
+        // join (both sides clustered by vec_id), then the round's only
+        // exchange — the (cid, dim)-keyed merge of partial means
+        cent = pts.join(assign.select("vec_id", "cid"), "vec_id")
+          .groupBy("cid", "dim")
+          .agg(expr("cast(cast(sum(val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000").as("cval"))
+          .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+        val next = assignTo(spark, pts, cent).persist()
+        try {
+          next.count()
+          val moved = next.as("a").join(assign.as("b"), "vec_id")
+            .where(col("a.cid") =!= col("b.cid")).count()
+          val stats = next.groupBy("cid")
+            .agg(count(lit(1)).as("n"), sum("dist").as("inertia"))
+            .as[(Long, Long, Long)].collect().map(s => s._1 -> (s._2, s._3)).toMap
+          clusterIds.foreach { cid =>
+            val (n, in) = stats.getOrElse(cid, (0L, 0L))
+            census += ((r.toLong, cid, n, in))
+          }
+          trace += Round(r, moved, stats.valuesIterator.map(_._2).sum)
+          assign.unpersist()
+          assign = next
+          if (stopWhenStable && moved == 0L) converged = true
+        } catch { case e: Throwable => next.unpersist(); throw e }
       }
-      trace += Round(r, moved, stats.valuesIterator.map(_._2).sum)
-      assign.unpersist()
-      assign = next
-      if (stopWhenStable && moved == 0L) converged = true
+      val summary = census.result()
+        .toDF("rk", "cluster_id", "n", "inertia")
+        .orderBy("rk", "cluster_id")
+      // the summary is already driver-sized, and the returned
+      // assignments recompute through their lineage (local centroid
+      // relation over the source scan) if consumed later
+      Train(summary, assign, trace.result(), converged)
+    } finally {
+      if (assign != null) assign.unpersist()
+      pts.unpersist()
     }
-    val summary = census.result()
-      .toDF("rk", "cluster_id", "n", "inertia")
-      .orderBy("rk", "cluster_id")
-    // release internal state: the summary is already driver-sized, and
-    // the returned assignments recompute through their lineage (local
-    // centroid relation over the source scan) if consumed later
-    assign.unpersist()
-    pts.unpersist()
-    Train(summary, assign, trace.result(), converged)
   }
 }

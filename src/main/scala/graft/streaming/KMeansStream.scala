@@ -48,57 +48,69 @@ final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
   def centroids: Seq[(Long, Int, Long)] = cent
   def stats: Seq[BatchStat] = statsB.result()
 
-  private def quantized(batch: DataFrame): DataFrame = batch
-    .select(col("vec_id"),
-      expr("transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT))").as("qv"))
-    .select(col("vec_id"), posexplode(col("qv")).as(Seq("d0", "val")))
-    .select(col("vec_id"), (col("d0") + 1).as("dim"), col("val"))
-
-  /** Fold one micro-batch; returns its drift row (n = 0 for an empty
-    * batch — state untouched). Thread-safe under Structured Streaming's
-    * serial foreachBatch contract (one invocation at a time). */
+  /** Fold one micro-batch; returns its drift row. An EMPTY batch —
+    * including an empty FIRST batch, which a file/kafka source can
+    * trigger before data lands — is a recorded no-op (n = 0, state and
+    * seeds untouched; seeding waits for the first non-empty batch).
+    * The first NON-EMPTY batch must carry ≥ k vectors to seed.
+    * Thread-safe under Structured Streaming's serial foreachBatch
+    * contract (one invocation at a time). */
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): BatchStat = {
     import spark.implicits._
-    val q = quantized(batch)
     val seeding = cent.isEmpty
+    // one driver read of the id set: the empty-batch gate and (when
+    // seeding) the seed choice — ids only, never vectors
+    val ids = if (seeding) batch.select("vec_id").as[Long].collect().sorted
+              else null
+    if (seeding && (ids == null || ids.isEmpty)) {
+      val stat = BatchStat(batchId, 0L, 0L, 0L)
+      statsB += stat
+      return stat
+    }
+    val q = graft.llm.KMeans.quantizedLong(batch, dims)
     val pts =
       if (!seeding) q
       else {
-        // first batch: the k lowest vec_ids seed the centroids, the rest
-        // of the batch are the first folded points
-        val seedIds = batch.select("vec_id").as[Long].collect().sorted.take(k)
-        require(seedIds.length == k, s"first batch carries ${seedIds.length} < $k vectors")
+        // first non-empty batch: the k lowest vec_ids seed the
+        // centroids, the rest of the batch are the first folded points
+        val seedIds = ids.take(k)
+        require(seedIds.length == k,
+          s"first non-empty batch carries ${seedIds.length} < $k vectors — cannot seed")
         cent = q.where(col("vec_id").isInCollection(seedIds.toSeq))
           .select(col("vec_id"), col("dim"), col("val"))
           .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
         q.where(!col("vec_id").isInCollection(seedIds.toSeq))
       }
-    val assign = graft.llm.KMeans.assignTo(spark, pts, cent)
-    // one distributed pass: per (cid, dim) shifted sums ride the same
-    // join; counts and inertia come from the assignment frame
-    val folds = pts.join(assign.select("vec_id", "cid"), "vec_id")
-      .groupBy("cid", "dim")
-      .agg(sum(col("val") + lit(10000L)).as("s"), count(lit(1)).as("n"))
-      .as[(Long, Int, Long, Long)].collect()
-    val agg = assign.agg(count(lit(1)), coalesce(sum("dist"), lit(0L)))
-      .as[(Long, Long)].head()
-    folds.foreach { case (cid, dim, s, _) =>
-      cumSum.updateWith((cid, dim))(prev => Some(prev.getOrElse(0L) + s))
-    }
-    folds.groupBy(_._1).foreach { case (cid, rows) =>
-      cumN.updateWith(cid)(prev => Some(prev.getOrElse(0L) + rows.head._4))
-    }
-    val next = cent.map { case (cid, dim, old) =>
-      val n = cumN.getOrElse(cid, 0L)
-      val v = if (n == 0L) old
-              else Math.floorDiv(cumSum.getOrElse((cid, dim), 0L), n) - 10000L
-      (cid, dim, v)
-    }
-    val moved = next.zip(cent).count { case (a, b) => a._3 != b._3 }
-    cent = next
-    val stat = BatchStat(batchId, agg._1, agg._2, moved.toLong)
-    statsB += stat
-    stat
+    // assignment persisted for the batch: the fold and the stat read
+    // both consume it, and without the pin the whole quantize +
+    // broadcast-join + agg lineage would execute twice per batch
+    // (review r15 — the drain was paying ~2× per micro-batch)
+    val assign = graft.llm.KMeans.assignTo(spark, pts, cent).persist()
+    try {
+      val folds = pts.join(assign.select("vec_id", "cid"), "vec_id")
+        .groupBy("cid", "dim")
+        .agg(sum(col("val") + lit(10000L)).as("s"), count(lit(1)).as("n"))
+        .as[(Long, Int, Long, Long)].collect()
+      val agg = assign.agg(count(lit(1)), coalesce(sum("dist"), lit(0L)))
+        .as[(Long, Long)].head()
+      folds.foreach { case (cid, dim, s, _) =>
+        cumSum.updateWith((cid, dim))(prev => Some(prev.getOrElse(0L) + s))
+      }
+      folds.groupBy(_._1).foreach { case (cid, rows) =>
+        cumN.updateWith(cid)(prev => Some(prev.getOrElse(0L) + rows.head._4))
+      }
+      val next = cent.map { case (cid, dim, old) =>
+        val n = cumN.getOrElse(cid, 0L)
+        val v = if (n == 0L) old
+                else Math.floorDiv(cumSum.getOrElse((cid, dim), 0L), n) - 10000L
+        (cid, dim, v)
+      }
+      val moved = next.zip(cent).count { case (a, b) => a._3 != b._3 }
+      cent = next
+      val stat = BatchStat(batchId, agg._1, agg._2, moved.toLong)
+      statsB += stat
+      stat
+    } finally assign.unpersist()
   }
 }
 
@@ -113,7 +125,7 @@ object KMeansStream {
     val q = vecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (!b.isEmpty) { model.applyBatch(spark, b, id) }; ()
+        model.applyBatch(spark, b, id); ()
       }.start()
     q.awaitTermination()
     model

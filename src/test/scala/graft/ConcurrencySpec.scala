@@ -32,6 +32,16 @@ class ConcurrencySpec extends SparkSpec {
     } finally Catalog.planCacheEnabled = cacheWas
   }
 
+  test("Pipeline.concurrent: duplicate task names are rejected upfront, null results carried") {
+    val e = intercept[IllegalArgumentException](Pipeline.concurrent(spark,
+      Seq[(String, SparkSession => Int)]("a" -> (_ => 1), "a" -> (_ => 2)), 2))
+    assert(e.getMessage.contains("duplicate task names"))
+    // a legitimately-null result must come back as null, not crash the runner
+    val r = Pipeline.concurrent(spark,
+      Seq[(String, SparkSession => String)]("n" -> (_ => null), "s" -> (_ => "x")), 2)
+    assert(r("n") == null && r("s") == "x")
+  }
+
   test("Pipeline.concurrent: a task failure is rethrown, not swallowed") {
     val tasks: Seq[(String, SparkSession => Int)] = Seq(
       "ok" -> (_ => 1),

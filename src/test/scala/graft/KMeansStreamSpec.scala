@@ -56,4 +56,18 @@ class KMeansStreamSpec extends SparkSpec {
     // driver state is index-sized: k × dims centroid components
     assert(streamed.centroids.size == 8 * 64)
   }
+
+  test("an empty first batch is a recorded no-op; seeding waits for data") {
+    val vecs = Catalog.load(spark, sf0001, "embeddings")
+      .select("vec_id", "embedding")
+    val withEmpty = new streaming.MiniBatchKMeans(8, 64)
+    withEmpty.applyBatch(spark, vecs.where(org.apache.spark.sql.functions.lit(false)), 0L)
+    assert(withEmpty.centroids.isEmpty, "an empty batch must not seed")
+    assert(withEmpty.stats == Seq(withEmpty.BatchStat(0L, 0L, 0L, 0L)))
+    withEmpty.applyBatch(spark, vecs, 1L)
+    val direct = new streaming.MiniBatchKMeans(8, 64)
+    direct.applyBatch(spark, vecs, 0L)
+    assert(withEmpty.centroids == direct.centroids,
+      "a leading empty batch must not change where the fold lands")
+  }
 }
