@@ -41,8 +41,20 @@ object Bench {
     * count still ships in the artifact (`total_stages`) next to this
     * constant (`protocol_stages`) and a `stage_drift` flag; a drifted
     * count is a loud plan-shape change to explain in SCALE.md, never a
-    * silent re-pricing of the bound. */
+    * silent re-pricing of the bound.
+    *
+    * The constant is TIED to the suite contents it was frozen over
+    * (ADVICE r15 #4): [[ProtocolQueryCount]] pins the q-inventory size,
+    * ContractSpec asserts SparkEntry's live q-count against it, and the
+    * gate refuses to price a bound from a mismatched inventory — so
+    * adding/removing a q query fails the test suite (forcing a
+    * deliberate re-freeze argued in BASELINE.md) instead of silently
+    * gating a 47-query suite against a 46-query constant. */
   val ProtocolStages = 134
+
+  /** The q-suite size [[ProtocolStages]] was frozen over. Change BOTH
+    * together, with the re-freeze argued in BASELINE.md. */
+  val ProtocolQueryCount = 46
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -292,7 +304,15 @@ object Bench {
         val drift = totalStages != ProtocolStages
         if (drift) System.err.println(
           s"[bench] stage-count DRIFT: measured $totalStages vs protocol $ProtocolStages — explain the plan change in SCALE.md")
-        val bound = paired.map(p => 2.0 * (p + ProtocolStages * stageMs / 1000.0))
+        // a changed q inventory invalidates the frozen constant: refuse
+        // to price a bound from it (null gate, loud) rather than gate
+        // an N-query suite against the 46-query freeze (ADVICE r15 #4)
+        val inventoryOk = names.length == ProtocolQueryCount
+        if (!inventoryOk) System.err.println(
+          s"[bench] q inventory is ${names.length} queries, protocol froze $ProtocolQueryCount — re-freeze ProtocolStages/ProtocolQueryCount (BASELINE.md) before gating")
+        val bound =
+          if (!inventoryOk) None
+          else paired.map(p => 2.0 * (p + ProtocolStages * stageMs / 1000.0))
         s""","total_stages":$totalStages,"protocol_stages":$ProtocolStages,"stage_drift":$drift$stableJs,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
       } else if (countStages)
         s""","total_stages":$totalStages$stableJs,"stage_ms":${"%.1f".format(stageMs)}"""

@@ -79,7 +79,15 @@ object Pipeline {
         var t = queue.poll()
         while (t != null && err.get() == null) {
           try out(t) = tasks(t)._2(spark)
-          catch { case e: Throwable => err.compareAndSet(null, e) }
+          catch { case e: Throwable =>
+            err.compareAndSet(null, e)
+            // record-and-continue is for NonFatal failures only: a
+            // fatal VM error (OOM, StackOverflow) means the JVM may be
+            // corrupted — stop THIS worker immediately rather than
+            // draining more tasks under it (ADVICE r15 #2; err is set,
+            // so the other workers stop claiming queued tasks too)
+            if (!scala.util.control.NonFatal(e)) throw e
+          }
           t = queue.poll()
         }
       }, s"graft-conc-$i")

@@ -63,8 +63,9 @@ object StageCounter {
     * warm (over — fan-out the suite doesn't have), a bare-RDD 8-task
     * one 17 ms (under — no SQL planning/codegen/collect in the loop).
     * The SQL probe prices everything a real suite query pays per
-    * stage except its data. 7 reps after one warm rep; the whole
-    * measurement costs well under a second. */
+    * stage except its data. 7 reps after one warm rep, each rep
+    * individually quiesced for its stage count; the whole measurement
+    * costs ~1.5 s, once per bench run, outside every timed window. */
   def stageMs(spark: org.apache.spark.sql.SparkSession,
               reps: Int = 7): Double = {
     // spark.sql, not the DataFrame API: every suite query pays the SQL
@@ -84,21 +85,34 @@ object StageCounter {
     // shuffle config its executed-stage count can differ, silently
     // mispricing stage_ms and hence the gate bound (ADVICE r14 #3).
     // Count the probe's own stages with the same listener the suite
-    // uses and divide by the observed per-rep count; an unstable or
-    // zero delta falls back to the design constant 2, loudly.
+    // uses. PER-REP deltas, each rep quiesced individually, and ALL
+    // reps must agree (ADVICE r15 #3): the old aggregate
+    // delta-divisible-by-reps check was blind to a concurrent job on
+    // the shared SparkContext whose stage count happened to divide by
+    // reps — a per-rep foreign stage would now have to land inside
+    // EVERY rep's quiesced window with the same count to pass
+    // unnoticed. Any disagreement or zero delta falls back to the
+    // design constant 2, loudly. The per-rep quiesce costs ~150 ms
+    // each (~1.3 s total) — once per bench run, outside every timed
+    // window.
     val probeCounter = new StageCounter
     spark.sparkContext.addSparkListener(probeCounter)
     try {
       once() // warm the probe's own codegen
-      probeCounter.quiesce()
-      val s0 = probeCounter.snapshot._1
-      val ts = Seq.fill(reps)(once()).sorted
-      val delta = probeCounter.quiesce()._1 - s0
+      val repStats = Seq.fill(reps) {
+        probeCounter.quiesce(150)
+        val s0 = probeCounter.snapshot._1
+        val t = once()
+        val d = probeCounter.quiesce(150)._1 - s0
+        (t, d)
+      }
+      val ts = repStats.map(_._1).sorted
+      val counts = repStats.map(_._2).distinct
       val perRep =
-        if (delta > 0 && delta % reps == 0) delta / reps
+        if (counts.length == 1 && counts.head > 0) counts.head
         else {
           System.err.println(
-            s"[stage-probe] stage delta $delta not divisible by $reps reps — falling back to design count 2")
+            s"[stage-probe] per-rep stage counts disagree (${repStats.map(_._2).mkString(",")}) — concurrent jobs in flight? falling back to design count 2")
           2
         }
       if (perRep != 2)

@@ -29,8 +29,12 @@ import org.apache.spark.sql.functions._
   * O(batch), never O(corpus). Driver state is the cumulative (cid, dim)
   * sum/count table: k × dims longs — the same index-sized ceiling as
   * the batch loop's driver-held centroids; nothing grows with stream
-  * length. Seeds = the k lowest vec_ids of the FIRST batch (the batch
-  * pair's lowest-id convention), deterministic on an ordered replay.
+  * length. Seeds = the k lowest DISTINCT vec_ids of the FIRST
+  * non-empty batch (the batch pair's lowest-id convention),
+  * deterministic on an ordered replay; the seed read is
+  * orderBy(vec_id).limit(k) — O(k) ids to the driver, never the
+  * batch's id set (review r16: the old full-batch id collect was the
+  * one corpus-shaped collect left in src/main).
   */
 final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
 
@@ -58,11 +62,19 @@ final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
   def applyBatch(spark: SparkSession, batch: DataFrame, batchId: Long): BatchStat = {
     import spark.implicits._
     val seeding = cent.isEmpty
-    // one driver read of the id set: the empty-batch gate and (when
-    // seeding) the seed choice — ids only, never vectors
-    val ids = if (seeding) batch.select("vec_id").as[Long].collect().sorted
-              else null
-    if (seeding && (ids == null || ids.isEmpty)) {
+    // one BOUNDED driver read: the k lowest distinct vec_ids double as
+    // the empty-batch gate and (when seeding) the seed choice —
+    // orderBy + limit(k), so the driver sees O(k) ids whatever the
+    // batch size (a production first batch can be millions of rows;
+    // the pre-r16 full-id collect was corpus-shaped). distinct:
+    // duplicate vec_ids within a batch must not count twice toward the
+    // "≥ k vectors to seed" requirement (ADVICE r15 #1).
+    val seedIds: Array[Long] =
+      if (seeding)
+        batch.select("vec_id").distinct().orderBy("vec_id").limit(k)
+          .as[Long].collect()
+      else null
+    if (seeding && seedIds.isEmpty) {
       val stat = BatchStat(batchId, 0L, 0L, 0L)
       statsB += stat
       return stat
@@ -71,14 +83,19 @@ final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
     val pts =
       if (!seeding) q
       else {
-        // first non-empty batch: the k lowest vec_ids seed the
-        // centroids, the rest of the batch are the first folded points
-        val seedIds = ids.take(k)
+        // first non-empty batch: the k lowest distinct vec_ids seed
+        // the centroids, the rest of the batch are the first folded
+        // points
         require(seedIds.length == k,
-          s"first non-empty batch carries ${seedIds.length} < $k vectors — cannot seed")
+          s"first non-empty batch carries ${seedIds.length} < $k distinct vectors — cannot seed")
         cent = q.where(col("vec_id").isInCollection(seedIds.toSeq))
           .select(col("vec_id"), col("dim"), col("val"))
           .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+        // a duplicate seed ROW (same vec_id twice in one batch) would
+        // silently double a centroid's components — vec_id is a key by
+        // contract, assert it where the violation would corrupt state
+        require(cent.size == k * dims,
+          s"seed rows yield ${cent.size} centroid components, expected ${k * dims} — duplicate seed vec_ids in the first batch?")
         q.where(!col("vec_id").isInCollection(seedIds.toSeq))
       }
     // assignment persisted for the batch: the fold and the stat read

@@ -29,6 +29,20 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  // The gate bound prices the FROZEN ProtocolStages=134 constant, which
+  // is only meaningful for the exact q inventory it was frozen over.
+  // This test makes an inventory change fail HERE (forcing a deliberate
+  // re-freeze of ProtocolStages + ProtocolQueryCount, argued in
+  // BASELINE.md) instead of only flagging stage_drift at bench time
+  // (ADVICE r15 #4).
+  test("gate freeze: q inventory size matches Bench.ProtocolQueryCount") {
+    val qCount = SparkEntry.queries.keys.count(_.startsWith("q"))
+    assert(qCount == Bench.ProtocolQueryCount,
+      s"q inventory is $qCount queries but ProtocolStages was frozen over " +
+        s"${Bench.ProtocolQueryCount} — re-freeze both constants in Bench " +
+        "and amend BASELINE.md")
+  }
+
   // Output-type discipline gate (VERDICT r8 #3): Spark types
   // `BIGINT * 1.0 / BIGINT` as DECIMAL(28,6) while DuckDB yields DOUBLE,
   // and the driver canonicalizes decimal columns differently from double
