@@ -335,6 +335,48 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // The empty-cluster regime EXECUTED, not just documented (VERDICT r15
+  // #3): the contract corpus never empties a cluster, so this plants a
+  // 1-D fixture that does — and on which drop-out (KMeans.scala:104
+  // contract) and the streaming twin's retain-at-last-position produce
+  // DIFFERENT answers, so a regression to either semantic fails here.
+  //   seeds:  c0=0, c1=1, c2=40, c3=60 (vec_id 0..3)
+  //   points: 35 ×9, one at 50, one at 0.4, one at 1.2 (vec_id 4..15)
+  // Round 0 assignment: the 50-point ties c2/c3 exactly ((50−40)² =
+  // (50−60)²) and the tie breaks to the LOWER cid → c2; nothing reaches
+  // c3 → round 1's update emits no c3 rows → c3 drops out. Round 1
+  // reassignment: c2 moved to mean(35×9, 50) = 36.5, and the 50-point
+  // would now PREFER a retained c3 at 60 ((50−60)² = 100 < (50−36.5)² =
+  // 182.25) — under drop-out it cannot, nothing moves, and the loop
+  // converges in one round. Retention semantics would instead move the
+  // point to c3 in round 1 (moved = 1) and run a round 2: every
+  // assertion below distinguishes the two.
+  test("x341 k-means: an emptied cluster DROPS OUT and cannot recapture (planted fixture)") {
+    import spark.implicits._
+    val rows: Seq[(Long, Array[Float])] =
+      Seq(0L -> Array(0f), 1L -> Array(1f), 2L -> Array(40f), 3L -> Array(60f)) ++
+        (4L to 12L).map(i => i -> Array(35f)) ++
+        Seq(13L -> Array(50f), 14L -> Array(0.4f), 15L -> Array(1.2f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val t = llm.KMeans.train(emb, k = 4, dims = 1, maxIters = 3)
+    assert(t.converged && t.rounds.map(r => (r.round, r.moved)) == Seq((1, 0L)),
+      s"drop-out converges in one zero-mover round; retention would move the " +
+        s"tied point to c3 and keep going — got ${t.rounds}")
+    val census = t.summary.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the census keeps REPORTING the dropped cluster, with n = 0
+    assert(census.contains((1L, 3L, 0L, 0L)),
+      s"round-1 census must carry (c3, n=0, inertia=0): ${census.toSeq}")
+    assert(census.filter(_._2 == 2L).map(_._3).toSeq == Seq(10L),
+      "c2 keeps all nine 35-points AND the tied 50-point")
+    // the tied point stays in c2: a retained c3 at 60 would be closer
+    val cid13 = t.assignments.where(org.apache.spark.sql.functions.col("vec_id") === 13L)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    assert(cid13 == Seq(2L),
+      s"vec 13 must stay in the surviving c2 under drop-out, got $cid13")
+    assert(t.assignments.where(org.apache.spark.sql.functions.col("cid") === 3L).count() == 0L)
+  }
+
   test("x339 persistWindows release hook drops the window cache (ADVICE r14 #2)") {
     import org.apache.spark.sql.functions._
     val docs = Catalog.load(spark, sf0001, "documents")
