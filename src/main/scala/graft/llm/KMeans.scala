@@ -62,9 +62,14 @@ object KMeans {
     *                     source lineage when consumed after training
     *                     (internal caches are released before return)
     * @param rounds      the convergence trace
-    * @param converged   true iff the last round moved zero points */
+    * @param converged   true iff the last round moved zero points
+    * @param centroids   the final centroid table (cid, dim, val) —
+    *                     k×dims quantized longs, the train-once artifact
+    *                     [[graft.llm.IndexStore.saveCentroids]] persists
+    *                     and [[resume]] / the streaming twin reload */
   final case class Train(summary: DataFrame, assignments: DataFrame,
-                         rounds: Seq[Round], converged: Boolean)
+                         rounds: Seq[Round], converged: Boolean,
+                         centroids: Seq[(Long, Int, Long)])
 
   /** THE quantized long-format projection (vec_id, dim, val), 1-based
     * dims, truncated to the first `dims` components — the single source
@@ -115,6 +120,33 @@ object KMeans {
             stopWhenStable: Boolean = true): Train = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // initial centroids: the k lowest vec_ids, driver-held (k × dims)
+    val init: Seq[(Long, Int, Long)] =
+      quantizedLong(emb, dims).where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("dim"), col("val"))
+        .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+    run(emb, init, k, dims, maxIters, stopWhenStable)
+  }
+
+  /** Resume training from a persisted centroid table (the
+    * train-once/serve-many shape, VERDICT r15 #5): rounds continue from
+    * `centroids` exactly where a longer [[train]] would have been —
+    * train(maxIters = a) → save → load → resume(maxIters = b)
+    * reproduces train(maxIters = a + b)'s later rounds bit-for-bit
+    * (IndexStoreSpec pins it). Round numbering restarts at 1; the
+    * caller owns the global round offset. */
+  def resume(emb: DataFrame, centroids: Seq[(Long, Int, Long)],
+             k: Int = 8, dims: Int = 64, maxIters: Int = 3,
+             stopWhenStable: Boolean = true): Train = {
+    require(centroids.nonEmpty, "resume needs a non-empty centroid table")
+    run(emb, centroids.sortBy(c => (c._1, c._2)), k, dims, maxIters,
+      stopWhenStable)
+  }
+
+  private def run(emb: DataFrame, initial: Seq[(Long, Int, Long)], k: Int,
+                  dims: Int, maxIters: Int, stopWhenStable: Boolean): Train = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val pts = quantizedPoints(emb, k, dims)
       .repartition(col("vec_id")) // the ONE corpus shuffle, amortized over all rounds
       .persist()
@@ -123,11 +155,7 @@ object KMeans {
     // document): every persisted handle is released on EVERY exit path
     var assign: DataFrame = null
     try {
-      // initial centroids: the k lowest vec_ids, driver-held (k × dims)
-      var cent: Seq[(Long, Int, Long)] =
-        quantizedLong(emb, dims).where(col("vec_id") < k)
-          .select(col("vec_id").as("cid"), col("dim"), col("val"))
-          .as[(Long, Int, Long)].collect().sortBy(c => (c._1, c._2)).toSeq
+      var cent: Seq[(Long, Int, Long)] = initial
       val clusterIds = cent.map(_._1).distinct.sorted
 
       assign = assignTo(spark, pts, cent).persist()
@@ -170,7 +198,7 @@ object KMeans {
       // the summary is already driver-sized, and the returned
       // assignments recompute through their lineage (local centroid
       // relation over the source scan) if consumed later
-      Train(summary, assign, trace.result(), converged)
+      Train(summary, assign, trace.result(), converged, cent)
     } finally {
       if (assign != null) assign.unpersist()
       pts.unpersist()

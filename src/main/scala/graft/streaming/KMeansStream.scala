@@ -52,6 +52,25 @@ final class MiniBatchKMeans(val k: Int = 8, val dims: Int = 64) {
   def centroids: Seq[(Long, Int, Long)] = cent
   def stats: Seq[BatchStat] = statsB.result()
 
+  /** Pre-seed from a persisted centroid table
+    * ([[graft.llm.IndexStore.loadCentroids]] / [[graft.llm.KMeans.Train.centroids]])
+    * instead of the first batch's k lowest ids — the
+    * train-once/serve-many shape (VERDICT r15 #5). Must precede the
+    * first folded batch; with seeds present EVERY row of every batch
+    * folds (no rows are consumed as seeds). Cumulative state still
+    * starts empty, so a pre-seeded centroid is retained at its loaded
+    * position until first fed and then becomes the mean of its fed
+    * points — exactly the first-batch-seeding semantics for the seed
+    * rows themselves (IndexStoreSpec pins the equivalence). */
+  def seed(centroids: Seq[(Long, Int, Long)]): Unit = {
+    require(cent.isEmpty && cumSum.isEmpty && cumN.isEmpty,
+      "seed() must precede the first folded batch")
+    val s = centroids.sortBy(c => (c._1, c._2))
+    require(s.size == k * dims && s.map(_._1).distinct.size == k,
+      s"seed table must carry k×dims = ${k * dims} components over $k distinct cids, got ${s.size}")
+    cent = s
+  }
+
   /** Fold one micro-batch; returns its drift row. An EMPTY batch —
     * including an empty FIRST batch, which a file/kafka source can
     * trigger before data lands — is a recorded no-op (n = 0, state and
@@ -135,10 +154,14 @@ object KMeansStream {
 
   /** Drain a bounded embedding stream through a fresh model; returns it
     * with all batches folded. The caller's `writeStream.foreachBatch`
-    * shape, packaged for the bench/spec replays. */
+    * shape, packaged for the bench/spec replays. `seeds` pre-seeds the
+    * model from a persisted centroid table (IndexStore) — the
+    * serve-many shape; None keeps first-batch seeding. */
   def drain(spark: SparkSession, vecs: DataFrame, k: Int = 8,
-            dims: Int = 64): MiniBatchKMeans = {
+            dims: Int = 64,
+            seeds: Option[Seq[(Long, Int, Long)]] = None): MiniBatchKMeans = {
     val model = new MiniBatchKMeans(k, dims)
+    seeds.foreach(model.seed)
     val q = vecs.writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
