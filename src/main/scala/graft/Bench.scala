@@ -12,13 +12,17 @@ import org.apache.spark.sql.SparkSession
   *
   * The artifact also carries measurement-integrity fields (VERDICT r7
   * #1 and #6):
-  *  - `duckdb_paired_total` / `paired_ratio`: the DuckDB suite re-run
-  *    in THIS container, immediately before and after the Spark timed
-  *    suite (tools/rebaseline.py, BASELINE.md protocol), so the gate
-  *    ratio is apples-to-apples and container-floor drift (the r6→r7
-  *    0.73×→0.97× swing) can never masquerade as a plan regression.
-  *    BASELINE.md's frozen numbers stay as the historical anchor.
-  *    Null when the driver-side python/duckdb is unavailable.
+  *  - `duckdb_paired_total` / `paired_ratio`: the DuckDB suite
+  *    co-measured in THIS container. Since r16 the primary pairing is
+  *    INTERLEAVED per query (tools/paired_duck.py, `paired_mode:
+  *    "interleaved"`, per-query medians in `duckdb_queries`): each
+  *    query's oracle is timed immediately after that query's Spark
+  *    reps, so a load spike inside the Spark window moves both engines
+  *    together — the pre/post bracket passes (tools/rebaseline.py, the
+  *    r7–r15 protocol) stay in the artifact as the historical series
+  *    and the fallback. BASELINE.md's frozen numbers stay as the
+  *    historical anchor. Null when the driver-side python/duckdb is
+  *    unavailable.
   *  - `floor_ms`: the task-launch floor — median wall time of a 32-task
   *    no-op job (range→count, no IO) on the warm session. Per-query
   *    times below ~2× this floor (q01/q29/q37's class) measure the
@@ -190,6 +194,22 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PAIRED").contains("off")) None
       else PairedControl.qControl(sfDir)
     val duckPre = pairedPass()
+    // Interleaved per-query pairing (VERDICT r15 #2): a long-lived warm
+    // DuckDB worker times each query's oracle median-of-3 IMMEDIATELY
+    // after that query's Spark reps, so the control samples the same
+    // instants as the suite instead of bracketing a ~30 s window with
+    // two ~1 s blocks (r15's 6.63×→7.2× normalized drift question and
+    // its one RED bracket row are exactly the under-sampling this
+    // closes). The gate's paired term prefers the interleaved total;
+    // the pre/post bracket passes stay in the artifact as the
+    // historical series and the fallback when python/duckdb is absent.
+    // Sequential q-suite only — the same scope as the gate itself.
+    val duckWorker =
+      if (threads <= 1 && prefix == "q" &&
+          !sys.env.get("SPARK_GRAFT_PAIRED").contains("off"))
+        PairedControl.interleaved(sfDir, names)
+      else None
+    val duckQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Heavy-op budget for non-q sets (never silent: the artifact names
     // every op it applied to in "single_rep"): once an op's repopulate
     // run exceeds 10 s, its median-of-3 would cost > 40 s of wall for a
@@ -252,9 +272,13 @@ object Bench {
             }
             totalStages += delta / execs
           }
+          // the interleaved pair: the same query's oracle, timed NOW —
+          // adjacent to the Spark reps it normalizes
+          duckWorker.foreach(w => w.time(n).foreach(d => duckQ(n) = d))
           n -> ts(ts.length / 2)
         }
       }
+    duckWorker.foreach(_.close())
     // paired DuckDB pass #2: immediately after — bracketing the Spark
     // suite bounds any within-run floor drift
     val duckPost = pairedPass()
@@ -274,10 +298,24 @@ object Bench {
     val total =
       if (threads > 1) concWalls(concWalls.length / 2)._1
       else medians.collect { case (_, v) if v >= 0 => v }.sum
-    val paired = (duckPre, duckPost) match {
+    // the gate's paired term: the interleaved per-query total when the
+    // worker covered every succeeded query (sum of duck medians over
+    // the same names the Spark total sums — apples-to-apples), else
+    // the pre/post bracket mean
+    val interleavedTotal: Option[Double] = duckWorker.flatMap { _ =>
+      val okNames = medians.collect { case (k, v) if v >= 0 => k }
+      if (okNames.nonEmpty && okNames.forall(duckQ.contains))
+        Some(okNames.map(duckQ).sum)
+      else None
+    }
+    val bracket = (duckPre, duckPost) match {
       case (Some(a), Some(b)) => Some((a + b) / 2)
       case (a, b) => a.orElse(b)
     }
+    val paired = interleavedTotal.orElse(bracket)
+    val pairedMode =
+      if (interleavedTotal.isDefined) "interleaved"
+      else if (bracket.isDefined) "bracket" else "none"
     def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
     val pairedRatio = paired.map(total / _)
     val failedJs = failed.toSeq.sorted.map(n => s""""${esc(n)}"""")
@@ -317,7 +355,11 @@ object Bench {
       } else if (countStages)
         s""","total_stages":$totalStages$stableJs,"stage_ms":${"%.1f".format(stageMs)}"""
       else ""
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
+    val duckQJs =
+      if (duckQ.isEmpty) ""
+      else s""","duckdb_queries":${duckQ.map { case (k, v) =>
+        s""""${esc(k)}":${"%.5f".format(v)}""" }.mkString("{", ",", "}")},"duckdb_interleaved_total":${num(interleavedTotal)}"""
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","paired_mode":"$pairedMode","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}$duckQJs,"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
