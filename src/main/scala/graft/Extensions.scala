@@ -794,6 +794,16 @@ object Extensions {
       import org.apache.spark.sql.functions._
       graft.llm.ParagraphDedup.cleanedDocs(Catalog.load(s, dir, "documents"))
         .orderBy(desc("n_removed"), col("doc_id")).limit(15)
+    },
+
+    // Holt smoothing as a per-series fold (r16): x274's recursive CTE
+    // stays declared-verbatim for the oracle; this groupByKey+mapGroups
+    // fold is the production path (one shuffle by series + O(length)
+    // per key vs one frontier re-join per recursion step). Shares
+    // x274's oracle verbatim — bit-equal IEEE trajectories (the
+    // x341/x347 policy, closing the xops heavy-tail adjudication).
+    "x352_holt_native" -> { (s, dir) =>
+      graft.operators.Sequential.holtLinear(Catalog.load(s, dir, "events"))
     }
   )
 
@@ -1359,6 +1369,11 @@ object Extensions {
     // x347: the full-corpus paragraph-dedup apply shares the declared
     // slice's oracle verbatim (the x339 pattern).
     "x347_paragraph_dedup_native" ->
-      Queries.oracleSql("x346_paragraph_dedup_apply")
+      Queries.oracleSql("x346_paragraph_dedup_apply"),
+
+    // x352: the Holt fold lands exactly where the recursive CTE lands —
+    // one oracle text, two Spark plans (the heavy-tail adjudication).
+    "x352_holt_native" ->
+      Queries.oracleSql("x274_holt_linear")
   )
 }

@@ -102,6 +102,29 @@ object Scratch {
         f"${na.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
       spark.stop(); return
     }
+    if (args.contains("holt")) {
+      // x274 declared recursive-CTE vs x352 native fold (r16 heavy-tail
+      // adjudication): paired ALTERNATING reps, fresh plans — the §41.2
+      // protocol, because the container's wall drifts several × within
+      // minutes and an A-then-B run would mostly measure that.
+      Catalog.planCacheEnabled = false
+      def rep(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (na, de) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      (1 to 5).foreach { _ =>
+        de += rep(SparkEntry.queries("x274_holt_linear")(spark, dir).collect())
+        na += rep(SparkEntry.queries("x352_holt_native")(spark, dir).collect())
+      }
+      def medOf(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      println(f"[scratch] holt paired x5: declared med ${medOf(de.result())}%6.2f s " +
+        f"${de.result().map(x => f"$x%.2f").mkString("[", " ", "]")}  " +
+        f"native med ${medOf(na.result())}%6.2f s " +
+        f"${na.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
+      spark.stop(); return
+    }
+
     if (args.contains("bandplan")) {
       // print the banding-join physical plan over `dir` (no execution
       // of the join itself) — used to diagnose the 100× rehearsal OOM

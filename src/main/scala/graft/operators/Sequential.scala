@@ -62,4 +62,54 @@ object Sequential {
       .toDF("user_id", "final_cents", "clamps", "n_events")
       .orderBy("user_id")
   }
+
+  /** Holt double exponential smoothing per event-type daily series —
+    * the PRODUCTION twin of x274's recursive-CTE declared form (r16,
+    * closing the xops heavy tail: the declared CTE re-joins the whole
+    * frontier once per recursion STEP, ~17 s at sf0.1, where this fold
+    * pays one in-memory array step — same class as [[clampedRunningSum]],
+    * and the same reason: the recurrence is non-associative, so the
+    * honest distributed shape is shuffle-by-series + per-series ordered
+    * fold, parallel across event types).
+    *
+    * Bit-equality with the oracle: α = β = 0.5 evaluated in the EXACT
+    * IEEE op tree of the declared SQL (0.5·y + 0.5·(l+b) with the same
+    * association; the trend reuses the freshly computed level exactly as
+    * the CTE's inline recomputation does, which is bit-identical because
+    * it is the same op sequence), and the 4dp rounding happens in the
+    * DataFrame layer through the same `round` expression the declared
+    * form uses. Series shorter than 2 days emit nothing, matching the
+    * CTE's rn=1⋈rn=2 seeding. x352 shares x274's oracle verbatim. */
+  def holtLinear(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .select(col("event_type"),
+        expr("datediff(day, DATE'1970-01-01')").as("d"), col("y"))
+      .as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (et, it) =>
+        val ys = it.toArray.sortBy(_._2).map(_._3)
+        if (ys.length < 2) Iterator.empty
+        else {
+          var l = ys(1) * 1e0
+          var b = (ys(1) - ys(0)) * 1e0
+          var i = 2
+          while (i < ys.length) {
+            val lNew = 5e-1 * ys(i) + 5e-1 * (l + b)
+            b = 5e-1 * (lNew - l) + 5e-1 * b
+            l = lNew
+            i += 1
+          }
+          Iterator.single((et, ys.length.toLong, ys.last, l, b))
+        }
+      }
+      .toDF("event_type", "rn", "y", "l", "b")
+      .select(col("event_type"), col("rn"), col("y"),
+        expr("round(l, 4)").as("level"), expr("round(b, 4)").as("trend"),
+        expr("round(l + b, 4)").as("forecast_next"))
+      .orderBy("event_type")
+  }
 }

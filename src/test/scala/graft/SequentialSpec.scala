@@ -66,4 +66,28 @@ class SequentialSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq((1L, 300L, 0L), (2L, 0L, 2L)), s"got $got")
   }
+
+  test("x352 holt fold equals the x274 recursive-CTE declared form bit-for-bit") {
+    def rows(name: String) =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val declared = rows("x274_holt_linear")
+    assert(declared.nonEmpty)
+    assert(rows("x352_holt_native") == declared,
+      "the per-series fold must land on the CTE's exact IEEE trajectory")
+  }
+
+  test("holt fold: a single-day series emits nothing (the CTE's rn=1⋈rn=2 seeding)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "only", 0.0),
+      (2L, "2024-01-01 10:00:00", 2L, "pair", 0.0),
+      (3L, "2024-01-02 10:00:00", 3L, "pair", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Sequential.holtLinear(df).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(("pair", 2L, 1.0, 0.0)), s"got ${got.toSeq}")
+  }
 }
