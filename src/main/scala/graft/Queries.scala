@@ -7655,7 +7655,217 @@ object Queries {
         |       CAST(CAST(sum(fid_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_fid_bp,
         |       CAST(min(fid_bp) AS BIGINT) AS min_fid_bp,
         |       CAST(count(*) AS BIGINT) AS n_vecs
-        |FROM f GROUP BY k ORDER BY prefix_dims""".stripMargin)
+        |FROM f GROUP BY k ORDER BY prefix_dims""".stripMargin),
+
+    // MMR re-ranking (r16, Carbonell & Goldstein SIGIR'98): the
+    // diversity-aware retrieval step between x299's recall eval and
+    // x351's miner — from the query's top-8 cosine candidates, 3 greedy
+    // picks maximizing λ·rel − (1−λ)·max-sim-to-picked (λ = 0.7, kept
+    // integer as 7·rel_bp − 3·max_bp), unrolled declaratively (the x243
+    // greedy precedent). Arithmetic is x351's discipline verbatim:
+    // exact integer dots/norms, ONE rounded sqrt per pair, ties to the
+    // lowest vec_id. Scale shape: rel is one broadcast-query pass; the
+    // pairwise block is pool×pool = 8×8 — candidate-set-sized, never
+    // corpus-sized.
+    q("x353_mmr_rerank",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |nrm AS (SELECT vec_id, cast(sum(val*val) AS BIGINT) AS n2 FROM d GROUP BY 1),
+        |dots0 AS (SELECT p.vec_id, cast(sum(p.val * c.val) AS BIGINT) AS dot
+        |          FROM (SELECT vec_id, i, val FROM d WHERE vec_id >= 1) p
+        |          JOIN (SELECT i, val FROM d WHERE vec_id = 0) c ON p.i = c.i GROUP BY 1),
+        |rel AS (SELECT dt.vec_id, cast(round(dt.dot / (sqrt(cast(nv.n2 AS DOUBLE)) * sqrt(cast(n0.n2 AS DOUBLE))) * 10000) AS BIGINT) AS rel_bp
+        |        FROM dots0 dt JOIN nrm nv ON nv.vec_id = dt.vec_id
+        |        CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) n0),
+        |pool AS (SELECT vec_id, rel_bp FROM rel ORDER BY rel_bp DESC, vec_id LIMIT 8),
+        |pd AS (SELECT d.vec_id, d.i, d.val FROM d JOIN pool ON pool.vec_id = d.vec_id),
+        |pp AS (SELECT x.vec_id AS a, y.vec_id AS b, cast(sum(x.val*y.val) AS BIGINT) AS dot
+        |       FROM pd x JOIN pd y ON x.i = y.i AND x.vec_id <> y.vec_id GROUP BY 1, 2),
+        |psim AS (SELECT pp.a, pp.b, cast(round(pp.dot / (sqrt(cast(na.n2 AS DOUBLE)) * sqrt(cast(nb.n2 AS DOUBLE))) * 10000) AS BIGINT) AS sim_bp
+        |         FROM pp JOIN nrm na ON na.vec_id = pp.a JOIN nrm nb ON nb.vec_id = pp.b),
+        |p1 AS (SELECT vec_id, rel_bp FROM pool ORDER BY rel_bp DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT c.vec_id, c.rel_bp, s.sim_bp AS mx
+        |       FROM pool c CROSS JOIN p1
+        |       JOIN psim s ON s.a = c.vec_id AND s.b = p1.vec_id
+        |       WHERE c.vec_id <> p1.vec_id),
+        |p2 AS (SELECT vec_id, rel_bp, 7*rel_bp - 3*mx AS mmr FROM c2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT c.vec_id, c.rel_bp, max(s.sim_bp) AS mx
+        |       FROM pool c CROSS JOIN p1 CROSS JOIN p2
+        |       JOIN psim s ON s.a = c.vec_id AND (s.b = p1.vec_id OR s.b = p2.vec_id)
+        |       WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+        |       GROUP BY c.vec_id, c.rel_bp),
+        |p3 AS (SELECT vec_id, rel_bp, 7*rel_bp - 3*mx AS mmr FROM c3 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT cast(1 AS BIGINT) AS rnk, vec_id, rel_bp, 7*rel_bp AS mmr_bp FROM p1
+        |UNION ALL SELECT cast(2 AS BIGINT), vec_id, rel_bp, mmr FROM p2
+        |UNION ALL SELECT cast(3 AS BIGINT), vec_id, rel_bp, mmr FROM p3
+        |ORDER BY rnk""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |nrm AS (SELECT vec_id, CAST(sum(val*val) AS BIGINT) AS n2 FROM d GROUP BY 1),
+        |dots0 AS (SELECT p.vec_id, CAST(sum(p.val * c.val) AS BIGINT) AS dot
+        |          FROM (SELECT vec_id, i, val FROM d WHERE vec_id >= 1) p
+        |          JOIN (SELECT i, val FROM d WHERE vec_id = 0) c ON p.i = c.i GROUP BY 1),
+        |rel AS (SELECT dt.vec_id, CAST(round(dt.dot / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(n0.n2 AS DOUBLE))) * 10000) AS BIGINT) AS rel_bp
+        |        FROM dots0 dt JOIN nrm nv ON nv.vec_id = dt.vec_id
+        |        CROSS JOIN (SELECT n2 FROM nrm WHERE vec_id = 0) n0),
+        |pool AS (SELECT vec_id, rel_bp FROM rel ORDER BY rel_bp DESC, vec_id LIMIT 8),
+        |pd AS (SELECT d.vec_id, d.i, d.val FROM d JOIN pool ON pool.vec_id = d.vec_id),
+        |pp AS (SELECT x.vec_id AS a, y.vec_id AS b, CAST(sum(x.val*y.val) AS BIGINT) AS dot
+        |       FROM pd x JOIN pd y ON x.i = y.i AND x.vec_id <> y.vec_id GROUP BY 1, 2),
+        |psim AS (SELECT pp.a, pp.b, CAST(round(pp.dot / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) * 10000) AS BIGINT) AS sim_bp
+        |         FROM pp JOIN nrm na ON na.vec_id = pp.a JOIN nrm nb ON nb.vec_id = pp.b),
+        |p1 AS (SELECT vec_id, rel_bp FROM pool ORDER BY rel_bp DESC, vec_id LIMIT 1),
+        |c2 AS (SELECT c.vec_id, c.rel_bp, s.sim_bp AS mx
+        |       FROM pool c CROSS JOIN p1
+        |       JOIN psim s ON s.a = c.vec_id AND s.b = p1.vec_id
+        |       WHERE c.vec_id <> p1.vec_id),
+        |p2 AS (SELECT vec_id, rel_bp, 7*rel_bp - 3*mx AS mmr FROM c2 ORDER BY mmr DESC, vec_id LIMIT 1),
+        |c3 AS (SELECT c.vec_id, c.rel_bp, max(s.sim_bp) AS mx
+        |       FROM pool c CROSS JOIN p1 CROSS JOIN p2
+        |       JOIN psim s ON s.a = c.vec_id AND (s.b = p1.vec_id OR s.b = p2.vec_id)
+        |       WHERE c.vec_id <> p1.vec_id AND c.vec_id <> p2.vec_id
+        |       GROUP BY c.vec_id, c.rel_bp),
+        |p3 AS (SELECT vec_id, rel_bp, 7*rel_bp - 3*mx AS mmr FROM c3 ORDER BY mmr DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS rnk, vec_id, rel_bp, 7*rel_bp AS mmr_bp FROM p1
+        |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel_bp, mmr FROM p2
+        |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel_bp, mmr FROM p3
+        |ORDER BY rnk""".stripMargin),
+
+    // Embedding anisotropy (r16, the cone-effect diagnostic of
+    // Ethayarajh EMNLP'19): ‖Σv‖² / (n·Σ‖v‖²) in bp, per label and
+    // global — 1.0 for identical vectors, →0 for isotropically spread
+    // ones; the screen that says whether cosine similarities are
+    // informative at all before any ANN index is built on them.
+    // Arithmetic: per-dim sums and square sums are EXACT BIGINTs (the
+    // only shuffle is (grp, dim)-keyed partial sums — index-sized);
+    // the single division of two exact integers happens once per group
+    // in IEEE doubles, rounded to bp.
+    q("x354_embedding_anisotropy",
+      """WITH q AS (SELECT vec_id, label, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, i, element_at(qv, i) AS val FROM (SELECT vec_id, label, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |g AS (SELECT cast(label AS STRING) AS grp, vec_id, i, val FROM d
+        |      UNION ALL SELECT 'all', vec_id, i, val FROM d),
+        |sums AS (SELECT grp, i, cast(sum(val) AS BIGINT) AS sd FROM g GROUP BY 1, 2),
+        |s2 AS (SELECT grp, cast(sum(sd*sd) AS BIGINT) AS sq FROM sums GROUP BY 1),
+        |tn AS (SELECT grp, cast(sum(val*val) AS BIGINT) AS t, cast(count(DISTINCT vec_id) AS BIGINT) AS n FROM g GROUP BY 1)
+        |SELECT tn.grp AS grp, tn.n AS n_vecs,
+        |       cast(round(cast(s2.sq AS DOUBLE) / cast(tn.n * tn.t AS DOUBLE) * 10000) AS BIGINT) AS aniso_bp
+        |FROM s2 JOIN tn ON s2.grp = tn.grp ORDER BY grp""".stripMargin,
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, i, qv[i] AS val FROM (SELECT vec_id, label, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |g AS (SELECT CAST(label AS VARCHAR) AS grp, vec_id, i, val FROM d
+        |      UNION ALL SELECT 'all', vec_id, i, val FROM d),
+        |sums AS (SELECT grp, i, CAST(sum(val) AS BIGINT) AS sd FROM g GROUP BY 1, 2),
+        |s2 AS (SELECT grp, CAST(sum(sd*sd) AS BIGINT) AS sq FROM sums GROUP BY 1),
+        |tn AS (SELECT grp, CAST(sum(val*val) AS BIGINT) AS t, CAST(count(DISTINCT vec_id) AS BIGINT) AS n FROM g GROUP BY 1)
+        |SELECT tn.grp AS grp, tn.n AS n_vecs,
+        |       CAST(round(CAST(s2.sq AS DOUBLE) / CAST(tn.n * tn.t AS DOUBLE) * 10000) AS BIGINT) AS aniso_bp
+        |FROM s2 JOIN tn ON s2.grp = tn.grp ORDER BY grp""".stripMargin),
+
+    // Dedup-aggressiveness sweep (r16): the threshold-tuning curve a
+    // dedup decision reads BEFORE committing to x47's remove-all-repeats
+    // policy — for min_occ ∈ {2,3,5,10}, cut only documents whose
+    // normalized key repeats ≥ min_occ times (keep-first), and report
+    // docs/tokens cut and the savings in bp. One key census (the x47
+    // shuffle — hashes only, never text) feeds all four thresholds.
+    q("x355_dedup_occurrence_sweep",
+      """WITH k AS (SELECT doc_id, md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key,
+        |             cast(size(split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |r AS (SELECT key, ntok, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY key) AS occ FROM k),
+        |tot AS (SELECT cast(sum(ntok) AS BIGINT) AS toks FROM r)
+        |SELECT cast(kk AS BIGINT) AS min_occ,
+        |       cast(count(*) FILTER (WHERE rn > 1 AND occ >= kk) AS BIGINT) AS docs_cut,
+        |       cast(coalesce(sum(ntok) FILTER (WHERE rn > 1 AND occ >= kk), 0) AS BIGINT) AS tokens_cut,
+        |       (SELECT toks FROM tot) AS total_toks,
+        |       cast(coalesce(sum(ntok) FILTER (WHERE rn > 1 AND occ >= kk), 0) * 10000 div (SELECT toks FROM tot) AS BIGINT) AS savings_bp
+        |FROM r CROSS JOIN (SELECT explode(array(2, 3, 5, 10)) AS kk) GROUP BY kk ORDER BY min_occ""".stripMargin,
+      """WITH k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |r AS (SELECT key, ntok, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn,
+        |             count(*) OVER (PARTITION BY key) AS occ FROM k),
+        |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS toks FROM r)
+        |SELECT CAST(kk AS BIGINT) AS min_occ,
+        |       CAST(count(*) FILTER (WHERE rn > 1 AND occ >= kk) AS BIGINT) AS docs_cut,
+        |       CAST(coalesce(sum(ntok) FILTER (WHERE rn > 1 AND occ >= kk), 0) AS BIGINT) AS tokens_cut,
+        |       (SELECT toks FROM tot) AS total_toks,
+        |       CAST(coalesce(sum(ntok) FILTER (WHERE rn > 1 AND occ >= kk), 0) * 10000 // (SELECT toks FROM tot) AS BIGINT) AS savings_bp
+        |FROM r CROSS JOIN (SELECT unnest([2, 3, 5, 10]) AS kk) ks GROUP BY kk ORDER BY min_occ""".stripMargin),
+
+    // T5 span-corruption plan (r16, Raffel et al. JMLR'20 §3.1.4): the
+    // pretraining-batch accounting for mask rate 15% / mean span 3 —
+    // per source, masked tokens floor(n·15/100), sentinel spans
+    // ceil(masked/3), encoder length (unmasked + one sentinel per
+    // span), decoder length (masked + sentinels + EOS). Pure integer
+    // arithmetic per row + one rollup; the numbers a batch-size/packing
+    // planner consumes next to x107/x271.
+    q("x356_span_corruption_plan",
+      """WITH t AS (SELECT source, cast(size(split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT source, n, (n*15) div 100 AS masked, ((n*15) div 100 + 2) div 3 AS spans FROM t)
+        |SELECT source, cast(count(*) AS BIGINT) AS docs, cast(sum(n) AS BIGINT) AS toks,
+        |       cast(sum(masked) AS BIGINT) AS masked_toks, cast(sum(spans) AS BIGINT) AS n_spans,
+        |       cast(sum(n - masked + spans) AS BIGINT) AS enc_toks,
+        |       cast(sum(masked + spans + 1) AS BIGINT) AS dec_toks,
+        |       cast(sum(masked) * 10000 div sum(n) AS BIGINT) AS mask_bp
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH t AS (SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT source, n, (n*15) // 100 AS masked, ((n*15) // 100 + 2) // 3 AS spans FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n) AS BIGINT) AS toks,
+        |       CAST(sum(masked) AS BIGINT) AS masked_toks, CAST(sum(spans) AS BIGINT) AS n_spans,
+        |       CAST(sum(n - masked + spans) AS BIGINT) AS enc_toks,
+        |       CAST(sum(masked + spans + 1) AS BIGINT) AS dec_toks,
+        |       CAST(sum(masked) * 10000 // sum(n) AS BIGINT) AS mask_bp
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Cross-source duplication matrix (r16): WHICH sources copy from
+    // each other — x47's normalized key grouped to (source, source)
+    // pairs with shared-key and doc counts; the inter-source
+    // contamination screen that decides whether dedup must run globally
+    // or per-source suffices. Keys shuffle, never text; the matrix is
+    // source²-sized (index-sized output).
+    q("x357_cross_source_dup_matrix",
+      """WITH k AS (SELECT doc_id, source, md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |ks AS (SELECT key, source FROM k GROUP BY 1, 2),
+        |docs AS (SELECT key, source, cast(count(*) AS BIGINT) AS nd FROM k GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b, cast(count(*) AS BIGINT) AS shared_keys,
+        |       cast(sum(da.nd) AS BIGINT) AS docs_a, cast(sum(db.nd) AS BIGINT) AS docs_b
+        |FROM ks a JOIN ks b ON a.key = b.key AND a.source < b.source
+        |JOIN docs da ON da.key = a.key AND da.source = a.source
+        |JOIN docs db ON db.key = b.key AND db.source = b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      """WITH k AS (SELECT doc_id, source, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |ks AS (SELECT key, source FROM k GROUP BY 1, 2),
+        |docs AS (SELECT key, source, CAST(count(*) AS BIGINT) AS nd FROM k GROUP BY 1, 2)
+        |SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_keys,
+        |       CAST(sum(da.nd) AS BIGINT) AS docs_a, CAST(sum(db.nd) AS BIGINT) AS docs_b
+        |FROM ks a JOIN ks b ON a.key = b.key AND a.source < b.source
+        |JOIN docs da ON da.key = a.key AND da.source = a.source
+        |JOIN docs db ON db.key = b.key AND db.source = b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Temperature-sampled mixture weights (r16, the mC4/PaLM α = 0.5
+    // discipline): per-source sampling weight ∝ √tokens, the standard
+    // compromise between proportional (big sources dominate) and
+    // uniform (tiny sources over-epoch). Cross-engine float safety: ONE
+    // rounded sqrt per source into integer units, then integer-division
+    // bp shares — no float SUM ever crosses an engine boundary (a
+    // 20-double sum is order-sensitive; 20 BIGINTs are not).
+    // Proportional bp rides along as the comparison column.
+    q("x358_temperature_weights",
+      """WITH t AS (SELECT source, cast(sum(size(split(text,' '))) AS BIGINT) AS toks FROM documents GROUP BY 1),
+        |r AS (SELECT source, toks, cast(round(sqrt(cast(toks AS DOUBLE))) AS BIGINT) AS su FROM t),
+        |s AS (SELECT cast(sum(su) AS BIGINT) AS tot FROM r)
+        |SELECT source, toks, su AS sqrt_units,
+        |       cast(su * 10000 div (SELECT tot FROM s) AS BIGINT) AS w_bp,
+        |       cast(toks * 10000 div (SELECT cast(sum(toks) AS BIGINT) FROM t) AS BIGINT) AS prop_bp
+        |FROM r ORDER BY source""".stripMargin,
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks FROM documents GROUP BY 1),
+        |r AS (SELECT source, toks, CAST(round(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS su FROM t),
+        |s AS (SELECT CAST(sum(su) AS BIGINT) AS tot FROM r)
+        |SELECT source, toks, su AS sqrt_units,
+        |       CAST(su * 10000 // (SELECT tot FROM s) AS BIGINT) AS w_bp,
+        |       CAST(toks * 10000 // (SELECT CAST(sum(toks) AS BIGINT) FROM t) AS BIGINT) AS prop_bp
+        |FROM r ORDER BY source""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

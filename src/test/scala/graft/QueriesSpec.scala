@@ -127,6 +127,57 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  // round-16 additions (counts oracle-verified vs DuckDB at all three
+  // SFs when the queries were authored)
+  val expectedRowsR16: Map[String, Long] = Map(
+    "x352_holt_native" -> 5, "x353_mmr_rerank" -> 3,
+    "x354_embedding_anisotropy" -> 11, "x355_dedup_occurrence_sweep" -> 4,
+    "x356_span_corruption_plan" -> 20, "x357_cross_source_dup_matrix" -> 124,
+    "x358_temperature_weights" -> 20)
+
+  expectedRowsR16.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("x353 MMR: picks are distinct pool members, pick 1 is the relevance argmax") {
+    val rows = SparkEntry.queries("x353_mmr_rerank")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_._2).distinct.length == 3, "picks must be distinct")
+    assert(rows(0)._4 == 7 * rows(0)._3,
+      "the first pick's score is pure relevance (nothing picked yet)")
+    // diversity can only LOWER a later pick's score below 7×its rel
+    rows.drop(1).foreach { r =>
+      assert(r._4 <= 7 * r._3, s"pick ${r._1}: mmr must subtract a penalty")
+    }
+  }
+
+  test("x355 sweep: monotone in the threshold and consistent with the x47 drop list") {
+    val rows = SparkEntry.queries("x355_dedup_occurrence_sweep")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // a stricter threshold can never cut more
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-(_: Long)).toSeq,
+      s"docs_cut must be non-increasing in min_occ: ${rows.toSeq}")
+    // min_occ = 2 IS x47's policy: its docs_cut equals x47's drop count
+    val x47 = SparkEntry.queries("x47_dedup_keep_first")(spark, sf0001).count()
+    assert(rows.head._2 == x47, s"sweep@2 ${rows.head._2} vs x47 $x47")
+  }
+
+  test("x358 temperature weights: flatter than proportional, bp shares sum to ~10000") {
+    val rows = SparkEntry.queries("x358_temperature_weights")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val wSum = rows.map(_._3).sum
+    assert(wSum >= 10000L - rows.length && wSum <= 10000L,
+      s"integer-division shares under-shoot by < 1 unit each: $wSum")
+    // temperature flattening: the largest source's share shrinks, the
+    // smallest source's grows, relative to proportional
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._3 <= big._4, s"biggest source must not gain share: $big")
+    assert(small._3 >= small._4, s"smallest source must not lose share: $small")
+  }
+
   test("x332 substring-dedup apply: spans are >= one 8-token window and counts balance") {
     val rows = SparkEntry.queries("x332_substring_dedup_apply")(spark, sf0001)
       .collect()
