@@ -579,6 +579,48 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r16tier")) {
+      // Round-16 tier at 10×: the seven new entries. x352's fold must
+      // stay linear in series length (10× events = same day count per
+      // type, bigger daily y — the fold cost is day-count-shaped);
+      // x353's pairwise block stays pool²-sized whatever the corpus;
+      // x354/x355/x356/x357/x358 are census/key-shuffle shaped.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x352_holt_native", "x353_mmr_rerank", "x354_embedding_anisotropy",
+          "x355_dedup_occurrence_sweep", "x356_span_corruption_plan",
+          "x357_cross_source_dup_matrix", "x358_temperature_weights")
+        .foreach { n =>
+          val (t1, n1) = runN(sf, n)
+          val (t10, n10) = runN(out, n)
+          println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+            f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+        }
+      // invariants at 10×, not just timings: the sweep stays monotone
+      // and its min_occ=2 row still reconciles with x47's drop list;
+      // the temperature shares still conserve
+      val sw = SparkEntry.queries("x355_dedup_occurrence_sweep")(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(sw.map(_._2).toSeq == sw.map(_._2).sortBy(-(_: Long)).toSeq,
+        s"x355 at 10x: docs_cut must be non-increasing: ${sw.toSeq}")
+      val x47n = SparkEntry.queries("x47_dedup_keep_first")(spark, out).count()
+      assert(sw.head._2 == x47n, s"x355@2 ${sw.head._2} vs x47 $x47n at 10x")
+      val wsum = SparkEntry.queries("x358_temperature_weights")(spark, out)
+        .collect().map(_.getLong(3)).sum
+      assert(wsum > 9900L && wsum <= 10000L, s"x358 at 10x: shares sum $wsum")
+      println(s"[soak] r16tier invariants: x355 monotone + reconciled " +
+        s"($x47n drops), x358 shares sum $wsum")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
