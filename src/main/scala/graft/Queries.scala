@@ -7865,7 +7865,72 @@ object Queries {
         |SELECT source, toks, su AS sqrt_units,
         |       CAST(su * 10000 // (SELECT tot FROM s) AS BIGINT) AS w_bp,
         |       CAST(toks * 10000 // (SELECT CAST(sum(toks) AS BIGINT) FROM t) AS BIGINT) AS prop_bp
-        |FROM r ORDER BY source""".stripMargin)
+        |FROM r ORDER BY source""".stripMargin),
+
+    // Vocabulary coverage curve (r16): the cumulative token share the
+    // top-N most frequent words cover, for N ∈ {4,8,16,32} — the
+    // tokenizer-vocab-sizing number read against x95's vocab census and
+    // x338's Zipf slope (a steep curve says a small vocab + BPE merges
+    // suffice; a flat one says character fallback will fire often).
+    // One word census (the x13 wordcount shuffle), one ranked window
+    // over the census (vocab-sized, not corpus-sized).
+    q("x359_vocab_coverage",
+      """WITH w AS (SELECT explode(split(text,' ')) AS word FROM documents),
+        |c AS (SELECT word, cast(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk,
+        |             cast(sum(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c),
+        |tot AS (SELECT cast(sum(n) AS BIGINT) AS t, cast(count(*) AS BIGINT) AS v FROM c)
+        |SELECT cast(k AS BIGINT) AS vocab_size,
+        |       cast(max(cum) FILTER (WHERE rk <= k) AS BIGINT) AS covered_toks,
+        |       (SELECT t FROM tot) AS total_toks,
+        |       cast(max(cum) FILTER (WHERE rk <= k) * 10000 div (SELECT t FROM tot) AS BIGINT) AS coverage_bp,
+        |       (SELECT v FROM tot) AS distinct_words
+        |FROM r CROSS JOIN (SELECT explode(array(4, 8, 16, 32)) AS k)
+        |GROUP BY k ORDER BY vocab_size""".stripMargin,
+      """WITH w AS (SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        |r AS (SELECT word, n, row_number() OVER (ORDER BY n DESC, word) AS rk,
+        |             CAST(sum(n) OVER (ORDER BY n DESC, word ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v FROM c)
+        |SELECT CAST(k AS BIGINT) AS vocab_size,
+        |       CAST(max(cum) FILTER (WHERE rk <= k) AS BIGINT) AS covered_toks,
+        |       (SELECT t FROM tot) AS total_toks,
+        |       CAST(max(cum) FILTER (WHERE rk <= k) * 10000 // (SELECT t FROM tot) AS BIGINT) AS coverage_bp,
+        |       (SELECT v FROM tot) AS distinct_words
+        |FROM r CROSS JOIN (SELECT unnest([4, 8, 16, 32]) AS k) ks
+        |GROUP BY k ORDER BY vocab_size""".stripMargin),
+
+    // int8 embedding-quantization error (r16): the
+    // store-embeddings-as-int8 decision (4× index shrink vs float32)
+    // priced on the corpus — per-component symmetric quantization to
+    // the 127 grid, reconstruction error ‖v − r‖²/‖v‖² in bp per label.
+    // Arithmetic: v and the reconstruction both live on the exact
+    // 1e-4 integer grid (one deterministic IEEE division + round per
+    // component maps the int8 code back); error/energy sums are exact
+    // BIGINTs, the final ratio is integer division.
+    q("x360_int8_quant_error",
+      """WITH q AS (SELECT vec_id, label, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS vbp,
+        |               transform(embedding, x -> greatest(least(cast(round(cast(x AS DOUBLE)*127) AS BIGINT), 127), -127)) AS q8 FROM embeddings),
+        |d AS (SELECT vec_id, label, element_at(vbp, i) AS v, cast(round(element_at(q8, i) * 10000 / 127.0) AS BIGINT) AS r
+        |      FROM (SELECT vec_id, label, vbp, q8, explode(sequence(1, 64)) AS i FROM q)),
+        |per AS (SELECT vec_id, label, cast(sum((v-r)*(v-r)) AS BIGINT) AS err, cast(sum(v*v) AS BIGINT) AS n2 FROM d GROUP BY 1, 2),
+        |rel AS (SELECT vec_id, label, cast(err * 10000 div n2 AS BIGINT) AS rel_bp FROM per WHERE n2 > 0)
+        |SELECT cast(label AS BIGINT) AS label, cast(count(*) AS BIGINT) AS n_vecs,
+        |       cast(cast(sum(rel_bp) AS BIGINT) div count(*) AS BIGINT) AS mean_err_bp,
+        |       cast(max(rel_bp) AS BIGINT) AS max_err_bp
+        |FROM rel GROUP BY label ORDER BY label""".stripMargin,
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS vbp,
+        |               list_transform(embedding, x -> greatest(least(CAST(round(CAST(x AS DOUBLE)*127) AS BIGINT), 127), -127)) AS q8 FROM embeddings),
+        |d AS (SELECT vec_id, label, vbp[i] AS v, CAST(round(q8[i] * 10000 / 127.0) AS BIGINT) AS r
+        |      FROM (SELECT vec_id, label, vbp, q8, unnest(generate_series(1, 64)) AS i FROM q)),
+        |per AS (SELECT vec_id, label, CAST(sum((v-r)*(v-r)) AS BIGINT) AS err, CAST(sum(v*v) AS BIGINT) AS n2 FROM d GROUP BY 1, 2),
+        |rel AS (SELECT vec_id, label, CAST(err * 10000 // n2 AS BIGINT) AS rel_bp FROM per WHERE n2 > 0)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(CAST(sum(rel_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_err_bp,
+        |       CAST(max(rel_bp) AS BIGINT) AS max_err_bp
+        |FROM rel GROUP BY label ORDER BY label""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

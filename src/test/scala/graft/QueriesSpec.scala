@@ -133,7 +133,8 @@ class QueriesSpec extends SparkSpec {
     "x352_holt_native" -> 5, "x353_mmr_rerank" -> 3,
     "x354_embedding_anisotropy" -> 11, "x355_dedup_occurrence_sweep" -> 4,
     "x356_span_corruption_plan" -> 20, "x357_cross_source_dup_matrix" -> 124,
-    "x358_temperature_weights" -> 20)
+    "x358_temperature_weights" -> 20, "x359_vocab_coverage" -> 4,
+    "x360_int8_quant_error" -> 10)
 
   expectedRowsR16.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
