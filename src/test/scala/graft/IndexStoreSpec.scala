@@ -71,6 +71,28 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("a colliding foreign v-dir blocks the commit loudly, never silently corrupts") {
+    // the tmp+atomic-rename protocol cannot itself produce a v<N>
+    // without a manifest; if one exists anyway (external interference,
+    // partial copy), the next save targeting that number must FAIL
+    // with the concurrent-commit error — and clean its temp up — not
+    // merge into or overwrite the foreign directory
+    val dir = freshDir("collide")
+    val mat = llm.Ann.planes(4, 8, seed = 1L)
+    assert(llm.IndexStore.saveLsh(spark, dir, mat, 1L) == 0L)
+    new java.io.File(s"$dir/v1/junk").mkdirs()
+    intercept[IllegalStateException] {
+      llm.IndexStore.saveLsh(spark, dir, mat, 2L)
+    }
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith(".tmp"))
+    assert(leftovers.isEmpty, s"temp dirs must be cleaned up: ${leftovers.toSeq}")
+    // the committed history is untouched and still reads
+    assert(llm.IndexStore.versions(spark, dir) == Seq(0L))
+    assert(llm.IndexStore.loadLsh(spark, dir).map(_.toSeq).toSeq ==
+      mat.map(_.toSeq).toSeq)
+  }
+
   test("kmeans: train(1) -> save -> load -> resume(2) reproduces train(3)'s later rounds bit-for-bit") {
     val emb = Catalog.load(spark, sf0001, "embeddings")
     val dir = freshDir("kmeans")
