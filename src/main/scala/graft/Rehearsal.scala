@@ -473,6 +473,53 @@ object Rehearsal {
     println(s"[rehearsal] kmeans stream: batches=${model.stats.size} " +
       s"folded=${model.stats.map(_.n).sum} " +
       s"moved_components_last=${model.stats.last.movedComponents}")
+
+    // ANN SERVING at 1M (r16, the AnnServeStream tier at the rehearsal
+    // bar): IVF-train on the 1M corpus, persist centroids + the
+    // list-partitioned layout (train-once artifacts), then answer
+    // 2 000 streamed queries in 4 micro-batches at nProbe = 4/16 —
+    // each batch's scan is pruned to its probed lists, answers are
+    // request-sized (top-10 per query), and the driver holds nothing
+    // corpus-shaped (the pinned heap enforces it).
+    val emb1M = Catalog.load(spark, d500, "embeddings")
+    val annCents = phase("ivf train 1M") {
+      graft.llm.Ann.ivfTrain(emb1M, nLists = 16, dim = 64)
+    }
+    val annIdxDir = s"$out/km-ann-index"
+    val aif = new java.io.File(annIdxDir)
+    if (aif.exists()) new scala.reflect.io.Directory(aif).deleteRecursively()
+    graft.llm.IndexStore.savePq(spark, annIdxDir,
+      graft.llm.Ann.PqIndex(16, 1, 1, 64, annCents,
+        Array(Array(new Array[Double](64)))))
+    val annLayout = s"$out/km-ann-layout"
+    phase("ivf layout 1M") {
+      graft.sources.Layout.writeIvfPartitioned(emb1M, annLayout, annCents)
+    }
+    val served = phase("ann serve 2k q") {
+      val loadedCents = graft.llm.IndexStore.loadPq(spark, annIdxDir).centroids
+      val qdir = s"$out/km-ann-queries"
+      val qf = new java.io.File(qdir)
+      if (qf.exists()) new scala.reflect.io.Directory(qf).deleteRecursively()
+      emb1M.where(col("vec_id") < 2500).limit(2000)
+        .select(col("vec_id").as("qid"), col("embedding"))
+        .repartitionByRange(4, col("qid")).write.parquet(qdir)
+      graft.streaming.AnnServeStream.drain(spark,
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField("qid",
+              org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("embedding",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType)))))
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(qdir),
+        annLayout, loadedCents, k = 10, nProbe = 4)
+    }
+    val nq = served.map(_._1).distinct.size
+    assert(served.size == nq * 10,
+      s"every query gets exactly top-10: ${served.size} rows for $nq queries")
+    println(s"[rehearsal] ann serve 1M: queries=$nq answers=${served.size}")
     spark.stop()
   }
 

@@ -110,6 +110,25 @@ object IndexStore {
     } finally if (f.exists(tmp)) f.delete(tmp, true)
   }
 
+  /** Reclaim history: delete committed versions older than the newest
+    * `keepLast`, plus any orphaned `.tmp-*` directories a crashed
+    * writer left behind (the CdcStream.vacuum discipline — an orphan
+    * is invisible to readers but not to the bill). Never touches the
+    * newest `keepLast` commits. Returns (versionsDeleted, orphansDeleted). */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return (0, 0)
+    val vs = versions(spark, path)
+    val drop = vs.dropRight(keepLast)
+    drop.foreach(n => f.delete(new Path(path, s"v$n"), true))
+    val orphans = f.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-"))
+    orphans.foreach(s => f.delete(s.getPath, true))
+    (drop.size, orphans.size)
+  }
+
   private def resolve(spark: SparkSession, path: String, kind: String,
                       version: Option[Long]): Long = {
     val vs = versions(spark, path)

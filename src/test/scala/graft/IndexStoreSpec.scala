@@ -71,6 +71,26 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reclaims old versions and orphaned temps, never the kept history") {
+    val dir = freshDir("vacuum")
+    val mats = (1L to 3L).map(s => s -> llm.Ann.planes(4, 8, seed = s))
+    mats.foreach { case (s, m) => llm.IndexStore.saveLsh(spark, dir, m, s) }
+    new java.io.File(s"$dir/.tmp-orphan/planes").mkdirs()
+    val (nv, no) = llm.IndexStore.vacuum(spark, dir, keepLast = 1)
+    assert((nv, no) == ((2, 1)), s"got ($nv, $no)")
+    assert(llm.IndexStore.versions(spark, dir) == Seq(2L))
+    // the kept version still loads, bit-equal
+    assert(llm.IndexStore.loadLsh(spark, dir).map(_.toSeq).toSeq ==
+      mats.last._2.map(_.toSeq).toSeq)
+    // a vacuumed version is gone loudly, not misread
+    intercept[IllegalArgumentException] {
+      llm.IndexStore.loadLsh(spark, dir, Some(0L))
+    }
+    // idempotent; and the version counter keeps appending after vacuum
+    assert(llm.IndexStore.vacuum(spark, dir, keepLast = 1) == ((0, 0)))
+    assert(llm.IndexStore.saveLsh(spark, dir, mats.head._2, 9L) == 3L)
+  }
+
   test("a colliding foreign v-dir blocks the commit loudly, never silently corrupts") {
     // the tmp+atomic-rename protocol cannot itself produce a v<N>
     // without a manifest; if one exists anyway (external interference,
