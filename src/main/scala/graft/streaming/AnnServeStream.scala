@@ -45,8 +45,12 @@ object AnnServeStream {
                   k: Int, nProbe: Int): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
+    graft.functions.CosineSim.register(spark) // idempotent
     val centDf = cents.toSeq.toDF("list", "c")
-    val qp = batch.select(col("qid"),
+    // probe ranking stays on the HOF cosine: it scores batch × nLists
+    // rows against double centroid literals — probe-table-sized, never
+    // the hot path
+    val qp = batch.select(col("qid"), col("embedding").as("qf"),
       transform(col("embedding"), x => x.cast("double")).as("q"))
     // probe table: nProbe best lists per query by centroid cosine —
     // ties to the lower list id, mirroring Ann.probeLists' stable sort
@@ -55,12 +59,20 @@ object AnnServeStream {
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(desc("csim"), col("list"))))
       .where(col("rn") <= nProbe)
-      .select(col("qid"), col("q"), col("list"))
+      .select(col("qid"), col("qf"), col("list"))
+    // the hot path — |queries| × |corpus| × nProbe/nLists cosines per
+    // batch — runs the NATIVE codegen'd expression over the raw float
+    // arrays (tight primitive loop in whole-stage codegen, no boxed
+    // intermediate per row; arithmetic identical to the HOF form per
+    // CosineSim's contract, so answers are bit-equal — the spec's
+    // full-probe ≡ brute force assertion would catch any divergence).
+    // Measured at the 1M rehearsal tier: 476 s → see SCALE.md §44 for
+    // the HOF number this replaced.
     corpus
-      .select(col("vec_id"), col("list"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+      .select(col("vec_id"), col("list"), col("embedding"))
       .join(broadcast(probes), "list")
-      .withColumn("sim", graft.llm.Ann.cosine(col("e"), col("q")))
+      .withColumn("sim",
+        graft.functions.CosineSim(col("embedding"), col("qf")))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
       .where(col("rnk") <= k)
