@@ -7867,6 +7867,75 @@ object Queries {
         |       CAST(toks * 10000 // (SELECT CAST(sum(toks) AS BIGINT) FROM t) AS BIGINT) AS prop_bp
         |FROM r ORDER BY source""".stripMargin),
 
+    // Duplicate-cluster size profile (r16): the histogram of x47
+    // exact-dup GROUP sizes (1 / 2 / 3-4 / 5-8 / 9+) with groups, docs,
+    // and removable docs per bucket — the shape that decides between
+    // keep-first dedup and x355's occurrence-thresholded variant (a
+    // corpus whose dups sit in a few mega-groups dedups very
+    // differently from one with many pairs). One key census; buckets
+    // are group-sized.
+    q("x361_dup_cluster_profile",
+      """WITH k AS (SELECT doc_id, md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |g AS (SELECT key, cast(count(*) AS BIGINT) AS sz FROM k GROUP BY 1),
+        |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+        |                  WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+        |                  ELSE '9+' END AS bucket, sz FROM g)
+        |SELECT bucket, cast(count(*) AS BIGINT) AS n_groups, cast(sum(sz) AS BIGINT) AS n_docs,
+        |       cast(sum(sz - 1) AS BIGINT) AS n_removable
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH k AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS sz FROM k GROUP BY 1),
+        |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+        |                  WHEN sz <= 4 THEN '3-4' WHEN sz <= 8 THEN '5-8'
+        |                  ELSE '9+' END AS bucket, sz FROM g)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       CAST(sum(sz - 1) AS BIGINT) AS n_removable
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Train→test split leakage at n-gram granularity (r16): after
+    // x106's content-hash row split, what share of the test split's
+    // DISTINCT 8-grams also appears in train — the leakage x108's
+    // benchmark scan asks about an external eval set, asked about the
+    // corpus's OWN held-out split (dedup survivors still share
+    // boilerplate; a high leak_bp says the split must move to x344's
+    // domain granularity). Gram HASHES shuffle, never text; one
+    // semi-join of test grams against the distinct train-gram set.
+    q("x362_split_ngram_leakage",
+      """WITH s AS (SELECT doc_id, text,
+        |    cast(conv(substr(md5(cast(doc_id AS STRING)),1,8),16,10) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |sp AS (SELECT doc_id, text, CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS split FROM s),
+        |t AS (SELECT doc_id, split, split(text, ' ') AS w FROM sp),
+        |g AS (SELECT doc_id, split, md5(array_join(slice(w, i, 8), ' ')) AS h
+        |      FROM (SELECT doc_id, split, w, explode(sequence(1, size(w) - 7)) AS i FROM t WHERE size(w) >= 8)),
+        |tr AS (SELECT h FROM g WHERE split = 'train' GROUP BY 1),
+        |te AS (SELECT doc_id, h FROM g WHERE split = 'test' GROUP BY 1, 2),
+        |hit AS (SELECT te.doc_id, te.h FROM te JOIN tr ON te.h = tr.h),
+        |docs AS (SELECT cast(count(DISTINCT doc_id) AS BIGINT) AS test_docs,
+        |                cast(count(*) AS BIGINT) AS test_grams FROM te),
+        |leak AS (SELECT cast(count(DISTINCT doc_id) AS BIGINT) AS leaked_docs,
+        |                cast(count(*) AS BIGINT) AS leaked_grams FROM hit)
+        |SELECT d.test_docs, l.leaked_docs, d.test_grams, l.leaked_grams,
+        |       cast(l.leaked_grams * 10000 div d.test_grams AS BIGINT) AS leak_bp
+        |FROM docs d CROSS JOIN leak l""".stripMargin,
+      """WITH s AS (SELECT doc_id, text,
+        |    cast(('0x'||substr(md5(cast(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS b
+        |  FROM documents),
+        |sp AS (SELECT doc_id, text, CASE WHEN b < 80 THEN 'train' ELSE 'test' END AS split FROM s),
+        |t AS (SELECT doc_id, split, string_split(text, ' ') AS w FROM sp),
+        |g AS (SELECT doc_id, split, md5(array_to_string(w[i:i+7], ' ')) AS h
+        |      FROM (SELECT doc_id, split, w, unnest(generate_series(1, len(w) - 7)) AS i FROM t WHERE len(w) >= 8)),
+        |tr AS (SELECT h FROM g WHERE split = 'train' GROUP BY 1),
+        |te AS (SELECT doc_id, h FROM g WHERE split = 'test' GROUP BY 1, 2),
+        |hit AS (SELECT te.doc_id, te.h FROM te JOIN tr ON te.h = tr.h),
+        |docs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS test_docs,
+        |                CAST(count(*) AS BIGINT) AS test_grams FROM te),
+        |leak AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS leaked_docs,
+        |                CAST(count(*) AS BIGINT) AS leaked_grams FROM hit)
+        |SELECT d.test_docs, l.leaked_docs, d.test_grams, l.leaked_grams,
+        |       CAST(l.leaked_grams * 10000 // d.test_grams AS BIGINT) AS leak_bp
+        |FROM docs d CROSS JOIN leak l""".stripMargin),
+
     // Vocabulary coverage curve (r16): the cumulative token share the
     // top-N most frequent words cover, for N ∈ {4,8,16,32} — the
     // tokenizer-vocab-sizing number read against x95's vocab census and

@@ -598,7 +598,8 @@ object ScaleSoak {
       Seq("x352_holt_native", "x353_mmr_rerank", "x354_embedding_anisotropy",
           "x355_dedup_occurrence_sweep", "x356_span_corruption_plan",
           "x357_cross_source_dup_matrix", "x358_temperature_weights",
-          "x359_vocab_coverage", "x360_int8_quant_error")
+          "x359_vocab_coverage", "x360_int8_quant_error",
+          "x361_dup_cluster_profile", "x362_split_ngram_leakage")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)

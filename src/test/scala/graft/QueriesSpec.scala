@@ -134,7 +134,8 @@ class QueriesSpec extends SparkSpec {
     "x354_embedding_anisotropy" -> 11, "x355_dedup_occurrence_sweep" -> 4,
     "x356_span_corruption_plan" -> 20, "x357_cross_source_dup_matrix" -> 124,
     "x358_temperature_weights" -> 20, "x359_vocab_coverage" -> 4,
-    "x360_int8_quant_error" -> 10)
+    "x360_int8_quant_error" -> 10, "x361_dup_cluster_profile" -> 4,
+    "x362_split_ngram_leakage" -> 1)
 
   expectedRowsR16.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
