@@ -24,10 +24,18 @@ import org.apache.spark.sql.functions._
   * `v<N>` whole. Readers accept a `v<N>` directory only if it contains
   * its manifest, so a crash mid-write leaves an unreferenced temp
   * orphan, never a readable half-commit. After the rename the landed
-  * manifest is read back and verified byte-identical to what this
-  * writer built: two concurrent writers racing to the same version
-  * number are detected by content, with the winner's commit untouched
-  * (the CdcStream.commit argument, reused verbatim).
+  * manifest is read back RAW and verified byte-identical to what this
+  * writer built. The manifest carries a `writer` nonce line (the tmp
+  * dir's UUID), so two writers racing the same version number produce
+  * byte-DISTINCT manifests even when kind/params/components are
+  * identical — the common same-retrain race that a body built only
+  * from logical content could not distinguish (ADVICE r16 #1; the
+  * CdcStream original is safe only because its manifest references
+  * writer-unique data dirs). Readers skip the nonce line when parsing.
+  * A lost rename-into-existing-dir race can nest the loser's temp
+  * INSIDE the winner's committed version (HDFS/local rename
+  * semantics); the failure path and [[vacuum]] both reclaim that
+  * nested orphan (ADVICE r16 #3).
   *
   * Index tables are driver-sized by the engine's standing ceiling
   * (centroids k×dims, codebooks m×ksub×dsub, planes numPlanes×dim — the
@@ -42,14 +50,18 @@ object IndexStore {
   final case class Manifest(kind: String, params: Map[String, String],
                             components: Seq[String])
 
-  private def fs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** Path-scheme-aware filesystem: an index at s3a:// or hdfs:// must
+    * be listed/renamed on ITS filesystem, not the default one
+    * (ADVICE r16 #2 — FileSystem.get(conf) resolves defaultFS and
+    * ignores the path's scheme; CdcStream's own helper has it right). */
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Committed versions, ascending. A v<N> directory is a commit iff
     * the atomic rename landed its manifest — directory presence alone
     * is NOT commit evidence (the CdcStream/ADVICE r5 rule). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val f = fs(spark)
+    val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return Nil
     f.listStatus(root).toSeq
@@ -59,16 +71,25 @@ object IndexStore {
   }
 
   private def manifestBody(kind: String, params: Map[String, String],
-                           components: Seq[String]): String =
-    (Seq(s"kind\t$kind") ++
+                           components: Seq[String], writer: String): String =
+    (Seq(s"kind\t$kind", s"writer\t$writer") ++
       params.toSeq.sortBy(_._1).map { case (k, v) => s"param\t$k\t$v" } ++
       components.map(c => s"component\t$c")).mkString("", "\n", "\n")
 
+  /** Raw manifest bytes of a landed version — the commit-verification
+    * read. Byte comparison (not a parse/rebuild round trip) is what
+    * makes the writer nonce effective: a reconstructed body would drop
+    * the nonce and collapse same-params racers back to equality. */
+  private def readRawManifest(f: org.apache.hadoop.fs.FileSystem,
+                              dir: Path): String = {
+    val in = f.open(new Path(dir, ManifestFile))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   def readManifest(spark: SparkSession, path: String, n: Long): Manifest = {
-    val f = fs(spark)
-    val in = f.open(new Path(s"$path/v$n", ManifestFile))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-               finally in.close()
+    val f = fs(spark, path)
+    val body = readRawManifest(f, new Path(s"$path/v$n"))
     val lines = body.split("\n").filter(_.nonEmpty).map(_.split("\t", 3))
     Manifest(
       lines.collectFirst { case Array("kind", k) => k }
@@ -82,10 +103,14 @@ object IndexStore {
   def save(spark: SparkSession, path: String, kind: String,
            params: Map[String, String],
            components: Seq[(String, DataFrame)]): Long = {
-    val f = fs(spark)
+    val f = fs(spark, path)
     val n = versions(spark, path).lastOption.getOrElse(-1L) + 1L
     val tmp = new Path(path, s".tmp-${java.util.UUID.randomUUID}")
-    val body = manifestBody(kind, params, components.map(_._1))
+    // writer nonce = the tmp dir's UUID: already writer-unique, already
+    // minted — racing same-params commits differ by at least this line
+    val body = manifestBody(kind, params, components.map(_._1),
+      tmp.getName.stripPrefix(".tmp-"))
+    val dest = new Path(path, s"v$n")
     try {
       components.foreach { case (name, df) =>
         df.coalesce(1).write.mode("errorifexists")
@@ -93,21 +118,27 @@ object IndexStore {
       }
       val out = f.create(new Path(tmp, ManifestFile), false)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      val dest = new Path(path, s"v$n")
       val renamed = f.rename(tmp, dest)
-      // verify by CONTENT, not by the rename's return value alone: on a
-      // racing commit some filesystems move the source INTO the existing
-      // destination instead of failing
+      // verify by RAW CONTENT, not by the rename's return value alone:
+      // on a racing commit some filesystems move the source INTO the
+      // existing destination instead of failing, and the winner's
+      // manifest differs from this writer's by the nonce at minimum
       val landed =
-        try {
-          val m = readManifest(spark, path, n)
-          manifestBody(m.kind, m.params, m.components) == body
-        } catch { case scala.util.control.NonFatal(_) => false }
+        try readRawManifest(f, dest) == body
+        catch { case scala.util.control.NonFatal(_) => false }
       if (!renamed || !landed)
         throw new IllegalStateException(
           s"concurrent commit of v$n in $path — this writer's version was not committed")
       n
-    } finally if (f.exists(tmp)) f.delete(tmp, true)
+    } finally {
+      if (f.exists(tmp)) f.delete(tmp, true)
+      // a lost rename-into-existing-dir race leaves this writer's temp
+      // NESTED inside the winner's committed version — reclaim it from
+      // there too, and only it (tmp names are writer-unique, so this
+      // can never touch the winner's data)
+      val nested = new Path(dest, tmp.getName)
+      if (f.exists(nested)) f.delete(nested, true)
+    }
   }
 
   /** Reclaim history: delete committed versions older than the newest
@@ -117,15 +148,22 @@ object IndexStore {
     * newest `keepLast` commits. Returns (versionsDeleted, orphansDeleted). */
   def vacuum(spark: SparkSession, path: String, keepLast: Int = 2): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
-    val f = fs(spark)
+    val f = fs(spark, path)
     val root = new Path(path)
     if (!f.exists(root)) return (0, 0)
     val vs = versions(spark, path)
     val drop = vs.dropRight(keepLast)
     drop.foreach(n => f.delete(new Path(path, s"v$n"), true))
-    val orphans = f.listStatus(root).toSeq
+    def tmps(dir: Path): Seq[Path] = f.listStatus(dir).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".tmp-"))
-    orphans.foreach(s => f.delete(s.getPath, true))
+      .map(_.getPath)
+    // root-level crash orphans, plus lost-race temps nested one level
+    // inside the KEPT versions (the only place a rename-into-existing
+    // race can deposit one); readers never match `.tmp-*` components,
+    // so deleting them cannot change what any version serves
+    val orphans = tmps(root) ++
+      vs.takeRight(keepLast).flatMap(n => tmps(new Path(path, s"v$n")))
+    orphans.foreach(p => f.delete(p, true))
     (drop.size, orphans.size)
   }
 

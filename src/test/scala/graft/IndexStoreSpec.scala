@@ -104,11 +104,53 @@ class IndexStoreSpec extends SparkSpec {
     intercept[IllegalStateException] {
       llm.IndexStore.saveLsh(spark, dir, mat, 2L)
     }
-    val leftovers = new java.io.File(dir).listFiles()
-      .map(_.getName).filter(_.startsWith(".tmp"))
-    assert(leftovers.isEmpty, s"temp dirs must be cleaned up: ${leftovers.toSeq}")
+    // cleaned up EVERYWHERE: a lost rename-into-existing-dir race nests
+    // the loser's temp inside the destination — the failure path must
+    // reclaim the nested copy too, not just the root-level one
+    // (ADVICE r16 #3)
+    def allTmps(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+        (if (c.getName.startsWith(".tmp")) Seq(c.getPath) else Nil) ++
+          (if (c.isDirectory) allTmps(c) else Nil)
+      }
+    val leftovers = allTmps(new java.io.File(dir))
+    assert(leftovers.isEmpty, s"temp dirs must be cleaned up: $leftovers")
     // the committed history is untouched and still reads
     assert(llm.IndexStore.versions(spark, dir) == Seq(0L))
+    assert(llm.IndexStore.loadLsh(spark, dir).map(_.toSeq).toSeq ==
+      mat.map(_.toSeq).toSeq)
+  }
+
+  test("racing same-params writers produce byte-distinct manifests; nested lost-race temps are vacuumed") {
+    // the common retrain race: two writers saving the SAME kind with
+    // the SAME params. A manifest built only from logical content would
+    // be byte-identical for both, letting the loser's landed-content
+    // check pass against the winner's commit (ADVICE r16 #1). The
+    // writer nonce makes every commit byte-unique.
+    val dir = freshDir("nonce")
+    val mat = llm.Ann.planes(4, 8, seed = 5L)
+    assert(llm.IndexStore.saveLsh(spark, dir, mat, 5L) == 0L)
+    assert(llm.IndexStore.saveLsh(spark, dir, mat, 5L) == 1L)
+    def manifestBytes(n: Long): String = {
+      val src = scala.io.Source.fromFile(s"$dir/v$n/manifest.tsv", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    assert(manifestBytes(0L) != manifestBytes(1L),
+      "identical kind/params/components must still commit byte-distinct manifests")
+    // the nonce is ignored by the parser: both parse to the same manifest
+    val m0 = llm.IndexStore.readManifest(spark, dir, 0L)
+    val m1 = llm.IndexStore.readManifest(spark, dir, 1L)
+    assert(m0 == m1)
+    assert(m0.params("seed") == "5")
+    // a lost-race temp nested INSIDE a committed version (the state a
+    // crashed loser leaves when its finally-cleanup never ran): invisible
+    // to readers, reclaimed by vacuum without touching the commit
+    new java.io.File(s"$dir/v1/.tmp-zombie/planes").mkdirs()
+    assert(llm.IndexStore.loadLsh(spark, dir).map(_.toSeq).toSeq ==
+      mat.map(_.toSeq).toSeq)
+    val (nv, no) = llm.IndexStore.vacuum(spark, dir, keepLast = 2)
+    assert((nv, no) == ((0, 1)), s"got ($nv, $no)")
+    assert(!new java.io.File(s"$dir/v1/.tmp-zombie").exists())
     assert(llm.IndexStore.loadLsh(spark, dir).map(_.toSeq).toSeq ==
       mat.map(_.toSeq).toSeq)
   }
