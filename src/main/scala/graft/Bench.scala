@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs the declared queries on
-  * SPARK_GRAFT_SF_DIR, prints ONE JSON line
-  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * SPARK_GRAFT_SF_DIR, prints ONE full JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}
+  * followed by a compact `"metric":"headline"` line repeating the gate
+  * verdict (value/paired/stages/bound/green) — the full line can
+  * outgrow a tail capture; the headline cannot (VERDICT r16 #2).
   *
   * Protocol (BASELINE.md): warm SparkSession, full warm-up pass, then
   * median of 3 timed runs per query; timing wraps plan execution +
@@ -194,22 +197,46 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_PAIRED").contains("off")) None
       else PairedControl.qControl(sfDir)
     val duckPre = pairedPass()
-    // Interleaved per-query pairing (VERDICT r15 #2): a long-lived warm
-    // DuckDB worker times each query's oracle median-of-3 IMMEDIATELY
-    // after that query's Spark reps, so the control samples the same
-    // instants as the suite instead of bracketing a ~30 s window with
-    // two ~1 s blocks (r15's 6.63×→7.2× normalized drift question and
-    // its one RED bracket row are exactly the under-sampling this
-    // closes). The gate's paired term prefers the interleaved total;
-    // the pre/post bracket passes stay in the artifact as the
+    // Interleaved per-query pairing (VERDICT r15 #2, widened to every
+    // artifact mode per VERDICT r16 #1): a long-lived warm DuckDB
+    // worker samples the control AT THE SAME INSTANTS as the timed
+    // suite instead of bracketing a ~30 s window with two ~1 s blocks
+    // (§46 proved brackets under-sample spikes inside the window).
+    // Three adjacency shapes, one worker:
+    //  - sequential q-suite: each query's oracle median-of-3 timed
+    //    immediately after that query's Spark reps (the r16 gate form);
+    //  - sequential x-set: the control names rotate round-robin, one
+    //    after each op — 300+ ops over 46 control names gives every
+    //    name ~7 samples spread across the whole window; per-name
+    //    medians sum to the interleaved control total;
+    //  - concurrent mode: one full control pass after EACH suite rep
+    //    (per-rep adjacency — per-query interleaving is meaningless
+    //    when N threads share the cores); the median pass is the
+    //    paired term.
+    // The pre/post bracket passes stay in the artifact as the
     // historical series and the fallback when python/duckdb is absent.
-    // Sequential q-suite only — the same scope as the gate itself.
+    val ctrlNames =
+      SparkEntry.queries.keys.toSeq.filter(_.startsWith("q")).sorted
     val duckWorker =
-      if (threads <= 1 && prefix == "q" &&
-          !sys.env.get("SPARK_GRAFT_PAIRED").contains("off"))
-        PairedControl.interleaved(sfDir, names)
+      if (!sys.env.get("SPARK_GRAFT_PAIRED").contains("off"))
+        PairedControl.interleaved(sfDir, ctrlNames)
       else None
-    val duckQ = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val duckSamples = scala.collection.mutable
+      .LinkedHashMap.empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    def sampleCtrl(w: PairedControl.InterleavedDuck, name: String): Unit =
+      w.time(name).foreach { d =>
+        duckSamples.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer.empty[Double]) += d
+      }
+    def medianOf(b: Seq[Double]): Double = b.sorted.apply(b.length / 2)
+    var ctrlIdx = 0
+    // concurrent mode: one full control pass per rep; None if the
+    // worker died mid-pass (a partial sum is not a control total)
+    def ctrlPass(w: PairedControl.InterleavedDuck): Option[Double] = {
+      val ts = ctrlNames.map(w.time)
+      if (ts.forall(_.isDefined)) Some(ts.flatten.sum) else None
+    }
+    val concControls = scala.collection.mutable.ArrayBuffer.empty[Option[Double]]
     // Heavy-op budget for non-q sets (never silent: the artifact names
     // every op it applied to in "single_rep"): once an op's repopulate
     // run exceeds 10 s, its median-of-3 would cost > 40 s of wall for a
@@ -241,6 +268,9 @@ object Bench {
         val times = Pipeline.concurrent(spark, tasks, threads)
         val wall = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        // per-rep adjacency: the control pass runs in the same weather
+        // as the rep it follows
+        duckWorker.foreach(w => concControls += ctrlPass(w))
         (wall, times)
       }.sortBy(_._1)
     val medians: Seq[(String, Double)] =
@@ -272,9 +302,16 @@ object Bench {
             }
             totalStages += delta / execs
           }
-          // the interleaved pair: the same query's oracle, timed NOW —
-          // adjacent to the Spark reps it normalizes
-          duckWorker.foreach(w => w.time(n).foreach(d => duckQ(n) = d))
+          // the interleaved pair, timed NOW — adjacent to the Spark
+          // reps it normalizes: the same query's oracle on the q-suite;
+          // the next control name in the rotation on the x-set
+          duckWorker.foreach { w =>
+            if (prefix == "q") sampleCtrl(w, n)
+            else {
+              sampleCtrl(w, ctrlNames(ctrlIdx % ctrlNames.length))
+              ctrlIdx += 1
+            }
+          }
           n -> ts(ts.length / 2)
         }
       }
@@ -298,15 +335,29 @@ object Bench {
     val total =
       if (threads > 1) concWalls(concWalls.length / 2)._1
       else medians.collect { case (_, v) if v >= 0 => v }.sum
-    // the gate's paired term: the interleaved per-query total when the
-    // worker covered every succeeded query (sum of duck medians over
-    // the same names the Spark total sums — apples-to-apples), else
-    // the pre/post bracket mean
+    // per-name control medians (q-suite: one sample per name; x-set:
+    // ~7 rotation samples per name; the median absorbs spikes)
+    val duckQ: Map[String, Double] =
+      duckSamples.map { case (k, b) => k -> medianOf(b.toSeq) }.toMap
+    // the gate's paired term, per mode: the interleaved per-query total
+    // when the worker covered every succeeded q query (sum of duck
+    // medians over the same names the Spark total sums); the per-name
+    // rotation-median sum for the x-set (full 46-name coverage
+    // required); the median full control pass for concurrent mode.
+    // Else the pre/post bracket mean.
     val interleavedTotal: Option[Double] = duckWorker.flatMap { _ =>
-      val okNames = medians.collect { case (k, v) if v >= 0 => k }
-      if (okNames.nonEmpty && okNames.forall(duckQ.contains))
-        Some(okNames.map(duckQ).sum)
-      else None
+      if (threads > 1) {
+        val ps = concControls.toSeq.flatten
+        if (ps.nonEmpty) Some(medianOf(ps)) else None
+      } else if (prefix == "q") {
+        val okNames = medians.collect { case (k, v) if v >= 0 => k }
+        if (okNames.nonEmpty && okNames.forall(duckQ.contains))
+          Some(okNames.map(duckQ).sum)
+        else None
+      } else {
+        if (ctrlNames.forall(duckQ.contains)) Some(ctrlNames.map(duckQ).sum)
+        else None
+      }
     }
     val bracket = (duckPre, duckPost) match {
       case (Some(a), Some(b)) => Some((a + b) / 2)
@@ -325,7 +376,8 @@ object Bench {
     val concJs =
       if (threads > 1)
         s""","threads":$threads,"mode":"concurrent","walls":${concWalls
-          .map(w => "%.4f".format(w._1)).mkString("[", ",", "]")}"""
+          .map(w => "%.4f".format(w._1)).mkString("[", ",", "]")},"control_walls":${
+          concControls.map(c => num(c)).mkString("[", ",", "]")}"""
       else ""
     // Floor-adjusted gate (BASELINE.md "Gate"): suite ≤ 2 × (paired
     // DuckDB + PROTOCOL stages × stage_ms). The stage count in the
@@ -337,10 +389,12 @@ object Bench {
     val stableJs =
       s""","stage_count_stable":${stageUnstable.isEmpty},"stage_unstable":${
         stageUnstable.toSeq.sorted.map(n => s""""${esc(n)}"""").mkString("[", ",", "]")}"""
-    val gateJs =
-      if (countStages && prefix == "q" && adaptive == "false") {
-        val drift = totalStages != ProtocolStages
-        if (drift) System.err.println(
+    val gating = countStages && prefix == "q" && adaptive == "false"
+    val driftOpt: Option[Boolean] =
+      if (gating) Some(totalStages != ProtocolStages) else None
+    val boundOpt: Option[Double] =
+      if (gating) {
+        if (driftOpt.contains(true)) System.err.println(
           s"[bench] stage-count DRIFT: measured $totalStages vs protocol $ProtocolStages — explain the plan change in SCALE.md")
         // a changed q inventory invalidates the frozen constant: refuse
         // to price a bound from it (null gate, loud) rather than gate
@@ -348,18 +402,28 @@ object Bench {
         val inventoryOk = names.length == ProtocolQueryCount
         if (!inventoryOk) System.err.println(
           s"[bench] q inventory is ${names.length} queries, protocol froze $ProtocolQueryCount — re-freeze ProtocolStages/ProtocolQueryCount (BASELINE.md) before gating")
-        val bound =
-          if (!inventoryOk) None
-          else paired.map(p => 2.0 * (p + ProtocolStages * stageMs / 1000.0))
-        s""","total_stages":$totalStages,"protocol_stages":$ProtocolStages,"stage_drift":$drift$stableJs,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(bound)},"gate_green":${bound.map(b => (total <= b).toString).getOrElse("null")}"""
-      } else if (countStages)
+        if (!inventoryOk) None
+        else paired.map(p => 2.0 * (p + ProtocolStages * stageMs / 1000.0))
+      } else None
+    val greenOpt: Option[Boolean] = boundOpt.map(total <= _)
+    def bool(o: Option[Boolean]) = o.map(_.toString).getOrElse("null")
+    val gateJs =
+      if (gating)
+        s""","total_stages":$totalStages,"protocol_stages":$ProtocolStages,"stage_drift":${bool(driftOpt)}$stableJs,"stage_ms":${"%.1f".format(stageMs)},"gate_bound":${num(boundOpt)},"gate_green":${bool(greenOpt)}"""
+      else if (countStages)
         s""","total_stages":$totalStages$stableJs,"stage_ms":${"%.1f".format(stageMs)}"""
       else ""
     val duckQJs =
       if (duckQ.isEmpty) ""
-      else s""","duckdb_queries":${duckQ.map { case (k, v) =>
+      else s""","duckdb_queries":${duckQ.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""${esc(k)}":${"%.5f".format(v)}""" }.mkString("{", ",", "}")},"duckdb_interleaved_total":${num(interleavedTotal)}"""
     println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","paired_mode":"$pairedMode","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}$duckQJs,"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
+    // Tail-proof headline (VERDICT r16 #2): the full line above can
+    // outgrow a consumer's tail capture (the interleaved per-query map
+    // pushed BENCH_r16.json's suite wall out of its own 2000-char
+    // tail), so every term of the gate verdict is REPEATED last, in a
+    // compact second line that always fits.
+    println(s"""{"metric":"headline","value":${"%.4f".format(total)},"unit":"sec","set":"$prefix","threads":$threads,"paired_mode":"$pairedMode","paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"stages":${if (countStages) totalStages.toString else "null"},"stage_drift":${bool(driftOpt)},"gate_bound":${num(boundOpt)},"gate_green":${bool(greenOpt)},"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

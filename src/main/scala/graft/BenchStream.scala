@@ -218,26 +218,70 @@ object BenchStream {
     // no streaming; see PairedControl's scaladoc). Bracketing bounds
     // within-run floor movement exactly as the main suite's pair does.
     val duckPre = PairedControl.qControl(sfDir)
+    // per-op adjacency (VERDICT r16 #1): a long-lived warm DuckDB
+    // worker runs one FULL control pass immediately after each op's
+    // timed drains, so every op's number has a control sampled in the
+    // same weather — the r16 stream suite's +33% per-op delta sat on
+    // bracket evidence alone, exactly the spike-under-sampling §46
+    // killed for the gate. The paired term is the median pass.
+    val ctrlNames =
+      SparkEntry.queries.keys.toSeq.filter(_.startsWith("q")).sorted
+    val duckWorker =
+      if (!sys.env.get("SPARK_GRAFT_PAIRED").contains("off"))
+        PairedControl.interleaved(sfDir, ctrlNames)
+      else None
+    def ctrlPass(): Option[Double] = duckWorker.flatMap { w =>
+      val ts = ctrlNames.map(w.time)
+      if (ts.forall(_.isDefined)) Some(ts.flatten.sum) else None
+    }
+    // raw per-rep walls ship in the artifact: two ops landing on the
+    // same 4-decimal median (r16's minibatch_kmeans/cdc_apply, a real
+    // 1-in-10⁴ coincidence) should be self-exoneratable from the
+    // artifact, not require a code audit (VERDICT r16 "what's wrong")
+    val rawWalls =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val opControls =
+      scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
     val medians = ops
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .map { case (name, f) =>
       once(f) // warm-up: JIT, codegen, footers
-      val ts = Seq(once(f), once(f), once(f)).sorted
-      name -> ts(1)
+      val ts = Seq(once(f), once(f), once(f))
+      rawWalls(name) = ts
+      opControls(name) = ctrlPass() // adjacent: same weather as the drains
+      name -> ts.sorted.apply(1)
     }
+    duckWorker.foreach(_.close())
     val duckPost = PairedControl.qControl(sfDir)
     val js = medians.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }
       .mkString("{", ",", "}")
+    val wallsJs = rawWalls.map { case (k, ws) =>
+      s""""$k":${ws.map("%.4f".format(_)).mkString("[", ",", "]")}""" }
+      .mkString("{", ",", "}")
+    def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
+    val ctrlJs = opControls.map { case (k, c) => s""""$k":${num(c)}""" }
+      .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
-    val paired = (duckPre, duckPost) match {
+    val bracket = (duckPre, duckPost) match {
       case (Some(a), Some(b)) => Some((a + b) / 2)
       case (a, b) => a.orElse(b)
     }
-    def num(o: Option[Double]) = o.map("%.4f".format(_)).getOrElse("null")
+    val interleaved: Option[Double] = {
+      val ps = opControls.values.flatten.toSeq
+      if (opControls.nonEmpty && opControls.values.forall(_.isDefined))
+        Some(ps.sorted.apply(ps.length / 2))
+      else None
+    }
+    val paired = interleaved.orElse(bracket)
+    val pairedMode =
+      if (interleaved.isDefined) "interleaved"
+      else if (bracket.isDefined) "bracket" else "none"
     val pairedRatio = paired.map(total / _)
     // subset runs get their own metric name for the same reason
     val metric = if (subset) "stream_subset_total" else "stream_suite_total"
-    println(s"""{"metric":"$metric","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"sf":"$sfDir","paired_control":"${PairedControl.ControlName}","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
+    println(s"""{"metric":"$metric","value":${"%.4f".format(total)},"unit":"sec","ops":$js,"walls":$wallsJs,"op_controls":$ctrlJs,"sf":"$sfDir","paired_control":"${PairedControl.ControlName}","paired_mode":"$pairedMode","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
+    // tail-proof headline (VERDICT r16 #2), same contract as Bench's
+    println(s"""{"metric":"headline","value":${"%.4f".format(total)},"unit":"sec","set":"stream","ops_n":${medians.size},"paired_mode":"$pairedMode","paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}}""")
     spark.stop()
   }
 }
