@@ -102,6 +102,81 @@ object Scratch {
         f"${na.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
       spark.stop(); return
     }
+    if (args.contains("anncosine")) {
+      // r17 (VERDICT r16 #4): HOF vs native cosine on the migrated Ann
+      // consumers — brute-force top-k (corpus-sized scoring) and the
+      // cosineNearDups verify stage. Paired ALTERNATING reps, fresh
+      // plans (§41.2 protocol: the container wall drifts several ×
+      // within minutes). The HOF twins are reconstructed inline — the
+      // production paths now run the native kernel.
+      Catalog.planCacheEnabled = false
+      val emb = Catalog.load(spark, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).head()
+        .getSeq[Float](1).map(_.toDouble).toSeq
+      val corpus = emb.where(col("vec_id") =!= 0)
+      val ql = lit(q.toArray)
+      def hofTopK() = corpus
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("sim", Ann.cosine(col("e"), ql))
+        .select(col("vec_id"), col("sim"))
+        .orderBy(desc("sim"), col("vec_id")).limit(10)
+      def natTopK() = Ann.bruteForceTopK(corpus, q, 10)
+      // answers must be bit-equal (CosineSim's arithmetic contract)
+      val (ah, an) = (hofTopK().collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))),
+        natTopK().collect().toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      assert(ah == an, s"HOF and native top-k diverged:\n$ah\n$an")
+      spark.catalog.clearCache()
+      def rep(f: => Any): Double = {
+        val t0 = System.nanoTime(); f; spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def medOf(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      val (nb, hb) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+      (1 to 5).foreach { _ =>
+        hb += rep(hofTopK().collect())
+        nb += rep(natTopK().collect())
+      }
+      println(f"[scratch] bruteforce paired x5: hof med ${medOf(hb.result())}%6.2f s " +
+        f"${hb.result().map(x => f"$x%.2f").mkString("[", " ", "]")}  " +
+        f"native med ${medOf(nb.result())}%6.2f s " +
+        f"${nb.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
+      if (!args.contains("nodups")) {
+        // cosineNearDups' verify stage: the inline HOF twin repeats the
+        // production candidate generation, differing only in the kernel
+        val mat = Ann.planes(12, 64, 42L)
+        val b = Ann.bucketed(emb, mat)
+        val masks = 0L +: (0 until 12).map(p => 1L << p)
+        def hofDups() = {
+          val probed = b.withColumn("pb",
+            explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+          probed.as("x").join(b.as("y"),
+              col("x.pb") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+            .select(col("x.vec_id").as("a"), col("x.e").as("ea"),
+              col("y.vec_id").as("b"), col("y.e").as("eb"))
+            .dropDuplicates("a", "b")
+            .withColumn("sim_bp",
+              floor(Ann.cosine(col("ea"), col("eb")) * 10000.0).cast("long"))
+            .where(col("sim_bp") >= 9000L)
+            .select(col("a"), col("b"), col("sim_bp"))
+            .orderBy(desc("sim_bp"), col("a"), col("b"))
+        }
+        def natDups() = Ann.cosineNearDups(emb)
+        assert(hofDups().collect().toSeq.map(_.toSeq) ==
+          natDups().collect().toSeq.map(_.toSeq), "near-dup twins diverged")
+        spark.catalog.clearCache()
+        val (nd, hd) = (Seq.newBuilder[Double], Seq.newBuilder[Double])
+        (1 to 5).foreach { _ =>
+          hd += rep(hofDups().collect())
+          nd += rep(natDups().collect())
+        }
+        println(f"[scratch] neardups paired x5: hof med ${medOf(hd.result())}%6.2f s " +
+          f"${hd.result().map(x => f"$x%.2f").mkString("[", " ", "]")}  " +
+          f"native med ${medOf(nd.result())}%6.2f s " +
+          f"${nd.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
+      }
+      spark.stop(); return
+    }
     if (args.contains("holt")) {
       // x274 declared recursive-CTE vs x352 native fold (r16 heavy-tail
       // adjudication): paired ALTERNATING reps, fresh plans — the §41.2

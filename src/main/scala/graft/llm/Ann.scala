@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** Approximate nearest-neighbor search over an embedding column.
   *
   * Two tiers (SURVEY.md §2.9):
-  *  - [[bruteForceTopK]]: exact cosine top-k — one narrow scan, codegen'd
-  *    higher-order functions, TakeOrdered. The correctness baseline.
+  *  - [[bruteForceTopK]]: exact cosine top-k — one narrow scan, the
+  *    native codegen'd cosine kernel, TakeOrdered. The correctness
+  *    baseline.
   *  - [[lshTopK]]: random-hyperplane LSH — signature computed per row
   *    against a deterministic, seed-derived plane matrix (a broadcast
   *    literal; no fitting step), candidates restricted to buckets within
@@ -32,7 +33,11 @@ object Ann {
 
   private def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** dot(a,b) via zip_with + aggregate (stays in whole-stage codegen). */
+  /** dot(a,b) via zip_with + aggregate. NOTE: HOFs are CodegenFallback
+    * (interpreted lambda per element) — fine for index-sized inputs
+    * (centroid ranking, anchor assignment), wrong for corpus-sized hot
+    * paths, which use [[nativeCosine]] instead (8.8× measured on the
+    * serving path, SCALE.md §44). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
 
@@ -40,12 +45,25 @@ object Ann {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k by cosine vs a query vector. */
+  /** The native codegen'd cosine (graft.functions.CosineSim) for
+    * corpus-sized scoring: accepts float or double arrays per side,
+    * arithmetic bit-identical to [[cosine]] over the widened doubles
+    * (CosineSim's contract — the oracle hashes of every consumer pin
+    * it). Registers the function on the session (idempotent). */
+  def nativeCosine(spark: org.apache.spark.sql.SparkSession,
+                   a: Column, b: Column): Column = {
+    graft.functions.CosineSim.register(spark)
+    graft.functions.CosineSim(a, b)
+  }
+
+  /** Exact top-k by cosine vs a query vector: one narrow scan, the
+    * native cosine kernel in whole-stage codegen, TakeOrdered. */
   def bruteForceTopK(embeddings: DataFrame, query: Seq[Double], k: Int): DataFrame = {
     val q = lit(query.toArray)
     embeddings
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sim",
+        nativeCosine(embeddings.sparkSession, col("embedding"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -127,7 +145,7 @@ object Ann {
     val assigned = ivfAssign(base, cs)
     val q = lit(query.toArray)
     assigned.where(col("list").isin(probe: _*))
-      .withColumn("sim", cosine(col("e"), q))
+      .withColumn("sim", nativeCosine(embeddings.sparkSession, col("e"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -309,10 +327,11 @@ object Ann {
       }
     // exact re-rank of the candidate set (k×refine rows pruned-probe;
     // the whole probed corpus at full probe, where this IS brute force)
+    // — on the native cosine kernel, same as bruteForceTopK
     val q = lit(query.toArray)
-    candidates.join(embeddings.select(col("vec_id"),
-        toDouble(col("embedding")).as("e")), "vec_id")
-      .withColumn("sim", cosine(col("e"), q))
+    candidates.join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("sim",
+        nativeCosine(embeddings.sparkSession, col("embedding"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -339,7 +358,8 @@ object Ann {
       .dropDuplicates("a", "b")
     cands
       .withColumn("sim_bp",
-        floor(cosine(col("ea"), col("eb")) * 10000.0).cast("long"))
+        floor(nativeCosine(embeddings.sparkSession, col("ea"), col("eb"))
+          * 10000.0).cast("long"))
       .where(col("sim_bp") >= minSimBp)
       .select(col("a"), col("b"), col("sim_bp"))
       .orderBy(desc("sim_bp"), col("a"), col("b"))
@@ -403,7 +423,8 @@ object Ann {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.cluster_id").as("cluster_id"),
         col("x.vec_id").as("keep_id"), col("y.vec_id").as("drop_id"),
-        floor(cosine(col("x.e"), col("y.e")) * 10000.0).cast("long").as("sim_bp"))
+        floor(nativeCosine(embeddings.sparkSession, col("x.e"), col("y.e"))
+          * 10000.0).cast("long").as("sim_bp"))
       .where(col("sim_bp") >= minSimBp)
       .orderBy(col("cluster_id"), col("keep_id"), col("drop_id"))
   }
@@ -461,7 +482,7 @@ object Ann {
     val b = bucketed(embeddings, mat)
     val q = lit(query.toArray)
     b.where(col("bucket").isin(probeList: _*))
-      .withColumn("sim", cosine(col("e"), q))
+      .withColumn("sim", nativeCosine(embeddings.sparkSession, col("e"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -482,8 +503,8 @@ object Ann {
     val q = lit(query.toArray)
     spark.read.parquet(path)
       .where(col("bucket").isin(probeList: _*))
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sim", nativeCosine(spark, col("embedding"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -500,8 +521,8 @@ object Ann {
     val q = lit(query.toArray)
     spark.read.parquet(path)
       .where(col("list").isin(probe: _*))
-      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("sim", cosine(col("e"), q))
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("sim", nativeCosine(spark, col("embedding"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)
@@ -519,7 +540,7 @@ object Ann {
     val b = bucketed(embeddings, mat)
     val q = lit(query.toArray)
     b.where(bit_count(col("bucket").bitwiseXOR(lit(qSig))) <= probeRadius)
-      .withColumn("sim", cosine(col("e"), q))
+      .withColumn("sim", nativeCosine(embeddings.sparkSession, col("e"), q))
       .select(col("vec_id"), col("sim"))
       .orderBy(desc("sim"), col("vec_id"))
       .limit(k)

@@ -52,13 +52,29 @@ class CosineSimSpec extends SparkSpec {
       l.contains("Project") && l.trim.startsWith("*")), plan)
   }
 
-  test("type check rejects non-float arrays") {
+  test("accepts float/double arrays per side (widening), rejects other element types") {
+    // r17 widening: each side independently float or double, so the Ann
+    // consumers that score pre-cast double columns (query literals,
+    // bucketed e) run the native kernel without re-plumbing. Mixed
+    // float/double must equal the all-double value exactly — float
+    // widens losslessly.
     Catalog.ensure(spark, sf0001)
+    val dd = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D), array(2.0D, 1.0D))").head.getDouble(0)
+    val fd = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT)),
+        |                  array(2.0D, 1.0D))""".stripMargin).head.getDouble(0)
+    val ff = spark.sql(
+      """SELECT cosine_sim(array(cast(1.0 AS FLOAT), cast(2.0 AS FLOAT)),
+        |                  array(cast(2.0 AS FLOAT), cast(1.0 AS FLOAT)))"""
+        .stripMargin).head.getDouble(0)
+    assert(dd == fd && fd == ff, s"widening must be exact: $dd $fd $ff")
+    assert(math.abs(dd - 0.8) < 1e-12)
     val e = intercept[Exception] {
-      spark.sql("SELECT cosine_sim(array(1.0D), array(1.0D))").collect()
+      spark.sql("SELECT cosine_sim(array(1), array(1))").collect()
     }
     assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
-      e.getMessage.contains("array<float>"))
+      e.getMessage.contains("array<float|double>"))
   }
 
   test("unequal lengths and NULL elements yield NULL, matching the HOF edges") {
