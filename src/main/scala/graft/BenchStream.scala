@@ -121,6 +121,13 @@ object BenchStream {
     val annQDir = replayDir("ann-queries")
     writeReplay(annQueries, annQDir, 4, "qid")
     val annQSchema = annQueries.schema
+    // the bulk LUT tier's standing artifacts (r17): PQ codebooks on the
+    // SAME coarse centroids + the encoded layout — also built outside
+    // the timings, the train-once posture
+    val annPq = graft.llm.Ann.pqTrain(vecs, nLists = 16, dim = 64,
+      centroids = Some(annCents))
+    val annEncDir = replayDir("ann-enc")
+    graft.sources.Layout.writeIvfEncodedPartitioned(vecs, annEncDir, annPq)
 
     var rep = 0
     def drain(df: DataFrame, mode: String): Unit = {
@@ -173,6 +180,14 @@ object BenchStream {
         // timing covers 4 query batches end-to-end, answers included
         graft.streaming.AnnServeStream.drain(spark,
           fileStream(annQDir, annQSchema), annCorpusDir, annCents,
+          k = 10, nProbe = 4); ()
+      },
+      "ann_serve_lut" -> { () =>
+        // the bulk route (r17): same query replay, IVFADC LUT scoring
+        // over the encoded layout + k×refine exact rerank on the raw
+        // one — the standing number for the corpus-shaped batch tier
+        graft.streaming.AnnServeStream.drainLut(spark,
+          fileStream(annQDir, annQSchema), annCorpusDir, annEncDir, annPq,
           k = 10, nProbe = 4); ()
       },
       "cdc_apply" -> { () =>

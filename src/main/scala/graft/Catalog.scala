@@ -83,6 +83,7 @@ object Catalog {
     if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))
       spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
     functions.CosineSim.register(spark)
+    functions.PqLutScore.register(spark)
     functions.SimHash64.register(spark)
     functions.WinnowFps.register(spark)
     functions.WinnowFpsMd5.register(spark)

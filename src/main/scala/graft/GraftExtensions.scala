@@ -53,6 +53,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       arity("cosine_sim", 2)(exprs => functions.CosineSim(exprs(0), exprs(1)))))
     ext.injectFunction((
+      FunctionIdentifier("pq_lut_score"),
+      info("pq_lut_score",
+        "pq_lut_score(codes, lut) - asymmetric-distance LUT sum over PQ codes (lut flattened m x ksub)"),
+      arity("pq_lut_score", 2)(exprs => functions.PqLutScore(exprs(0), exprs(1)))))
+    ext.injectFunction((
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a token array"),
       arity("simhash64", 1)(exprs => functions.SimHash64(exprs.head))))

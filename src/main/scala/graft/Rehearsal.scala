@@ -495,31 +495,64 @@ object Rehearsal {
     phase("ivf layout 1M") {
       graft.sources.Layout.writeIvfPartitioned(emb1M, annLayout, annCents)
     }
+    val qdir = s"$out/km-ann-queries"
+    val qf = new java.io.File(qdir)
+    if (qf.exists()) new scala.reflect.io.Directory(qf).deleteRecursively()
+    emb1M.where(col("vec_id") < 2500).limit(2000)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .repartitionByRange(4, col("qid")).write.parquet(qdir)
+    def annQStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(qdir)
     val served = phase("ann serve 2k q") {
       val loadedCents = graft.llm.IndexStore.loadPq(spark, annIdxDir).centroids
-      val qdir = s"$out/km-ann-queries"
-      val qf = new java.io.File(qdir)
-      if (qf.exists()) new scala.reflect.io.Directory(qf).deleteRecursively()
-      emb1M.where(col("vec_id") < 2500).limit(2000)
-        .select(col("vec_id").as("qid"), col("embedding"))
-        .repartitionByRange(4, col("qid")).write.parquet(qdir)
-      graft.streaming.AnnServeStream.drain(spark,
-        spark.readStream
-          .schema(org.apache.spark.sql.types.StructType(
-            Seq(org.apache.spark.sql.types.StructField("qid",
-              org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("embedding",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.FloatType)))))
-          .option("maxFilesPerTrigger", "1")
-          .option("pathGlobFilter", "*.parquet")
-          .parquet(qdir),
+      graft.streaming.AnnServeStream.drain(spark, annQStream(),
         annLayout, loadedCents, k = 10, nProbe = 4)
     }
     val nq = served.map(_._1).distinct.size
     assert(served.size == nq * 10,
       s"every query gets exactly top-10: ${served.size} rows for $nq queries")
     println(s"[rehearsal] ann serve 1M: queries=$nq answers=${served.size}")
+
+    // BULK LUT tier at 1M (r17, VERDICT r16 #3): the same 2 000 queries
+    // routed through IVFADC — PQ codebooks trained ON TOP of the same
+    // coarse centroids (never a retrain), the encoded layout written
+    // once, then per-batch LUT scoring + k×refine exact rerank. The
+    // exact tier above pays |batch|×|probed slice| native cosines; this
+    // pays m=16 table lookups per probed CODE row plus k×refine=100
+    // exact cosines per query — the candidate-bound cost §44 priced.
+    val pqIdx = phase("pq codebook 1M") {
+      graft.llm.Ann.pqTrain(emb1M, nLists = 16, dim = 64,
+        centroids = Some(annCents))
+    }
+    val encLayout = s"$out/km-ann-enc"
+    phase("pq encode layout 1M") {
+      graft.sources.Layout.writeIvfEncodedPartitioned(emb1M, encLayout, pqIdx)
+    }
+    val servedLut = phase("ann serve lut 2k q") {
+      graft.streaming.AnnServeStream.drainLut(spark, annQStream(),
+        annLayout, encLayout, pqIdx, k = 10, nProbe = 4, refine = 10)
+    }
+    assert(servedLut.size == nq * 10,
+      s"LUT tier must answer top-10 per query: ${servedLut.size} vs ${nq * 10}")
+    // recall vs the exact tier at the SAME probe sets: the LUT path's
+    // only loss is quantization error inside candidate truncation —
+    // with the m=16/ksub=64 codebooks the PqProbe sweep found
+    // recall-lossless; a big drop here is a codebook/kernel regression
+    val exactSets = served.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val lutSets = servedLut.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exactSets.keys.toSeq
+      .map(q => (exactSets(q) & lutSets.getOrElse(q, Set.empty)).size / 10.0)
+      .sum / nq
+    println(f"[rehearsal] ann serve LUT 1M: queries=$nq recall@10 vs exact $recall%.4f")
+    assert(recall >= 0.9, f"LUT-tier recall collapsed: $recall%.4f")
     spark.stop()
   }
 

@@ -102,6 +102,83 @@ object Scratch {
         f"${na.result().map(x => f"$x%.2f").mkString("[", " ", "]")}")
       spark.stop(); return
     }
+    if (args.contains("indexrace")) {
+      // IndexStore concurrency/failure drill (VERDICT r16 #5): the
+      // save/load/collision/vacuum cycle with TWO RACING WRITERS per
+      // round — same kind, same params, barrier-aligned save() entry so
+      // both writers compute the same target version as often as the
+      // scheduler allows. Run under multi-JVM executors via
+      //   spark-submit --master local-cluster[2,16,4096] \
+      //     --conf spark.executor.memory=4g ... Scratch <dir> indexrace
+      // Invariants asserted every round: 1 or 2 commits (2 when the
+      // loser's versions() re-read happened after the winner landed),
+      // distinct version numbers, every loser throws the
+      // concurrent-commit IllegalStateException, zero .tmp-* anywhere
+      // (root or nested), history contiguous and bit-readable. Then a
+      // planted crash-orphan pair (root + nested) is vacuumed.
+      val table = "/tmp/graft-indexrace"
+      val tf = new java.io.File(table)
+      if (tf.exists()) new scala.reflect.io.Directory(tf).deleteRecursively()
+      val mat = Ann.planes(8, 64, seed = 1L)
+      def allTmps(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).toSeq.flatten.flatMap { c =>
+          (if (c.getName.startsWith(".tmp")) Seq(c.getPath) else Nil) ++
+            (if (c.isDirectory) allTmps(c) else Nil)
+        }
+      var commits = 0
+      var collisions = 0
+      val rounds = 10
+      (1 to rounds).foreach { r =>
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val results =
+          new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Long]]()
+        val ths = (1 to 2).map { _ =>
+          val th = new Thread(() => {
+            barrier.await()
+            try results.add(Right(IndexStore.saveLsh(spark, table, mat, 1L)))
+            catch { case e: Throwable => results.add(Left(e)) }
+          })
+          th.start(); th
+        }
+        ths.foreach(_.join())
+        val rs = results.toArray(Array.empty[Either[Throwable, Long]]).toSeq
+        val wins = rs.collect { case Right(v) => v }
+        val losses = rs.collect { case Left(e) => e }
+        assert(rs.size == 2 && wins.nonEmpty,
+          s"round $r: expected >=1 commit of 2 writers, got $rs")
+        assert(wins.distinct.size == wins.size,
+          s"round $r: two writers claimed the SAME version: $wins")
+        losses.foreach { e =>
+          assert(e.isInstanceOf[IllegalStateException] &&
+            e.getMessage.contains("concurrent commit"),
+            s"round $r: loser must fail with the concurrent-commit error, got $e")
+        }
+        val tmps = allTmps(tf)
+        assert(tmps.isEmpty, s"round $r: unreclaimed temps $tmps")
+        commits += wins.size
+        collisions += losses.size
+      }
+      val vs = IndexStore.versions(spark, table)
+      assert(vs == (0L until commits.toLong),
+        s"history must be contiguous 0..${commits - 1}, got $vs")
+      vs.foreach { v =>
+        assert(IndexStore.loadLsh(spark, table, Some(v)).map(_.toSeq).toSeq ==
+          mat.map(_.toSeq).toSeq, s"v$v must read back bit-equal")
+      }
+      // crash-orphan reclamation: plant a root-level and a nested temp
+      // (the two shapes a dead loser leaves), vacuum, re-read
+      new java.io.File(s"$table/.tmp-crash/planes").mkdirs()
+      new java.io.File(s"$table/v${vs.last}/.tmp-crash2/planes").mkdirs()
+      val (nv, no) = IndexStore.vacuum(spark, table, keepLast = 2)
+      assert(no == 2, s"vacuum must reclaim both planted orphans, got $no")
+      assert(nv == vs.size - 2, s"vacuum kept-last accounting off: $nv")
+      assert(IndexStore.loadLsh(spark, table).map(_.toSeq).toSeq ==
+        mat.map(_.toSeq).toSeq, "post-vacuum latest must read bit-equal")
+      println(s"[scratch] indexrace: rounds=$rounds commits=$commits " +
+        s"collisions=$collisions versions_final=${IndexStore.versions(spark, table)} " +
+        s"master=${spark.sparkContext.master}")
+      spark.stop(); return
+    }
     if (args.contains("anncosine")) {
       // r17 (VERDICT r16 #4): HOF vs native cosine on the migrated Ann
       // consumers — brute-force top-k (corpus-sized scoring) and the

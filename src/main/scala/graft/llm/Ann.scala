@@ -177,10 +177,14 @@ object Ann {
     * error even at full probe. */
   def pqTrain(embeddings: DataFrame, nLists: Int = 16, dim: Int = 64,
               m: Int = 16, ksub: Int = 64, sampleN: Int = 4096,
-              seed: Long = 7L, iters: Int = 8): PqIndex = {
+              seed: Long = 7L, iters: Int = 8,
+              centroids: Option[Array[(Int, Array[Double])]] = None): PqIndex = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val dsub = dim / m
-    val cs = ivfTrain(embeddings, nLists, dim)
+    // reuse already-trained IVF centroids when given (the train-once
+    // rule: a serving deployment codebook-trains on top of the SAME
+    // coarse index its layouts were partitioned by, never a retrain)
+    val cs = centroids.getOrElse(ivfTrain(embeddings, nLists, dim))
     val byList = cs.toMap
     val base = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val total = embeddings.count()

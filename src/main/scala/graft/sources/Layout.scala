@@ -47,6 +47,20 @@ object Layout {
       .select(col("vec_id"), col("embedding"), col("list"))
       .write.partitionBy("list").mode("overwrite").parquet(path)
 
+  /** Write the PQ-ENCODED corpus partitioned by IVF list — the serving
+    * layout of the IVFADC bulk tier (VERDICT r16 #3): (vec_id, vnorm,
+    * codes) under `list=N/` directories, m bytes-of-codes + a norm per
+    * vector instead of dim×4 float bytes. A bulk query batch LUT-scores
+    * a DPP-pruned slice of THIS layout, then exact-reranks only its
+    * k×refine candidates against the raw [[writeIvfPartitioned]]
+    * layout. Assignment uses [[graft.llm.Ann.pqEncode]], whose tie
+    * rules mirror ivfAssign — the two layouts place every vector in
+    * the same list. */
+  def writeIvfEncodedPartitioned(embeddings: DataFrame, path: String,
+                                 idx: graft.llm.Ann.PqIndex): Unit =
+    graft.llm.Ann.pqEncode(embeddings, idx)
+      .write.partitionBy("list").mode("overwrite").parquet(path)
+
   /** Persist a DataFrame as a bucketed, per-bucket-sorted table (catalog
     * table — bucketing metadata lives in the catalog). True overwrite:
     * also clears a stale managed-table location left by a previous
