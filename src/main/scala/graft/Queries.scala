@@ -7999,7 +7999,371 @@ object Queries {
         |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
         |       CAST(CAST(sum(rel_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_err_bp,
         |       CAST(max(rel_bp) AS BIGINT) AS max_err_bp
-        |FROM rel GROUP BY label ORDER BY label""".stripMargin)
+        |FROM rel GROUP BY label ORDER BY label""".stripMargin),
+
+    // KMV cross-source Jaccard estimate vs exact (r17, the k-minimum-
+    // values distinct sketch of Bar-Yossef et al. applied to set
+    // RESEMBLANCE): per source pair, the 64 smallest portable hashes of
+    // the union of the two sources' 3-shingle sets vote on Jaccard
+    // (fraction of the bottom-k present in both), reported next to the
+    // exact value with the absolute error — the sketch-accuracy tier of
+    // x134's exact overlap, x56/x89's discipline for cardinality
+    // sketches extended to similarity. Scale shape: per-source shingle
+    // sets shuffle hash-keyed ONCE; the per-pair state is bottom-64 —
+    // index-sized, mergeable, exactly what ships between executors at
+    // 100 TB (the exact ni join is the oracle-side truth, priced
+    // quadratic-by-design like the x48 class).
+    q("x363_kmv_source_jaccard",
+      """WITH w AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, sh FROM
+        |       (SELECT source, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |        FROM w WHERE size(w) >= 3)),
+        |hv AS (SELECT DISTINCT source, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a JOIN srcs b ON a.source < b.source),
+        |mem AS (SELECT s1, s2, s1 AS member FROM pairs UNION ALL SELECT s1, s2, s2 AS member FROM pairs),
+        |merged AS (SELECT m.s1, m.s2, h.hv,
+        |                  max(CASE WHEN h.source = m.s1 THEN 1 ELSE 0 END) AS in1,
+        |                  max(CASE WHEN h.source = m.s2 THEN 1 ELSE 0 END) AS in2
+        |           FROM mem m JOIN hv h ON h.source = m.member GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn FROM merged),
+        |kmv AS (SELECT s1, s2, cast(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nboth,
+        |               cast(count(*) AS BIGINT) AS kk
+        |        FROM ranked WHERE rn <= 64 GROUP BY 1, 2),
+        |sizes AS (SELECT source, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS s1, b.source AS s2, cast(count(*) AS BIGINT) AS ni
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
+        |ex AS (SELECT p.s1, p.s2, coalesce(i.ni, 0) AS ni FROM pairs p
+        |       LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2)
+        |SELECT k.s1 AS s1, k.s2 AS s2,
+        |       cast(ex.ni * 10000 div (n1.n + n2.n - ex.ni) AS BIGINT) AS exact_bp,
+        |       cast(k.nboth * 10000 div k.kk AS BIGINT) AS kmv_bp,
+        |       cast(abs(ex.ni * 10000 div (n1.n + n2.n - ex.ni) - k.nboth * 10000 div k.kk) AS BIGINT) AS err_bp
+        |FROM kmv k JOIN ex ON ex.s1 = k.s1 AND ex.s2 = k.s2
+        |JOIN sizes n1 ON n1.source = k.s1 JOIN sizes n2 ON n2.source = k.s2
+        |ORDER BY s1, s2""".stripMargin,
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, sh FROM
+        |       (SELECT source, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |        FROM w WHERE len(w) >= 3)),
+        |hv AS (SELECT DISTINCT source, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a JOIN srcs b ON a.source < b.source),
+        |mem AS (SELECT s1, s2, s1 AS member FROM pairs UNION ALL SELECT s1, s2, s2 AS member FROM pairs),
+        |merged AS (SELECT m.s1, m.s2, h.hv,
+        |                  max(CASE WHEN h.source = m.s1 THEN 1 ELSE 0 END) AS in1,
+        |                  max(CASE WHEN h.source = m.s2 THEN 1 ELSE 0 END) AS in2
+        |           FROM mem m JOIN hv h ON h.source = m.member GROUP BY 1, 2, 3),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn FROM merged),
+        |kmv AS (SELECT s1, s2, CAST(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nboth,
+        |               CAST(count(*) AS BIGINT) AS kk
+        |        FROM ranked WHERE rn <= 64 GROUP BY 1, 2),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS ni
+        |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
+        |ex AS (SELECT p.s1, p.s2, coalesce(i.ni, 0) AS ni FROM pairs p
+        |       LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2)
+        |SELECT k.s1 AS s1, k.s2 AS s2,
+        |       CAST(ex.ni * 10000 // (n1.n + n2.n - ex.ni) AS BIGINT) AS exact_bp,
+        |       CAST(k.nboth * 10000 // k.kk AS BIGINT) AS kmv_bp,
+        |       CAST(abs(ex.ni * 10000 // (n1.n + n2.n - ex.ni) - k.nboth * 10000 // k.kk) AS BIGINT) AS err_bp
+        |FROM kmv k JOIN ex ON ex.s1 = k.s1 AND ex.s2 = k.s2
+        |JOIN sizes n1 ON n1.source = k.s1 JOIN sizes n2 ON n2.source = k.s2
+        |ORDER BY s1, s2""".stripMargin),
+
+    // LSH banding sensitivity (r17): the closed-form detection S-curve
+    // 1−(1−s^r)^b (the MMDS banding analysis) evaluated over the
+    // MEASURED pair-similarity histogram — per (bands, rows) config and
+    // Jaccard decile, how many of the corpus's actual candidate pairs
+    // would the banding catch? This is the tuning report behind the
+    // x74/x52 family's (16,4) choice. Every power is a CHAINED
+    // MULTIPLICATION (squaring ladder), never pow() — libm pow differs
+    // across engines in the last ulp, the exact hash-moving divergence
+    // the dual-dialect contract forbids. The pair histogram is the
+    // quadratic-by-design oracle shape (x48 class); at scale the
+    // histogram comes from the banded candidates themselves.
+    q("x364_lsh_band_sensitivity",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, cast(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, cast(j.c * 10000 div (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |bk AS (SELECT cast(jac_bp div 1000 AS BIGINT) AS decile, cast(count(*) AS BIGINT) AS n_pairs
+        |       FROM jac GROUP BY 1),
+        |base AS (SELECT decile, n_pairs, cast(decile * 1000 + 500 AS DOUBLE) / 10000.0 AS s FROM bk),
+        |l1 AS (SELECT *, s*s AS s_2 FROM base),
+        |l2 AS (SELECT *, s_2*s_2 AS s_4 FROM l1),
+        |l3 AS (SELECT *, s_4*s_4 AS s_8 FROM l2),
+        |cfg AS (SELECT * FROM VALUES (16, 4), (8, 8), (32, 2) AS cfg(b, r)),
+        |sr AS (SELECT l3.*, cfg.b, cfg.r,
+        |              CASE cfg.r WHEN 2 THEN s_2 WHEN 4 THEN s_4 ELSE s_8 END AS srv
+        |       FROM l3 CROSS JOIN cfg),
+        |y0 AS (SELECT *, 1.0 - srv AS y FROM sr),
+        |y1 AS (SELECT *, y*y AS y_2 FROM y0),
+        |y2c AS (SELECT *, y_2*y_2 AS y_4 FROM y1),
+        |y3 AS (SELECT *, y_4*y_4 AS y_8 FROM y2c),
+        |y4c AS (SELECT *, y_8*y_8 AS y_16 FROM y3),
+        |y5 AS (SELECT *, y_16*y_16 AS y_32 FROM y4c)
+        |SELECT cast(b AS BIGINT) AS bands, cast(r AS BIGINT) AS rows_per_band,
+        |       decile AS jac_decile, n_pairs,
+        |       cast(round((1.0 - CASE b WHEN 8 THEN y_8 WHEN 16 THEN y_16 ELSE y_32 END) * 10000) AS BIGINT) AS detect_bp,
+        |       cast(round((1.0 - CASE b WHEN 8 THEN y_8 WHEN 16 THEN y_16 ELSE y_32 END) * n_pairs) AS BIGINT) AS exp_caught
+        |FROM y5 ORDER BY bands, rows_per_band, jac_decile""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, CAST(j.c * 10000 // (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |bk AS (SELECT CAST(jac_bp // 1000 AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM jac GROUP BY 1),
+        |base AS (SELECT decile, n_pairs, CAST(decile * 1000 + 500 AS DOUBLE) / 10000.0 AS s FROM bk),
+        |l1 AS (SELECT *, s*s AS s_2 FROM base),
+        |l2 AS (SELECT *, s_2*s_2 AS s_4 FROM l1),
+        |l3 AS (SELECT *, s_4*s_4 AS s_8 FROM l2),
+        |cfg AS (SELECT * FROM (VALUES (16, 4), (8, 8), (32, 2)) AS cfg(b, r)),
+        |sr AS (SELECT l3.*, cfg.b, cfg.r,
+        |              CASE cfg.r WHEN 2 THEN s_2 WHEN 4 THEN s_4 ELSE s_8 END AS srv
+        |       FROM l3 CROSS JOIN cfg),
+        |y0 AS (SELECT *, 1.0 - srv AS y FROM sr),
+        |y1 AS (SELECT *, y*y AS y_2 FROM y0),
+        |y2c AS (SELECT *, y_2*y_2 AS y_4 FROM y1),
+        |y3 AS (SELECT *, y_4*y_4 AS y_8 FROM y2c),
+        |y4c AS (SELECT *, y_8*y_8 AS y_16 FROM y3),
+        |y5 AS (SELECT *, y_16*y_16 AS y_32 FROM y4c)
+        |SELECT CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+        |       decile AS jac_decile, n_pairs,
+        |       CAST(round((1.0 - CASE b WHEN 8 THEN y_8 WHEN 16 THEN y_16 ELSE y_32 END) * 10000) AS BIGINT) AS detect_bp,
+        |       CAST(round((1.0 - CASE b WHEN 8 THEN y_8 WHEN 16 THEN y_16 ELSE y_32 END) * n_pairs) AS BIGINT) AS exp_caught
+        |FROM y5 ORDER BY bands, rows_per_band, jac_decile""".stripMargin),
+
+    // MinHash Jaccard estimator error (r17): for every banded candidate
+    // pair with ≥4/16 agreeing signature components, the signature
+    // estimate m/16 next to the exact shingle Jaccard and the absolute
+    // error — the per-pair accuracy audit of the x74 estimator the
+    // banding threshold sweeps (x355, x364) assume. Same portable
+    // 16-perm family as x74 verbatim, so this measures the PRODUCTION
+    // signatures, not an idealized one. Scale: candidates come from the
+    // banded join (never all pairs); the exact verify join is per
+    // candidate — the standard verify-stage cost.
+    q("x365_minhash_jaccard_err",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |m AS (SELECT sa.doc_id AS a, sb.doc_id AS b, cast(count(*) AS BIGINT) AS m
+        |      FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |      GROUP BY 1,2 HAVING count(*) >= 4),
+        |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |c AS (SELECT m.a, m.b, m.m, cast(count(*) AS BIGINT) AS c
+        |      FROM m JOIN sh x ON x.doc_id = m.a JOIN sh y ON y.doc_id = m.b AND y.sh = x.sh
+        |      GROUP BY 1, 2, 3)
+        |SELECT c.a AS a, c.b AS b, cast(c.m * 10000 div 16 AS BIGINT) AS est_bp,
+        |       cast(c.c * 10000 div (na.n + nb.n - c.c) AS BIGINT) AS exact_bp,
+        |       cast(abs(c.m * 10000 div 16 - c.c * 10000 div (na.n + nb.n - c.c)) AS BIGINT) AS err_bp
+        |FROM c JOIN n na ON na.doc_id = c.a JOIN n nb ON nb.doc_id = c.b
+        |ORDER BY a, b""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |m AS (SELECT sa.doc_id AS a, sb.doc_id AS b, CAST(count(*) AS BIGINT) AS m
+        |      FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |      GROUP BY 1,2 HAVING count(*) >= 4),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |c AS (SELECT m.a, m.b, m.m, CAST(count(*) AS BIGINT) AS c
+        |      FROM m JOIN sh x ON x.doc_id = m.a JOIN sh y ON y.doc_id = m.b AND y.sh = x.sh
+        |      GROUP BY 1, 2, 3)
+        |SELECT c.a AS a, c.b AS b, CAST(c.m * 10000 // 16 AS BIGINT) AS est_bp,
+        |       CAST(c.c * 10000 // (na.n + nb.n - c.c) AS BIGINT) AS exact_bp,
+        |       CAST(abs(c.m * 10000 // 16 - c.c * 10000 // (na.n + nb.n - c.c)) AS BIGINT) AS err_bp
+        |FROM c JOIN n na ON na.doc_id = c.a JOIN n nb ON nb.doc_id = c.b
+        |ORDER BY a, b""".stripMargin),
+
+    // Embedding centroid shift (r17): per label, the squared distance
+    // between the even-vec_id half's integer-mean centroid and the odd
+    // half's — the embedding-space distribution-shift screen (x190/x313
+    // are the scalar-feature drift tests; this is their vector-space
+    // sibling, and a split that should be exchangeable — a large shift2
+    // flags a labeling or pipeline artifact). Integer means use the
+    // kmeans +10000 offset so Spark's truncating div and DuckDB's
+    // flooring // agree on negatives; everything downstream is exact
+    // BIGINT arithmetic. Scale: one (label, half, dim)-keyed partial
+    // agg — index-sized state, no pairs.
+    q("x366_embedding_centroid_shift",
+      """WITH q AS (SELECT vec_id, label, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, i, element_at(qv, i) AS val FROM (SELECT vec_id, label, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |m AS (SELECT label, vec_id % 2 AS half, i,
+        |             cast(cast(sum(val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS mv
+        |      FROM d GROUP BY 1, 2, 3),
+        |s AS (SELECT e.label, cast(sum((e.mv - o.mv)*(e.mv - o.mv)) AS BIGINT) AS shift2
+        |      FROM (SELECT * FROM m WHERE half = 0) e
+        |      JOIN (SELECT * FROM m WHERE half = 1) o ON e.label = o.label AND e.i = o.i
+        |      GROUP BY 1),
+        |cnt AS (SELECT label,
+        |               cast(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |               cast(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        |        FROM embeddings GROUP BY 1)
+        |SELECT cast(cnt.label AS BIGINT) AS label, cnt.n_even AS n_even, cnt.n_odd AS n_odd, s.shift2 AS shift2
+        |FROM cnt JOIN s ON s.label = cnt.label ORDER BY label""".stripMargin,
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, i, qv[i] AS val FROM (SELECT vec_id, label, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |m AS (SELECT label, vec_id % 2 AS half, i,
+        |             CAST(CAST(sum(val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS mv
+        |      FROM d GROUP BY 1, 2, 3),
+        |s AS (SELECT e.label, CAST(sum((e.mv - o.mv)*(e.mv - o.mv)) AS BIGINT) AS shift2
+        |      FROM (SELECT * FROM m WHERE half = 0) e
+        |      JOIN (SELECT * FROM m WHERE half = 1) o ON e.label = o.label AND e.i = o.i
+        |      GROUP BY 1),
+        |cnt AS (SELECT label,
+        |               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+        |               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+        |        FROM embeddings GROUP BY 1)
+        |SELECT CAST(cnt.label AS BIGINT) AS label, cnt.n_even AS n_even, cnt.n_odd AS n_odd, s.shift2 AS shift2
+        |FROM cnt JOIN s ON s.label = cnt.label ORDER BY label""".stripMargin),
+
+    // Near-dup transitivity audit (r17): dedup CLUSTERING (x111's
+    // connected components over pair edges) assumes near-dup similarity
+    // is roughly transitive; this measures it — for each threshold, of
+    // the wedges a–b–c (both edges ≥ t), how many close (jac(a,c) ≥ t)?
+    // A low closure rate at the production threshold means component
+    // dedup over-merges chains of pairwise-similar docs, the classic
+    // LSH-cluster failure mode. Edges come from the shared-shingle pair
+    // join (oracle-quadratic, x48 class); wedges join edges on the
+    // middle doc — at scale edges are the BANDED candidates, so wedge
+    // count is bounded by the verified pair set, never the corpus.
+    q("x367_neardup_transitivity",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, cast(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, cast(j.c * 10000 div (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |thr AS (SELECT * FROM VALUES (1000), (3000), (5000) AS thr(t)),
+        |e AS (SELECT thr.t, jac.a, jac.b FROM jac CROSS JOIN thr WHERE jac.jac_bp >= thr.t),
+        |wdg AS (SELECT e1.t, e1.a, e1.b AS mid, e2.b AS c
+        |        FROM e e1 JOIN e e2 ON e1.t = e2.t AND e1.b = e2.a),
+        |chk AS (SELECT wdg.t, CASE WHEN coalesce(j2.jac_bp, 0) >= wdg.t THEN 1 ELSE 0 END AS closed
+        |        FROM wdg LEFT JOIN jac j2 ON j2.a = wdg.a AND j2.b = wdg.c)
+        |SELECT cast(t AS BIGINT) AS thr_bp, cast(count(*) AS BIGINT) AS wedges,
+        |       cast(sum(closed) AS BIGINT) AS closed,
+        |       cast(sum(closed) * 10000 div count(*) AS BIGINT) AS closure_bp
+        |FROM chk GROUP BY t ORDER BY thr_bp""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, CAST(j.c * 10000 // (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |thr AS (SELECT * FROM (VALUES (1000), (3000), (5000)) AS thr(t)),
+        |e AS (SELECT thr.t, jac.a, jac.b FROM jac CROSS JOIN thr WHERE jac.jac_bp >= thr.t),
+        |wdg AS (SELECT e1.t, e1.a, e1.b AS mid, e2.b AS c
+        |        FROM e e1 JOIN e e2 ON e1.t = e2.t AND e1.b = e2.a),
+        |chk AS (SELECT wdg.t, CASE WHEN coalesce(j2.jac_bp, 0) >= wdg.t THEN 1 ELSE 0 END AS closed
+        |        FROM wdg LEFT JOIN jac j2 ON j2.a = wdg.a AND j2.b = wdg.c)
+        |SELECT CAST(t AS BIGINT) AS thr_bp, CAST(count(*) AS BIGINT) AS wedges,
+        |       CAST(sum(closed) AS BIGINT) AS closed,
+        |       CAST(sum(closed) * 10000 // count(*) AS BIGINT) AS closure_bp
+        |FROM chk GROUP BY t ORDER BY thr_bp""".stripMargin),
+
+    // Boilerplate edge census (r17): shared 8-token document PREFIXES
+    // and SUFFIXES across the corpus — the chunk-boundary/boilerplate
+    // signal (CCNet drops repeated leading/trailing paragraphs; a
+    // shared suffix across sources is a template footer, a shared
+    // prefix a scraper banner). Groups of ≥2 docs per edge hash, with
+    // the source spread (n_sources > 1 = cross-source template, the
+    // dedup-resistant kind). Scale: one narrow scan, hash-keyed agg —
+    // no pairs at all.
+    q("x368_boilerplate_edges",
+      """WITH w AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |edges AS (
+        | SELECT doc_id, source, 'prefix' AS part, md5(concat_ws(' ', slice(w, 1, 8))) AS h FROM w WHERE size(w) >= 8
+        | UNION ALL
+        | SELECT doc_id, source, 'suffix' AS part, md5(concat_ws(' ', slice(w, -8, 8))) AS h FROM w WHERE size(w) >= 8),
+        |g AS (SELECT part, h, cast(count(*) AS BIGINT) AS n_docs,
+        |             cast(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |             cast(min(doc_id) AS BIGINT) AS first_doc
+        |      FROM edges GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part, h, n_docs, n_sources, first_doc FROM g ORDER BY part, n_docs DESC, h""".stripMargin,
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |edges AS (
+        | SELECT doc_id, source, 'prefix' AS part, md5(array_to_string(w[1:8],' ')) AS h FROM w WHERE len(w) >= 8
+        | UNION ALL
+        | SELECT doc_id, source, 'suffix' AS part, md5(array_to_string(w[len(w)-7:len(w)],' ')) AS h FROM w WHERE len(w) >= 8),
+        |g AS (SELECT part, h, CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |             CAST(min(doc_id) AS BIGINT) AS first_doc
+        |      FROM edges GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part, h, n_docs, n_sources, first_doc FROM g ORDER BY part, n_docs DESC, h""".stripMargin),
+
+    // int8 rank stability (r17): does x360's per-vector max-abs int8
+    // quantization CHANGE retrieval rankings, not just add numeric
+    // error? For each of the 8 query vectors, overlap@10 between the
+    // exact integer-dot top-10 over the corpus and the quantized-dot
+    // top-10 — the serving-fidelity question an int8 ANN deployment
+    // actually asks (x360 measures per-element error; this measures
+    // the decision change). All dots are exact BIGINTs; the only
+    // doubles are the two rounded scalings, shared verbatim with x360's
+    // discipline. Scale: 8 broadcast queries × corpus — one pass, two
+    // rankings, no corpus self-join.
+    q("x369_int8_rank_stability",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |mx AS (SELECT vec_id, cast(max(abs(val)) AS BIGINT) AS m FROM d GROUP BY 1),
+        |q8 AS (SELECT d.vec_id, d.i, cast(round(cast(d.val AS DOUBLE) * 127.0 / cast(greatest(mx.m, cast(1 AS BIGINT)) AS DOUBLE)) AS BIGINT) AS v8
+        |       FROM d JOIN mx ON mx.vec_id = d.vec_id),
+        |de AS (SELECT qd.vec_id AS qid, cd.vec_id AS vid, cast(sum(qd.val * cd.val) AS BIGINT) AS dot
+        |       FROM (SELECT * FROM d WHERE vec_id < 8) qd
+        |       JOIN (SELECT * FROM d WHERE vec_id >= 8) cd ON qd.i = cd.i GROUP BY 1, 2),
+        |d8 AS (SELECT qd.vec_id AS qid, cd.vec_id AS vid, cast(sum(qd.v8 * cd.v8) AS BIGINT) AS dot
+        |       FROM (SELECT * FROM q8 WHERE vec_id < 8) qd
+        |       JOIN (SELECT * FROM q8 WHERE vec_id >= 8) cd ON qd.i = cd.i GROUP BY 1, 2),
+        |rexact AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM de),
+        |r8 AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM d8)
+        |SELECT e.qid AS qid, cast(count(*) AS BIGINT) AS overlap10
+        |FROM (SELECT qid, vid FROM rexact WHERE rn <= 10) e
+        |JOIN (SELECT qid, vid FROM r8 WHERE rn <= 10) g ON e.qid = g.qid AND e.vid = g.vid
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |mx AS (SELECT vec_id, CAST(max(abs(val)) AS BIGINT) AS m FROM d GROUP BY 1),
+        |q8 AS (SELECT d.vec_id, d.i, CAST(round(CAST(d.val AS DOUBLE) * 127.0 / CAST(greatest(mx.m, CAST(1 AS BIGINT)) AS DOUBLE)) AS BIGINT) AS v8
+        |       FROM d JOIN mx ON mx.vec_id = d.vec_id),
+        |de AS (SELECT qd.vec_id AS qid, cd.vec_id AS vid, CAST(sum(qd.val * cd.val) AS BIGINT) AS dot
+        |       FROM (SELECT * FROM d WHERE vec_id < 8) qd
+        |       JOIN (SELECT * FROM d WHERE vec_id >= 8) cd ON qd.i = cd.i GROUP BY 1, 2),
+        |d8 AS (SELECT qd.vec_id AS qid, cd.vec_id AS vid, CAST(sum(qd.v8 * cd.v8) AS BIGINT) AS dot
+        |       FROM (SELECT * FROM q8 WHERE vec_id < 8) qd
+        |       JOIN (SELECT * FROM q8 WHERE vec_id >= 8) cd ON qd.i = cd.i GROUP BY 1, 2),
+        |rexact AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM de),
+        |r8 AS (SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM d8)
+        |SELECT e.qid AS qid, CAST(count(*) AS BIGINT) AS overlap10
+        |FROM (SELECT qid, vid FROM rexact WHERE rn <= 10) e
+        |JOIN (SELECT qid, vid FROM r8 WHERE rn <= 10) g ON e.qid = g.qid AND e.vid = g.vid
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means
