@@ -31,7 +31,12 @@ object Queries {
     * siblings are recall-verified against). Contract-SF only: Verify
     * skips them on non-contract corpora (the 10× soak), where their
     * O(n²) shape is the known scale-killer, not a regression. */
-  val exactBaselines: Set[String] = Set("x48_jaccard_topk", "x49_cosine_pairs")
+  val exactBaselines: Set[String] = Set("x48_jaccard_topk", "x49_cosine_pairs",
+    // r17 audit entries that EMBED the quadratic exact pair join by
+    // design (their point is exact-vs-estimate error, so the exact side
+    // cannot be banded away): same contract-SF-only rule
+    "x364_lsh_band_sensitivity", "x365_minhash_jaccard_err",
+    "x367_neardup_transitivity")
 
   val all: Seq[Q] = Seq(
     // ---- scans / filters / predicates -------------------------------------

@@ -623,6 +623,52 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r17tier")) {
+      // Round-17 tier at 10×: the scale-safe four of the seven new
+      // entries. x363 is scale-FLAT by construction here (replication
+      // keeps sources, so per-source DISTINCT shingle sets are
+      // unchanged); x366 is a (label, half, dim) partial agg; x368 a
+      // hash census; x369 is 8 broadcast queries × corpus. The three
+      // quadratic audit entries (x364/x365/x367) are exactBaselines —
+      // contract-SF only, by design (their exact pair join IS the
+      // oracle-side truth being audited).
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x363_kmv_source_jaccard", "x366_embedding_centroid_shift",
+          "x368_boilerplate_edges", "x369_int8_rank_stability")
+        .foreach { n =>
+          val (t1, n1) = runN(sf, n)
+          val (t10, n10) = runN(out, n)
+          println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+            f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+        }
+      // invariants at 10×: x363's exact per-source sets are unchanged
+      // under source-preserving replication, so its whole output must
+      // be IDENTICAL to sf0.1's, row for row; x369's overlaps stay in
+      // [0, 10] with all 8 queries answered
+      val j1 = SparkEntry.queries("x363_kmv_source_jaccard")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      val j10 = SparkEntry.queries("x363_kmv_source_jaccard")(spark, out)
+        .collect().map(_.toSeq).toSeq
+      assert(j1 == j10,
+        "x363 must be invariant under source-preserving 10x replication")
+      val ov = SparkEntry.queries("x369_int8_rank_stability")(spark, out)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(ov.length == 8 && ov.forall(o => o._2 >= 0 && o._2 <= 10),
+        s"x369 at 10x: ${ov.toSeq}")
+      println(s"[soak] r17tier invariants: x363 replication-invariant, " +
+        s"x369 overlaps ${ov.map(_._2).mkString(",")}")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
