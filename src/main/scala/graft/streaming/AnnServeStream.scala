@@ -68,16 +68,19 @@ object AnnServeStream {
     // full-probe ≡ brute force assertion would catch any divergence).
     // Measured at the 1M rehearsal tier: 476 s → see SCALE.md §44 for
     // the HOF number this replaced.
-    corpus
+    val scored = corpus
       .select(col("vec_id"), col("list"), col("embedding"))
       .join(broadcast(probes), "list")
       .withColumn("sim",
         graft.functions.CosineSim(col("embedding"), col("qf")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"),
-        col("vec_id"), col("sim"))
+    // per-query top-k as a map-side-combining aggregation (r17): the
+    // row_number window this replaces shuffled EVERY scored row by qid
+    // and sorted; the aggregation ships one ≤k buffer per (partition,
+    // query) — same selection, same (sim DESC, vec_id ASC) order
+    // (TopKPerKey's contract; the spec parities pin bit-equality)
+    graft.operators.TopKPerKey
+      .topK(scored, col("qid"), col("vec_id"), lit(0L), col("sim"), k, "qid")
+      .select(col("qid"), col("rnk"), col("id").as("vec_id"), col("sim"))
   }
 
   /** BULK serving tier (VERDICT r16 #3): answer a corpus-shaped query
@@ -159,24 +162,26 @@ object AnnServeStream {
       .withColumn("sim_approx",
         (col("dotqc") + graft.functions.PqLutScore(col("codes"), col("lut"))) /
           (col("qn") * greatest(col("vnorm"), lit(1e-12))))
-    val cands = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim_approx"), col("vec_id"))))
-      .where(col("rn") <= math.max(k * refine, k))
-      .select(col("qid"), col("vec_id"), col("list"))
+    // candidate truncation as the same map-side-combining top-k (the
+    // scored set is the batch's largest intermediate — the window form
+    // shuffled all of it by qid); the candidate's list id rides the
+    // aggregation as payload so the rerank join stays DPP-prunable
+    val cands = graft.operators.TopKPerKey
+      .topK(scored, col("qid"), col("vec_id"), col("list"),
+        col("sim_approx"), math.max(k * refine, k), "qid")
+      .select(col("qid"), col("id").as("vec_id"),
+        col("payload").cast("int").as("list"))
     // exact rerank: candidates are request-sized (|batch|×k×refine) —
     // broadcast against the raw layout, list join key DPP-prunes the
     // scan, native cosine kernel; same tie rules as answerBatch
-    rawCorpus.select(col("vec_id"), col("list"), col("embedding"))
+    val reranked = rawCorpus.select(col("vec_id"), col("list"), col("embedding"))
       .join(broadcast(cands), Seq("list", "vec_id"))
       .join(broadcast(qp.select(col("qid"), col("qf"))), "qid")
       .withColumn("sim",
         graft.functions.CosineSim(col("embedding"), col("qf")))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("qid").orderBy(desc("sim"), col("vec_id"))))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("rnk").cast("long").as("rnk"),
-        col("vec_id"), col("sim"))
+    graft.operators.TopKPerKey
+      .topK(reranked, col("qid"), col("vec_id"), lit(0L), col("sim"), k, "qid")
+      .select(col("qid"), col("rnk"), col("id").as("vec_id"), col("sim"))
   }
 
   /** Drain a bounded query stream through the BULK LUT tier: per
