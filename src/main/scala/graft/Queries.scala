@@ -8368,7 +8368,66 @@ object Queries {
         |SELECT e.qid AS qid, CAST(count(*) AS BIGINT) AS overlap10
         |FROM (SELECT qid, vid FROM rexact WHERE rn <= 10) e
         |JOIN (SELECT qid, vid FROM r8 WHERE rn <= 10) g ON e.qid = g.qid AND e.vid = g.vid
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Dedup keep-bias report (r17): does keep-first exact dedup (x47's
+    // normalized key, min-doc_id keeper) systematically bias what
+    // survives? Per source: docs vs keepers, and the mean length of
+    // kept vs dropped docs — the selection-bias screen a dedup policy
+    // review reads before trusting downstream length/quality stats
+    // (dropped-longer here means replicas skew long, not that dedup
+    // "prefers" short text — the report is what surfaces it). Scale:
+    // x47's key shuffle + one per-source rollup; text never rides a
+    // shuffle (n_chars is precomputed).
+    q("x370_dedup_keep_bias",
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY key) THEN 1 ELSE 0 END AS kept FROM k),
+        |g AS (SELECT source,
+        |             cast(count(*) AS BIGINT) AS n_docs,
+        |             cast(sum(kept) AS BIGINT) AS n_kept,
+        |             cast(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |             cast(sum(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+        |      FROM f GROUP BY 1)
+        |SELECT source, n_docs, n_kept,
+        |       CASE WHEN n_kept > 0 THEN cast(kept_chars div n_kept AS BIGINT) ELSE cast(0 AS BIGINT) END AS kept_mean_chars,
+        |       CASE WHEN n_docs - n_kept > 0 THEN cast(dropped_chars div (n_docs - n_kept) AS BIGINT) ELSE cast(0 AS BIGINT) END AS dropped_mean_chars
+        |FROM g ORDER BY source""".stripMargin,
+      """WITH k AS (SELECT doc_id, source, n_chars,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT *, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY key) THEN 1 ELSE 0 END AS kept FROM k),
+        |g AS (SELECT source,
+        |             CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(kept) AS BIGINT) AS n_kept,
+        |             CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+        |             CAST(sum(CASE WHEN kept = 0 THEN n_chars ELSE 0 END) AS BIGINT) AS dropped_chars
+        |      FROM f GROUP BY 1)
+        |SELECT source, n_docs, n_kept,
+        |       CASE WHEN n_kept > 0 THEN CAST(kept_chars // n_kept AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept_mean_chars,
+        |       CASE WHEN n_docs - n_kept > 0 THEN CAST(dropped_chars // (n_docs - n_kept) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS dropped_mean_chars
+        |FROM g ORDER BY source""".stripMargin),
+
+    // Language × source composition matrix (r17): per (lang, source)
+    // doc/char counts with the source's share of its language — the
+    // mixture-design report that decides per-language sampling weights
+    // BEFORE x358's temperature pass (the documents table carries a
+    // lang column; x51 is the inference path for corpora that don't).
+    // One grouped rollup + a language-keyed total join — census shapes.
+    q("x371_lang_source_mix",
+      """WITH m AS (SELECT lang, source, cast(count(*) AS BIGINT) AS n_docs,
+        |                  cast(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, cast(sum(n_docs) AS BIGINT) AS lang_docs FROM m GROUP BY 1)
+        |SELECT m.lang AS lang, m.source AS source, m.n_docs AS n_docs, m.chars AS chars,
+        |       cast(m.n_docs * 10000 div t.lang_docs AS BIGINT) AS lang_share_bp
+        |FROM m JOIN t ON t.lang = m.lang
+        |ORDER BY lang, source""".stripMargin,
+      """WITH m AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |                  CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS lang_docs FROM m GROUP BY 1)
+        |SELECT m.lang AS lang, m.source AS source, m.n_docs AS n_docs, m.chars AS chars,
+        |       CAST(m.n_docs * 10000 // t.lang_docs AS BIGINT) AS lang_share_bp
+        |FROM m JOIN t ON t.lang = m.lang
+        |ORDER BY lang, source""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means
