@@ -36,7 +36,10 @@ object Queries {
     // design (their point is exact-vs-estimate error, so the exact side
     // cannot be banded away): same contract-SF-only rule
     "x364_lsh_band_sensitivity", "x365_minhash_jaccard_err",
-    "x367_neardup_transitivity")
+    "x367_neardup_transitivity",
+    // r17b: exact tri-width gram joins over the banded candidates —
+    // the exact sides ARE the audited truth (same rule as x365)
+    "x379_shingle_size_sensitivity")
 
   val all: Seq[Q] = Seq(
     // ---- scans / filters / predicates -------------------------------------
@@ -8427,7 +8430,419 @@ object Queries {
         |SELECT m.lang AS lang, m.source AS source, m.n_docs AS n_docs, m.chars AS chars,
         |       CAST(m.n_docs * 10000 // t.lang_docs AS BIGINT) AS lang_share_bp
         |FROM m JOIN t ON t.lang = m.lang
-        |ORDER BY lang, source""".stripMargin)
+        |ORDER BY lang, source""".stripMargin),
+
+    // LSH bucket-load census (r17b): the shuffle-skew audit the banded
+    // near-dup join's scale argument rests on. The production 4-band ×
+    // 4-row banding over x74's 16-component signatures hashes each
+    // band's 4 ordered components into a bucket key; per band this
+    // reports buckets, colliding buckets, the largest bucket, and the
+    // candidate-pair load sum n·(n−1)/2 — the number the 100 TB banded
+    // join actually shuffles. A hot bucket here IS the skew that
+    // salting/AQE would have to absorb. Scale: signature-sized
+    // grouping only — no pair join anywhere (the census prices the
+    // pair join without running it).
+    q("x372_lsh_bucket_skew",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |bk AS (SELECT doc_id, cast(i div 4 AS BIGINT) AS band,
+        |              md5(listagg(cast(mh AS STRING), ',') WITHIN GROUP (ORDER BY i)) AS bkey
+        |       FROM sig GROUP BY doc_id, cast(i div 4 AS BIGINT)),
+        |b2 AS (SELECT band, bkey, cast(count(*) AS BIGINT) AS sz FROM bk GROUP BY 1, 2)
+        |SELECT band, cast(count(*) AS BIGINT) AS n_buckets,
+        |       cast(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_buckets,
+        |       cast(max(sz) AS BIGINT) AS max_bucket,
+        |       cast(sum(sz*(sz-1) div 2) AS BIGINT) AS cand_pairs
+        |FROM b2 GROUP BY band ORDER BY band""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |bk AS (SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+        |              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+        |       FROM sig GROUP BY doc_id, CAST(i // 4 AS BIGINT)),
+        |b2 AS (SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz FROM bk GROUP BY 1, 2)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+        |       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS colliding_buckets,
+        |       CAST(max(sz) AS BIGINT) AS max_bucket,
+        |       CAST(sum(sz*(sz-1) // 2) AS BIGINT) AS cand_pairs
+        |FROM b2 GROUP BY band ORDER BY band""".stripMargin),
+
+    // Duplicate-group purity (r17b): of x47's normalized-key duplicate
+    // groups (size ≥ 2), how many span multiple sources or multiple
+    // languages — per x361 size bucket. Cross-source groups are the
+    // dedup-resistant template class (x368's signal at group level);
+    // cross-lang groups are usually key-collision artifacts worth
+    // eyeballing. Complements x357 (pairwise source matrix) and x361
+    // (size profile) with the group-level composition. Scale: x47's
+    // key shuffle + a bucket rollup — census shapes only.
+    q("x373_dup_group_purity",
+      """WITH k AS (SELECT doc_id, source, lang,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |g AS (SELECT key, cast(count(*) AS BIGINT) AS n,
+        |             cast(count(DISTINCT source) AS BIGINT) AS ns,
+        |             cast(count(DISTINCT lang) AS BIGINT) AS nl
+        |      FROM k GROUP BY 1 HAVING count(*) >= 2),
+        |b AS (SELECT CASE WHEN n = 2 THEN '2' WHEN n <= 4 THEN '3-4'
+        |                  WHEN n <= 8 THEN '5-8' ELSE '9+' END AS bucket, n, ns, nl FROM g)
+        |SELECT bucket, cast(count(*) AS BIGINT) AS groups,
+        |       cast(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_source,
+        |       cast(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_lang,
+        |       cast(sum(n) AS BIGINT) AS docs,
+        |       cast(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_cross_source
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+      """WITH k AS (SELECT doc_id, source, lang,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS ns,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS nl
+        |      FROM k GROUP BY 1 HAVING count(*) >= 2),
+        |b AS (SELECT CASE WHEN n = 2 THEN '2' WHEN n <= 4 THEN '3-4'
+        |                  WHEN n <= 8 THEN '5-8' ELSE '9+' END AS bucket, n, ns, nl FROM g)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS groups,
+        |       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_source,
+        |       CAST(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS cross_lang,
+        |       CAST(sum(n) AS BIGINT) AS docs,
+        |       CAST(sum(CASE WHEN ns > 1 THEN n ELSE 0 END) AS BIGINT) AS docs_cross_source
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // Padding-waste report (r17b): the context-window utilization
+    // comparison a training-prep review reads before choosing a
+    // batching policy. Per source, the single-doc-per-sequence policy
+    // at T=512 (pad short docs to T, truncate long ones) vs x107's
+    // concat-and-chunk packing: kept/pad/truncated tokens and the
+    // utilization of each policy in bp. All ceil divisions are exact
+    // integer (t+511) div 512 — no floats anywhere. Scale: one narrow
+    // scan + a per-source rollup.
+    q("x374_padding_waste",
+      """WITH t AS (SELECT source, size(split(text,' ')) AS n FROM documents),
+        |s AS (SELECT source, cast(count(*) AS BIGINT) AS docs, cast(sum(n) AS BIGINT) AS toks,
+        |             cast(sum(least(n, 512)) AS BIGINT) AS kept,
+        |             cast(sum(greatest(n - 512, 0)) AS BIGINT) AS truncated
+        |      FROM t GROUP BY 1)
+        |SELECT source, docs, toks, kept,
+        |       cast(docs*512 - kept AS BIGINT) AS pad, truncated,
+        |       cast(kept * 10000 div (docs * 512) AS BIGINT) AS util_single_bp,
+        |       cast((toks + 511) div 512 AS BIGINT) AS packed_windows,
+        |       cast(toks * 10000 div (((toks + 511) div 512) * 512) AS BIGINT) AS util_packed_bp
+        |FROM s ORDER BY source""".stripMargin,
+      """WITH t AS (SELECT source, len(string_split(text,' ')) AS n FROM documents),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS docs, CAST(sum(n) AS BIGINT) AS toks,
+        |             CAST(sum(least(n, 512)) AS BIGINT) AS kept,
+        |             CAST(sum(greatest(n - 512, 0)) AS BIGINT) AS truncated
+        |      FROM t GROUP BY 1)
+        |SELECT source, docs, toks, kept,
+        |       CAST(docs*512 - kept AS BIGINT) AS pad, truncated,
+        |       CAST(kept * 10000 // (docs * 512) AS BIGINT) AS util_single_bp,
+        |       CAST((toks + 511) // 512 AS BIGINT) AS packed_windows,
+        |       CAST(toks * 10000 // (((toks + 511) // 512) * 512) AS BIGINT) AS util_packed_bp
+        |FROM s ORDER BY source""".stripMargin),
+
+    // Bigram conditional entropy per source (r17b): H(w2|w1) =
+    // H(bigram) − H(unigram) in nats — the redundancy/predictability
+    // measure that separates template-heavy sources (low conditional
+    // entropy: the next token is predictable) from diverse prose. The
+    // corpus-level sibling of x232's per-doc bigram surprise and x73's
+    // per-doc token entropy; x237 is the ln() dual-engine precedent
+    // and the round-to-4 discipline is its. Scale: two hash-keyed
+    // token censuses per source — no pairs, no windows.
+    q("x375_bigram_entropy_rate",
+      """WITH w AS (SELECT source, split(text,' ') AS w FROM documents),
+        |u AS (SELECT source, tok, count(*) AS n
+        |      FROM (SELECT source, explode(w) AS tok FROM w) GROUP BY 1, 2),
+        |ut AS (SELECT source, sum(n) AS tot FROM u GROUP BY 1),
+        |hu AS (SELECT u.source, -sum((n*1e0/tot) * ln(n*1e0/tot)) AS h
+        |       FROM u JOIN ut ON ut.source = u.source GROUP BY u.source),
+        |bg AS (SELECT source, g, count(*) AS n
+        |       FROM (SELECT source, explode(transform(sequence(1, size(w)-1), i -> concat_ws(' ', slice(w, i, 2)))) AS g
+        |             FROM w WHERE size(w) >= 2) GROUP BY 1, 2),
+        |bt AS (SELECT source, sum(n) AS tot FROM bg GROUP BY 1),
+        |hb AS (SELECT bg.source, -sum((n*1e0/tot) * ln(n*1e0/tot)) AS h
+        |       FROM bg JOIN bt ON bt.source = bg.source GROUP BY bg.source)
+        |SELECT hu.source AS source, cast(ut.tot AS BIGINT) AS n_toks, cast(bt.tot AS BIGINT) AS n_bigrams,
+        |       round(hu.h, 4) AS h_uni, round(hb.h, 4) AS h_bi, round(hb.h - hu.h, 4) AS h_cond
+        |FROM hu JOIN hb ON hb.source = hu.source
+        |JOIN ut ON ut.source = hu.source JOIN bt ON bt.source = hu.source
+        |ORDER BY source""".stripMargin,
+      """WITH w AS (SELECT source, string_split(text,' ') AS w FROM documents),
+        |u AS (SELECT source, tok, count(*) AS n
+        |      FROM (SELECT source, unnest(w) AS tok FROM w) GROUP BY 1, 2),
+        |ut AS (SELECT source, sum(n) AS tot FROM u GROUP BY 1),
+        |hu AS (SELECT u.source, -sum((n*1e0/tot) * ln(n*1e0/tot)) AS h
+        |       FROM u JOIN ut ON ut.source = u.source GROUP BY u.source),
+        |bg AS (SELECT source, g, count(*) AS n
+        |       FROM (SELECT source, unnest([array_to_string(w[i:i+1],' ') FOR i IN range(1, len(w))]) AS g
+        |             FROM w WHERE len(w) >= 2) GROUP BY 1, 2),
+        |bt AS (SELECT source, sum(n) AS tot FROM bg GROUP BY 1),
+        |hb AS (SELECT bg.source, -sum((n*1e0/tot) * ln(n*1e0/tot)) AS h
+        |       FROM bg JOIN bt ON bt.source = bg.source GROUP BY bg.source)
+        |SELECT hu.source AS source, CAST(ut.tot AS BIGINT) AS n_toks, CAST(bt.tot AS BIGINT) AS n_bigrams,
+        |       round(hu.h, 4) AS h_uni, round(hb.h, 4) AS h_bi, round(hb.h - hu.h, 4) AS h_cond
+        |FROM hu JOIN hb ON hb.source = hu.source
+        |JOIN ut ON ut.source = hu.source JOIN bt ON bt.source = hu.source
+        |ORDER BY source""".stripMargin),
+
+    // Quality-aware keeper uplift (r17b): what changes if x47's
+    // keep-first canonical rule becomes keep-best-quality (x50's
+    // quality_bp, ties → lowest doc_id)? Per source of the FIRST
+    // keeper: groups, keepers that change, and the mean kept quality
+    // under each policy — the measured uplift a pipeline review weighs
+    // against keep-first's O(1) determinism. Both policies are
+    // row_number windows over the same key shuffle; text never rides
+    // a shuffle (the key and score are per-row). Scale: x47's key
+    // shuffle + two windows + census rollups.
+    q("x376_quality_keeper_uplift",
+      """WITH w0 AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |k AS (SELECT doc_id, source,
+        |        md5(array_join(sort_array(array_distinct(w)),' ')) AS key,
+        |        cast(floor((0.4*(size(array_distinct(w))/cast(size(w) AS DOUBLE))
+        |              + 0.3*(1.0 - size(filter(w, x -> x IN ('a','the')))/cast(size(w) AS DOUBLE))
+        |              + 0.3*least(size(w)/100.0, 1.0))*10000.0) AS BIGINT) AS q
+        |      FROM w0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rf,
+        |             row_number() OVER (PARTITION BY key ORDER BY q DESC, doc_id) AS rq FROM k),
+        |a AS (SELECT source, cast(count(*) AS BIGINT) AS kept_first, cast(sum(q) AS BIGINT) AS q_first
+        |      FROM f WHERE rf = 1 GROUP BY 1),
+        |b AS (SELECT source, cast(count(*) AS BIGINT) AS kept_best, cast(sum(q) AS BIGINT) AS q_best
+        |      FROM f WHERE rq = 1 GROUP BY 1),
+        |g AS (SELECT key, max(CASE WHEN rf = 1 THEN source END) AS src_first,
+        |             max(CASE WHEN rf = 1 THEN doc_id END) AS d_first,
+        |             max(CASE WHEN rq = 1 THEN doc_id END) AS d_best
+        |      FROM f GROUP BY 1),
+        |ch AS (SELECT src_first AS source, cast(count(*) AS BIGINT) AS n_groups,
+        |              cast(sum(CASE WHEN d_first <> d_best THEN 1 ELSE 0 END) AS BIGINT) AS changed
+        |       FROM g GROUP BY 1)
+        |SELECT ch.source AS source, ch.n_groups AS n_groups, ch.changed AS changed,
+        |       a.kept_first AS kept_first, b.kept_best AS kept_best,
+        |       cast(a.q_first div a.kept_first AS BIGINT) AS mean_q_first,
+        |       cast(b.q_best div b.kept_best AS BIGINT) AS mean_q_best
+        |FROM ch JOIN a ON a.source = ch.source JOIN b ON b.source = ch.source
+        |ORDER BY source""".stripMargin,
+      """WITH w0 AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |k AS (SELECT doc_id, source,
+        |        md5(array_to_string(list_sort(list_distinct(w)),' ')) AS key,
+        |        cast(floor((0.4*(len(list_distinct(w))/cast(len(w) AS DOUBLE))
+        |              + 0.3*(1.0 - len(list_filter(w, x -> x IN ('a','the')))/cast(len(w) AS DOUBLE))
+        |              + 0.3*least(len(w)/100.0, 1.0))*10000.0) AS BIGINT) AS q
+        |      FROM w0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rf,
+        |             row_number() OVER (PARTITION BY key ORDER BY q DESC, doc_id) AS rq FROM k),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS kept_first, CAST(sum(q) AS BIGINT) AS q_first
+        |      FROM f WHERE rf = 1 GROUP BY 1),
+        |b AS (SELECT source, CAST(count(*) AS BIGINT) AS kept_best, CAST(sum(q) AS BIGINT) AS q_best
+        |      FROM f WHERE rq = 1 GROUP BY 1),
+        |g AS (SELECT key, max(CASE WHEN rf = 1 THEN source END) AS src_first,
+        |             max(CASE WHEN rf = 1 THEN doc_id END) AS d_first,
+        |             max(CASE WHEN rq = 1 THEN doc_id END) AS d_best
+        |      FROM f GROUP BY 1),
+        |ch AS (SELECT src_first AS source, CAST(count(*) AS BIGINT) AS n_groups,
+        |              CAST(sum(CASE WHEN d_first <> d_best THEN 1 ELSE 0 END) AS BIGINT) AS changed
+        |       FROM g GROUP BY 1)
+        |SELECT ch.source AS source, ch.n_groups AS n_groups, ch.changed AS changed,
+        |       a.kept_first AS kept_first, b.kept_best AS kept_best,
+        |       CAST(a.q_first // a.kept_first AS BIGINT) AS mean_q_first,
+        |       CAST(b.q_best // b.kept_best AS BIGINT) AS mean_q_best
+        |FROM ch JOIN a ON a.source = ch.source JOIN b ON b.source = ch.source
+        |ORDER BY source""".stripMargin),
+
+    // Chunk-boundary context loss (r17b): x107's concat-and-chunk
+    // packing splits documents at 512-token boundaries; every split
+    // destroys the word 8-grams that straddle it — context a model
+    // never sees intact. Per source: within-doc 8-grams, boundaries
+    // landing inside docs, exactly how many 8-grams each boundary
+    // destroys (clipped to the doc's own window range, so short or
+    // boundary-adjacent docs count exactly), and the loss in bp — the
+    // number that motivates doc-aligned or overlap-stride packing.
+    // Scale: x107's running-total window (contract-scale global
+    // window; the x100 two-pass tier is the scale form) + an
+    // explode over boundary hits only.
+    q("x377_chunk_boundary_loss",
+      """WITH t AS (SELECT doc_id, source, size(split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, source, cast(n AS BIGINT) AS n,
+        |        cast(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start
+        |      FROM t),
+        |v AS (SELECT *, cast(floor(start/512.0) AS BIGINT) AS fw,
+        |             cast(floor((start + n - 1)/512.0) AS BIGINT) AS lw FROM c),
+        |b AS (SELECT source, n, start, explode(sequence(fw + 1, lw)) AS wb
+        |      FROM v WHERE lw > fw AND n >= 8),
+        |d AS (SELECT source, greatest(cast(0 AS BIGINT),
+        |        least(wb*512 - 1, start + n - 8) - greatest(start, wb*512 - 7) + 1) AS destroyed FROM b),
+        |g AS (SELECT source, cast(sum(CASE WHEN n >= 8 THEN n - 7 ELSE 0 END) AS BIGINT) AS grams,
+        |             cast(sum(CASE WHEN n >= 8 THEN lw - fw ELSE 0 END) AS BIGINT) AS boundaries
+        |      FROM v GROUP BY 1),
+        |e AS (SELECT source, cast(sum(destroyed) AS BIGINT) AS destroyed FROM d GROUP BY 1)
+        |SELECT g.source AS source, g.grams AS grams, g.boundaries AS boundaries,
+        |       coalesce(e.destroyed, cast(0 AS BIGINT)) AS destroyed,
+        |       cast(coalesce(e.destroyed, cast(0 AS BIGINT)) * 10000 div g.grams AS BIGINT) AS loss_bp
+        |FROM g LEFT JOIN e ON e.source = g.source ORDER BY source""".stripMargin,
+      """WITH t AS (SELECT doc_id, source, len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, source, CAST(n AS BIGINT) AS n,
+        |        CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - n AS start
+        |      FROM t),
+        |v AS (SELECT *, CAST(floor(start/512.0) AS BIGINT) AS fw,
+        |             CAST(floor((start + n - 1)/512.0) AS BIGINT) AS lw FROM c),
+        |b AS (SELECT source, n, start, unnest(generate_series(fw + 1, lw)) AS wb
+        |      FROM v WHERE lw > fw AND n >= 8),
+        |d AS (SELECT source, greatest(CAST(0 AS BIGINT),
+        |        least(wb*512 - 1, start + n - 8) - greatest(start, wb*512 - 7) + 1) AS destroyed FROM b),
+        |g AS (SELECT source, CAST(sum(CASE WHEN n >= 8 THEN n - 7 ELSE 0 END) AS BIGINT) AS grams,
+        |             CAST(sum(CASE WHEN n >= 8 THEN lw - fw ELSE 0 END) AS BIGINT) AS boundaries
+        |      FROM v GROUP BY 1),
+        |e AS (SELECT source, CAST(sum(destroyed) AS BIGINT) AS destroyed FROM d GROUP BY 1)
+        |SELECT g.source AS source, g.grams AS grams, g.boundaries AS boundaries,
+        |       coalesce(e.destroyed, CAST(0 AS BIGINT)) AS destroyed,
+        |       CAST(coalesce(e.destroyed, CAST(0 AS BIGINT)) * 10000 // g.grams AS BIGINT) AS loss_bp
+        |FROM g LEFT JOIN e ON e.source = g.source ORDER BY source""".stripMargin),
+
+    // Embedding norm outlier screen (r17b): per label, the lower-median
+    // squared norm on the exact ×10000 integer grid, the MAD around it
+    // (both medians positional — value at rank (n+1) div 2 with
+    // vec_id tie-break, so both engines pick the identical element; no
+    // percentile interpolation, no floats), and the count beyond
+    // 3×MAD — the embedding-QC pass that catches collapsed or blown-up
+    // vectors BEFORE they enter an ANN index (a zero vector scores
+    // cosine NaN; a huge-norm one dominates IVF centroids). x188 is
+    // the scalar MAD sibling; this is its vector-norm form. Scale:
+    // label-keyed windows over index-sized rows.
+    q("x378_embedding_norm_outliers",
+      """WITH q AS (SELECT vec_id, label, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, element_at(qv, i) AS val FROM (SELECT vec_id, label, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |t AS (SELECT vec_id, label, cast(sum(val*val) AS BIGINT) AS norm2 FROM d GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+        |             count(*) OVER (PARTITION BY label) AS cnt FROM t),
+        |med AS (SELECT label, norm2 AS med FROM r WHERE rn = (cnt + 1) div 2),
+        |dev AS (SELECT t.label, t.vec_id, abs(t.norm2 - med.med) AS dev
+        |        FROM t JOIN med ON med.label = t.label),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn,
+        |              count(*) OVER (PARTITION BY label) AS cnt FROM dev),
+        |mad AS (SELECT label, dev AS mad FROM r2 WHERE rn = (cnt + 1) div 2)
+        |SELECT cast(t.label AS BIGINT) AS label, cast(count(*) AS BIGINT) AS n,
+        |       cast(max(med.med) AS BIGINT) AS med_norm2, cast(max(mad.mad) AS BIGINT) AS mad,
+        |       cast(sum(CASE WHEN abs(t.norm2 - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM t JOIN med ON med.label = t.label JOIN mad ON mad.label = t.label
+        |GROUP BY t.label ORDER BY label""".stripMargin,
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, label, qv[i] AS val FROM (SELECT vec_id, label, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |t AS (SELECT vec_id, label, CAST(sum(val*val) AS BIGINT) AS norm2 FROM d GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY norm2, vec_id) AS rn,
+        |             count(*) OVER (PARTITION BY label) AS cnt FROM t),
+        |med AS (SELECT label, norm2 AS med FROM r WHERE rn = (cnt + 1) // 2),
+        |dev AS (SELECT t.label, t.vec_id, abs(t.norm2 - med.med) AS dev
+        |        FROM t JOIN med ON med.label = t.label),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dev, vec_id) AS rn,
+        |              count(*) OVER (PARTITION BY label) AS cnt FROM dev),
+        |mad AS (SELECT label, dev AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+        |SELECT CAST(t.label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(max(med.med) AS BIGINT) AS med_norm2, CAST(max(mad.mad) AS BIGINT) AS mad,
+        |       CAST(sum(CASE WHEN abs(t.norm2 - med.med) > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM t JOIN med ON med.label = t.label JOIN mad ON mad.label = t.label
+        |GROUP BY t.label ORDER BY label""".stripMargin),
+
+    // Shingle-size sensitivity (r17b): for the PRODUCTION banded
+    // candidate pairs (x74, m ≥ 8), the exact Jaccard at shingle
+    // widths 3 (the production choice), 5, and 8 side by side — how
+    // much the similarity measure itself moves with the width, the
+    // tuning evidence behind w=3 that x364 (banding) and x365
+    // (estimator) take as given. Wider shingles punish small edits
+    // harder, so jac3 ≥ jac5 ≥ jac8 row-wise on edit-replica pairs.
+    // Scale: candidates from the banded join only; the three gram
+    // joins are per-candidate (verify-stage cost) — but the exact gram
+    // sides are the audited truth, so contract-SF only by design.
+    q("x379_shingle_size_sensitivity",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+        |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1,2 HAVING count(*) >= 8),
+        |s5 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-4), i -> concat_ws(' ', slice(w, i, 5))))) AS sh
+        |       FROM w WHERE size(w) >= 5),
+        |s8 AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-7), i -> concat_ws(' ', slice(w, i, 8))))) AS sh
+        |       FROM w WHERE size(w) >= 8),
+        |n3 AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |n5 AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM s5 GROUP BY 1),
+        |n8 AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM s8 GROUP BY 1),
+        |i3 AS (SELECT p.a, p.b, cast(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2),
+        |i5 AS (SELECT p.a, p.b, cast(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN s5 x ON x.doc_id = p.a JOIN s5 y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2),
+        |i8 AS (SELECT p.a, p.b, cast(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN s8 x ON x.doc_id = p.a JOIN s8 y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2)
+        |SELECT p.a AS a, p.b AS b,
+        |       cast(coalesce(i3.c, cast(0 AS BIGINT)) * 10000 div (a3.n + b3.n - coalesce(i3.c, cast(0 AS BIGINT))) AS BIGINT) AS jac3_bp,
+        |       cast(coalesce(i5.c, cast(0 AS BIGINT)) * 10000 div (a5.n + b5.n - coalesce(i5.c, cast(0 AS BIGINT))) AS BIGINT) AS jac5_bp,
+        |       cast(coalesce(i8.c, cast(0 AS BIGINT)) * 10000 div (a8.n + b8.n - coalesce(i8.c, cast(0 AS BIGINT))) AS BIGINT) AS jac8_bp
+        |FROM pairs p
+        |JOIN n3 a3 ON a3.doc_id = p.a JOIN n3 b3 ON b3.doc_id = p.b
+        |JOIN n5 a5 ON a5.doc_id = p.a JOIN n5 b5 ON b5.doc_id = p.b
+        |JOIN n8 a8 ON a8.doc_id = p.a JOIN n8 b8 ON b8.doc_id = p.b
+        |LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b
+        |LEFT JOIN i5 ON i5.a = p.a AND i5.b = p.b
+        |LEFT JOIN i8 ON i8.a = p.a AND i8.b = p.b
+        |ORDER BY a, b""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |pairs AS (SELECT sa.doc_id AS a, sb.doc_id AS b
+        |          FROM sig sa JOIN sig sb ON sa.i = sb.i AND sa.mh = sb.mh AND sa.doc_id < sb.doc_id
+        |          GROUP BY 1,2 HAVING count(*) >= 8),
+        |s5 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+4],' ') FOR i IN range(1, len(w)-3)])) AS sh
+        |       FROM w WHERE len(w) >= 5),
+        |s8 AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+7],' ') FOR i IN range(1, len(w)-6)])) AS sh
+        |       FROM w WHERE len(w) >= 8),
+        |n3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |n5 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s5 GROUP BY 1),
+        |n8 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM s8 GROUP BY 1),
+        |i3 AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN sh x ON x.doc_id = p.a JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2),
+        |i5 AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN s5 x ON x.doc_id = p.a JOIN s5 y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2),
+        |i8 AS (SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS c FROM pairs p
+        |       JOIN s8 x ON x.doc_id = p.a JOIN s8 y ON y.doc_id = p.b AND y.sh = x.sh GROUP BY 1,2)
+        |SELECT p.a AS a, p.b AS b,
+        |       CAST(coalesce(i3.c, CAST(0 AS BIGINT)) * 10000 // (a3.n + b3.n - coalesce(i3.c, CAST(0 AS BIGINT))) AS BIGINT) AS jac3_bp,
+        |       CAST(coalesce(i5.c, CAST(0 AS BIGINT)) * 10000 // (a5.n + b5.n - coalesce(i5.c, CAST(0 AS BIGINT))) AS BIGINT) AS jac5_bp,
+        |       CAST(coalesce(i8.c, CAST(0 AS BIGINT)) * 10000 // (a8.n + b8.n - coalesce(i8.c, CAST(0 AS BIGINT))) AS BIGINT) AS jac8_bp
+        |FROM pairs p
+        |JOIN n3 a3 ON a3.doc_id = p.a JOIN n3 b3 ON b3.doc_id = p.b
+        |JOIN n5 a5 ON a5.doc_id = p.a JOIN n5 b5 ON b5.doc_id = p.b
+        |JOIN n8 a8 ON a8.doc_id = p.a JOIN n8 b8 ON b8.doc_id = p.b
+        |LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b
+        |LEFT JOIN i5 ON i5.a = p.a AND i5.b = p.b
+        |LEFT JOIN i8 ON i8.a = p.a AND i8.b = p.b
+        |ORDER BY a, b""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

@@ -447,6 +447,112 @@ class QueriesSpec extends SparkSpec {
     llm.SubstringDedup.cleanedDocsWithRelease(docs, 8)._2.apply()
   }
 
+  // round-17 additions (counts oracle-verified vs DuckDB at all three
+  // SFs when the queries were authored; x363–x371 are the early-r17
+  // batch, x372–x379 the late one)
+  val expectedRowsR17: Map[String, Long] = Map(
+    "x363_kmv_source_jaccard" -> 190, "x364_lsh_band_sensitivity" -> 9,
+    "x365_minhash_jaccard_err" -> 28, "x366_embedding_centroid_shift" -> 10,
+    "x367_neardup_transitivity" -> 3, "x368_boilerplate_edges" -> 21,
+    "x369_int8_rank_stability" -> 8, "x370_dedup_keep_bias" -> 20,
+    "x371_lang_source_mix" -> 99,
+    "x372_lsh_bucket_skew" -> 4, "x373_dup_group_purity" -> 3,
+    "x374_padding_waste" -> 20, "x375_bigram_entropy_rate" -> 20,
+    "x376_quality_keeper_uplift" -> 20, "x377_chunk_boundary_loss" -> 20,
+    "x378_embedding_norm_outliers" -> 10, "x379_shingle_size_sensitivity" -> 28)
+
+  expectedRowsR17.foreach { case (name, n) =>
+    test(s"$name returns $n rows at sf0.001") {
+      assert(SparkEntry.queries(name)(spark, sf0001).count() == n)
+    }
+  }
+
+  test("x372 bucket skew: 4 bands, pair load consistent with collisions") {
+    val rows = SparkEntry.queries("x372_lsh_bucket_skew")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L), "the (4,4) banding has bands 0..3")
+    rows.foreach { case (band, buckets, colliding, mx, pairs) =>
+      assert(colliding <= buckets && mx >= 2 == (colliding > 0),
+        s"band $band: colliding buckets need a >=2 max bucket")
+      // every colliding bucket contributes >= 1 pair; a size-m bucket m(m-1)/2
+      assert(pairs >= colliding && pairs <= mx * (mx - 1) / 2 * colliding,
+        s"band $band: pair load $pairs out of range for ($colliding, $mx)")
+    }
+  }
+
+  test("x373 purity: docs >= 2x groups, cross-source counts bounded") {
+    SparkEntry.queries("x373_dup_group_purity")(spark, sf0001).collect().foreach { r =>
+      val (groups, cs, cl, docs, dcs) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(docs >= 2 * groups, s"bucket ${r.getString(0)}: dup groups have >= 2 docs")
+      assert(cs <= groups && cl <= groups && dcs <= docs)
+    }
+  }
+
+  test("x374 padding waste: token balances are exact") {
+    SparkEntry.queries("x374_padding_waste")(spark, sf0001).collect().foreach { r =>
+      val (docs, toks, kept, pad, trunc) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(kept + trunc == toks, s"${r.getString(0)}: kept+truncated must equal toks")
+      assert(pad == docs * 512 - kept, s"${r.getString(0)}: pad balance")
+      assert(r.getLong(6) <= 10000L && r.getLong(8) <= 10000L)
+    }
+  }
+
+  test("x375 entropy rate: conditional entropy positive, bigram above unigram") {
+    SparkEntry.queries("x375_bigram_entropy_rate")(spark, sf0001).collect().foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(4) > r.getDouble(3),
+        s"${r.getString(0)}: H(bigram) must exceed H(unigram) on prose")
+      assert(r.getDouble(5) > 0, s"${r.getString(0)}: conditional entropy positive")
+    }
+  }
+
+  test("x376 keeper uplift: one keeper per group under BOTH policies, best >= first globally") {
+    val rows = SparkEntry.queries("x376_quality_keeper_uplift")(spark, sf0001).collect()
+    val (keptFirst, keptBest) = (rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    assert(keptFirst == keptBest, "both policies keep exactly one doc per group")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"${r.getString(0)}: changed <= groups")
+    }
+    // per-group max quality >= first quality, so the global mean must not drop
+    val qFirst = rows.map(r => r.getLong(5) * r.getLong(3)).sum
+    val qBest = rows.map(r => r.getLong(6) * r.getLong(4)).sum
+    assert(qBest >= qFirst - rows.length, // integer-division slack, < 1 unit per source
+      s"keep-best cannot lower total kept quality: $qBest vs $qFirst")
+  }
+
+  test("x377 boundary loss: each boundary destroys 1..7 within-doc 8-grams") {
+    SparkEntry.queries("x377_chunk_boundary_loss")(spark, sf0001).collect().foreach { r =>
+      val (grams, bounds, destroyed, bp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(destroyed >= bounds && destroyed <= 7 * bounds,
+        s"${r.getString(0)}: $destroyed outside [$bounds, ${7 * bounds}]")
+      assert(bp == destroyed * 10000 / grams)
+    }
+  }
+
+  test("x378 norm outliers: unit-ish norms on the 1e4 grid, outliers bounded") {
+    SparkEntry.queries("x378_embedding_norm_outliers")(spark, sf0001).collect().foreach { r =>
+      val (n, med, mad, out) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(med > 90000000L && med < 110000000L,
+        s"label ${r.getLong(0)}: normalized embeddings have norm2 near 1e8 on the grid")
+      assert(mad >= 0 && out <= n)
+    }
+  }
+
+  test("x379 shingle sensitivity: wider shingles never raise MEAN similarity") {
+    val rows = SparkEntry.queries("x379_shingle_size_sensitivity")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(2, 3, 4).foreach(i => assert(r.getLong(i) >= 0 && r.getLong(i) <= 10000))
+    }
+    val (m3, m5, m8) = (rows.map(_.getLong(2)).sum / rows.length,
+      rows.map(_.getLong(3)).sum / rows.length, rows.map(_.getLong(4)).sum / rows.length)
+    // row-wise monotonicity can flip on individual pairs (1 of 256 at
+    // sf0.1); the MEAN over banded candidates is the stable claim
+    assert(m3 >= m5 && m5 >= m8, s"mean jac must fall with width: $m3, $m5, $m8")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
