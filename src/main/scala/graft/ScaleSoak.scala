@@ -669,6 +669,53 @@ object ScaleSoak {
       spark.stop(); return
     }
 
+    if (args.contains("r17btier")) {
+      // Late-round-17 tier at 10×: the seven scale-safe r17b entries.
+      // x372 is signature-sized grouping; x373/x374/x375 censuses and
+      // rollups; x376 two windows over the key shuffle; x377 x107's
+      // running-total window + boundary explode; x378 label-keyed
+      // windows. x379 is exactBaselines (tri-width exact gram joins
+      // over the banded candidates) — contract-SF only, x365's rule.
+      val out = "/tmp/graft_sf1x"
+      val fsH = org.apache.hadoop.fs.FileSystem
+        .get(spark.sparkContext.hadoopConfiguration)
+      if (!fsH.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
+          || args.contains("rebuild"))
+        buildFull(spark, sf, out)
+      def med3(f: => Long): (Double, Long) =
+        timedMed3(spark, clearBetween = true)(f)
+      def runN(dir: String, name: String): (Double, Long) =
+        med3(SparkEntry.queries(name)(spark, dir).collect().length.toLong)
+      Seq("x372_lsh_bucket_skew", "x373_dup_group_purity",
+          "x374_padding_waste", "x375_bigram_entropy_rate",
+          "x376_quality_keeper_uplift", "x377_chunk_boundary_loss",
+          "x378_embedding_norm_outliers")
+        .foreach { n =>
+          val (t1, n1) = runN(sf, n)
+          val (t10, n10) = runN(out, n)
+          println(f"[soak] $n%-28s sf0.1 ${t1 * 1000}%8.1f ms ($n1%7d rows)   " +
+            f"10x ${t10 * 1000}%8.1f ms ($n10%7d rows)   ratio ${t10 / t1}%5.2f")
+        }
+      // invariants at 10×, not just timings: x374's token balances
+      // must stay exact; x376 must still keep exactly one doc per
+      // group under both policies; x377's per-boundary destruction
+      // stays in [1, 7] windows
+      SparkEntry.queries("x374_padding_waste")(spark, out).collect().foreach { r =>
+        assert(r.getLong(3) + r.getLong(5) == r.getLong(2),
+          s"x374 at 10x: kept+truncated != toks for ${r.getString(0)}")
+      }
+      val up = SparkEntry.queries("x376_quality_keeper_uplift")(spark, out).collect()
+      assert(up.map(_.getLong(3)).sum == up.map(_.getLong(4)).sum,
+        "x376 at 10x: keeper conservation across policies")
+      SparkEntry.queries("x377_chunk_boundary_loss")(spark, out).collect().foreach { r =>
+        assert(r.getLong(3) >= r.getLong(2) && r.getLong(3) <= 7 * r.getLong(2),
+          s"x377 at 10x: destroyed outside [b, 7b] for ${r.getString(0)}")
+      }
+      println("[soak] r17btier invariants: x374 balances exact, " +
+        "x376 keeper conservation, x377 destruction in [1,7] per boundary")
+      spark.stop(); return
+    }
+
     if (args.contains("profiler")) {
       // x161 exact (Expand multi-distinct) vs profileApprox (HLL sketch)
       // at 1× and 10× (VERDICT r6 #6, SCALE.md §18): Expand feeds k+1 row
