@@ -110,6 +110,14 @@ object BenchStream {
       .benchmarkGrams(docs.where(col("source") === "src0"))
       .localCheckpoint(true) // index-sized; exclude its build from timings
 
+    // psi_drift's frozen baseline (r17b): the first-half histogram,
+    // types × 10 bins — built once outside the timings, exactly as a
+    // monitoring deployment freezes its reference
+    val psiCut = events.agg(date_add(min(to_date(col("ts"))), 15)).head.getDate(0)
+    val psiRef = graft.streaming.PsiDriftStream
+      .referenceHist(events.where(to_date(col("ts")) <= lit(psiCut)))
+      .localCheckpoint(true)
+
     // ann_serve's standing artifacts (train-once/serve-many: built once
     // OUTSIDE the timings, exactly as a serving deployment would):
     // IVF centroids + the list-partitioned corpus layout. Queries = the
@@ -168,6 +176,20 @@ object BenchStream {
       "burn_rate" -> { () =>
         drain(graft.streaming.EventStream
           .burnRate6h(fileStream(eventsDir, eventsSchema)), "update")
+      },
+      "psi_drift" -> { () =>
+        // stateful types×10-bin histogram folded over the replay, then
+        // the PSI pass vs the frozen reference — timing covers the
+        // drain AND the score, the full monitor cycle
+        rep += 1
+        val name = s"bs_psi_$rep"
+        val q = graft.streaming.PsiDriftStream
+          .currentHist(fileStream(eventsDir, eventsSchema))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        graft.streaming.PsiDriftStream.psi(spark.table(name), psiRef).collect()
+        spark.catalog.dropTempView(name)
       },
       "minibatch_kmeans" -> { () =>
         // fresh model per drain: the timing covers seed + 4 folds
