@@ -8842,7 +8842,228 @@ object Queries {
         |LEFT JOIN i3 ON i3.a = p.a AND i3.b = p.b
         |LEFT JOIN i5 ON i5.a = p.a AND i5.b = p.b
         |LEFT JOIN i8 ON i8.a = p.a AND i8.b = p.b
-        |ORDER BY a, b""".stripMargin)
+        |ORDER BY a, b""".stripMargin),
+
+    // Dedup idempotence audit (r17b): apply x47's keep-first once,
+    // re-census the keepers — pass 2 MUST find zero duplicates, the
+    // fixpoint property every incremental pipeline silently assumes
+    // when it unions a deduped base with fresh arrivals (a non-zero
+    // pass-2 row means the key function is unstable and the base
+    // needs periodic re-dedup). Two rows, one per pass. Scale: the
+    // same key shuffle twice — the audit costs one extra census.
+    q("x380_dedup_idempotence",
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM k),
+        |p1 AS (SELECT cast(count(*) AS BIGINT) AS docs, cast(count(DISTINCT key) AS BIGINT) AS keys FROM k),
+        |p2 AS (SELECT cast(count(*) AS BIGINT) AS docs, cast(count(DISTINCT key) AS BIGINT) AS keys
+        |       FROM f WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT cast(1 AS BIGINT) AS pass, docs, keys, cast(docs - keys AS BIGINT) AS dups FROM p1
+        |  UNION ALL
+        |  SELECT cast(2 AS BIGINT) AS pass, docs, keys, cast(docs - keys AS BIGINT) AS dups FROM p2
+        |) ORDER BY pass""".stripMargin,
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT doc_id, key, row_number() OVER (PARTITION BY key ORDER BY doc_id) AS rn FROM k),
+        |p1 AS (SELECT CAST(count(*) AS BIGINT) AS docs, CAST(count(DISTINCT key) AS BIGINT) AS keys FROM k),
+        |p2 AS (SELECT CAST(count(*) AS BIGINT) AS docs, CAST(count(DISTINCT key) AS BIGINT) AS keys
+        |       FROM f WHERE rn = 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS pass, docs, keys, CAST(docs - keys AS BIGINT) AS dups FROM p1
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT) AS pass, docs, keys, CAST(docs - keys AS BIGINT) AS dups FROM p2
+        |) ORDER BY pass""".stripMargin),
+
+    // Novelty decay curve (r17b): per arrival decile (doc_id order —
+    // the corpus's ingest order), how many docs carry a never-seen
+    // x47 key, with the running cumulative novelty share — how fast
+    // dedup savings grow as a corpus ages, the curve behind x348's
+    // forecast (a crawl whose novelty decays fast should shift spend
+    // to new sources; x337 classifies one snapshot boundary, this
+    // profiles the whole history). Scale: key shuffle + one global
+    // ntile (contract-scale window; x100's two-pass tier at scale).
+    q("x381_novelty_decay",
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY key) THEN 1 ELSE 0 END AS novel FROM k),
+        |d AS (SELECT doc_id, novel, ntile(10) OVER (ORDER BY doc_id) AS decile FROM f),
+        |g AS (SELECT cast(decile AS BIGINT) AS decile, cast(count(*) AS BIGINT) AS docs,
+        |             cast(sum(novel) AS BIGINT) AS novel FROM d GROUP BY 1)
+        |SELECT decile, docs, novel,
+        |       cast(novel * 10000 div docs AS BIGINT) AS novel_bp,
+        |       cast(sum(novel) OVER (ORDER BY decile) * 10000
+        |            div sum(docs) OVER (ORDER BY decile) AS BIGINT) AS cum_novel_bp
+        |FROM g ORDER BY decile""".stripMargin,
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |f AS (SELECT doc_id, CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY key) THEN 1 ELSE 0 END AS novel FROM k),
+        |d AS (SELECT doc_id, novel, ntile(10) OVER (ORDER BY doc_id) AS decile FROM f),
+        |g AS (SELECT CAST(decile AS BIGINT) AS decile, CAST(count(*) AS BIGINT) AS docs,
+        |             CAST(sum(novel) AS BIGINT) AS novel FROM d GROUP BY 1)
+        |SELECT decile, docs, novel,
+        |       CAST(novel * 10000 // docs AS BIGINT) AS novel_bp,
+        |       CAST(sum(novel) OVER (ORDER BY decile) * 10000
+        |            // sum(docs) OVER (ORDER BY decile) AS BIGINT) AS cum_novel_bp
+        |FROM g ORDER BY decile""".stripMargin),
+
+    // PQ code utilization (r17b): after x342's one-refinement training
+    // (8 subspaces × 4 codes, its arithmetic verbatim through the a1
+    // assignment), per subspace: codes used, dead codes, the hottest
+    // code's share, and the exact integer imbalance
+    // Σ(4·n_c − n)² over all 4 codes (16× the squared deviation from
+    // perfect balance; dead codes contribute n²) — dead or lopsided
+    // codes are wasted quantizer capacity that x360/x369 would surface
+    // later as error, this catches it at train time. Scale: the
+    // encode is index-sized (points × 4 codes per subspace).
+    q("x382_pq_code_balance",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |s AS (SELECT vec_id, cast((i-1) div 8 AS BIGINT) AS sub, cast((i-1) % 8 + 1 AS BIGINT) AS j, val FROM d),
+        |c0 AS (SELECT sub, vec_id AS code, j, val AS cval FROM s WHERE vec_id < 4),
+        |pts AS (SELECT vec_id, sub, j, val FROM s WHERE vec_id >= 4),
+        |d0 AS (SELECT p.vec_id, p.sub, c.code, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.code, p.j,
+        |         cast(cast(sum(p.val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub GROUP BY 1, 2, 3),
+        |d1 AS (SELECT p.vec_id, p.sub, c.code, cast(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |b AS (SELECT sub, code, cast(count(*) AS BIGINT) AS n FROM a1 GROUP BY 1, 2),
+        |t AS (SELECT sub, cast(sum(n) AS BIGINT) AS tot, cast(count(*) AS BIGINT) AS used,
+        |             cast(max(n) AS BIGINT) AS mx FROM b GROUP BY 1),
+        |imb AS (SELECT b.sub, cast(sum((b.n * 4 - t.tot) * (b.n * 4 - t.tot)) AS BIGINT) AS i16
+        |        FROM b JOIN t ON t.sub = b.sub GROUP BY 1)
+        |SELECT t.sub AS subspace, t.tot AS n_points, t.used AS codes_used,
+        |       cast(4 - t.used AS BIGINT) AS dead_codes, t.mx AS max_code_n,
+        |       cast(t.mx * 10000 div t.tot AS BIGINT) AS max_share_bp,
+        |       cast(imb.i16 + (4 - t.used) * t.tot * t.tot AS BIGINT) AS imbalance16
+        |FROM t JOIN imb ON imb.sub = t.sub ORDER BY subspace""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |s AS (SELECT vec_id, CAST((i-1) // 8 AS BIGINT) AS sub, CAST((i-1) % 8 + 1 AS BIGINT) AS j, val FROM d),
+        |c0 AS (SELECT sub, vec_id AS code, j, val AS cval FROM s WHERE vec_id < 4),
+        |pts AS (SELECT vec_id, sub, j, val FROM s WHERE vec_id >= 4),
+        |d0 AS (SELECT p.vec_id, p.sub, c.code, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c0 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a0 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d0)
+        |       WHERE rn = 1),
+        |c1 AS (SELECT a.sub, a.code, p.j,
+        |         CAST(CAST(sum(p.val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS cval
+        |       FROM a0 a JOIN pts p ON p.vec_id = a.vec_id AND p.sub = a.sub GROUP BY 1, 2, 3),
+        |d1 AS (SELECT p.vec_id, p.sub, c.code, CAST(sum((p.val - c.cval)*(p.val - c.cval)) AS BIGINT) AS dist
+        |       FROM pts p JOIN c1 c ON p.sub = c.sub AND p.j = c.j GROUP BY 1, 2, 3),
+        |a1 AS (SELECT vec_id, sub, code, dist FROM
+        |       (SELECT vec_id, sub, code, dist, row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, code) AS rn FROM d1)
+        |       WHERE rn = 1),
+        |b AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY 1, 2),
+        |t AS (SELECT sub, CAST(sum(n) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS used,
+        |             CAST(max(n) AS BIGINT) AS mx FROM b GROUP BY 1),
+        |imb AS (SELECT b.sub, CAST(sum((b.n * 4 - t.tot) * (b.n * 4 - t.tot)) AS BIGINT) AS i16
+        |        FROM b JOIN t ON t.sub = b.sub GROUP BY 1)
+        |SELECT t.sub AS subspace, t.tot AS n_points, t.used AS codes_used,
+        |       CAST(4 - t.used AS BIGINT) AS dead_codes, t.mx AS max_code_n,
+        |       CAST(t.mx * 10000 // t.tot AS BIGINT) AS max_share_bp,
+        |       CAST(imb.i16 + (4 - t.used) * t.tot * t.tot AS BIGINT) AS imbalance16
+        |FROM t JOIN imb ON imb.sub = t.sub ORDER BY subspace""".stripMargin),
+
+    // Epoch repetition plan (r17b, the data-constrained regime of
+    // Muennighoff et al.): a uniform-mixture token budget B = 2× the
+    // corpus, split equally across sources; small sources repeat (up
+    // to a 4-epoch cap), large ones undershoot their share. Per
+    // source: the share, epochs allocated (ceil of share/toks,
+    // capped), tokens actually served, the unmet remainder, and the
+    // EFFECTIVE tokens under halving per-epoch utility (10000/5000/
+    // 2500/1250 bp — repeated data is worth less, the paper's
+    // diminishing-returns shape) with the final partial epoch
+    // pro-rated exactly. All integer arithmetic: ceil = (a+b-1) div b,
+    // utility via a CASE ladder on full epochs — no pow, no floats.
+    // Scale: one per-source rollup over token counts.
+    q("x383_epoch_plan",
+      """WITH t AS (SELECT source, cast(sum(size(split(text,' '))) AS BIGINT) AS toks FROM documents GROUP BY 1),
+        |g AS (SELECT cast(count(*) AS BIGINT) AS n_sources, cast(sum(toks) AS BIGINT) AS total FROM t),
+        |p AS (SELECT t.source, t.toks, cast(2 * g.total div g.n_sources AS BIGINT) AS share FROM t CROSS JOIN g),
+        |e AS (SELECT source, toks, share,
+        |        least(cast(4 AS BIGINT), cast((share + toks - 1) div toks AS BIGINT)) AS epochs FROM p),
+        |s AS (SELECT *, cast(least(share, toks * epochs) AS BIGINT) AS served FROM e),
+        |x AS (SELECT *, cast(served div toks AS BIGINT) AS f, cast(served % toks AS BIGINT) AS r FROM s)
+        |SELECT source, toks, share AS target_toks, epochs,
+        |       served AS served_toks,
+        |       cast(greatest(cast(0 AS BIGINT), share - served) AS BIGINT) AS unmet_toks,
+        |       cast((CASE f WHEN 0 THEN cast(0 AS BIGINT) WHEN 1 THEN toks*10000 WHEN 2 THEN toks*15000
+        |                    WHEN 3 THEN toks*17500 ELSE toks*18750 END
+        |           + CASE f WHEN 0 THEN r*10000 WHEN 1 THEN r*5000 WHEN 2 THEN r*2500
+        |                    WHEN 3 THEN r*1250 ELSE cast(0 AS BIGINT) END) div 10000 AS BIGINT) AS effective_toks
+        |FROM x ORDER BY source""".stripMargin,
+      """WITH t AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS toks FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(toks) AS BIGINT) AS total FROM t),
+        |p AS (SELECT t.source, t.toks, CAST(2 * g.total // g.n_sources AS BIGINT) AS share FROM t CROSS JOIN g),
+        |e AS (SELECT source, toks, share,
+        |        least(CAST(4 AS BIGINT), CAST((share + toks - 1) // toks AS BIGINT)) AS epochs FROM p),
+        |s AS (SELECT *, CAST(least(share, toks * epochs) AS BIGINT) AS served FROM e),
+        |x AS (SELECT *, CAST(served // toks AS BIGINT) AS f, CAST(served % toks AS BIGINT) AS r FROM s)
+        |SELECT source, toks, share AS target_toks, epochs,
+        |       served AS served_toks,
+        |       CAST(greatest(CAST(0 AS BIGINT), share - served) AS BIGINT) AS unmet_toks,
+        |       CAST((CASE f WHEN 0 THEN CAST(0 AS BIGINT) WHEN 1 THEN toks*10000 WHEN 2 THEN toks*15000
+        |                    WHEN 3 THEN toks*17500 ELSE toks*18750 END
+        |           + CASE f WHEN 0 THEN r*10000 WHEN 1 THEN r*5000 WHEN 2 THEN r*2500
+        |                    WHEN 3 THEN r*1250 ELSE CAST(0 AS BIGINT) END) // 10000 AS BIGINT) AS effective_toks
+        |FROM x ORDER BY source""".stripMargin),
+
+    // Dedup-key partition balance (r17b): the physical-layer audit —
+    // how evenly x47's key hashes across 32 shuffle partitions, using
+    // the portable md5-prefix hash (Spark's hash() is Murmur3, DuckDB's
+    // differs — the engine-internal partitioner is EXACTLY what this
+    // audits by proxy). Per bucket: distinct keys and doc rows — a hot
+    // bucket here means the real dedup shuffle would strangle on one
+    // reducer (x176 diagnoses value skew; this diagnoses KEY-hash
+    // skew, which salting can't fix — only a better hash can). Scale:
+    // one census over the key table.
+    q("x384_key_partition_balance",
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_join(sort_array(array_distinct(split(text,' '))),' ')) AS key FROM documents),
+        |b AS (SELECT doc_id, key, cast(conv(substr(key,1,8),16,10) AS BIGINT) % 32 AS bucket FROM k)
+        |SELECT bucket, cast(count(DISTINCT key) AS BIGINT) AS n_keys,
+        |       cast(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+      """WITH k AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))),' ')) AS key FROM documents),
+        |b AS (SELECT doc_id, key, CAST(('0x'||substr(key,1,8)) AS BIGINT) % 32 AS bucket FROM k)
+        |SELECT bucket, CAST(count(DISTINCT key) AS BIGINT) AS n_keys,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    // Document-frequency spectrum (r17b): how many vocabulary terms
+    // appear in exactly 1 doc, 2–10, 11–100, 100+ — the IDF-health
+    // census under the x113 TF-IDF / x114 BM25 tier (a spectrum
+    // dominated by df=1 hapax terms inflates the inverted index for
+    // no retrieval value — x231's posting lists, priced by bucket;
+    // x248 counts hapax per source, this profiles the whole df
+    // distribution). Scale: one distinct-terms-per-doc explode + two
+    // hash aggs — census shapes.
+    q("x385_doc_freq_spectrum",
+      """WITH d AS (SELECT doc_id, explode(array_distinct(split(text,' '))) AS tok FROM documents),
+        |df AS (SELECT tok, cast(count(*) AS BIGINT) AS df FROM d GROUP BY 1),
+        |b AS (SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 10 THEN '2-10'
+        |                  WHEN df <= 100 THEN '11-100' ELSE '100+' END AS bucket, df FROM df)
+        |SELECT bucket, cast(count(*) AS BIGINT) AS n_terms, cast(sum(df) AS BIGINT) AS postings,
+        |       cast(min(df) AS BIGINT) AS min_df, cast(max(df) AS BIGINT) AS max_df
+        |FROM b GROUP BY 1 ORDER BY min_df""".stripMargin,
+      """WITH d AS (SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok FROM documents),
+        |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM d GROUP BY 1),
+        |b AS (SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 10 THEN '2-10'
+        |                  WHEN df <= 100 THEN '11-100' ELSE '100+' END AS bucket, df FROM df)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(df) AS BIGINT) AS postings,
+        |       CAST(min(df) AS BIGINT) AS min_df, CAST(max(df) AS BIGINT) AS max_df
+        |FROM b GROUP BY 1 ORDER BY min_df""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

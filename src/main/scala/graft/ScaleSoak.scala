@@ -689,7 +689,10 @@ object ScaleSoak {
       Seq("x372_lsh_bucket_skew", "x373_dup_group_purity",
           "x374_padding_waste", "x375_bigram_entropy_rate",
           "x376_quality_keeper_uplift", "x377_chunk_boundary_loss",
-          "x378_embedding_norm_outliers")
+          "x378_embedding_norm_outliers",
+          "x380_dedup_idempotence", "x381_novelty_decay",
+          "x382_pq_code_balance", "x383_epoch_plan",
+          "x384_key_partition_balance", "x385_doc_freq_spectrum")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)
@@ -711,8 +714,18 @@ object ScaleSoak {
         assert(r.getLong(3) >= r.getLong(2) && r.getLong(3) <= 7 * r.getLong(2),
           s"x377 at 10x: destroyed outside [b, 7b] for ${r.getString(0)}")
       }
+      // x380's fixpoint must hold at 10× too (pass 2 finds zero dups),
+      // and x384's buckets must still conserve the corpus
+      val fx = SparkEntry.queries("x380_dedup_idempotence")(spark, out)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(fx(2L) == 0L, s"x380 at 10x: pass 2 must be a fixpoint: $fx")
+      val pb = SparkEntry.queries("x384_key_partition_balance")(spark, out)
+        .collect().map(_.getLong(2)).sum
+      val nd = Catalog.load(spark, out, "documents").count()
+      assert(pb == nd, s"x384 at 10x: bucket docs $pb != corpus $nd")
       println("[soak] r17btier invariants: x374 balances exact, " +
-        "x376 keeper conservation, x377 destruction in [1,7] per boundary")
+        "x376 keeper conservation, x377 destruction in [1,7] per boundary, " +
+        "x380 fixpoint, x384 conservation")
       spark.stop(); return
     }
 

@@ -459,7 +459,10 @@ class QueriesSpec extends SparkSpec {
     "x372_lsh_bucket_skew" -> 4, "x373_dup_group_purity" -> 3,
     "x374_padding_waste" -> 20, "x375_bigram_entropy_rate" -> 20,
     "x376_quality_keeper_uplift" -> 20, "x377_chunk_boundary_loss" -> 20,
-    "x378_embedding_norm_outliers" -> 10, "x379_shingle_size_sensitivity" -> 28)
+    "x378_embedding_norm_outliers" -> 10, "x379_shingle_size_sensitivity" -> 28,
+    "x380_dedup_idempotence" -> 2, "x381_novelty_decay" -> 10,
+    "x382_pq_code_balance" -> 8, "x383_epoch_plan" -> 20,
+    "x384_key_partition_balance" -> 32, "x385_doc_freq_spectrum" -> 2)
 
   expectedRowsR17.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -551,6 +554,64 @@ class QueriesSpec extends SparkSpec {
     // row-wise monotonicity can flip on individual pairs (1 of 256 at
     // sf0.1); the MEAN over banded candidates is the stable claim
     assert(m3 >= m5 && m5 >= m8, s"mean jac must fall with width: $m3, $m5, $m8")
+  }
+
+  test("x380 idempotence: the second dedup pass is a fixpoint") {
+    val rows = SparkEntry.queries("x380_dedup_idempotence")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows(2L)._3 == 0L, s"pass 2 must find zero dups: ${rows(2L)}")
+    assert(rows(1L)._2 == rows(2L)._1, "pass 2 operates on exactly pass 1's keepers")
+  }
+
+  test("x381 novelty decay: conservation and a sane cumulative tail") {
+    val rows = SparkEntry.queries("x381_novelty_decay")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum == 500L, "deciles partition the corpus")
+    rows.foreach(r => assert(r._3 <= r._2, s"novel <= docs in decile ${r._1}"))
+    // the cumulative tail equals the corpus-level novelty share
+    val keys = SparkEntry.queries("x380_dedup_idempotence")(spark, sf0001)
+      .collect().find(_.getLong(0) == 1L).get.getLong(2)
+    assert(rows.last._5 == keys * 10000 / 500,
+      s"cum share tail must equal distinct-keys share: ${rows.last}")
+  }
+
+  test("x382 PQ balance: subspaces conserve points, codes partition into used+dead") {
+    val rows = SparkEntry.queries("x382_pq_code_balance")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L).toSeq)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 496L, "every subspace assigns all corpus points")
+      assert(r.getLong(2) + r.getLong(3) == 4L, "used + dead = 4 codes")
+      assert(r.getLong(5) >= 2500L, "the hottest code is at least the mean share")
+    }
+  }
+
+  test("x383 epoch plan: cap semantics and effective <= served") {
+    SparkEntry.queries("x383_epoch_plan")(spark, sf0001).collect().foreach { r =>
+      val (toks, share, epochs, served, unmet, eff) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(epochs >= 1 && epochs <= 4)
+      assert(served == math.min(share, toks * epochs))
+      assert(unmet == 0 || epochs == 4, s"${r.getString(0)}: unmet budget only at the cap")
+      assert(eff <= served && (served == 0 || eff > 0))
+    }
+  }
+
+  test("x384 partition balance: buckets conserve docs") {
+    val rows = SparkEntry.queries("x384_key_partition_balance")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 500L)
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 32 && r._2 <= r._3))
+  }
+
+  test("x385 df spectrum: postings reconcile with the per-doc distinct explode") {
+    val rows = SparkEntry.queries("x385_doc_freq_spectrum")(spark, sf0001).collect()
+    val postings = rows.map(_.getLong(2)).sum
+    import org.apache.spark.sql.functions._
+    val want = Catalog.load(spark, sf0001, "documents")
+      .select(explode(array_distinct(split(col("text"), " "))).as("t"))
+      .count()
+    assert(postings == want, s"bucket postings must sum to $want")
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
   }
 
   test("entry returns rows") {
