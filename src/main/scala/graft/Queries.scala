@@ -39,7 +39,10 @@ object Queries {
     "x367_neardup_transitivity",
     // r17b: exact tri-width gram joins over the banded candidates —
     // the exact sides ARE the audited truth (same rule as x365)
-    "x379_shingle_size_sensitivity")
+    "x379_shingle_size_sensitivity",
+    // r17b: measured banding recall needs the exact all-sharing-pairs
+    // truth to measure AGAINST (same rule)
+    "x386_lsh_recall_audit")
 
   val all: Seq[Q] = Seq(
     // ---- scans / filters / predicates -------------------------------------
@@ -9063,7 +9066,244 @@ object Queries {
         |                  WHEN df <= 100 THEN '11-100' ELSE '100+' END AS bucket, df FROM df)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(df) AS BIGINT) AS postings,
         |       CAST(min(df) AS BIGINT) AS min_df, CAST(max(df) AS BIGINT) AS max_df
-        |FROM b GROUP BY 1 ORDER BY min_df""".stripMargin)
+        |FROM b GROUP BY 1 ORDER BY min_df""".stripMargin),
+
+    // LSH recall audit (r17b): the MEASURED complement of x364's
+    // theoretical S-curve — per exact-Jaccard decile, how many pairs
+    // the production 4-band × 4-row banding over x74's signatures
+    // actually catches (a pair is caught iff some full band matches),
+    // next to the closed-form 1−(1−s⁴)⁴ prediction at the decile
+    // midpoint (squaring ladder, never libm pow; exact-dup pairs at
+    // jac 1.0 clamp into decile 9 so the midpoint stays in-domain).
+    // Theory says the
+    // s-curve; this measures it on the production hash family — the
+    // gap IS the estimator's banding loss. Scale: the exact side is
+    // the all-sharing-pairs gram join, the audited truth — contract-SF
+    // only (exactBaselines, x365's rule).
+    q("x386_lsh_recall_audit",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
+        |       FROM w WHERE size(w) >= 3),
+        |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, cast(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, cast(j.c * 10000 div (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |bk AS (SELECT doc_id, cast(i div 4 AS BIGINT) AS band,
+        |              md5(listagg(cast(mh AS STRING), ',') WITHIN GROUP (ORDER BY i)) AS bkey
+        |       FROM sig GROUP BY doc_id, cast(i div 4 AS BIGINT)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |dec AS (SELECT jac.a, jac.b, least(cast(jac.jac_bp div 1000 AS BIGINT), cast(9 AS BIGINT)) AS decile,
+        |               CASE WHEN cand.a IS NULL THEN 0 ELSE 1 END AS caught
+        |        FROM jac LEFT JOIN cand ON cand.a = jac.a AND cand.b = jac.b),
+        |g AS (SELECT decile, cast(count(*) AS BIGINT) AS n_pairs,
+        |             cast(sum(caught) AS BIGINT) AS caught FROM dec GROUP BY 1),
+        |th AS (SELECT decile, n_pairs, caught,
+        |              cast(decile * 1000 + 500 AS DOUBLE) / 10000.0 AS s FROM g),
+        |l1 AS (SELECT *, s*s AS s2 FROM th),
+        |l2 AS (SELECT *, s2*s2 AS s4 FROM l1),
+        |l3 AS (SELECT *, (1.0 - s4)*(1.0 - s4) AS y2 FROM l2),
+        |l4 AS (SELECT *, y2*y2 AS y4 FROM l3)
+        |SELECT decile AS jac_decile, n_pairs, caught,
+        |       cast(caught * 10000 div n_pairs AS BIGINT) AS recall_bp,
+        |       cast(round((1.0 - y4) * 10000) AS BIGINT) AS theory_bp
+        |FROM l4 ORDER BY jac_decile""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2],' ') FOR i IN range(1, len(w)-1)])) AS sh
+        |       FROM w WHERE len(w) >= 3),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |j AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS c
+        |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT j.a, j.b, CAST(j.c * 10000 // (na.n + nb.n - j.c) AS BIGINT) AS jac_bp
+        |        FROM j JOIN n na ON na.doc_id = j.a JOIN n nb ON nb.doc_id = j.b),
+        |hv AS (SELECT doc_id, cast(('0x'||substr(md5(sh),1,8)) AS BIGINT) AS hv FROM sh),
+        |perm AS (SELECT * FROM (VALUES (0,1299721,104729),(1,1299827,104743),(2,1300021,104759),
+        |         (3,1300033,104761),(4,1300109,104773),(5,1300151,104779),(6,1300187,104789),
+        |         (7,1300201,104801),(8,1300247,104803),(9,1300289,104827),(10,1300303,104831),
+        |         (11,1300313,104849),(12,1300333,104851),(13,1300351,104869),(14,1300369,104879),
+        |         (15,1300387,104891)) AS perm(i,a,b)),
+        |sig AS (SELECT doc_id, p.i, min(mod(p.a*hv.hv + p.b, 2147483647)) AS mh
+        |        FROM hv CROSS JOIN perm p GROUP BY 1,2),
+        |bk AS (SELECT doc_id, CAST(i // 4 AS BIGINT) AS band,
+        |              md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i)) AS bkey
+        |       FROM sig GROUP BY doc_id, CAST(i // 4 AS BIGINT)),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |         FROM bk x JOIN bk y ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+        |dec AS (SELECT jac.a, jac.b, least(CAST(jac.jac_bp // 1000 AS BIGINT), CAST(9 AS BIGINT)) AS decile,
+        |               CASE WHEN cand.a IS NULL THEN 0 ELSE 1 END AS caught
+        |        FROM jac LEFT JOIN cand ON cand.a = jac.a AND cand.b = jac.b),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+        |             CAST(sum(caught) AS BIGINT) AS caught FROM dec GROUP BY 1),
+        |th AS (SELECT decile, n_pairs, caught,
+        |              CAST(decile * 1000 + 500 AS DOUBLE) / 10000.0 AS s FROM g),
+        |l1 AS (SELECT *, s*s AS s2 FROM th),
+        |l2 AS (SELECT *, s2*s2 AS s4 FROM l1),
+        |l3 AS (SELECT *, (1.0 - s4)*(1.0 - s4) AS y2 FROM l2),
+        |l4 AS (SELECT *, y2*y2 AS y4 FROM l3)
+        |SELECT decile AS jac_decile, n_pairs, caught,
+        |       CAST(caught * 10000 // n_pairs AS BIGINT) AS recall_bp,
+        |       CAST(round((1.0 - y4) * 10000) AS BIGINT) AS theory_bp
+        |FROM l4 ORDER BY jac_decile""".stripMargin),
+
+    // Top principal component by integer power iteration (r17b): the
+    // embedding-spectrum screen behind x354's anisotropy number —
+    // WHICH direction carries the dominant variance, and how much.
+    // Exact integer covariance on a ±100 centered grid (the ×10⁴
+    // values re-gridded by a positive-offset division so div and //
+    // agree on negatives — the coarser grid keeps every later product
+    // inside 64 bits at ANY corpus size up to ~10⁷ vectors), three
+    // C·v multiplications from the all-ones start, each renormalized
+    // to max-component ≈±1000 by DIVISION ONLY ((p+m) div (m div 10³
+    // + 1), no p·10⁴ product — the 10× soak caught the multiplying
+    // form overflowing), then the eigenvalue read off the 4th
+    // multiplication: at convergence C·v = λv, so max|C·v| div
+    // max|v| IS λ — no quadratic form. Output:
+    // the 64-dim direction with λ and its share of total variance.
+    // Scale: covariance is a (dim × dim)-keyed agg — index-sized
+    // state; iterations touch 64×64 rows.
+    q("x387_top_pc_power",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |m AS (SELECT i, cast(cast(sum(val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS mv FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id, d.i, cast((d.val - m.mv + 20000) div 200 AS BIGINT) - 100 AS cv FROM d JOIN m ON m.i = d.i),
+        |cov AS (SELECT a.i AS i, b.i AS j, cast(sum(a.cv * b.cv) AS BIGINT) AS s
+        |        FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT i, cast(1000 AS BIGINT) AS w FROM m),
+        |p1 AS (SELECT cov.i, cast(sum(cov.s * v0.w) AS BIGINT) AS pw FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |n1 AS (SELECT cast(max(abs(pw)) div 1000 + 1 AS BIGINT) AS dv, cast(max(abs(pw)) AS BIGINT) AS mx FROM p1),
+        |v1 AS (SELECT i, cast((pw + n1.mx) div n1.dv - n1.mx div n1.dv AS BIGINT) AS w FROM p1 CROSS JOIN n1),
+        |p2 AS (SELECT cov.i, cast(sum(cov.s * v1.w) AS BIGINT) AS pw FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |n2 AS (SELECT cast(max(abs(pw)) div 1000 + 1 AS BIGINT) AS dv, cast(max(abs(pw)) AS BIGINT) AS mx FROM p2),
+        |v2 AS (SELECT i, cast((pw + n2.mx) div n2.dv - n2.mx div n2.dv AS BIGINT) AS w FROM p2 CROSS JOIN n2),
+        |p3 AS (SELECT cov.i, cast(sum(cov.s * v2.w) AS BIGINT) AS pw FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |n3 AS (SELECT cast(max(abs(pw)) div 1000 + 1 AS BIGINT) AS dv, cast(max(abs(pw)) AS BIGINT) AS mx FROM p3),
+        |v3 AS (SELECT i, cast((pw + n3.mx) div n3.dv - n3.mx div n3.dv AS BIGINT) AS w FROM p3 CROSS JOIN n3),
+        |p4 AS (SELECT cov.i, cast(sum(cov.s * v3.w) AS BIGINT) AS pw FROM cov JOIN v3 ON v3.i = cov.j GROUP BY 1),
+        |n4 AS (SELECT cast(max(abs(pw)) AS BIGINT) AS mx FROM p4),
+        |m3 AS (SELECT cast(max(abs(w)) AS BIGINT) AS mw FROM v3),
+        |lam AS (SELECT cast(n4.mx div m3.mw AS BIGINT) AS lambda FROM n4 CROSS JOIN m3),
+        |tr AS (SELECT cast(sum(s) AS BIGINT) AS trace FROM cov WHERE i = j)
+        |SELECT cast(v3.i AS BIGINT) AS dim, v3.w AS weight, lam.lambda AS lambda,
+        |       cast(lam.lambda * 10000 div tr.trace AS BIGINT) AS explained_bp
+        |FROM v3 CROSS JOIN lam CROSS JOIN tr ORDER BY dim""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |m AS (SELECT i, CAST(CAST(sum(val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS mv FROM d GROUP BY 1),
+        |c AS (SELECT d.vec_id, d.i, CAST((d.val - m.mv + 20000) // 200 AS BIGINT) - 100 AS cv FROM d JOIN m ON m.i = d.i),
+        |cov AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.cv * b.cv) AS BIGINT) AS s
+        |        FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT i, CAST(1000 AS BIGINT) AS w FROM m),
+        |p1 AS (SELECT cov.i, CAST(sum(cov.s * v0.w) AS BIGINT) AS pw FROM cov JOIN v0 ON v0.i = cov.j GROUP BY 1),
+        |n1 AS (SELECT CAST(max(abs(pw)) // 1000 + 1 AS BIGINT) AS dv, CAST(max(abs(pw)) AS BIGINT) AS mx FROM p1),
+        |v1 AS (SELECT i, CAST((pw + n1.mx) // n1.dv - n1.mx // n1.dv AS BIGINT) AS w FROM p1 CROSS JOIN n1),
+        |p2 AS (SELECT cov.i, CAST(sum(cov.s * v1.w) AS BIGINT) AS pw FROM cov JOIN v1 ON v1.i = cov.j GROUP BY 1),
+        |n2 AS (SELECT CAST(max(abs(pw)) // 1000 + 1 AS BIGINT) AS dv, CAST(max(abs(pw)) AS BIGINT) AS mx FROM p2),
+        |v2 AS (SELECT i, CAST((pw + n2.mx) // n2.dv - n2.mx // n2.dv AS BIGINT) AS w FROM p2 CROSS JOIN n2),
+        |p3 AS (SELECT cov.i, CAST(sum(cov.s * v2.w) AS BIGINT) AS pw FROM cov JOIN v2 ON v2.i = cov.j GROUP BY 1),
+        |n3 AS (SELECT CAST(max(abs(pw)) // 1000 + 1 AS BIGINT) AS dv, CAST(max(abs(pw)) AS BIGINT) AS mx FROM p3),
+        |v3 AS (SELECT i, CAST((pw + n3.mx) // n3.dv - n3.mx // n3.dv AS BIGINT) AS w FROM p3 CROSS JOIN n3),
+        |p4 AS (SELECT cov.i, CAST(sum(cov.s * v3.w) AS BIGINT) AS pw FROM cov JOIN v3 ON v3.i = cov.j GROUP BY 1),
+        |n4 AS (SELECT CAST(max(abs(pw)) AS BIGINT) AS mx FROM p4),
+        |m3 AS (SELECT CAST(max(abs(w)) AS BIGINT) AS mw FROM v3),
+        |lam AS (SELECT CAST(n4.mx // m3.mw AS BIGINT) AS lambda FROM n4 CROSS JOIN m3),
+        |tr AS (SELECT CAST(sum(s) AS BIGINT) AS trace FROM cov WHERE i = j)
+        |SELECT CAST(v3.i AS BIGINT) AS dim, v3.w AS weight, lam.lambda AS lambda,
+        |       CAST(lam.lambda * 10000 // tr.trace AS BIGINT) AS explained_bp
+        |FROM v3 CROSS JOIN lam CROSS JOIN tr ORDER BY dim""".stripMargin),
+
+    // Template-strip savings (r17b): the APPLY of x368's boilerplate
+    // census — drop the shared 8-token prefix and/or suffix from every
+    // doc whose edge hash appears in ≥2 docs, report per source the
+    // docs touched, tokens removed (clamped to the doc length when
+    // both edges fire on a short doc), and the savings in bp — what
+    // CCNet-style boilerplate removal would actually reclaim before
+    // tokenization. Scale: two edge-hash censuses + flag joins, text
+    // never shuffles.
+    q("x388_template_strip_savings",
+      """WITH w AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |base AS (SELECT source, cast(count(*) AS BIGINT) AS docs,
+        |                cast(sum(size(w)) AS BIGINT) AS toks FROM w GROUP BY 1),
+        |pe AS (SELECT doc_id, source, cast(size(w) AS BIGINT) AS n,
+        |              md5(concat_ws(' ', slice(w, 1, 8))) AS ph,
+        |              md5(concat_ws(' ', slice(w, -8, 8))) AS sh
+        |       FROM w WHERE size(w) >= 8),
+        |p2 AS (SELECT ph, cast(1 AS BIGINT) AS pf FROM pe GROUP BY ph HAVING count(*) >= 2),
+        |s2 AS (SELECT sh, cast(1 AS BIGINT) AS sf FROM pe GROUP BY sh HAVING count(*) >= 2),
+        |r AS (SELECT pe.source,
+        |             least(pe.n, coalesce(p2.pf, cast(0 AS BIGINT))*8 + coalesce(s2.sf, cast(0 AS BIGINT))*8) AS removed
+        |      FROM pe LEFT JOIN p2 ON p2.ph = pe.ph LEFT JOIN s2 ON s2.sh = pe.sh),
+        |g AS (SELECT source, cast(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_stripped,
+        |             cast(sum(removed) AS BIGINT) AS removed_toks FROM r GROUP BY 1)
+        |SELECT base.source AS source, base.docs AS docs, base.toks AS toks,
+        |       coalesce(g.docs_stripped, cast(0 AS BIGINT)) AS docs_stripped,
+        |       coalesce(g.removed_toks, cast(0 AS BIGINT)) AS removed_toks,
+        |       cast(coalesce(g.removed_toks, cast(0 AS BIGINT)) * 10000 div base.toks AS BIGINT) AS savings_bp
+        |FROM base LEFT JOIN g ON g.source = base.source ORDER BY source""".stripMargin,
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |                CAST(sum(len(w)) AS BIGINT) AS toks FROM w GROUP BY 1),
+        |pe AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n,
+        |              md5(array_to_string(w[1:8],' ')) AS ph,
+        |              md5(array_to_string(w[len(w)-7:len(w)],' ')) AS sh
+        |       FROM w WHERE len(w) >= 8),
+        |p2 AS (SELECT ph, CAST(1 AS BIGINT) AS pf FROM pe GROUP BY ph HAVING count(*) >= 2),
+        |s2 AS (SELECT sh, CAST(1 AS BIGINT) AS sf FROM pe GROUP BY sh HAVING count(*) >= 2),
+        |r AS (SELECT pe.source,
+        |             least(pe.n, coalesce(p2.pf, CAST(0 AS BIGINT))*8 + coalesce(s2.sf, CAST(0 AS BIGINT))*8) AS removed
+        |      FROM pe LEFT JOIN p2 ON p2.ph = pe.ph LEFT JOIN s2 ON s2.sh = pe.sh),
+        |g AS (SELECT source, CAST(sum(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_stripped,
+        |             CAST(sum(removed) AS BIGINT) AS removed_toks FROM r GROUP BY 1)
+        |SELECT base.source AS source, base.docs AS docs, base.toks AS toks,
+        |       coalesce(g.docs_stripped, CAST(0 AS BIGINT)) AS docs_stripped,
+        |       coalesce(g.removed_toks, CAST(0 AS BIGINT)) AS removed_toks,
+        |       CAST(coalesce(g.removed_toks, CAST(0 AS BIGINT)) * 10000 // base.toks AS BIGINT) AS savings_bp
+        |FROM base LEFT JOIN g ON g.source = base.source ORDER BY source""".stripMargin),
+
+    // Language-ID confusion matrix (r17b): the full predicted × true
+    // matrix of x51's unigram naive-Bayes scorer (its arithmetic
+    // verbatim through the argmax) — x51 reports per-language
+    // accuracy; the OFF-diagonal here says which language pairs the
+    // n-gram heuristic confuses, the report that decides whether a
+    // language needs a stronger model before its mixture weight
+    // (x371/x358) can be trusted. Scale: the scorer is a
+    // (doc, candidate-language) agg over token joins — langs is a
+    // small fixed set, so the cross join is a broadcast.
+    q("x389_langid_confusion",
+      """WITH wt AS (SELECT doc_id, lang, explode(split(text,' ')) AS w FROM documents),
+        |counts AS (SELECT lang AS l, w, count(*) AS c FROM wt GROUP BY 1,2),
+        |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
+        |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
+        |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
+        |              sum(d.n * cast(floor(ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
+        |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
+        |       GROUP BY 1,2,3),
+        |pred AS (SELECT doc_id, true_lang, cand,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |         FROM sc)
+        |SELECT true_lang, cand AS pred_lang, cast(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin,
+      """WITH wt AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS w FROM documents),
+        |counts AS (SELECT lang AS l, w, count(*) AS c FROM wt GROUP BY 1,2),
+        |tot AS (SELECT l, sum(c) AS tc FROM counts GROUP BY 1),
+        |dw AS (SELECT doc_id, lang, w, count(*) AS n FROM wt GROUP BY 1,2,3),
+        |sc AS (SELECT d.doc_id, d.lang AS true_lang, t.l AS cand,
+        |              sum(d.n * cast(floor(ln((coalesce(c.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
+        |       FROM dw d CROSS JOIN tot t LEFT JOIN counts c ON c.l = t.l AND c.w = d.w
+        |       GROUP BY 1,2,3),
+        |pred AS (SELECT doc_id, true_lang, cand,
+        |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+        |         FROM sc)
+        |SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

@@ -692,7 +692,9 @@ object ScaleSoak {
           "x378_embedding_norm_outliers",
           "x380_dedup_idempotence", "x381_novelty_decay",
           "x382_pq_code_balance", "x383_epoch_plan",
-          "x384_key_partition_balance", "x385_doc_freq_spectrum")
+          "x384_key_partition_balance", "x385_doc_freq_spectrum",
+          "x387_top_pc_power", "x388_template_strip_savings",
+          "x389_langid_confusion")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)

@@ -462,7 +462,9 @@ class QueriesSpec extends SparkSpec {
     "x378_embedding_norm_outliers" -> 10, "x379_shingle_size_sensitivity" -> 28,
     "x380_dedup_idempotence" -> 2, "x381_novelty_decay" -> 10,
     "x382_pq_code_balance" -> 8, "x383_epoch_plan" -> 20,
-    "x384_key_partition_balance" -> 32, "x385_doc_freq_spectrum" -> 2)
+    "x384_key_partition_balance" -> 32, "x385_doc_freq_spectrum" -> 2,
+    "x386_lsh_recall_audit" -> 3, "x387_top_pc_power" -> 64,
+    "x388_template_strip_savings" -> 20, "x389_langid_confusion" -> 25)
 
   expectedRowsR17.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -612,6 +614,52 @@ class QueriesSpec extends SparkSpec {
       .count()
     assert(postings == want, s"bucket postings must sum to $want")
     rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
+  test("x386 recall audit: near-identical pairs are all caught, bounds hold") {
+    val rows = SparkEntry.queries("x386_lsh_recall_audit")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { r =>
+      assert(r._3 <= r._2 && r._4 <= 10000 && r._5 >= 0 && r._5 <= 10000)
+    }
+    val top = rows.find(_._1 == 9L).get
+    assert(top._4 == 10000L, s"decile 9 must be fully caught: $top")
+    // low-similarity mass must NOT be caught (that is the banding's point)
+    val low = rows.find(_._1 == 0L).get
+    assert(low._4 == 0L, s"decile 0 must be rejected: $low")
+  }
+
+  test("x387 power iteration: normalized direction, spectrum above the isotropic mean") {
+    val rows = SparkEntry.queries("x387_top_pc_power")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 64L).toSeq)
+    val mw = rows.map(r => math.abs(r._2)).max
+    assert(mw >= 900L && mw <= 1100L,
+      s"the division-only renormalization lands max-component near 1000: $mw")
+    val (lambda, share) = (rows.head._3, rows.head._4)
+    assert(rows.forall(r => r._3 == lambda && r._4 == share), "group columns repeat")
+    // the top eigenvalue always sits above the isotropic mean trace/64
+    assert(share > 10000L / 64, s"explained share $share must beat the isotropic mean")
+  }
+
+  test("x388 template strip: per-doc removal is at most both 8-token edges") {
+    SparkEntry.queries("x388_template_strip_savings")(spark, sf0001).collect().foreach { r =>
+      val (docs, stripped, removed) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      assert(stripped <= docs && removed <= 16 * stripped,
+        s"${r.getString(0)}: removal bounded by 16 tokens per stripped doc")
+    }
+  }
+
+  test("x389 confusion matrix: conserves docs, diagonal equals x51's accuracy") {
+    val m = SparkEntry.queries("x389_langid_confusion")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.values.sum == 500L)
+    val x51 = SparkEntry.queries("x51_langid")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    x51.foreach { case (lang, correct) =>
+      assert(m.getOrElse((lang, lang), 0L) == correct,
+        s"$lang: diagonal must equal x51's correct count $correct")
+    }
   }
 
   test("entry returns rows") {
