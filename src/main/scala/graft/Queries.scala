@@ -9303,7 +9303,153 @@ object Queries {
         |                row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
         |         FROM sc)
         |SELECT true_lang, cand AS pred_lang, CAST(count(*) AS BIGINT) AS n
-        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin)
+        |FROM pred WHERE rn = 1 GROUP BY 1, 2 ORDER BY true_lang, pred_lang""".stripMargin),
+
+    // Duplicated-window position profile (r17b): WHERE inside
+    // documents does cross-doc duplication live — per relative
+    // position decile, the share of word 8-gram windows whose hash
+    // appears in ≥2 docs. Templates concentrate duplication at the
+    // edges (x368/x388's prefix/suffix signal); plagiarized or
+    // mirrored BODY text shows up mid-doc, where edge-stripping can't
+    // reach and only x147/x332's span dedup can — this report says
+    // which tool the corpus needs. Scale: window-hash census + a flag
+    // join, no pairs (count(DISTINCT doc_id) ≥ 2 prices cross-doc
+    // duplication without enumerating pairs).
+    q("x390_dup_position_profile",
+      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+        |win AS (SELECT doc_id, size(w) AS n, i, md5(concat_ws(' ', slice(w, i, 8))) AS h
+        |        FROM (SELECT doc_id, w, explode(sequence(1, size(w)-7)) AS i FROM w WHERE size(w) >= 8)),
+        |g AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT win.doc_id, win.n, win.i,
+        |             CASE WHEN g.h IS NULL THEN 0 ELSE 1 END AS dup
+        |      FROM win LEFT JOIN g ON g.h = win.h),
+        |p AS (SELECT least(cast(9 AS BIGINT), cast((i - 1) * 10 div greatest(n - 7, 1) AS BIGINT)) AS pos_decile, dup FROM d)
+        |SELECT pos_decile, cast(count(*) AS BIGINT) AS windows,
+        |       cast(sum(dup) AS BIGINT) AS duplicated,
+        |       cast(sum(dup) * 10000 div count(*) AS BIGINT) AS dup_bp
+        |FROM p GROUP BY 1 ORDER BY pos_decile""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |win AS (SELECT doc_id, len(w) AS n, i, md5(array_to_string(w[i:i+7],' ')) AS h
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-7)) AS i FROM w WHERE len(w) >= 8)),
+        |g AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |d AS (SELECT win.doc_id, win.n, win.i,
+        |             CASE WHEN g.h IS NULL THEN 0 ELSE 1 END AS dup
+        |      FROM win LEFT JOIN g ON g.h = win.h),
+        |p AS (SELECT least(CAST(9 AS BIGINT), CAST((i - 1) * 10 // greatest(n - 7, 1) AS BIGINT)) AS pos_decile, dup FROM d)
+        |SELECT pos_decile, CAST(count(*) AS BIGINT) AS windows,
+        |       CAST(sum(dup) AS BIGINT) AS duplicated,
+        |       CAST(sum(dup) * 10000 // count(*) AS BIGINT) AS dup_bp
+        |FROM p GROUP BY 1 ORDER BY pos_decile""".stripMargin),
+
+    // Per-dimension variance spectrum (r17b): exact integer Σcv² per
+    // embedding dimension on the ×10⁴ grid with its share of total
+    // variance and variance rank — the flat/spiky read that says
+    // whether x345's matryoshka truncation or x360's quantization will
+    // be kind to this embedding space (x387 finds the top DIRECTION;
+    // this is the axis-aligned spectrum that decides per-dim
+    // treatments). Scale: one (dim)-keyed agg — 64 rows of state.
+    q("x391_dim_variance_profile",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |m AS (SELECT i, cast(cast(sum(val + 10000) AS BIGINT) div count(*) AS BIGINT) - 10000 AS mv FROM d GROUP BY 1),
+        |v AS (SELECT d.i, cast(sum((d.val - m.mv)*(d.val - m.mv)) AS BIGINT) AS ss
+        |      FROM d JOIN m ON m.i = d.i GROUP BY 1),
+        |t AS (SELECT cast(sum(ss) AS BIGINT) AS tot FROM v)
+        |SELECT cast(v.i AS BIGINT) AS dim, v.ss AS var_sum,
+        |       cast(v.ss * 10000 div t.tot AS BIGINT) AS share_bp,
+        |       cast(row_number() OVER (ORDER BY v.ss DESC, v.i) AS BIGINT) AS var_rank
+        |FROM v CROSS JOIN t ORDER BY dim""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |m AS (SELECT i, CAST(CAST(sum(val + 10000) AS BIGINT) // count(*) AS BIGINT) - 10000 AS mv FROM d GROUP BY 1),
+        |v AS (SELECT d.i, CAST(sum((d.val - m.mv)*(d.val - m.mv)) AS BIGINT) AS ss
+        |      FROM d JOIN m ON m.i = d.i GROUP BY 1),
+        |t AS (SELECT CAST(sum(ss) AS BIGINT) AS tot FROM v)
+        |SELECT CAST(v.i AS BIGINT) AS dim, v.ss AS var_sum,
+        |       CAST(v.ss * 10000 // t.tot AS BIGINT) AS share_bp,
+        |       CAST(row_number() OVER (ORDER BY v.ss DESC, v.i) AS BIGINT) AS var_rank
+        |FROM v CROSS JOIN t ORDER BY dim""".stripMargin),
+
+    // IVF recall curve (r17b): the MEASURED recall-vs-nProbe trade the
+    // x59/x103 ANN tiers promise, as an oracle-checked report — the
+    // x386-for-IVF. Queries = vecs 0–7, coarse centers = vecs 8–15
+    // (raw, deterministic), corpus = the rest, all on the ×10⁴ integer
+    // grid: corpus vecs assign to their nearest center (exact L2²,
+    // ties → lowest), each query ranks centers the same way, and for
+    // nProbe ∈ {1,2,4,8} the probed top-10 by exact integer dot is
+    // compared to the unpruned top-10. mean/min recall@10 per nProbe —
+    // nProbe 8 probes every list, so its recall is 10000 bp BY
+    // CONSTRUCTION (the self-check row). Scale: assignment and dots
+    // are query-broadcast × corpus passes — linear, no self-join.
+    q("x392_ivf_recall_curve",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |qd AS (SELECT * FROM d WHERE vec_id < 8),
+        |ce AS (SELECT * FROM d WHERE vec_id >= 8 AND vec_id < 16),
+        |co AS (SELECT * FROM d WHERE vec_id >= 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY c.vec_id ORDER BY sum((c.val - ctr.val)*(c.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM co c JOIN ce ctr ON ctr.i = c.i GROUP BY c.vec_id, ctr.vec_id) WHERE rn = 1),
+        |qc AS (SELECT qid, cid, rn FROM (
+        |  SELECT q.vec_id AS qid, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY sum((q.val - ctr.val)*(q.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM qd q JOIN ce ctr ON ctr.i = q.i GROUP BY q.vec_id, ctr.vec_id)),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS vid, cast(sum(q.val * c.val) AS BIGINT) AS dot
+        |         FROM qd q JOIN co c ON c.i = q.i GROUP BY 1, 2),
+        |rex AS (SELECT qid, vid FROM (
+        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM dots) WHERE rn <= 10),
+        |np AS (SELECT * FROM VALUES (1),(2),(4),(8) AS np(p)),
+        |cand AS (SELECT np.p, dots.qid, dots.vid, dots.dot
+        |         FROM dots JOIN asg ON asg.vec_id = dots.vid
+        |         JOIN qc ON qc.qid = dots.qid AND qc.cid = asg.cid
+        |         CROSS JOIN np WHERE qc.rn <= np.p),
+        |rc AS (SELECT p, qid, vid FROM (
+        |  SELECT p, qid, vid, row_number() OVER (PARTITION BY p, qid ORDER BY dot DESC, vid) AS rn FROM cand) WHERE rn <= 10),
+        |ov AS (SELECT rc.p, rc.qid, cast(count(*) AS BIGINT) AS hit
+        |       FROM rc JOIN rex ON rex.qid = rc.qid AND rex.vid = rc.vid GROUP BY 1, 2),
+        |u AS (SELECT np.p, qv.vec_id AS qid FROM np
+        |      CROSS JOIN (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 8) qv),
+        |f AS (SELECT u.p, u.qid, coalesce(ov.hit, cast(0 AS BIGINT)) AS hit
+        |      FROM u LEFT JOIN ov ON ov.p = u.p AND ov.qid = u.qid)
+        |SELECT cast(p AS BIGINT) AS nprobe, cast(count(*) AS BIGINT) AS queries,
+        |       cast(sum(hit) * 10000 div (count(*) * 10) AS BIGINT) AS mean_recall_bp,
+        |       cast(min(hit) AS BIGINT) AS min_recall10
+        |FROM f GROUP BY p ORDER BY nprobe""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |qd AS (SELECT * FROM d WHERE vec_id < 8),
+        |ce AS (SELECT * FROM d WHERE vec_id >= 8 AND vec_id < 16),
+        |co AS (SELECT * FROM d WHERE vec_id >= 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY c.vec_id ORDER BY sum((c.val - ctr.val)*(c.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM co c JOIN ce ctr ON ctr.i = c.i GROUP BY c.vec_id, ctr.vec_id) WHERE rn = 1),
+        |qc AS (SELECT qid, cid, rn FROM (
+        |  SELECT q.vec_id AS qid, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY q.vec_id ORDER BY sum((q.val - ctr.val)*(q.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM qd q JOIN ce ctr ON ctr.i = q.i GROUP BY q.vec_id, ctr.vec_id)),
+        |dots AS (SELECT q.vec_id AS qid, c.vec_id AS vid, CAST(sum(q.val * c.val) AS BIGINT) AS dot
+        |         FROM qd q JOIN co c ON c.i = q.i GROUP BY 1, 2),
+        |rex AS (SELECT qid, vid FROM (
+        |  SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, vid) AS rn FROM dots) WHERE rn <= 10),
+        |np AS (SELECT * FROM (VALUES (1),(2),(4),(8)) AS np(p)),
+        |cand AS (SELECT np.p, dots.qid, dots.vid, dots.dot
+        |         FROM dots JOIN asg ON asg.vec_id = dots.vid
+        |         JOIN qc ON qc.qid = dots.qid AND qc.cid = asg.cid
+        |         CROSS JOIN np WHERE qc.rn <= np.p),
+        |rc AS (SELECT p, qid, vid FROM (
+        |  SELECT p, qid, vid, row_number() OVER (PARTITION BY p, qid ORDER BY dot DESC, vid) AS rn FROM cand) WHERE rn <= 10),
+        |ov AS (SELECT rc.p, rc.qid, CAST(count(*) AS BIGINT) AS hit
+        |       FROM rc JOIN rex ON rex.qid = rc.qid AND rex.vid = rc.vid GROUP BY 1, 2),
+        |u AS (SELECT np.p, qv.vec_id AS qid FROM np
+        |      CROSS JOIN (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 8) qv),
+        |f AS (SELECT u.p, u.qid, coalesce(ov.hit, CAST(0 AS BIGINT)) AS hit
+        |      FROM u LEFT JOIN ov ON ov.p = u.p AND ov.qid = u.qid)
+        |SELECT CAST(p AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS queries,
+        |       CAST(sum(hit) * 10000 // (count(*) * 10) AS BIGINT) AS mean_recall_bp,
+        |       CAST(min(hit) AS BIGINT) AS min_recall10
+        |FROM f GROUP BY p ORDER BY nprobe""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

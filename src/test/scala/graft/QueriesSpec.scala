@@ -464,7 +464,9 @@ class QueriesSpec extends SparkSpec {
     "x382_pq_code_balance" -> 8, "x383_epoch_plan" -> 20,
     "x384_key_partition_balance" -> 32, "x385_doc_freq_spectrum" -> 2,
     "x386_lsh_recall_audit" -> 3, "x387_top_pc_power" -> 64,
-    "x388_template_strip_savings" -> 20, "x389_langid_confusion" -> 25)
+    "x388_template_strip_savings" -> 20, "x389_langid_confusion" -> 25,
+    "x390_dup_position_profile" -> 10, "x391_dim_variance_profile" -> 64,
+    "x392_ivf_recall_curve" -> 4)
 
   expectedRowsR17.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -660,6 +662,35 @@ class QueriesSpec extends SparkSpec {
       assert(m.getOrElse((lang, lang), 0L) == correct,
         s"$lang: diagonal must equal x51's correct count $correct")
     }
+  }
+
+  test("x390 position profile: all deciles present, duplication bounded") {
+    val rows = SparkEntry.queries("x390_dup_position_profile")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L).toSeq)
+    rows.foreach(r => assert(r._3 <= r._2 && r._4 <= 10000))
+  }
+
+  test("x391 variance spectrum: shares sum to ~10000, ranks are a permutation") {
+    val rows = SparkEntry.queries("x391_dim_variance_profile")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 64L).toSeq)
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum > 10000L - 64 && shareSum <= 10000L,
+      s"integer shares undershoot < 1 unit each: $shareSum")
+    assert(rows.map(_._4).sorted.toSeq == (1L to 64L).toSeq, "ranks are a permutation")
+  }
+
+  test("x392 IVF recall curve: monotone in nProbe, full probe is exact by construction") {
+    val rows = SparkEntry.queries("x392_ivf_recall_curve")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(rows.forall(_._2 == 8L), "every nProbe row covers all 8 queries")
+    // probing more lists can only add candidates — recall is monotone
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sorted.toSeq,
+      s"mean recall must be non-decreasing in nProbe: ${rows.toSeq}")
+    assert(rows.last._3 == 10000L && rows.last._4 == 10L,
+      "nProbe = nLists probes everything: recall 10000 bp by construction")
   }
 
   test("entry returns rows") {
