@@ -386,6 +386,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("UDF(sk"), s"grid passed through a UDF again:\n$p")
   }
 
+  test("x384/x385: the r17b censuses are pure agg pipelines — no Window, no SortMergeJoin") {
+    Seq("x384_key_partition_balance", "x385_doc_freq_spectrum").foreach { n =>
+      val p = physical(n)
+      assert(!p.contains("Window"), s"$n: census must not need a window:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$n: census must not shuffle-join:\n$p")
+      assert("HashAggregate".r.findAllIn(p).length >= 2,
+        s"$n: expected partial+final agg:\n$p")
+    }
+  }
+
+  test("x372: bucket-load census aggregates map-side before every exchange") {
+    val p = physical("x372_lsh_bucket_skew")
+    // sig min-agg, band-key agg, bucket-size agg, final per-band rollup —
+    // each two-phase (no single-phase shuffle-everything stage)
+    assert("HashAggregate".r.findAllIn(p).length >= 6, s"expected staged partial aggs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"the 16-perm expansion must broadcast:\n$p")
+  }
+
+  test("x392: recall curve never self-joins the corpus; tiny sides broadcast") {
+    val p = physical("x392_ivf_recall_curve")
+    assert(!p.contains("CartesianProduct"),
+      s"nProbe expansion (4 rows) and query side (8 vecs) must broadcast:\n$p")
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself
