@@ -9449,7 +9449,140 @@ object Queries {
         |SELECT CAST(p AS BIGINT) AS nprobe, CAST(count(*) AS BIGINT) AS queries,
         |       CAST(sum(hit) * 10000 // (count(*) * 10) AS BIGINT) AS mean_recall_bp,
         |       CAST(min(hit) AS BIGINT) AS min_recall10
-        |FROM f GROUP BY p ORDER BY nprobe""".stripMargin)
+        |FROM f GROUP BY p ORDER BY nprobe""".stripMargin),
+
+    // Context-length ladder (r17b): per candidate context limit
+    // ({32, 48, 64, 128} — sized to the synthetic corpus's doc-length
+    // scale, where the mean doc is ~58 tokens; the ladder values are
+    // the parameter, the shape is the operator), how many docs exceed
+    // it and how many
+    // tokens a truncate-at-limit policy would cut — the generalized
+    // form of x374's single-T report, the table a context-window
+    // decision actually reads (choosing T is a corpus-shaped tradeoff
+    // between padding on short docs and truncation on long ones).
+    // Scale: one token census crossed with a 4-row broadcast ladder.
+    q("x393_context_ladder",
+      """WITH t AS (SELECT cast(size(split(text,' ')) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT cast(count(*) AS BIGINT) AS docs, cast(sum(n) AS BIGINT) AS toks FROM t),
+        |l AS (SELECT explode(array(32, 48, 64, 128)) AS ctx)
+        |SELECT cast(l.ctx AS BIGINT) AS ctx_limit,
+        |       cast(sum(CASE WHEN t.n > l.ctx THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+        |       cast(sum(greatest(t.n - l.ctx, cast(0 AS BIGINT))) AS BIGINT) AS trunc_toks,
+        |       cast(sum(CASE WHEN t.n > l.ctx THEN 1 ELSE 0 END) * 10000 div max(g.docs) AS BIGINT) AS over_bp,
+        |       cast(sum(greatest(t.n - l.ctx, cast(0 AS BIGINT))) * 10000 div max(g.toks) AS BIGINT) AS trunc_bp
+        |FROM t CROSS JOIN l CROSS JOIN g
+        |GROUP BY l.ctx ORDER BY ctx_limit""".stripMargin,
+      """WITH t AS (SELECT CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS docs, CAST(sum(n) AS BIGINT) AS toks FROM t),
+        |l AS (SELECT unnest([32, 48, 64, 128]) AS ctx)
+        |SELECT CAST(l.ctx AS BIGINT) AS ctx_limit,
+        |       CAST(sum(CASE WHEN t.n > l.ctx THEN 1 ELSE 0 END) AS BIGINT) AS docs_over,
+        |       CAST(sum(greatest(t.n - l.ctx, CAST(0 AS BIGINT))) AS BIGINT) AS trunc_toks,
+        |       CAST(sum(CASE WHEN t.n > l.ctx THEN 1 ELSE 0 END) * 10000 // max(g.docs) AS BIGINT) AS over_bp,
+        |       CAST(sum(greatest(t.n - l.ctx, CAST(0 AS BIGINT))) * 10000 // max(g.toks) AS BIGINT) AS trunc_bp
+        |FROM t CROSS JOIN l CROSS JOIN g
+        |GROUP BY l.ctx ORDER BY ctx_limit""".stripMargin),
+
+    // IVF list balance (r17b): the x372-for-IVF — per coarse center
+    // (x392's deterministic raw-vector centers, assignment arithmetic
+    // verbatim), the list population, its share, and the exact integer
+    // deviation (8·n − total)² from perfect balance. A hot list is
+    // probe-cost skew: every query probing it scans that fraction of
+    // the corpus (the list-partitioned serving layout's task skew, the
+    // IVF analog of x384's reducer skew). Scale: assignment is a
+    // center-broadcast × corpus pass; the census is 8 rows.
+    q("x394_ivf_list_balance",
+      """WITH q AS (SELECT vec_id, transform(embedding, x -> cast(round(cast(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, element_at(qv, i) AS val FROM (SELECT vec_id, qv, explode(sequence(1, 64)) AS i FROM q)),
+        |ce AS (SELECT * FROM d WHERE vec_id >= 8 AND vec_id < 16),
+        |co AS (SELECT * FROM d WHERE vec_id >= 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY c.vec_id ORDER BY sum((c.val - ctr.val)*(c.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM co c JOIN ce ctr ON ctr.i = c.i GROUP BY c.vec_id, ctr.vec_id) WHERE rn = 1),
+        |b AS (SELECT cid, cast(count(*) AS BIGINT) AS n FROM asg GROUP BY 1),
+        |t AS (SELECT cast(sum(n) AS BIGINT) AS tot FROM b),
+        |k AS (SELECT DISTINCT vec_id AS cid FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)
+        |SELECT cast(k.cid AS BIGINT) AS center,
+        |       coalesce(b.n, cast(0 AS BIGINT)) AS n_vecs,
+        |       cast(coalesce(b.n, cast(0 AS BIGINT)) * 10000 div t.tot AS BIGINT) AS share_bp,
+        |       cast((coalesce(b.n, cast(0 AS BIGINT)) * 8 - t.tot) * (coalesce(b.n, cast(0 AS BIGINT)) * 8 - t.tot) AS BIGINT) AS deviation64
+        |FROM k LEFT JOIN b ON b.cid = k.cid CROSS JOIN t ORDER BY center""".stripMargin,
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*10000) AS BIGINT)) AS qv FROM embeddings),
+        |d AS (SELECT vec_id, i, qv[i] AS val FROM (SELECT vec_id, qv, unnest(generate_series(1, 64)) AS i FROM q)),
+        |ce AS (SELECT * FROM d WHERE vec_id >= 8 AND vec_id < 16),
+        |co AS (SELECT * FROM d WHERE vec_id >= 16),
+        |asg AS (SELECT vec_id, cid FROM (
+        |  SELECT c.vec_id, ctr.vec_id AS cid,
+        |         row_number() OVER (PARTITION BY c.vec_id ORDER BY sum((c.val - ctr.val)*(c.val - ctr.val)), ctr.vec_id) AS rn
+        |  FROM co c JOIN ce ctr ON ctr.i = c.i GROUP BY c.vec_id, ctr.vec_id) WHERE rn = 1),
+        |b AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b),
+        |k AS (SELECT DISTINCT vec_id AS cid FROM embeddings WHERE vec_id >= 8 AND vec_id < 16)
+        |SELECT CAST(k.cid AS BIGINT) AS center,
+        |       coalesce(b.n, CAST(0 AS BIGINT)) AS n_vecs,
+        |       CAST(coalesce(b.n, CAST(0 AS BIGINT)) * 10000 // t.tot AS BIGINT) AS share_bp,
+        |       CAST((coalesce(b.n, CAST(0 AS BIGINT)) * 8 - t.tot) * (coalesce(b.n, CAST(0 AS BIGINT)) * 8 - t.tot) AS BIGINT) AS deviation64
+        |FROM k LEFT JOIN b ON b.cid = k.cid CROSS JOIN t ORDER BY center""".stripMargin),
+
+    // Intra-doc code-switch screen (r17b): docs whose first and second
+    // halves classify as DIFFERENT languages under x51's scorer (its
+    // smoothing and argmax verbatim, applied per half) — mixed-language
+    // documents poison both the x51 corpus-level model and any
+    // per-language mixture weight (x371/x358); this counts them per
+    // source. The language model stays the x51 full-corpus unigram
+    // table (the halves are scored against it, not against
+    // half-trained models). Scale: token joins against the broadcast
+    // language table, halves keyed per doc — no pairs.
+    q("x395_code_switch_screen",
+      """WITH w AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
+        |wt AS (SELECT doc_id, source, cast(size(w) AS BIGINT) AS n, i, element_at(w, i) AS tok
+        |       FROM (SELECT doc_id, source, w, explode(sequence(1, size(w))) AS i FROM w)),
+        |full0 AS (SELECT d.lang, x.tok, count(*) AS c
+        |          FROM (SELECT doc_id, lang FROM documents) d
+        |          JOIN (SELECT doc_id, tok FROM wt) x ON x.doc_id = d.doc_id GROUP BY 1, 2),
+        |tot AS (SELECT lang AS l, sum(c) AS tc FROM full0 GROUP BY 1),
+        |h AS (SELECT doc_id, source, CASE WHEN i * 2 <= n THEN 0 ELSE 1 END AS half, tok FROM wt),
+        |hw AS (SELECT doc_id, source, half, tok, count(*) AS n FROM h GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT hw.doc_id, hw.source, hw.half, t.l AS cand,
+        |              sum(hw.n * cast(floor(ln((coalesce(f.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
+        |       FROM hw CROSS JOIN tot t
+        |       LEFT JOIN full0 f ON f.lang = t.l AND f.tok = hw.tok
+        |       GROUP BY 1, 2, 3, 4),
+        |pred AS (SELECT doc_id, source, half, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, half ORDER BY score DESC, cand) AS rn FROM sc) WHERE rn = 1),
+        |dd AS (SELECT p0.doc_id, p0.source,
+        |              CASE WHEN p0.cand <> p1.cand THEN 1 ELSE 0 END AS switched
+        |       FROM (SELECT * FROM pred WHERE half = 0) p0
+        |       JOIN (SELECT * FROM pred WHERE half = 1) p1 ON p1.doc_id = p0.doc_id)
+        |SELECT source, cast(count(*) AS BIGINT) AS docs,
+        |       cast(sum(switched) AS BIGINT) AS switched,
+        |       cast(sum(switched) * 10000 div count(*) AS BIGINT) AS switch_bp
+        |FROM dd GROUP BY 1 ORDER BY source""".stripMargin,
+      """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
+        |wt AS (SELECT doc_id, source, CAST(len(w) AS BIGINT) AS n, i, w[i] AS tok
+        |       FROM (SELECT doc_id, source, w, unnest(generate_series(1, len(w))) AS i FROM w)),
+        |full0 AS (SELECT d.lang, x.tok, count(*) AS c
+        |          FROM (SELECT doc_id, lang FROM documents) d
+        |          JOIN (SELECT doc_id, tok FROM wt) x ON x.doc_id = d.doc_id GROUP BY 1, 2),
+        |tot AS (SELECT lang AS l, sum(c) AS tc FROM full0 GROUP BY 1),
+        |h AS (SELECT doc_id, source, CASE WHEN i * 2 <= n THEN 0 ELSE 1 END AS half, tok FROM wt),
+        |hw AS (SELECT doc_id, source, half, tok, count(*) AS n FROM h GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT hw.doc_id, hw.source, hw.half, t.l AS cand,
+        |              sum(hw.n * CAST(floor(ln((coalesce(f.c,0)+1.0)/(t.tc+31.0))*1000000) AS BIGINT)) AS score
+        |       FROM hw CROSS JOIN tot t
+        |       LEFT JOIN full0 f ON f.lang = t.l AND f.tok = hw.tok
+        |       GROUP BY 1, 2, 3, 4),
+        |pred AS (SELECT doc_id, source, half, cand FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id, half ORDER BY score DESC, cand) AS rn FROM sc) WHERE rn = 1),
+        |dd AS (SELECT p0.doc_id, p0.source,
+        |              CASE WHEN p0.cand <> p1.cand THEN 1 ELSE 0 END AS switched
+        |       FROM (SELECT * FROM pred WHERE half = 0) p0
+        |       JOIN (SELECT * FROM pred WHERE half = 1) p1 ON p1.doc_id = p0.doc_id)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(switched) AS BIGINT) AS switched,
+        |       CAST(sum(switched) * 10000 // count(*) AS BIGINT) AS switch_bp
+        |FROM dd GROUP BY 1 ORDER BY source""".stripMargin)
   )
 
   /** Dual-dialect generator for the x340 unrolled 3-round k-means

@@ -695,7 +695,9 @@ object ScaleSoak {
           "x384_key_partition_balance", "x385_doc_freq_spectrum",
           "x387_top_pc_power", "x388_template_strip_savings",
           "x389_langid_confusion", "x390_dup_position_profile",
-          "x391_dim_variance_profile", "x392_ivf_recall_curve")
+          "x391_dim_variance_profile", "x392_ivf_recall_curve",
+          "x393_context_ladder", "x394_ivf_list_balance",
+          "x395_code_switch_screen")
         .foreach { n =>
           val (t1, n1) = runN(sf, n)
           val (t10, n10) = runN(out, n)

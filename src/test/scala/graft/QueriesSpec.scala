@@ -466,7 +466,8 @@ class QueriesSpec extends SparkSpec {
     "x386_lsh_recall_audit" -> 3, "x387_top_pc_power" -> 64,
     "x388_template_strip_savings" -> 20, "x389_langid_confusion" -> 25,
     "x390_dup_position_profile" -> 10, "x391_dim_variance_profile" -> 64,
-    "x392_ivf_recall_curve" -> 4)
+    "x392_ivf_recall_curve" -> 4, "x393_context_ladder" -> 4,
+    "x394_ivf_list_balance" -> 8, "x395_code_switch_screen" -> 20)
 
   expectedRowsR17.foreach { case (name, n) =>
     test(s"$name returns $n rows at sf0.001") {
@@ -691,6 +692,34 @@ class QueriesSpec extends SparkSpec {
       s"mean recall must be non-decreasing in nProbe: ${rows.toSeq}")
     assert(rows.last._3 == 10000L && rows.last._4 == 10L,
       "nProbe = nLists probes everything: recall 10000 bp by construction")
+  }
+
+  test("x393 context ladder: strictly tradeoff-shaped (monotone in the limit)") {
+    val rows = SparkEntry.queries("x393_context_ladder")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(32L, 48L, 64L, 128L))
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sortBy(-(_: Long)).toSeq,
+      "docs_over must fall as the limit grows")
+    assert(rows.map(_._3).toSeq == rows.map(_._3).sortBy(-(_: Long)).toSeq,
+      "trunc_toks must fall as the limit grows")
+    // the corpus-fit ladder must carry signal, not all-zero rows
+    assert(rows.head._2 > 0, "the smallest limit must actually bite")
+  }
+
+  test("x394 IVF balance: lists conserve the corpus, shares sum to ~10000") {
+    val rows = SparkEntry.queries("x394_ivf_list_balance")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (8L to 15L).toSeq)
+    assert(rows.map(_._2).sum == 484L, "500 vecs minus 8 queries minus 8 centers")
+    val shares = rows.map(_._3).sum
+    assert(shares > 10000L - 8 && shares <= 10000L)
+  }
+
+  test("x395 code-switch screen: conserves docs, rates in range") {
+    val rows = SparkEntry.queries("x395_code_switch_screen")(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).sum == 500L)
+    rows.foreach(r => assert(r._2 <= r._1 && r._3 <= 10000L))
   }
 
   test("entry returns rows") {
