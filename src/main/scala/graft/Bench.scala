@@ -141,7 +141,14 @@ object Bench {
     // the LLM-pipeline operators' cost at sf0.1).
     val prefix = sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "q")
     val queries = SparkEntry.queries // build the inventory map ONCE
-    val names = queries.keys.toSeq.filter(_.startsWith(prefix)).sorted
+    // r18 (VERDICT r17 #2, additions-only): a comma-separated value is a
+    // set of prefixes — "x80,x126,x274" selects the work-dominated heavy
+    // subset for the 8-vs-32-core scaling artifact. A single prefix
+    // (every existing caller, including the driver's "q"/"x") behaves
+    // exactly as before.
+    val prefixes = prefix.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val names = queries.keys.toSeq
+      .filter(n => prefixes.exists(n.startsWith)).sorted
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def once(name: String): Double = {
       val f = queries(name) // lookup OUTSIDE the timed window
@@ -417,13 +424,18 @@ object Bench {
       if (duckQ.isEmpty) ""
       else s""","duckdb_queries":${duckQ.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""${esc(k)}":${"%.5f".format(v)}""" }.mkString("{", ",", "}")},"duckdb_interleaved_total":${num(interleavedTotal)}"""
-    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","paired_mode":"$pairedMode","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}$duckQJs,"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
+    // "cpus" in BOTH output lines (r18, VERDICT r17 #2): the bench has
+    // always honored $SPARK_GRAFT_CPUS (master local[$cpus] above); the
+    // artifact now SAYS so itself, so a scaling consumer reading only
+    // the JSON can pair low/high-core runs without trusting its own
+    // env bookkeeping.
+    println(s"""{"metric":"suite_total","value":${"%.4f".format(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"sf":"${esc(sfDir)}","floor_ms":${"%.1f".format(floorMs)},"paired_control":"${PairedControl.ControlName}","paired_mode":"$pairedMode","duckdb_pre_total":${num(duckPre)},"duckdb_post_total":${num(duckPost)},"duckdb_paired_total":${num(paired)},"paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)}$duckQJs,"failed":$failedJs,"single_rep":$singleRepJs$concJs$gateJs}""")
     // Tail-proof headline (VERDICT r16 #2): the full line above can
     // outgrow a consumer's tail capture (the interleaved per-query map
     // pushed BENCH_r16.json's suite wall out of its own 2000-char
     // tail), so every term of the gate verdict is REPEATED last, in a
     // compact second line that always fits.
-    println(s"""{"metric":"headline","value":${"%.4f".format(total)},"unit":"sec","set":"$prefix","threads":$threads,"paired_mode":"$pairedMode","paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"stages":${if (countStages) totalStages.toString else "null"},"stage_drift":${bool(driftOpt)},"gate_bound":${num(boundOpt)},"gate_green":${bool(greenOpt)},"failed":${failed.size}}""")
+    println(s"""{"metric":"headline","value":${"%.4f".format(total)},"unit":"sec","set":"$prefix","cpus":$cpus,"threads":$threads,"paired_mode":"$pairedMode","paired_total":${num(paired)},"paired_ratio":${num(pairedRatio)},"stages":${if (countStages) totalStages.toString else "null"},"stage_drift":${bool(driftOpt)},"gate_bound":${num(boundOpt)},"gate_green":${bool(greenOpt)},"failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -82,6 +82,8 @@ object Catalog {
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     if (!spark.experimental.extraOptimizations.contains(plans.DeferProjectionPastTopK))
       spark.experimental.extraOptimizations ++= Seq(plans.DeferProjectionPastTopK)
+    if (!spark.experimental.extraOptimizations.contains(plans.FuseMd5Prefix32))
+      spark.experimental.extraOptimizations ++= Seq(plans.FuseMd5Prefix32)
     functions.CosineSim.register(spark)
     functions.PqLutScore.register(spark)
     functions.SimHash64.register(spark)

@@ -47,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => plans.DeferProjectionPastTopK)
+    ext.injectOptimizerRule(_ => plans.FuseMd5Prefix32)
     ext.injectPlannerStrategy(_ => plans.AsOfStrategy)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -1738,13 +1738,25 @@ object Queries {
     // bounded key-distance window — the candidate-generation discipline
     // of every dedup operator here — then classic Levenshtein, identical
     // DP semantics on both engines.
+    //
+    // r18 (VERDICT r17 #4; guide §1.2 "per-task work"): the levenshtein
+    // predicate is stated LAST in the ON clause instead of in a WHERE.
+    // The WHERE form was pushed into the join condition AHEAD of the
+    // cheap band conjuncts (plans/r18/x126_levenshtein_before.txt:
+    // `(levenshtein <= 12) AND (pa < pb) AND (pb - pa <= 40)`), so the
+    // O(|a|·|b|) DP ran on EVERY brand-equal pair (~16M at sf0.1)
+    // before the key band could reject; conjuncts in ON order evaluate
+    // short-circuit left-to-right, so the DP now runs only on pairs
+    // inside the ±40 key band (~32k at sf0.1 — a ~500× cut in DP
+    // invocations). Conjunction order cannot change an inner join's
+    // result set; both engines keep the identical DP semantics.
     q("x126_levenshtein",
       """SELECT a.p_partkey AS pa, b.p_partkey AS pb,
         |       cast(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         | AND b.p_partkey - a.p_partkey <= 40
-        |WHERE levenshtein(a.p_name, b.p_name) <= 12
+        | AND levenshtein(a.p_name, b.p_name) <= 12
         |ORDER BY dist, pa, pb""".stripMargin),
 
     // Ordinal explode (position-aware tokenization — the shape BPE-style
@@ -5203,7 +5215,41 @@ object Queries {
     // identical op tree → bit-equal trajectories; outputs round at 4dp.
     // Recursion depth = series length per type; types recurse
     // independently (the per-series parallelism a cluster would use).
+    // r18 dialect delta (VERDICT r17 #4; guide §1.2 "remove unnecessary
+    // passes"): the original shared text selected the last recursion row
+    // per series via `fin` = max(rn) + a join back to `h` — TWO
+    // references to the recursive CTE, and Spark 4 inlines both, so the
+    // ENTIRE UnionLoop (one events-aggregation + window + join per day
+    // step, ~275 stages at sf0.1) executed TWICE
+    // (plans/r18/x274_holt_linear_before.txt shows two `UnionLoop 1`
+    // subtrees; measured 15.6 s / 549 stages ≈ the per-stage floor ×
+    // stage count). The Spark dialect now selects the same row with
+    // `row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) = 1`
+    // — ONE reference, ONE UnionLoop. rn is unique within a series
+    // (anchor 2, +1 per step), so max-rn-join ≡ rn-desc-first
+    // row-for-row. The DuckDB oracle keeps the original fin-join text
+    // verbatim (its recursion is cheap and the text stays the canonical
+    // statement of the semantics).
     q("x274_holt_linear",
+      """WITH RECURSIVE d AS (
+        |  SELECT event_type, cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS y,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY cast(ts AS DATE)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |h(event_type, rn, y, l, b) AS (
+        |  SELECT d1.event_type, 2, d2.y,
+        |         d2.y * 1e0, (d2.y - d1.y) * 1e0
+        |  FROM d d1 JOIN d d2 ON d1.event_type = d2.event_type AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn + 1, d.y,
+        |         5e-1 * d.y + 5e-1 * (h.l + h.b),
+        |         5e-1 * ((5e-1 * d.y + 5e-1 * (h.l + h.b)) - h.l) + 5e-1 * h.b
+        |  FROM h JOIN d ON d.event_type = h.event_type AND d.rn = h.rn + 1)
+        |SELECT event_type, cast(rn AS BIGINT) AS rn, y,
+        |       round(l, 4) AS level, round(b, 4) AS trend,
+        |       round(l + b, 4) AS forecast_next
+        |FROM (SELECT h.*, row_number() OVER (PARTITION BY event_type ORDER BY rn DESC) AS rr FROM h)
+        |WHERE rr = 1
+        |ORDER BY event_type""".stripMargin,
       """WITH RECURSIVE d AS (
         |  SELECT event_type, cast(ts AS DATE) AS day, cast(count(*) AS BIGINT) AS y,
         |         row_number() OVER (PARTITION BY event_type ORDER BY cast(ts AS DATE)) AS rn
@@ -8024,34 +8070,69 @@ object Queries {
     // index-sized, mergeable, exactly what ships between executors at
     // 100 TB (the exact ni join is the oracle-side truth, priced
     // quadratic-by-design like the x48 class).
+    // r18 Spark-dialect restructure (VERDICT r17 #3; guide §2 — bound the
+    // state that crosses the exchange, don't replicate full sets):
+    //  - hv64: each source's DISTINCT hash set is pre-restricted to its
+    //    bottom-64 before the pair merge. PROVABLY output-identical: the
+    //    bottom-64 of a union A∪B is a subset of bottom-64(A) ∪
+    //    bottom-64(B) (any hv among the union's 64 smallest has ≤ 63
+    //    union elements below it, hence ≤ 63 elements of its own source
+    //    below it), and for every surviving rn ≤ 64 row the membership
+    //    flags are unchanged (hv ∈ bottom-64(A∪B) ∧ hv ∈ B ⇒ hv ∈
+    //    bottom-64(B) by the same counting argument) — so `ranked WHERE
+    //    rn <= 64`, nboth and kk are row-identical. The pair merge now
+    //    carries ≤ 64 rows per (pair, member) instead of each source's
+    //    FULL distinct-hash set replicated once per containing pair
+    //    (~(|sources|-1)× amplification: 3.9 M rows at sf0.1, and
+    //    unboundedly worse at 100 TB — the restriction is exactly the
+    //    index-sized bottom-k state the KMV sketch is supposed to ship).
+    //  - pairsz: the two `sizes` joins in the final SELECT each inlined
+    //    their own full shingle pipeline (Spark inlines CTEs —
+    //    plans/r18/x363_kmv_source_jaccard_before.txt shows FIVE copies
+    //    of the tokenize→3-gram→explode→distinct subtree); folding both
+    //    sizes through the existing `mem` skeleton states `sizes` once.
+    //    The IS NOT NULL filter reproduces the original INNER-join drop
+    //    of a pair whose member has no ≥3-word doc.
+    // The DuckDB oracle text below stays verbatim — it remains the
+    // canonical statement of the semantics, and the driver's hash gate
+    // is the equivalence proof.
     q("x363_kmv_source_jaccard",
       """WITH w AS (SELECT doc_id, source, split(text,' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT source, sh FROM
         |       (SELECT source, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |        FROM w WHERE size(w) >= 3)),
         |hv AS (SELECT DISTINCT source, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
+        |hv64 AS (SELECT source, hv FROM (
+        |          SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS srn FROM hv)
+        |         WHERE srn <= 64),
         |srcs AS (SELECT DISTINCT source FROM documents),
         |pairs AS (SELECT a.source AS s1, b.source AS s2 FROM srcs a JOIN srcs b ON a.source < b.source),
         |mem AS (SELECT s1, s2, s1 AS member FROM pairs UNION ALL SELECT s1, s2, s2 AS member FROM pairs),
         |merged AS (SELECT m.s1, m.s2, h.hv,
         |                  max(CASE WHEN h.source = m.s1 THEN 1 ELSE 0 END) AS in1,
         |                  max(CASE WHEN h.source = m.s2 THEN 1 ELSE 0 END) AS in2
-        |           FROM mem m JOIN hv h ON h.source = m.member GROUP BY 1, 2, 3),
+        |           FROM mem m JOIN hv64 h ON h.source = m.member GROUP BY 1, 2, 3),
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY s1, s2 ORDER BY hv) AS rn FROM merged),
         |kmv AS (SELECT s1, s2, cast(sum(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nboth,
         |               cast(count(*) AS BIGINT) AS kk
         |        FROM ranked WHERE rn <= 64 GROUP BY 1, 2),
         |sizes AS (SELECT source, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        |pairsz AS (SELECT s1, s2, n1, n2 FROM (
+        |            SELECT m.s1, m.s2,
+        |                   max(CASE WHEN s.source = m.s1 THEN s.n END) AS n1,
+        |                   max(CASE WHEN s.source = m.s2 THEN s.n END) AS n2
+        |            FROM mem m JOIN sizes s ON s.source = m.member GROUP BY 1, 2)
+        |           WHERE n1 IS NOT NULL AND n2 IS NOT NULL),
         |inter AS (SELECT a.source AS s1, b.source AS s2, cast(count(*) AS BIGINT) AS ni
         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2),
         |ex AS (SELECT p.s1, p.s2, coalesce(i.ni, 0) AS ni FROM pairs p
         |       LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2)
         |SELECT k.s1 AS s1, k.s2 AS s2,
-        |       cast(ex.ni * 10000 div (n1.n + n2.n - ex.ni) AS BIGINT) AS exact_bp,
+        |       cast(ex.ni * 10000 div (z.n1 + z.n2 - ex.ni) AS BIGINT) AS exact_bp,
         |       cast(k.nboth * 10000 div k.kk AS BIGINT) AS kmv_bp,
-        |       cast(abs(ex.ni * 10000 div (n1.n + n2.n - ex.ni) - k.nboth * 10000 div k.kk) AS BIGINT) AS err_bp
+        |       cast(abs(ex.ni * 10000 div (z.n1 + z.n2 - ex.ni) - k.nboth * 10000 div k.kk) AS BIGINT) AS err_bp
         |FROM kmv k JOIN ex ON ex.s1 = k.s1 AND ex.s2 = k.s2
-        |JOIN sizes n1 ON n1.source = k.s1 JOIN sizes n2 ON n2.source = k.s2
+        |JOIN pairsz z ON z.s1 = k.s1 AND z.s2 = k.s2
         |ORDER BY s1, s2""".stripMargin,
       """WITH w AS (SELECT doc_id, source, string_split(text,' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT source, sh FROM

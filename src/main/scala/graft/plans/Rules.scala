@@ -3,6 +3,59 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{BinaryType, IntegerType, LongType, StringType}
+
+/** Fuses the portable-family content-hash SQL composition
+  * `cast(conv(substr(md5(s),1,8),16,10) AS BIGINT)` into the codegen'd
+  * [[graft.functions.Md5Prefix32Expr]] primitive (r18, VERDICT r17 #1;
+  * guide: expressions/codegen — eliminate the interpreted/alloc-heavy
+  * chain in the hottest projection).
+  *
+  * The SQL form pays, PER CALL: a 32-char hex-string render inside
+  * `md5`, a substring copy, a base-16 `conv` parse, and a string→long
+  * cast. The fused expression hashes the UTF-8 bytes in place with a
+  * thread-local digest — Md5Prefix32Spec pins the two bit-identical on
+  * the edge classes (empty/NULL/multi-byte/long), and the r17 kernel
+  * swaps measured the same fusion at 6.1× on HOF-heavy scans.
+  *
+  * 21 declared queries state this composition (x80's per-character-
+  * position hash is the 63.7 s / 21%-of-the-xops-wall case VERDICT r17
+  * names); rewriting the PLAN rather than 21 SQL texts keeps every
+  * declared query text — and every DuckDB oracle — byte-identical while
+  * routing all of them through the fused kernel.
+  *
+  * Match conditions (all required, else leave the tree alone):
+  *  - the md5 argument is a STRING cast to binary (what SQL `md5(s)`
+  *    analyzes to) — Md5Prefix32Expr hashes UTF-8 bytes, which is
+  *    exactly Cast(string AS binary)'s encoding;
+  *  - substr(_, 1, 8), conv(_, 16, 10), cast to BIGINT — the first 8
+  *    hex digits parse to [0, 2³²), so overflow/ANSI eval-mode
+  *    differences in the replaced Cast/Conv cannot be observed.
+  * Idempotent: the rewritten tree contains no Conv, so it cannot
+  * re-match. Subquery plans are walked too (transformUpWithSubqueries):
+  * several inventory queries hash inside CTEs referenced from scalar
+  * subqueries. */
+object FuseMd5Prefix32 extends Rule[LogicalPlan] {
+  private object IntLit {
+    def unapply(e: Expression): Option[Int] = e match {
+      case Literal(v: Int, IntegerType) => Some(v)
+      case _                            => None
+    }
+  }
+
+  private val fuse: PartialFunction[Expression, Expression] = {
+    case Cast(
+          Conv(Substring(Md5(Cast(s, BinaryType, _, _)), IntLit(1), IntLit(8)),
+               IntLit(16), IntLit(10), _),
+          LongType, _, _) if s.dataType == StringType =>
+      graft.functions.Md5Prefix32Expr(s)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case p => p.transformExpressionsUp(fuse)
+    }
+}
 
 /** Defers expensive deterministic projections past a top-k (Sort + Limit).
   *

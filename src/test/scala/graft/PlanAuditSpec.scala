@@ -410,6 +410,74 @@ class PlanAuditSpec extends SparkSpec {
       s"nProbe expansion (4 rows) and query side (8 vecs) must broadcast:\n$p")
   }
 
+  // ---- r18 optimization-round guards (VERDICT r17 #1/#3/#4/#5) ---------
+
+  test("r18: the md5-prefix hash composition is fused in every hot SQL site") {
+    // FuseMd5Prefix32 must route the per-row conv(substr(md5)) chain
+    // through the codegen'd kernel in the queries VERDICT r17 priced:
+    // x80 (the 63.7 s / 21%-of-the-xops-wall case), x284, x363, x74, x79
+    // optimized-plan assertions: the rewrite is an optimizer rule, and
+    // the compact PHYSICAL tree string elides aggregate result
+    // projections (x79's fused hash lives in one)
+    Seq("x80_winnowing_sql", "x284_negative_sampling",
+        "x363_kmv_source_jaccard", "x74_minhash_sql", "x79_simhash_sql")
+      .foreach { n =>
+        val p = SparkEntry.queries(n)(spark, sf0001)
+          .queryExecution.optimizedPlan.toString
+        assert(p.contains("md5_prefix32"), s"$n: hash not fused:\n${p.take(1500)}")
+        assert(!p.contains("conv("), s"$n: unfused conv survived:\n${p.take(1500)}")
+      }
+  }
+
+  test("r18 x126: cheap band conjuncts evaluate BEFORE the levenshtein DP") {
+    val p = physical("x126_levenshtein")
+    // the join condition must short-circuit on the ±40 key band first —
+    // the r17 shape ran the O(|a|·|b|) DP on every brand-equal pair
+    // (plans/r18/x126_levenshtein_before.txt)
+    val cond = p.linesIterator.find(_.contains("levenshtein")).getOrElse("")
+    assert(cond.nonEmpty, s"levenshtein not in plan:\n$p")
+    assert(cond.indexOf("levenshtein") > cond.indexOf("<= 40"),
+      s"levenshtein ordered before the key band:\n$cond")
+  }
+
+  test("r18 x274: the recursion is referenced ONCE (single UnionLoop)") {
+    // the fin-join form inlined the whole recursive CTE twice — one
+    // events-agg + window + join PER DAY STEP, per copy (549 stages)
+    val opt = SparkEntry.queries("x274_holt_linear")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert("UnionLoop ".r.findAllIn(opt).length == 1,
+      s"recursion inlined more than once:\n${opt.take(1500)}")
+  }
+
+  test("r18 x363: bottom-64 restriction is pushed per source; sizes stated once") {
+    val opt = SparkEntry.queries("x363_kmv_source_jaccard")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // two rank-limit sites now: per-source (the hv64 restriction) and
+    // per-pair (the original kmv ranking)
+    assert("WindowGroupLimit".r.findAllIn(opt).length >= 2,
+      s"expected per-source AND per-pair group limits:\n${opt.take(1500)}")
+    // the tokenize→3-gram→explode pipeline appears 4× (hv, inter×2,
+    // sizes×1) — the r17 form inlined it 5× (sizes was joined twice)
+    assert("Generate explode".r.findAllIn(opt).length <= 4,
+      s"shingle pipeline re-inlined:\n${opt.take(1500)}")
+  }
+
+  test("r18: per-key ranked top-k ops carry the Partial WindowGroupLimit shape") {
+    // VERDICT r17 #5: the engine's InferWindowGroupLimit plans
+    // row_number()<=k windows as Partial→Exchange→Final group limits —
+    // the same bounded-buffer-per-(map partition, key) shape as
+    // TopKPerKey, with only k rows per key crossing the exchange. Guard
+    // the shape on the ranked ops the audit walked, so a filter form
+    // the rule cannot see (rank alias compared != , rn in an OR, …)
+    // regresses loudly.
+    Seq("x284_negative_sampling", "x363_kmv_source_jaccard").foreach { n =>
+      val p = physical(n)
+      assert(p.contains("WindowGroupLimit"), s"$n: rank-limit pushdown lost:\n${p.take(1500)}")
+      assert("""row_number\(\), \d+, Partial""".r.findFirstIn(p).isDefined,
+        s"$n: no map-side partial group limit:\n${p.take(1500)}")
+    }
+  }
+
   test("inventory sweep: no cartesian product, no UDF, plans all build") {
     val cartesianAllowed = Set(
       "q21_cross_join",    // the declared cross-join operator itself

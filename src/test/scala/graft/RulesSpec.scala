@@ -260,4 +260,87 @@ class RulesSpec extends SparkSpec {
     val viaRule = SparkEntry.queries("q38_math_funcs")(spark, sf0001)
     assert(naive.collect().toSeq == viaRule.collect().toSeq)
   }
+
+  // ---- FuseMd5Prefix32 (r18, VERDICT r17 #1) ---------------------------
+
+  /** JVM reference for the portable content hash — computed OUTSIDE
+    * Spark so the assertion cannot be made vacuous by the rule
+    * rewriting its own reference expression. */
+  private def md5Prefix32Ref(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  test("FuseMd5Prefix32 rewrites the SQL hash composition to the fused kernel") {
+    Catalog.ensure(spark, sf0001) // installs the rule on the shared session
+    // range()-backed input: a literal local relation would be folded to
+    // a LocalRelation by ConvertToLocalRelation before the rule runs,
+    // leaving nothing to assert on
+    val q = spark.sql(
+      """SELECT s, cast(conv(substr(md5(s),1,8),16,10) AS BIGINT) AS h
+        |FROM (SELECT concat('doc-', cast(id AS STRING)) AS s FROM range(32))""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("md5_prefix32"), s"rule did not fire:\n$opt")
+    assert(!opt.contains("conv("), s"unfused conv survived:\n$opt")
+    // value identity against the literal JVM digest (not the SQL form,
+    // which this very rule rewrites -- that comparison would be vacuous)
+    q.collect().foreach { r =>
+      assert(r.getLong(1) == md5Prefix32Ref(r.getString(0)), r.getString(0))
+    }
+    // multi-byte / empty edge classes through the fused path, same ref
+    val edge = spark.sql(
+      """SELECT s, cast(conv(substr(md5(s),1,8),16,10) AS BIGINT) AS h
+        |FROM (SELECT CASE id % 4 WHEN 0 THEN '' WHEN 1 THEN 'caf\u00e9'
+        |             WHEN 2 THEN '\u4e2d\u6587\u7684\u6587\u5b57' ELSE '\ud83d\ude00\ud83d\ude00' END AS s
+        |      FROM range(8))""".stripMargin)
+    edge.collect().foreach { r =>
+      assert(r.getLong(1) == md5Prefix32Ref(r.getString(0)), r.getString(0))
+    }
+    // NULL propagates exactly like the md5 chain it replaces
+    val n = spark.sql(
+      """SELECT cast(conv(substr(md5(CASE WHEN id > 5 THEN 'x' END),1,8),16,10) AS BIGINT)
+        |FROM range(1)""".stripMargin).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("FuseMd5Prefix32 leaves non-matching compositions alone") {
+    Catalog.ensure(spark, sf0001)
+    // each variant differs from the contract composition in ONE literal /
+    // type -- none may be rewritten (they compute different values);
+    // plan-string assertions only (range-backed, nothing folds)
+    val variants = Seq(
+      "cast(conv(substr(md5(s),1,9),16,10) AS BIGINT)",  // 9 hex chars
+      "cast(conv(substr(md5(s),2,8),16,10) AS BIGINT)",  // offset 2
+      "cast(conv(substr(md5(s),1,8),16,16) AS BIGINT)",  // base 16->16
+      "cast(conv(substr(md5(s),1,8),8,10) AS BIGINT)",   // from-base 8
+      "cast(conv(substr(md5(s),1,8),16,10) AS INT)")     // INT, not BIGINT
+    variants.foreach { v =>
+      val p = spark.sql(
+        s"SELECT $v FROM (SELECT cast(id AS STRING) AS s FROM range(4))")
+        .queryExecution.optimizedPlan.toString
+      assert(!p.contains("md5_prefix32"), s"over-matched: $v\n$p")
+    }
+  }
+
+  test("FuseMd5Prefix32 reaches subquery plans (the CTE-in-scalar-subquery sites)") {
+    Catalog.ensure(spark, sf0001)
+    val q = spark.sql(
+      """SELECT (SELECT count(*)
+        |        FROM (SELECT concat('k', cast(id AS STRING)) AS s FROM range(16))
+        |        WHERE cast(conv(substr(md5(s),1,8),16,10) AS BIGINT) % 2 = 0) AS n""".stripMargin)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("md5_prefix32"), s"subquery site not fused:\n$opt")
+    val expected = (0 until 16).count(i => md5Prefix32Ref(s"k$i") % 2 == 0)
+    assert(q.head().getLong(0) == expected)
+  }
+
+
+  test("x80's executed plan carries the fused kernel, no conv/md5 chain") {
+    val df = SparkEntry.queries("x80_winnowing_sql")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("md5_prefix32"), s"x80 not fused:\n${p.take(2000)}")
+    assert(!p.contains("conv("), s"unfused conv survived in x80:\n${p.take(2000)}")
+  }
 }
