@@ -813,15 +813,27 @@ object Queries {
     // contribute no pairs, so dropping them is output-preserving while
     // bounding the join input to actual candidates. This is what kept
     // the 10×-soak oracle from spilling to death (SCALE.md §7).
+    //
+    // r18 (VERDICT r17 #1, Spark dialect; guide §2.3 — aggregate before
+    // you shuffle): the df ≥ 2 prefilter is now a two-phase
+    // groupBy(fp) HAVING + join back, replacing
+    // `count(*) OVER (PARTITION BY fp)` — the window form shuffled and
+    // SORTED every (doc_id, fp) row per `rep` reference, while the
+    // groupBy partial-aggregates map-side and its ~|distinct fp| output
+    // broadcasts into the join. Filter semantics identical (both count
+    // fps rows per fp; fps is distinct (doc_id, fp)). Measured 64.7 →
+    // 40.9 s at sf0.1 under the protocol config. The per-position hash
+    // is fused by FuseMd5Prefix32 (plans/Rules.scala); the DuckDB text
+    // below keeps the window form verbatim. The remaining wall is the
+    // exact 94.9M-row pair expansion — see OPTIMIZATION_r18.md §6.
     q("x80_winnowing_sql",
       """WITH pos AS (SELECT doc_id, explode(sequence(1, greatest(length(text)-7,1))) AS i, text FROM documents),
         |h AS (SELECT doc_id, i, cast(conv(substr(md5(substr(text,i,8)),1,8),16,10) AS BIGINT) AS h FROM pos),
         |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
         |n AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY 1),
-        |rep AS (SELECT doc_id, fp FROM (
-        |          SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM fps)
-        |        WHERE df >= 2),
+        |df AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+        |rep AS (SELECT fps.doc_id, fps.fp FROM fps JOIN df ON fps.fp = df.fp),
         |common AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
         |           FROM rep x JOIN rep y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1,2)
         |SELECT a, b, contain_bp FROM (

@@ -174,6 +174,12 @@ object Rehearsal {
     // hides it at 50 k).
     if (args.contains("kmeans")) { kmeansPhases(spark, out); return }
 
+    // `dim768`: measure the exact-vs-LUT serving tiers at PRODUCTION
+    // embedding width (VERDICT r17 #6) — the r17 adjudication priced the
+    // LUT tier's 100 TB value by arithmetic (12.5× fewer scan bytes,
+    // 16 lookups vs 768 FMAs at dim 768); this phase measures it.
+    if (args.contains("dim768")) { dim768Phases(spark, out); return }
+
     // `phash`: the x329/x331 perceptual family at 100× (VERDICT r13 #8)
     // — embeddings replicated 100× with disjoint vec_ids but IDENTICAL
     // payloads, the worst duplication profile the perceptual banding
@@ -553,6 +559,101 @@ object Rehearsal {
       .sum / nq
     println(f"[rehearsal] ann serve LUT 1M: queries=$nq recall@10 vs exact $recall%.4f")
     assert(recall >= 0.9, f"LUT-tier recall collapsed: $recall%.4f")
+    spark.stop()
+  }
+
+  // ---- exact-vs-LUT ANN serving at dim 768 (VERDICT r17 #6) --------
+  // The kmPhases 1M tier runs at the contract's dim 64, where the LUT
+  // tier's local win is modest (3.5× fewer scan bytes, 16 lookups vs 64
+  // FMAs). Production embedding widths are ~768; there the bytes ratio
+  // is 12.5× (3072 B raw vs ~245 B encoded+norm) and scoring is 16
+  // lookups vs 768 FMAs — claims r17 stated by arithmetic only. This
+  // phase builds a deterministic synthetic 1M × 768 corpus (perf claim,
+  // not an oracle claim: hash-derived floats, no RNG state), trains the
+  // coarse index once, writes BOTH serving layouts from the same
+  // centroids, streams the same 2 000 queries through each tier, and
+  // reports walls + recall@10 of LUT vs exact at the same probe sets.
+  private def dim768Phases(spark: SparkSession, out: String): Unit = {
+    val dim = 768
+    val n = 1000000L
+    val dir = s"$out/d768"
+    val corpus = s"$dir/embeddings.parquet"
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(corpus)))
+      phase("build 1M x 768") {
+        // deterministic, RNG-free: per-(id, j) hash scaled to [-1, 1)
+        // (Date/rand are banned in reproducible fixtures; xxhash64 gives
+        // the same corpus on every run and every partitioning)
+        spark.range(n).select(col("id").as("vec_id"),
+            expr(s"""transform(sequence(1, $dim),
+                    | j -> cast((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))"""
+              .stripMargin).as("embedding"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(corpus)
+      }
+    val emb = spark.read.parquet(corpus)
+    val cents = phase("ivf train d768") {
+      graft.llm.Ann.ivfTrain(emb, nLists = 16, dim = dim)
+    }
+    val rawLayout = s"$dir/layout-raw"
+    phase("raw layout d768") {
+      graft.sources.Layout.writeIvfPartitioned(emb, rawLayout, cents)
+    }
+    // codebooks trained ON the same coarse centroids (the train-once
+    // rule); m=16 keeps the 16-lookup scoring shape, dsub = 768/16 = 48
+    val pq = phase("pq codebook d768") {
+      graft.llm.Ann.pqTrain(emb, nLists = 16, dim = dim,
+        centroids = Some(cents))
+    }
+    val encLayout = s"$dir/layout-enc"
+    phase("pq encode layout d768") {
+      graft.sources.Layout.writeIvfEncodedPartitioned(emb, encLayout, pq)
+    }
+    def layoutBytes(p: String): Long = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var b = 0L
+      while (it.hasNext) { val f = it.next(); if (f.isFile) b += f.getLen }
+      b
+    }
+    println(f"[rehearsal] d768 layout bytes: raw=${layoutBytes(rawLayout)}%,d " +
+      f"encoded=${layoutBytes(encLayout)}%,d " +
+      f"(ratio ${layoutBytes(rawLayout).toDouble / layoutBytes(encLayout)}%.1f x)")
+    val qdir = s"$dir/queries"
+    val qf = new java.io.File(qdir)
+    if (qf.exists()) new scala.reflect.io.Directory(qf).deleteRecursively()
+    emb.where(col("vec_id") < 2500).limit(2000)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .repartitionByRange(4, col("qid")).write.parquet(qdir)
+    def qStream() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(qdir)
+    val served = phase("exact tier 2k q d768") {
+      graft.streaming.AnnServeStream.drain(spark, qStream(),
+        rawLayout, cents, k = 10, nProbe = 4)
+    }
+    val nq = served.map(_._1).distinct.size
+    assert(served.size == nq * 10,
+      s"exact tier must answer top-10 per query: ${served.size} vs ${nq * 10}")
+    val servedLut = phase("lut tier 2k q d768") {
+      graft.streaming.AnnServeStream.drainLut(spark, qStream(),
+        rawLayout, encLayout, pq, k = 10, nProbe = 4, refine = 10)
+    }
+    assert(servedLut.size == nq * 10,
+      s"LUT tier must answer top-10 per query: ${servedLut.size} vs ${nq * 10}")
+    val exactSets = served.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val lutSets = servedLut.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recall = exactSets.keys.toSeq
+      .map(q => (exactSets(q) & lutSets.getOrElse(q, Set.empty)).size / 10.0)
+      .sum / nq
+    println(f"[rehearsal] d768 serve: queries=$nq recall@10 LUT-vs-exact $recall%.4f")
     spark.stop()
   }
 
