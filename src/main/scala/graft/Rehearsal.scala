@@ -59,6 +59,11 @@ object Rehearsal {
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
 
+    // `dim768` is self-contained (builds its own synthetic corpus under
+    // $out/d768) — dispatch BEFORE the 100× corpus build so the phase
+    // never pays for a replica corpus it does not read (VERDICT r17 #6).
+    if (args.contains("dim768")) { dim768Phases(spark, out); return }
+
     if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/documents.parquet"))
         || args.contains("rebuild")) phase("build 100x") {
       // documents/events replicated 100× with disjoint ids, multi-file
@@ -173,12 +178,6 @@ object Rehearsal {
     // 10× soak could not see (SCALE.md §41.1: the scheduling floor
     // hides it at 50 k).
     if (args.contains("kmeans")) { kmeansPhases(spark, out); return }
-
-    // `dim768`: measure the exact-vs-LUT serving tiers at PRODUCTION
-    // embedding width (VERDICT r17 #6) — the r17 adjudication priced the
-    // LUT tier's 100 TB value by arithmetic (12.5× fewer scan bytes,
-    // 16 lookups vs 768 FMAs at dim 768); this phase measures it.
-    if (args.contains("dim768")) { dim768Phases(spark, out); return }
 
     // `phash`: the x329/x331 perceptual family at 100× (VERDICT r13 #8)
     // — embeddings replicated 100× with disjoint vec_ids but IDENTICAL
@@ -574,21 +573,37 @@ object Rehearsal {
   // centroids, streams the same 2 000 queries through each tier, and
   // reports walls + recall@10 of LUT vs exact at the same probe sets.
   private def dim768Phases(spark: SparkSession, out: String): Unit = {
+    // the serving tiers resolve cosine_sim / pq_lut_score by registry
+    // name; this phase never touches the contract catalog, so register
+    // the kernels directly (what Catalog.ensure does for table-backed
+    // phases)
+    graft.functions.CosineSim.register(spark)
+    graft.functions.PqLutScore.register(spark)
     val dim = 768
     val n = 1000000L
     val dir = s"$out/d768"
-    val corpus = s"$dir/embeddings.parquet"
+    // Corpus flavor (SPARK_GRAFT_D768_CORPUS): `uniform` hash floats are
+    // the WORST case for recall (all pairwise cosines concentrate near 0
+    // in high dim, so quantization noise swamps the vanishing neighbor
+    // margins); `planted` adds 1024 cluster centers with 20% noise — the
+    // margin structure real embedding corpora have. Both deterministic,
+    // RNG-free (xxhash64-derived).
+    val flavor = sys.env.getOrElse("SPARK_GRAFT_D768_CORPUS", "uniform")
+    val corpus = s"$dir/embeddings-$flavor.parquet"
     val fs = org.apache.hadoop.fs.FileSystem
       .get(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(corpus)))
-      phase("build 1M x 768") {
-        // deterministic, RNG-free: per-(id, j) hash scaled to [-1, 1)
-        // (Date/rand are banned in reproducible fixtures; xxhash64 gives
-        // the same corpus on every run and every partitioning)
+      phase(s"build 1M x 768 $flavor") {
+        val vecExpr =
+          if (flavor == "planted")
+            s"""transform(sequence(1, $dim),
+               | j -> cast((pmod(xxhash64((id % 1024) * 7919, j), 2000) - 1000) / 1250.0
+               |        + (pmod(xxhash64(id, j), 2000) - 1000) / 5000.0 AS FLOAT))""".stripMargin
+          else
+            s"""transform(sequence(1, $dim),
+               | j -> cast((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))""".stripMargin
         spark.range(n).select(col("id").as("vec_id"),
-            expr(s"""transform(sequence(1, $dim),
-                    | j -> cast((pmod(xxhash64(id, j), 2000) - 1000) / 1000.0 AS FLOAT))"""
-              .stripMargin).as("embedding"))
+            expr(vecExpr).as("embedding"))
           .repartition(64)
           .write.mode("overwrite").parquet(corpus)
       }
@@ -596,17 +611,23 @@ object Rehearsal {
     val cents = phase("ivf train d768") {
       graft.llm.Ann.ivfTrain(emb, nLists = 16, dim = dim)
     }
-    val rawLayout = s"$dir/layout-raw"
+    val rawLayout = s"$dir/layout-raw-$flavor"
     phase("raw layout d768") {
       graft.sources.Layout.writeIvfPartitioned(emb, rawLayout, cents)
     }
     // codebooks trained ON the same coarse centroids (the train-once
-    // rule); m=16 keeps the 16-lookup scoring shape, dsub = 768/16 = 48
-    val pq = phase("pq codebook d768") {
-      graft.llm.Ann.pqTrain(emb, nLists = 16, dim = dim,
+    // rule). The subspace count is the knob that must SCALE WITH WIDTH:
+    // the dim-64 contract shape (m=16, dsub=4) transplanted to dim 768
+    // gives 48-dim subspaces quantized to 64 codes — measured recall@10
+    // vs the exact tier collapsed to 0.12 on this corpus. m=96 keeps
+    // dsub=8 (the production-realistic shape: 96 lookups vs 768 FMAs,
+    // ~30× fewer uncompressed scan bytes). SPARK_GRAFT_PQ_M selects.
+    val m = sys.env.getOrElse("SPARK_GRAFT_PQ_M", "16").toInt
+    val pq = phase(s"pq codebook d768 m$m") {
+      graft.llm.Ann.pqTrain(emb, nLists = 16, dim = dim, m = m,
         centroids = Some(cents))
     }
-    val encLayout = s"$dir/layout-enc"
+    val encLayout = s"$dir/layout-enc-$flavor-m$m"
     phase("pq encode layout d768") {
       graft.sources.Layout.writeIvfEncodedPartitioned(emb, encLayout, pq)
     }
@@ -619,7 +640,7 @@ object Rehearsal {
     println(f"[rehearsal] d768 layout bytes: raw=${layoutBytes(rawLayout)}%,d " +
       f"encoded=${layoutBytes(encLayout)}%,d " +
       f"(ratio ${layoutBytes(rawLayout).toDouble / layoutBytes(encLayout)}%.1f x)")
-    val qdir = s"$dir/queries"
+    val qdir = s"$dir/queries-$flavor"
     val qf = new java.io.File(qdir)
     if (qf.exists()) new scala.reflect.io.Directory(qf).deleteRecursively()
     emb.where(col("vec_id") < 2500).limit(2000)
