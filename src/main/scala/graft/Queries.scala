@@ -27,6 +27,24 @@ object Queries {
   private def q(name: String, spark: String, oracle: String): Q =
     Q(name, spark, oracle)
 
+  /** Explicit-repartition width for the few Spark-dialect texts whose hot
+    * path EXPLODES (join/window output ≫ every input): input-bytes-based
+    * partitioning — the bench protocol's volume-sized static shuffle AND
+    * AQE's coalescing alike — sees single-digit-MB inputs and folds such a
+    * plan into ONE task, serializing tens of millions of produced rows
+    * (guide §3.3, the exploding-join blind spot; OPTIMIZATION_r18.md §6).
+    * Parameterized off the driver's own core-count contract
+    * (`SPARK_GRAFT_CPUS`, local default 32), NOT a hard-coded local
+    * constant: the 8-core companion run gets width 8, a cluster session
+    * gets its configured width. At 100 TB the same hint is the explicit
+    * hash-repartition any exploding self-join needs; width there is sized
+    * to cores/output-volume, and AQE skew splits handle residual key skew.
+    * Hash partitioning is deterministic and aggregation-exact, so declared
+    * results are bit-identical at any width (InvariantsSpec pins this). */
+  private val hintPar: Int =
+    math.max(1, scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt).getOrElse(32))
+
   /** Deliberately-quadratic exact baselines (the plans their banded/LSH
     * siblings are recall-verified against). Contract-SF only: Verify
     * skips them on non-contract corpora (the 10× soak), where their
@@ -377,10 +395,18 @@ object Queries {
     // (Queries.exactBaselines).
     // Near-dup candidate generation + scoring: word 3-gram shingles,
     // inverted index self-join, exact Jaccard, top-20 most similar pairs.
+    // r18b: the same serialized-expansion fix as x80 (guide §3.3; see
+    // hintPar and OPTIMIZATION_r18.md §8) — the docs scan is one row
+    // group, so the shingle explode, the inverted-index self-join's
+    // probe side AND the (a,b) pair count all ran in ONE task. One
+    // hash-repartition hint on documents parallelizes all three
+    // (HashPartitioning(doc_id) flows to a = sa.doc_id, so the pair agg
+    // stays in-task). Result-identical; DuckDB text verbatim below.
     q("x48_jaccard_topk",
-      """WITH t AS (SELECT doc_id,
+      s"""WITH t AS (SELECT doc_id,
         |  array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3)))) AS shs
-        |  FROM (SELECT doc_id, split(text,' ') AS w FROM documents) WHERE size(w) >= 3),
+        |  FROM (SELECT doc_id, split(text,' ') AS w
+        |        FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)) WHERE size(w) >= 3),
         |n AS (SELECT doc_id, size(shs) AS n FROM t),
         |s AS (SELECT doc_id, explode(shs) AS sh FROM t),
         |p AS (SELECT sa.doc_id AS a, sb.doc_id AS b, count(*) AS c
@@ -404,10 +430,15 @@ object Queries {
     // brute force. Capped to the contract SFs via Queries.exactBaselines.
     // Top-20 cosine pairs over the embedding table; the native cosine_sim
     // expression (see q43 note) keeps the 2M-pair loop in codegen.
+    // r18b: same class as x48 — the all-pairs loop streamed the single
+    // row-group embeddings scan through ONE BroadcastNestedLoopJoin
+    // task; repartitioning the streamed side runs the pair loop
+    // width-way parallel (top-20 is a per-partition partial TakeOrdered).
     q("x49_cosine_pairs",
-      """SELECT va.vec_id AS a, vb.vec_id AS b,
+      s"""SELECT va.vec_id AS a, vb.vec_id AS b,
         |       round(cosine_sim(va.embedding, vb.embedding), 4) AS sim
-        |FROM embeddings va JOIN embeddings vb ON va.vec_id < vb.vec_id
+        |FROM (SELECT /*+ REPARTITION($hintPar, vec_id) */ vec_id, embedding FROM embeddings) va
+        |JOIN embeddings vb ON va.vec_id < vb.vec_id
         |ORDER BY sim DESC, a, b LIMIT 20""".stripMargin,
       """SELECT va.vec_id AS a, vb.vec_id AS b,
         |       round(cast(list_cosine_similarity(va.embedding, vb.embedding) AS DOUBLE), 4) AS sim
@@ -824,10 +855,32 @@ object Queries {
     // fps rows per fp; fps is distinct (doc_id, fp)). Measured 64.7 →
     // 40.9 s at sf0.1 under the protocol config. The per-position hash
     // is fused by FuseMd5Prefix32 (plans/Rules.scala); the DuckDB text
-    // below keeps the window form verbatim. The remaining wall is the
-    // exact 94.9M-row pair expansion — see OPTIMIZATION_r18.md §6.
+    // below keeps the window form verbatim. The remaining wall was the
+    // exact 94.9M-row pair expansion — see OPTIMIZATION_r18.md §6/§8.
+    //
+    // r18b (guide §2.1/§3.3 — the exploding-join blind spot): every
+    // byte-sized partitioning signal (static volume-sized shuffle, AQE
+    // coalescing) sees this plan's single-digit-MB INPUTS and folds the
+    // whole chain into ONE task — serializing the 40M-row explode+
+    // window pass and the 95M-row pair expansion alike. ONE
+    // hash-repartition hint on documents (width = the SPARK_GRAFT_CPUS
+    // contract, see hintPar) fixes both with zero result change: the
+    // explode/hash/window/distinct chain runs width-way parallel
+    // (window needs only ClusteredDistribution(doc_id) — satisfied, so
+    // this also REPLACES the old exchange that carried (doc_id,i,h)
+    // per POSITION with one carrying docs, ~25× fewer shuffled bytes),
+    // and HashPartitioning(doc_id) flows through the streamed side of
+    // the pair join into GROUP BY (a,b) (a = x.doc_id alone determines
+    // the partition), so the join probe AND both pair-count phases run
+    // width-way parallel in-task, no post-join exchange. Measured
+    // 60.4 → 3.14 s at sf0.1 under the protocol config (19×); plan in
+    // plans/r18/x80_winnowing_sql_after.txt. (A second REPARTITION
+    // above fps — a would-be reuse point for the 6 inlined copies — is
+    // optimizer-removed as redundant with this one; the copies run
+    // parallel and cheap.)
     q("x80_winnowing_sql",
-      """WITH pos AS (SELECT doc_id, explode(sequence(1, greatest(length(text)-7,1))) AS i, text FROM documents),
+      s"""WITH pos AS (SELECT doc_id, explode(sequence(1, greatest(length(text)-7,1))) AS i, text
+        |             FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |h AS (SELECT doc_id, i, cast(conv(substr(md5(substr(text,i,8)),1,8),16,10) AS BIGINT) AS h FROM pos),
         |wmin AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp FROM h),
         |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE i >= 4),
@@ -2690,13 +2743,19 @@ object Queries {
     // c1·c2) so the ranking is exact, not float-ordered. min-support 2
     // keeps the frequent-edge set ~constant (2.4k/3.6k/3.9k pairs at
     // the three SFs — measured) while raw pairs grow 134×.
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — the protocol's 1-partition exchange
+    // under the DISTINCT serialized the basket self-join's probe and
+    // the pair expansion; `lip` repartitions on the join key so the
+    // expansion runs width-way parallel. Spark dialect only.
     q("x162_market_basket",
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lip AS (SELECT /*+ REPARTITION($hintPar, l_orderkey) */ l_orderkey, l_partkey FROM li),
         |cnt AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY 1),
         |tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM li),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS support
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  FROM lip a JOIN lip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT p1, p2, support,
         |       cast((support * n * 10000) div (c1.c * c2.c) AS BIGINT) AS lift_bp
@@ -2724,7 +2783,20 @@ object Queries {
     // inlines CTEs, so the edge build runs 3× here — the contract
     // form; operators.Graph.triangles is the persist-once scale path
     // (x165, same oracle — the x136/x140 policy).
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8); the texts split only so the hint stays
+    // Spark-side — the oracle text is the old shared one, verbatim.
     q("x163_triangles",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lip AS (SELECT /*+ REPARTITION($hintPar, l_orderkey) */ l_orderkey, l_partkey FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lip a JOIN lip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+        |FROM pairs e1 JOIN pairs e2 ON e1.p2 = e2.p1
+        |     JOIN pairs e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+        |ORDER BY a, b, c""".stripMargin,
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -5085,7 +5157,25 @@ object Queries {
     // Degrees are one hash agg over the edge list; the corr runs over
     // edge-sized input. This graph is near-neutral (≈0) — the number,
     // not its size, is the verdict.
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8); texts split only to keep the hint
+    // Spark-side — the oracle text is the old shared one, verbatim.
     q("x269_assortativity",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lip AS (SELECT /*+ REPARTITION($hintPar, l_orderkey) */ l_orderkey, l_partkey FROM li),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+        |  FROM lip a JOIN lip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT p, cast(count(*) AS BIGINT) AS d FROM (
+        |          SELECT p1 AS p FROM pairs UNION ALL SELECT p2 FROM pairs) u GROUP BY 1),
+        |e AS (SELECT da.d AS dx, db.d AS dy
+        |      FROM pairs JOIN deg da ON pairs.p1 = da.p JOIN deg db ON pairs.p2 = db.p),
+        |sym AS (SELECT dx, dy FROM e UNION ALL SELECT dy, dx FROM e)
+        |SELECT round(corr(dx, dy), 4) AS assortativity,
+        |       cast(count(*)/2 AS BIGINT) AS edges,
+        |       cast((SELECT count(*) FROM deg) AS BIGINT) AS nodes
+        |FROM sym""".stripMargin,
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
@@ -5143,16 +5233,23 @@ object Queries {
     // Σdeg² work, the standard wedge bound; existing edges anti-joined
     // out. Jaccard in integer bp; Adamic-Adar sums ≤ cn small ln terms,
     // rounded 4dp.
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — `lip` parallelizes the basket pair
+    // build; the wedge self-join's probe side repartitions on its join
+    // key (x.b = y.a) so the Σdeg² wedge expansion and the (u,v)
+    // candidate count run width-way parallel too. Spark dialect only.
     q("x272_link_prediction",
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lip AS (SELECT /*+ REPARTITION($hintPar, l_orderkey) */ l_orderkey, l_partkey FROM li),
         |pairs AS (
         |  SELECT a.l_partkey AS p1, b.l_partkey AS p2
-        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  FROM lip a JOIN lip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |adj AS (SELECT p1 AS a, p2 AS b FROM pairs UNION ALL SELECT p2, p1 FROM pairs),
+        |adjx AS (SELECT /*+ REPARTITION($hintPar, b) */ a, b FROM adj),
         |deg AS (SELECT a AS p, cast(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
         |wedge AS (SELECT x.a AS u, y.b AS v, x.b AS mid
-        |          FROM adj x JOIN adj y ON x.b = y.a AND x.a < y.b),
+        |          FROM adjx x JOIN adj y ON x.b = y.a AND x.a < y.b),
         |cand AS (SELECT u, v, cast(count(*) AS BIGINT) AS cn,
         |                round(sum(1.0 / ln(dm.d)), 4) AS adamic
         |         FROM wedge JOIN deg dm ON wedge.mid = dm.p
@@ -5576,16 +5673,24 @@ object Queries {
     // |sampled users| × |parts| with a per-user top-k — at scale the
     // hash-rank would band candidates per user first (same trick as
     // the ANN bucket path).
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — the CROSS JOIN broadcasts the ~|cust|/100
+    // sampled users and STREAMS part, whose one-row-group scan is a
+    // single task: the whole |users|×|parts| hash+rank fan-out ran
+    // serial. Repartitioning the streamed side runs it width-way
+    // parallel (the per-user rank keeps its Partial WindowGroupLimit
+    // shape — only ≤5 rows per (task, user) cross the exchange).
     q("x284_negative_sampling",
-      """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
-        |bought AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
-        |           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
-        |cand AS (SELECT c.c_custkey AS ck, p.p_partkey AS pk,
-        |                cast(conv(substr(md5(concat(cast(c.c_custkey AS STRING), ':', cast(p.p_partkey AS STRING))),1,8),16,10) AS BIGINT) AS hv
-        |         FROM cust c CROSS JOIN part p),
+      s"""WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+        |bought AS (SELECT /*+ BROADCAST(o) */ DISTINCT o.o_custkey AS ck, l.pk AS pk
+        |           FROM orders o JOIN (SELECT /*+ REPARTITION($hintPar, l_partkey) */ l_orderkey, l_partkey AS pk FROM lineitem) l
+        |           ON o.o_orderkey = l.l_orderkey),
+        |cand AS (SELECT /*+ BROADCAST(c) */ c.c_custkey AS ck, p.pk AS pk,
+        |                cast(conv(substr(md5(concat(cast(c.c_custkey AS STRING), ':', cast(p.pk AS STRING))),1,8),16,10) AS BIGINT) AS hv
+        |         FROM cust c CROSS JOIN (SELECT /*+ REPARTITION($hintPar, p_partkey) */ p_partkey AS pk FROM part) p),
         |neg AS (SELECT cand.ck, cand.pk, hv,
         |               row_number() OVER (PARTITION BY cand.ck ORDER BY hv, cand.pk) AS rk
-        |        FROM cand WHERE NOT EXISTS (SELECT 1 FROM bought b WHERE b.ck = cand.ck AND b.pk = cand.pk))
+        |        FROM cand WHERE NOT EXISTS (SELECT /*+ BROADCAST(b) */ 1 FROM bought b WHERE b.ck = cand.ck AND b.pk = cand.pk))
         |SELECT ck, pk, hv, cast(rk AS BIGINT) AS rk FROM neg WHERE rk <= 5 ORDER BY ck, rk""".stripMargin,
       """WITH cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
         |bought AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS pk
@@ -5885,7 +5990,28 @@ object Queries {
     // to the 3 member vertices; lcc_bp = 2·tri·10⁴ / deg(deg−1) in
     // exact integer basis points. Support pruning keeps the edge list
     // dimension-sized; the triangle join is the x163/x165 shape.
+    // r18b: x80-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8); texts split only to keep the hint
+    // Spark-side — the oracle text is the old shared one, verbatim.
     q("x293_local_clustering",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |lip AS (SELECT /*+ REPARTITION($hintPar, l_orderkey) */ l_orderkey, l_partkey FROM li),
+        |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |      FROM lip a JOIN lip b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT node, cast(count(*) AS BIGINT) AS d
+        |        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e) x GROUP BY 1),
+        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |       FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tv AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr),
+        |tc AS (SELECT node, cast(count(*) AS BIGINT) AS tri FROM tv GROUP BY 1)
+        |SELECT deg.node, deg.d AS degree,
+        |       cast(coalesce(tc.tri, 0) AS BIGINT) AS triangles,
+        |       cast(floor(coalesce(tc.tri, 0) * 20000e0 / (deg.d * (deg.d - 1))) AS BIGINT) AS lcc_bp
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |WHERE deg.d >= 2
+        |ORDER BY lcc_bp DESC, deg.node LIMIT 20""".stripMargin,
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |e AS (SELECT a.l_partkey AS u, b.l_partkey AS v
         |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -8186,8 +8312,10 @@ object Queries {
     // the dual-dialect contract forbids. The pair histogram is the
     // quadratic-by-design oracle shape (x48 class); at scale the
     // histogram comes from the banded candidates themselves.
+    // r18b: x48-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — hint on the Spark side only.
     q("x364_lsh_band_sensitivity",
-      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, split(text,' ') AS w FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |       FROM w WHERE size(w) >= 3),
         |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
@@ -8255,8 +8383,10 @@ object Queries {
     // signatures, not an idealized one. Scale: candidates come from the
     // banded join (never all pairs); the exact verify join is per
     // candidate — the standard verify-stage cost.
+    // r18b: x48-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — hint on the Spark side only.
     q("x365_minhash_jaccard_err",
-      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, split(text,' ') AS w FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |       FROM w WHERE size(w) >= 3),
         |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
@@ -8355,8 +8485,10 @@ object Queries {
     // join (oracle-quadratic, x48 class); wedges join edges on the
     // middle doc — at scale edges are the BANDED candidates, so wedge
     // count is bounded by the verified pair set, never the corpus.
+    // r18b: x48-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — hint on the Spark side only.
     q("x367_neardup_transitivity",
-      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, split(text,' ') AS w FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |       FROM w WHERE size(w) >= 3),
         |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
@@ -8860,8 +8992,10 @@ object Queries {
     // Scale: candidates from the banded join only; the three gram
     // joins are per-candidate (verify-stage cost) — but the exact gram
     // sides are the audited truth, so contract-SF only by design.
+    // r18b: x48-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — hint on the Spark side only.
     q("x379_shingle_size_sensitivity",
-      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, split(text,' ') AS w FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |       FROM w WHERE size(w) >= 3),
         |hv AS (SELECT doc_id, cast(conv(substr(md5(sh),1,8),16,10) AS BIGINT) AS hv FROM sh),
@@ -9173,8 +9307,10 @@ object Queries {
     // gap IS the estimator's banding loss. Scale: the exact side is
     // the all-sharing-pairs gram join, the audited truth — contract-SF
     // only (exactBaselines, x365's rule).
+    // r18b: x48-class serialized-expansion fix (see hintPar /
+    // OPTIMIZATION_r18.md §8) — hint on the Spark side only.
     q("x386_lsh_recall_audit",
-      """WITH w AS (SELECT doc_id, split(text,' ') AS w FROM documents),
+      s"""WITH w AS (SELECT doc_id, split(text,' ') AS w FROM (SELECT /*+ REPARTITION($hintPar, doc_id) */ doc_id, text FROM documents)),
         |sh AS (SELECT doc_id, explode(array_distinct(transform(sequence(1, size(w)-2), i -> concat_ws(' ', slice(w, i, 3))))) AS sh
         |       FROM w WHERE size(w) >= 3),
         |n AS (SELECT doc_id, cast(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
