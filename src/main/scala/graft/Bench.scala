@@ -105,6 +105,13 @@ object Bench {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Keep the ContextCleaner fed DURING long ops too (r18b, §8b of
+      // OPTIMIZATION_r18.md): dead broadcast/shuffle blocks are only
+      // freed after a GC enqueues their weak refs, and the engine
+      // default (30 min) lets a whole bench run age without one. 30 s
+      // matches the single_rep budget; the per-name scrub() below
+      // handles the between-ops debris deterministically.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       // FAIR scheduling only matters when client threads submit jobs
       // concurrently: FIFO would let one query's stages starve the rest
       // and inflate tail latency for no throughput gain.
@@ -162,6 +169,28 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Between-names hygiene, in the UNTIMED gap (r18b measurement-bug
+    // fix, documented in OPTIMIZATION_r18.md §8b — old numbers kept):
+    // clearCache() alone was not enough. Dead broadcast/shuffle state
+    // from prior ops is freed only when a GC collects the
+    // ContextCleaner's weak refs, and a mostly-idle 8 g heap GCs so
+    // rarely that 30+ ops of debris accumulate in storage memory —
+    // measured: x80's width-parallel plan ran 43.9 s after 30 other ops
+    // vs 3.2 s in a fresh session (same code, same corpus), and 6.7 s
+    // with the cleaner forced along. A deterministic System.gc() in the
+    // per-name gap (never mid-rep, unlike spark.cleaner.periodicGC
+    // which fires on a wall clock) pins every op's timed reps to a
+    // clean session — the cross-op-interference class the clearCache
+    // comment below already names, one level deeper.
+    // Two GC passes with a drain pause: the first enqueues the dead
+    // refs, the cleaner thread then issues the (async) block removals,
+    // and the second pass collects what the removals freed. One pass
+    // measured 18.2 s for the x80 probe above — better than 43.9, far
+    // from the 3.2 s fresh-session truth.
+    def scrub(): Unit = {
+      spark.catalog.clearCache()
+      System.gc(); Thread.sleep(250); System.gc()
+    }
     // Warm-up ×2: JIT, codegen cache, parquet footers, broadcast
     // relations, AQE final plans (second pass runs fully warm, narrowing
     // run-to-run variance of the timed medians). Cache is cleared per
@@ -176,8 +205,8 @@ object Bench {
     // extension suite's honest wall cost is dominated by executions, and
     // the second pass's variance narrowing is not worth ~4 minutes of
     // wall per round. The q gate suite keeps the full protocol.
-    names.foreach { n => once(n); spark.catalog.clearCache() }
-    if (prefix == "q") names.foreach { n => once(n); spark.catalog.clearCache() }
+    names.foreach { n => once(n); scrub() }
+    if (prefix == "q") names.foreach { n => once(n); scrub() }
     // task-launch floor: one stage of 32 empty tasks, results straight
     // to the driver (no shuffle, no IO, no codegen) — the constant a
     // sub-floor query's time is made of
@@ -294,7 +323,7 @@ object Bench {
               singleRep += n
               Seq(once(n))
             } else Seq(once(n), once(n), once(n)).sorted
-          spark.catalog.clearCache()
+          scrub()
           if (countStages) {
             // stages are plan-determined (AQE off ⇒ static), so the
             // count across the repop + timed reps must divide evenly;
